@@ -1,0 +1,75 @@
+"""Sources and sinks (SURVEY.md §2.1 S1-S6).
+
+The reference reads line-oriented TSV review files with positional field
+splits (BigdataProjectCode.py:43/54/371) and enumerates a directory as a
+poor-man's catalog (code:33/319).  Here every source is a declarative
+``spark.read`` so Catalyst gets pushdown/pruning for free, and the directory
+loop becomes a single multi-file scan with ``input_file_name()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Exact 6-column contract of the reference's TSV review files
+# (BigData-Final.pdf p.2 §IV.B; parsed positionally at BigdataProjectCode.py:43).
+REVIEWS_SCHEMA = T.StructType(
+    [
+        T.StructField("review_id", T.StringType()),
+        T.StructField("product_title", T.StringType()),
+        T.StructField("star_rating", T.IntegerType()),
+        T.StructField("vine", T.StringType()),
+        T.StructField("verified_purchase", T.StringType()),
+        T.StructField("review_body", T.StringType()),
+    ]
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one synthetic table (column-pruned, filter-pushed)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works on them."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_reviews_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """Read the reference's native TSV review format (S1-S3).
+
+    One ``spark.read.csv`` over a file, glob, or directory replaces the
+    reference's per-file ``sc.textFile`` loop + manual header strip
+    (BigdataProjectCode.py:161-163); ``product_id`` is derived from the file
+    name the way the reference derives it from ``os.listdir``.
+    """
+    df = (
+        spark.read.option("sep", "\t")
+        .option("header", "true")
+        .schema(REVIEWS_SCHEMA)
+        .csv(path)
+    )
+    return df.withColumn(
+        "product_id",
+        F.regexp_extract(F.input_file_name(), r"([^/]+)\.txt$", 1),
+    )

@@ -1,0 +1,68 @@
+"""Shared fixtures: one SparkSession per test run + a DuckDB oracle."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from bigdataanalytics_textsummarization_spark.io import TABLES
+from bigdataanalytics_textsummarization_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session(app="tests", cpus=4, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by all values — mirrors the driver's
+    order-insensitive compare."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return df
+
+
+def assert_parity(spark, oracle, qfn, sql, sf_dir=SF_DIR):
+    got = normalize(qfn(spark, sf_dir).toPandas())
+    want = normalize(oracle.sql(sql).df())
+    assert len(got) == len(want), f"row count {len(got)} != oracle {len(want)}"
+    assert list(got.columns) == list(want.columns), (
+        f"columns {list(got.columns)} != oracle {list(want.columns)}"
+    )
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                g.astype(float), w.astype(float), check_names=False,
+                rtol=0, atol=1e-9, check_index=False, obj=f"column {c}",
+            )
+        else:
+            same = (g.astype(str).values == w.astype(str).values)
+            assert same.all(), (
+                f"column {c}: first mismatch at row {int((~same).argmax())}: "
+                f"{g[~same].head(3).tolist()} != {w[~same].head(3).tolist()}"
+            )
