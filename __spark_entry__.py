@@ -19,9 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bigdataanalytics_textsummarization_spark import text  # noqa: E402
+from bigdataanalytics_textsummarization_spark import relational, text  # noqa: E402
 
-_MODULES = [text]
+_MODULES = [text, relational]
 
 
 def entry(spark: SparkSession) -> DataFrame:

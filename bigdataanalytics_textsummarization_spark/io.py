@@ -41,7 +41,21 @@ REVIEWS_SCHEMA = T.StructType(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan of one synthetic table (column-pruned, filter-pushed)."""
+    """Parquet scan of one synthetic table (column-pruned, filter-pushed).
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark rejects
+    by default; read it as long nanos and convert to a microsecond timestamp
+    (sub-second precision is irrelevant to every consumer here).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_field = df.schema["ts"]
+        if isinstance(ts_field.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
