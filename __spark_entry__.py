@@ -19,9 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bigdataanalytics_textsummarization_spark import relational, text  # noqa: E402
+from bigdataanalytics_textsummarization_spark import (  # noqa: E402
+    graph,
+    pagerank,
+    relational,
+    text,
+)
 
-_MODULES = [text, relational]
+_MODULES = [text, relational, graph, pagerank]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,155 @@
+"""Weighted PageRank / TextRank (SURVEY.md §2.10 I1-I2, §2.3 J1, §2.4 A4-A5).
+
+Reference semantics preserved exactly (BigdataProjectCode.py:386-391,
+405-411):
+- damping d = 0.85, init rank = 0.15 for every vertex, exactly 5 iterations,
+  no convergence test, no rank normalization;
+- per iteration: contribution(src→dst) = rank(src) * w(src,dst) / Σ_out w(src);
+  new rank(dst) = 0.15 + 0.85 * Σ incoming contributions;
+- vertices whose adjacency list is empty are dropped before iteration (P8),
+  and vertices with no in-links vanish after the first aggregation — both
+  reference behaviors kept for parity.
+
+Scale design: the contribution scatter is a shuffle join keyed on
+(source, src); contribution weights (w/Σw) are static, so they are computed
+once, cached, and reused across iterations.  Each iteration ends in a
+``localCheckpoint`` to cut the lineage the reference lets grow 5 joins deep
+(SURVEY.md §4.1).  On a cluster the rank table is tiny relative to edges, so
+AQE turns the per-iteration join into a broadcast automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import r6
+from .graph import EDGES_PREAMBLE, edges_raw
+from .text import sentences
+
+N_ITERATIONS = 5
+DAMPING = 0.85
+INIT_RANK = 0.15
+
+
+def _ranks_raw(spark: SparkSession, sf_dir: str, iterations: int = N_ITERATIONS) -> DataFrame:
+    edges = edges_raw(spark, sf_dir).select("source", "src", "dst", "weight")
+    out_w = edges.groupBy("source", "src").agg(F.sum("weight").alias("out_w"))
+    # Static normalized contribution weights, reused every iteration.
+    ew = (
+        edges.join(out_w, ["source", "src"])
+        .select(
+            "source",
+            "src",
+            "dst",
+            (F.col("weight") / F.col("out_w")).alias("contrib_w"),
+        )
+        .cache()
+    )
+    # Rank state carries renamed columns (r_source, r_id) so the
+    # per-iteration join against ew — which the state descends from — is
+    # never ambiguous to the analyzer.
+    ranks = (
+        ew.select(
+            F.col("source").alias("r_source"), F.col("src").alias("r_id")
+        )
+        .distinct()
+        .withColumn("rank", F.lit(INIT_RANK).cast("double"))
+    )
+    for _ in range(iterations):
+        contrib = ew.join(
+            ranks,
+            (F.col("source") == F.col("r_source"))
+            & (F.col("src") == F.col("r_id")),
+        ).select(
+            "source",
+            "dst",
+            (F.col("rank") * F.col("contrib_w")).alias("c"),
+        )
+        ranks = contrib.groupBy(
+            F.col("source").alias("r_source"), F.col("dst").alias("r_id")
+        ).agg((F.lit(INIT_RANK) + F.lit(DAMPING) * F.sum("c")).alias("rank"))
+        # Eagerly materialize + cut lineage (driver loop, SURVEY §2.10 I1).
+        ranks = ranks.localCheckpoint()
+    return ranks.select(
+        F.col("r_source").alias("source"),
+        F.col("r_id").alias("sentence_id"),
+        "rank",
+    )
+
+
+def textrank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final rank table after 5 iterations (FIXTURES.md F6)."""
+    return _ranks_raw(spark, sf_dir).select(
+        "source", "sentence_id", r6(F.col("rank")).alias("rank")
+    )
+
+
+def textrank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 sentences per source by rank, joined back to text (O2 + J3).
+
+    Replaces the reference's driver-side sort + per-sentence ``lookup()``
+    jobs (BigdataProjectCode.py:396-401) with one window + one equi-join.
+    """
+    ranks = _ranks_raw(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.desc("rank"), F.asc("sentence_id")
+    )
+    top = (
+        ranks.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+        .select("source", "rk", "sentence_id", r6(F.col("rank")).alias("rank"))
+    )
+    sent = sentences(spark, sf_dir).select("sentence_id", "sentence")
+    return top.join(sent, "sentence_id").select(
+        "source", "rk", "sentence_id", "rank", "sentence"
+    )
+
+
+def _ranks_cte(iterations: int) -> str:
+    """Unrolled PageRank iterations as DuckDB CTEs r0..rN."""
+    parts = [
+        "outw AS (SELECT source, src, sum(weight) AS out_w FROM edges "
+        "GROUP BY source, src)",
+        "ew AS (SELECT e.source, e.src, e.dst, e.weight / o.out_w AS contrib_w "
+        "FROM edges e JOIN outw o ON e.source = o.source AND e.src = o.src)",
+        f"r0 AS (SELECT DISTINCT source, src AS sentence_id, "
+        f"CAST({INIT_RANK} AS double) AS rnk FROM ew)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS (SELECT e.source, e.dst AS sentence_id, "
+            f"{INIT_RANK} + {DAMPING} * sum(r.rnk * e.contrib_w) AS rnk "
+            f"FROM ew e JOIN r{i - 1} r "
+            f"ON e.source = r.source AND e.src = r.sentence_id "
+            f"GROUP BY e.source, e.dst)"
+        )
+    return ",\n".join(parts)
+
+
+ORACLES: dict[str, str] = {
+    "textrank_ranks": f"""
+{EDGES_PREAMBLE},
+{_ranks_cte(N_ITERATIONS)}
+SELECT source, sentence_id, round(rnk, 6) AS rank FROM r{N_ITERATIONS}
+""",
+    "textrank_top5": f"""
+{EDGES_PREAMBLE},
+{_ranks_cte(N_ITERATIONS)},
+ranked AS (
+  SELECT source, sentence_id, rnk,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY rnk DESC, sentence_id ASC) AS rk
+  FROM r{N_ITERATIONS}
+)
+SELECT r.source, r.rk, r.sentence_id, round(r.rnk, 6) AS rank, s.sentence
+FROM ranked r JOIN sent s ON r.sentence_id = s.sentence_id
+WHERE r.rk <= 5
+""",
+}
+
+QUERIES = {
+    "textrank_ranks": textrank_ranks,
+    "textrank_top5": textrank_top5,
+}
