@@ -25,8 +25,14 @@ from bigdataanalytics_textsummarization_spark import (  # noqa: E402
     relational,
     text,
 )
+from bigdataanalytics_textsummarization_spark.extensions import (  # noqa: E402
+    dedup,
+    multimodal,
+    similarity,
+    text_analysis,
+)
 
-_MODULES = [text, relational, graph, pagerank]
+_MODULES = [text, relational, graph, pagerank, dedup, similarity, text_analysis, multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

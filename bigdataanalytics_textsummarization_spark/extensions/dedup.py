@@ -1,0 +1,451 @@
+"""Document deduplication: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale design notes (the point of these operators at 100 TB):
+- every hash primitive is md5 (hex string) — deterministic, identical in
+  Spark and DuckDB, so the correctness oracle replicates signatures exactly;
+- exact dedup is a single hash-groupBy (one shuffle on a 32-byte key);
+- MinHash/LSH: shingle -> 16 minhashes -> 4 bands; only documents sharing a
+  band hash are ever paired, so candidate generation is an equi-join on
+  (band, band_sig) — linear shuffle, no all-pairs blowup.  Estimated and
+  exact Jaccard are then computed only for candidates;
+- the direct n-gram Jaccard join (dedup_ngram_jaccard) blocks on shared
+  shingles; it is the exact baseline to validate LSH recall at test scale.
+  At 100 TB the LSH path is the production route — hot shingles make the
+  direct join quadratic in the worst case (AQE skew-split mitigates, LSH
+  avoids);
+- SimHash packs each document into one 16-bit integer; near-dup candidates
+  become a bit_count(xor) band join, the cheapest possible pairing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import r6
+from ..io import load_table
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+SHINGLE_K = 3
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per document.
+
+    Built with lead() over word positions — identical, order-deterministic
+    semantics in the DuckDB oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ", -1)).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        words.withColumn("w1", F.lead("w", 1).over(win))
+        .withColumn("w2", F.lead("w", 2).over(win))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(" ", "w", "w1", "w2").alias("g"),
+        )
+    )
+    return grams.select("doc_id", "source", "g").distinct()
+
+
+SHINGLES_CTE = """
+words AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+grams_all AS (
+  SELECT doc_id, source,
+         w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+           || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM words
+  QUALIFY lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+),
+grams AS (SELECT DISTINCT doc_id, source, g FROM grams_all)
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 hash-groupBy; canonical id = min doc_id per hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.md5(F.col("text")).alias("text_hash")
+    )
+    w = Window.partitionBy("text_hash")
+    return (
+        hashed.withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "text_hash", "canonical_id", "is_duplicate")
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-form MinHash signatures: (doc_id, seed, minhash).
+
+    minhash_i(doc) = min over shingles of md5('<i>|<shingle>') — the
+    lexicographic min of hex strings, which both engines compute
+    identically.
+    """
+    sh = _shingles(spark, sf_dir)
+    return (
+        sh.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {N_HASHES - 1})")).alias("seed"),
+            "g",
+        )
+        .withColumn("h", F.md5(F.concat_ws("|", F.col("seed"), F.col("g"))))
+        .groupBy("doc_id", F.col("seed").cast("long").alias("seed"))
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+MINHASH_CTE = f"""
+mh AS (
+  SELECT doc_id, seed, min(md5(cast(seed AS varchar) || '|' || g)) AS minhash
+  FROM (SELECT doc_id, g, unnest(range({N_HASHES})) AS seed FROM grams)
+  GROUP BY doc_id, seed
+)
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with estimated and exact Jaccard.
+
+    Pipeline: signatures -> band hashes (md5 of 4 ordered minhashes) ->
+    equi-join on (band, band_sig) -> per-candidate estimated Jaccard
+    (fraction of equal minhash seeds) and exact shingle Jaccard.
+    """
+    mh = minhash_signatures(spark, sf_dir)
+    bands = (
+        mh.withColumn("band", F.expr(f"cast(floor(seed / {N_HASHES // N_BANDS}) as bigint)"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.expr(
+                "md5(concat_ws('|', transform(sort_array("
+                "collect_list(struct(seed, minhash))), x -> x.minhash)))"
+            ).alias("band_sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+    ma = mh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("seed").alias("seed"),
+        F.col("minhash").alias("mh_a"),
+    )
+    mb = mh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("seed").alias("seed"),
+        F.col("minhash").alias("mh_b"),
+    )
+    est = (
+        cand.join(ma, "doc_a")
+        .join(mb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b", "n_shared_bands")
+        .agg(
+            r6(
+                F.sum(
+                    F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
+                )
+                / F.lit(float(N_HASHES))
+            ).alias("est_jaccard")
+        )
+    )
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = sh.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = sh.select(F.col("doc_id").alias("doc_b"), "g")
+    isect = (
+        est.select("doc_a", "doc_b")
+        .join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("isect"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        est.join(isect, ["doc_a", "doc_b"])
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            "est_jaccard",
+            r6(
+                F.col("isect")
+                / (F.col("n_a") + F.col("n_b") - F.col("isect"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs (threshold 0.2), blocked on
+    shared shingles.  Baseline validator for the LSH path."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "g")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("isect"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard_raw",
+            F.col("isect") / (F.col("n_a") + F.col("n_b") - F.col("isect")),
+        )
+        .filter(F.col("jaccard_raw") >= 0.2)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("isect").cast("long").alias("isect"),
+            r6(F.col("jaccard_raw")).alias("jaccard"),
+        )
+    )
+
+
+SIMHASH_BITS = 48  # 12 hex chars of md5; stays comfortably inside int64
+SIMHASH_BANDS = 4  # hamming <= SIMHASH_BANDS-1 guarantees one exact band
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document from distinct whitespace tokens.
+
+    bit_j(doc) = 1 iff sum over tokens of sign(bit_j(h(token))) > 0, where
+    h(token) = first 48 bits of md5.  One integer per doc.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("w")
+    ).distinct()
+    tok_h = toks.withColumn(
+        "hv", F.conv(F.substring(F.md5("w"), 1, SIMHASH_BITS // 4), 16, 10).cast("long")
+    )
+    bits = tok_h.select(
+        "doc_id",
+        "hv",
+        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("bit"),
+    ).withColumn(
+        "sign",
+        F.when(F.expr("(hv >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("sign").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("cast(1 as bigint) << bit")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates by SimHash hamming distance <= 3, band-blocked.
+
+    Pigeonhole blocking: with 4 bands of 12 bits, any pair at hamming <= 3
+    must agree exactly on at least one band, so candidate generation is an
+    equi-join on (band_idx, band_bits) — never an all-pairs cross product.
+    This is the 100 TB-safe shape; the hamming filter then confirms.
+    """
+    fp = simhash_fingerprints(spark, sf_dir)
+    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.expr(f"sequence(0, {SIMHASH_BANDS - 1})")).alias("band"),
+    ).withColumn(
+        "band_bits",
+        F.expr(f"(simhash >> (band * {band_w})) & {(1 << band_w) - 1}"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        "band",
+        "band_bits",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sh_b"),
+        "band",
+        "band_bits",
+    )
+    return (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "sh_a", "sh_b", "hamming")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": """
+SELECT doc_id, md5(text) AS text_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents
+""",
+    "minhash_signatures": f"""
+WITH {SHINGLES_CTE}, {MINHASH_CTE}
+SELECT doc_id, seed, minhash FROM mh
+""",
+    "dedup_minhash_lsh": f"""
+WITH {SHINGLES_CTE}, {MINHASH_CTE},
+bands AS (
+  SELECT doc_id, cast(floor(seed / {N_HASHES // N_BANDS}) AS bigint) AS band,
+         md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+  FROM mh GROUP BY doc_id, 2
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+         round(sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+               / {float(N_HASHES)}, 6) AS est_jaccard
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.doc_a
+  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+  GROUP BY c.doc_a, c.doc_b, c.n_shared_bands
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+isect AS (
+  SELECT e.doc_a, e.doc_b, count(*) AS isect
+  FROM est e
+  JOIN grams ga ON ga.doc_id = e.doc_a
+  JOIN grams gb ON gb.doc_id = e.doc_b AND gb.g = ga.g
+  GROUP BY e.doc_a, e.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.n_shared_bands, e.est_jaccard,
+       round(i.isect * 1.0 / (na.n + nb.n - i.isect), 6) AS jaccard
+FROM est e
+JOIN isect i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
+JOIN sizes na ON na.doc_id = e.doc_a
+JOIN sizes nb ON nb.doc_id = e.doc_b
+""",
+    "dedup_ngram_jaccard": f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, isect,
+       round(isect * 1.0 / (na.n + nb.n - isect), 6) AS jaccard
+FROM pairs
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE isect * 1.0 / (na.n + nb.n - isect) >= 0.2
+""",
+    "simhash_fingerprints": f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+th AS (
+  SELECT doc_id,
+         cast(cast(concat('0x', substr(md5(w), 1, {SIMHASH_BITS // 4})) AS ubigint) AS bigint) AS hv
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM (SELECT doc_id, hv, unnest(range({SIMHASH_BITS})) AS bit FROM th)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       cast(sum(CASE WHEN s > 0 THEN cast(1 AS bigint) << bit ELSE 0 END) AS bigint) AS simhash
+FROM bits GROUP BY doc_id
+""",
+    "simhash_near_pairs": f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+th AS (
+  SELECT doc_id,
+         cast(cast(concat('0x', substr(md5(w), 1, {SIMHASH_BITS // 4})) AS ubigint) AS bigint) AS hv
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM (SELECT doc_id, hv, unnest(range({SIMHASH_BITS})) AS bit FROM th)
+  GROUP BY doc_id, bit
+),
+fp AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN s > 0 THEN cast(1 AS bigint) << bit ELSE 0 END) AS bigint) AS simhash
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * {SIMHASH_BITS // SIMHASH_BANDS}))
+           & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS band_bits
+  FROM (SELECT doc_id, simhash, unnest(range({SIMHASH_BANDS})) AS band FROM fp)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_bits = b.band_bits
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, sh_a, sh_b,
+       cast(bit_count(xor(sh_a, sh_b)) AS bigint) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+""",
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "simhash_fingerprints": simhash_fingerprints,
+    "simhash_near_pairs": simhash_near_pairs,
+}

@@ -1,0 +1,122 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decoded via Arrow-batched pandas iterators (mapInPandas).
+
+The container has no image/audio codecs, so the *decode* itself is a
+clearly-marked deterministic stand-in (see :func:`decode_payload`): it
+treats the first bytes of the payload as "pixel features".  Everything
+around it — the binary column schema, partition-preserving mapInPandas with
+an explicit output schema, Arrow batch transfer, metadata extraction — is
+the real production plumbing: swap ``decode_payload`` for PIL/ffmpeg and
+nothing else changes.
+
+Because the fake decode is a pure function of the md5 of the text, the
+DuckDB oracle can replicate the feature values exactly, so even the UDF
+path gets a full value-level correctness check (rare for UDF code).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load_table
+
+N_FEATURES = 4
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize an opaque binary payload column + typed metadata.
+
+    payload = md5 digest bytes of the text (16 bytes) — a deterministic
+    stand-in for an image blob; width/height/media_type are derived
+    metadata of the kind a real ingest would carry alongside the blob.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+        (
+            F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long") % 64 + 1
+        ).alias("width"),
+        (
+            F.conv(F.substring(F.md5("text"), 3, 2), 16, 10).cast("long") % 64 + 1
+        ).alias("height"),
+    )
+
+
+def decode_payload(payload: bytes) -> list[float]:
+    """STUB decode: deterministic fake features from the payload bytes.
+
+    A real deployment replaces this body with an image decode
+    (PIL.Image.open + resize + normalize); the signature and the Spark-side
+    plumbing stay identical.
+    """
+    if payload is None:
+        raise NotImplementedError("real media decode not available in this container")
+    return [b / 255.0 for b in payload[:N_FEATURES]]
+
+
+_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+    + [T.StructField(f"f{i}", T.DoubleType()) for i in range(N_FEATURES)]
+)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode + featurize via mapInPandas (Arrow batches).
+
+    The hot path a 100 TB multimodal pipeline needs: binary columns flow
+    through Arrow in large batches, the Python worker touches each payload
+    once, and the output schema is declared up front so downstream stays
+    fully typed.  Partitioning is preserved (no shuffle introduced).
+    """
+    media = synth_media(spark, sf_dir)
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(decode_payload)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+            for i in range(N_FEATURES):
+                # round(x, 6) here must match the oracle's rounding contract
+                out[f"f{i}"] = feats.map(lambda v, i=i: round(v[i], 6))
+            yield out
+
+    return media.select("doc_id", "payload").mapInPandas(
+        featurize, schema=_FEATURES_SCHEMA
+    )
+
+
+def _byte_expr(i: int) -> str:
+    # i-th byte of md5(text) as double/255, rounded like the pandas side.
+    return (
+        f"round(cast(cast(concat('0x', substr(md5(text), {2 * i + 1}, 2)) "
+        f"AS ubigint) AS double) / 255.0, 6) AS f{i}"
+    )
+
+
+ORACLES: dict[str, str] = {
+    "multimodal_features": f"""
+SELECT doc_id,
+       cast(16 AS bigint) AS n_bytes,
+       {", ".join(_byte_expr(i) for i in range(N_FEATURES))}
+FROM documents
+""",
+}
+
+QUERIES = {
+    "multimodal_features": multimodal_features,
+}

@@ -1,0 +1,219 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Two paths:
+- brute-force cosine top-k: the exactness baseline.  Query set broadcast
+  against the corpus; dot products computed JVM-side with zip_with +
+  aggregate (whole-stage codegen, no Python).  At 100 TB this is a broadcast
+  join whose cost is linear in corpus size — correct but O(Q x N);
+- sign-bucketed (LSH-flavored IVF) top-k: corpus and queries are bucketed by
+  the sign pattern of the first SIGN_DIMS dimensions (a degenerate but
+  deterministic random-hyperplane LSH); candidates are only same-bucket
+  vectors, turning the cross product into an equi-join on the bucket key.
+  This is the scale path: bucket key is computable at write time and can be
+  a partition column, giving partition-pruned ANN lookups.
+
+Embedding-cosine near-duplicate detection (dedup flavor) falls out of the
+brute-force query with a threshold instead of a top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dot, r6
+from ..io import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+SIGN_DIMS = 4
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+
+
+def _norm(col: Column) -> Column:
+    return F.sqrt(dot(col, col))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for each query vector."""
+    emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim_raw", dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "rk",
+            F.col("vec_id").alias("neighbor_id"),
+            r6(F.col("sim_raw")).alias("cosine"),
+        )
+    )
+
+
+def _bucket(col: Column) -> Column:
+    """Sign pattern of the first SIGN_DIMS dims as a string key."""
+    return F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(col, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(SIGN_DIMS)
+        ],
+    )
+
+
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed cosine top-3: candidates share the bucket key."""
+    emb = (
+        _embeddings(spark, sf_dir)
+        .withColumn("nrm", _norm(F.col("e")))
+        .withColumn("bucket", _bucket(F.col("e")))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(
+            emb,
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "sim_raw", dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            "rk",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("bucket"),
+            r6(F.col("sim_raw")).alias("cosine"),
+        )
+    )
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.95), bucketed.
+
+    The dedup flavor of similarity search: same-bucket pairs only, so the
+    pair generation is an equi-join — the 100 TB-safe shape.
+    """
+    emb = (
+        _embeddings(spark, sf_dir)
+        .withColumn("nrm", _norm(F.col("e")))
+        .withColumn("bucket", _bucket(F.col("e")))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        F.col("bucket").alias("bucket"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "sim_raw", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("sim_raw") >= 0.95)
+        .select("vec_a", "vec_b", r6(F.col("sim_raw")).alias("cosine"))
+    )
+
+
+_EMB_CTE = """
+emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> cast(x AS double)) AS e
+  FROM embeddings
+),
+embn AS (
+  SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm,
+         concat(
+           CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END,
+           CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END
+         ) AS bucket
+  FROM emb
+)
+"""
+
+ORACLES: dict[str, str] = {
+    "ann_cosine_topk": f"""
+WITH {_EMB_CTE},
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM embn WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS sim_raw
+  FROM q JOIN embn c ON c.vec_id <> q.query_id
+)
+SELECT query_id, rk, vec_id AS neighbor_id, round(sim_raw, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_raw DESC, vec_id ASC) AS rk
+  FROM pairs
+) WHERE rk <= {TOP_K}
+""",
+    "ann_bucketed_topk": f"""
+WITH {_EMB_CTE},
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket AS qbucket
+      FROM embn WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, c.vec_id, c.bucket,
+         list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS sim_raw
+  FROM q JOIN embn c ON c.bucket = q.qbucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, rk, vec_id AS neighbor_id, bucket, round(sim_raw, 6) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_raw DESC, vec_id ASC) AS rk
+  FROM pairs
+) WHERE rk <= 3
+""",
+    "embedding_near_dups": f"""
+WITH {_EMB_CTE}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+FROM embn a
+JOIN embn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.95
+""",
+}
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_bucketed_topk": ann_bucketed_topk,
+    "embedding_near_dups": embedding_near_dups,
+}

@@ -1,0 +1,236 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, winnowing fingerprints.
+
+All four are pure relational/column transforms — no UDF anywhere, so every
+operator stays inside whole-stage codegen and the DuckDB oracle replicates
+the values exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import STOPWORDS, STOPWORDS_SQL, r6
+from ..io import load_table
+
+# Small marker lexicons per language (public stopword cores).  The synthetic
+# corpus is English-flavored word soup, so the *predictions* skew 'en' — the
+# operator contract (deterministic n-gram/lexicon scoring, argmax with
+# lexicographic tiebreak, 'und' when no evidence) is what's under test.
+LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for"),
+    "fr": ("le", "la", "les", "et", "des", "une", "est", "pour"),
+    "es": ("el", "los", "las", "y", "de", "que", "una", "por"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "zh": ("de", "shi", "bu", "wo", "ni", "ta", "men", "zai"),
+}
+
+FINGERPRINT_WINDOW = 4  # winnowing window (w consecutive k-gram hashes)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-hit language ID with deterministic argmax.
+
+    score(doc, lang) = #tokens in lang's lexicon; prediction = lang with the
+    highest score (ties -> lexicographically smallest lang); 'und' with
+    score 0 when nothing matches.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lex_rows = [
+        (lang, w) for lang, words in LEXICONS.items() for w in words
+    ]
+    lex = spark.createDataFrame(lex_rows, ["cand_lang", "w"])
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ", -1)).alias("w")
+    )
+    scores = (
+        toks.join(F.broadcast(lex), "w")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    best = (
+        scores.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "cand_lang", "score")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cand_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+            F.col("lang").alias("labeled_lang"),
+        )
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, word-shape, and stopword signals.
+
+    score = 0.4 * min(n_words/50, 1)            (enough content)
+          + 0.3 * (1 - |stopword_ratio - 0.4|)  (natural-language register)
+          + 0.3 * min(avg_word_len/8, 1)        (lexical richness)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ", -1)).alias("w")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.avg(F.length("w")).alias("awl"),
+        (
+            F.sum(F.when(F.col("w").isin(*STOPWORDS), 1).otherwise(0))
+            / F.count("*")
+        ).alias("swr"),
+    )
+    return (
+        docs.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            r6(F.col("awl")).alias("avg_word_len"),
+            r6(F.col("swr")).alias("stopword_ratio"),
+            r6(
+                0.4 * F.least(F.col("n_words") / 50.0, F.lit(1.0))
+                + 0.3 * (1.0 - F.abs(F.col("swr") - 0.4))
+                + 0.3 * F.least(F.col("awl") / 8.0, F.lit(1.0))
+            ).alias("quality"),
+        )
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish token counts per document (F7 analog).
+
+    bpe_ish counts maximal runs of letters, digits, or single other
+    non-space symbols — a cheap proxy for subword tokenizer cost
+    accounting in data pipelines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("long").alias("ws_tokens"),
+        F.expr(
+            "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))"
+        )
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("chars"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 pattern):
+    md5 over word-3-grams, min over each sliding window of 4 hashes,
+    distinct mins per doc.  Rolling-hash document fingerprinting for
+    robust near-dup detection at scale (fingerprints are tiny vs text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        words.withColumn("w1", F.lead("w", 1).over(win))
+        .withColumn("w2", F.lead("w", 2).over(win))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id", "pos", F.md5(F.concat_ws(" ", "w", "w1", "w2")).alias("h")
+        )
+    )
+    fwin = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, FINGERPRINT_WINDOW - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(fwin))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+_LEX_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, words in LEXICONS.items() for w in words
+)
+
+ORACLES: dict[str, str] = {
+    "lang_id": f"""
+WITH lex(cand_lang, w) AS (VALUES {_LEX_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+scores AS (
+  SELECT t.doc_id, l.cand_lang, count(*) AS score
+  FROM toks t JOIN lex l ON t.w = l.w
+  GROUP BY t.doc_id, l.cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang, score
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cand_lang ASC) AS rk
+    FROM scores
+  ) WHERE rk = 1
+)
+SELECT d.doc_id,
+       coalesce(b.cand_lang, 'und') AS pred_lang,
+       coalesce(b.score, 0) AS score,
+       d.lang AS labeled_lang
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+""",
+    "quality_score": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_words, avg(length(w)) AS awl,
+         sum(CASE WHEN w IN {STOPWORDS_SQL} THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS swr
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, p.n_words, d.n_chars,
+       round(p.awl, 6) AS avg_word_len,
+       round(p.swr, 6) AS stopword_ratio,
+       round(0.4 * least(p.n_words / 50.0, 1.0)
+             + 0.3 * (1.0 - abs(p.swr - 0.4))
+             + 0.3 * least(p.awl / 8.0, 1.0), 6) AS quality
+FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+""",
+    "token_count": """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
+       length(text) AS chars
+FROM documents
+""",
+    "doc_fingerprint": f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, pos,
+         md5(w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS h
+  FROM words
+  QUALIFY lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND {FINGERPRINT_WINDOW - 1} FOLLOWING) AS fp
+FROM grams
+""",
+}
+
+QUERIES = {
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "token_count": token_count,
+    "doc_fingerprint": doc_fingerprint,
+}

@@ -1,0 +1,66 @@
+"""Simulate the round driver: entry() smoke + every oracle compare at sf0.01.
+
+Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as e  # noqa: E402
+
+from bigdataanalytics_textsummarization_spark.io import TABLES  # noqa: E402
+from bigdataanalytics_textsummarization_spark.session import get_session  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_session(app="driver-sim", cpus=4, shuffle_partitions=8)
+    print("entry rows:", len(e.entry(spark).collect()))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs, osql = e.queries(), e.oracle_sql()
+    failed = []
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        if name not in osql:
+            n = qs[name](spark, sf_dir).count()
+            print(f"{name}: rows-only, {n} rows")
+            continue
+        g = qs[name](spark, sf_dir).toPandas()
+        w = con.sql(osql[name]).df()
+        g = g.reindex(sorted(g.columns), axis=1)
+        w = w.reindex(sorted(w.columns), axis=1)
+        if list(g.columns) != list(w.columns) or g.shape != w.shape:
+            print(f"{name}: MISMATCH shape/cols {g.shape}{list(g.columns)} vs {w.shape}{list(w.columns)}")
+            failed.append(name)
+            continue
+        g = g.sort_values(by=list(g.columns), kind="mergesort").reset_index(drop=True)
+        w = w.sort_values(by=list(w.columns), kind="mergesort").reset_index(drop=True)
+        ok = True
+        for c in g.columns:
+            if g[c].dtype.kind == "f" or w[c].dtype.kind == "f":
+                if g[c].astype(float).sub(w[c].astype(float)).abs().max() >= 1e-9:
+                    ok = False
+            elif not (g[c].astype(str).values == w[c].astype(str).values).all():
+                ok = False
+        print(f"{name}: {'MATCH' if ok else 'VALUE MISMATCH'} {len(g)} rows")
+        if not ok:
+            failed.append(name)
+    spark.stop()
+    if failed:
+        print("FAILED:", failed)
+        return 1
+    print("ALL MATCH")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
