@@ -21,8 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bigdataanalytics_textsummarization_spark import (  # noqa: E402
     graph,
+    lsa,
     pagerank,
     relational,
+    rouge,
     text,
 )
 from bigdataanalytics_textsummarization_spark.extensions import (  # noqa: E402
@@ -32,7 +34,18 @@ from bigdataanalytics_textsummarization_spark.extensions import (  # noqa: E402
     text_analysis,
 )
 
-_MODULES = [text, relational, graph, pagerank, dedup, similarity, text_analysis, multimodal]
+_MODULES = [
+    text,
+    relational,
+    graph,
+    pagerank,
+    lsa,
+    rouge,
+    dedup,
+    similarity,
+    text_analysis,
+    multimodal,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

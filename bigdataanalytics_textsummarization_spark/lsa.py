@@ -1,0 +1,139 @@
+"""LSA extractive summarization (SURVEY.md §2.12 M1-M3, F12).
+
+Reference semantics (BigdataProjectCode.py:89-157): TF-IDF term x sentence
+matrix per corpus, SVD, and for each of the first k=5 concepts take the
+n=3 highest-weight sentences (from VT) and the n=3 highest-weight keywords
+(reference runs a SECOND SVD on the transpose, code:138/141 — redundant,
+since U of M gives exactly V of M^T; we factor once).
+
+Scale architecture: the reference materializes the dense matrix on the
+driver (code:130-137) — its scalability cliff.  Here each *corpus*
+(source) is an independent small problem, so the engine distributes across
+corpora with ``applyInPandas``: one Arrow batch per source, numpy SVD
+inside the worker, relational rows out.  For a single giant corpus the
+drop-in alternative is MLlib's distributed ``RowMatrix.computeSVD``; the
+per-corpus grouped path is the right shape for the reference's workload
+(many products x small matrices).
+
+Determinism: singular vectors are sign-fixed (largest-|component| entry
+made positive) and ties in top-n selection break by id, so results are
+stable across platforms/BLAS builds.  SVD itself is not SQL-expressible →
+rows-only oracle + algebraic property tests (tests/test_lsa.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text import lsa_sentences, sentences, tokens_lsa
+
+K_CONCEPTS = 5
+N_PER_CONCEPT = 3
+
+_LSA_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("concept", T.LongType()),
+        T.StructField("kind", T.StringType()),  # 'sentence' | 'keyword'
+        T.StructField("rk", T.LongType()),
+        T.StructField("item", T.StringType()),  # sentence_id or word
+        T.StructField("weight", T.DoubleType()),
+    ]
+)
+
+
+def _tfidf_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrounded TF-IDF in long form (source, sentence_id, word, tfidf)."""
+    toks = tokens_lsa(spark, sf_dir)
+    n_per_source = lsa_sentences(spark, sf_dir).groupBy("source").agg(
+        F.countDistinct("sentence_id").cast("double").alias("n_sentences")
+    )
+    tf = toks.groupBy("source", "sentence_id", "word").agg(
+        F.count("*").alias("tf")
+    )
+    df = toks.groupBy("source", "word").agg(
+        F.countDistinct("sentence_id").alias("df")
+    )
+    return (
+        tf.join(df, ["source", "word"])
+        .join(F.broadcast(n_per_source), "source")
+        .select(
+            "source",
+            "sentence_id",
+            "word",
+            (F.col("tf") * F.log10(F.col("n_sentences") / F.col("df"))).alias(
+                "tfidf"
+            ),
+        )
+    )
+
+
+def _extract_concepts(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One corpus -> (concept, kind, rk, item, weight) rows via one SVD."""
+    source = pdf["source"].iloc[0]
+    sent_ids = sorted(pdf["sentence_id"].unique())
+    words = sorted(pdf["word"].unique())
+    sid_ix = {s: i for i, s in enumerate(sent_ids)}
+    w_ix = {w: i for i, w in enumerate(words)}
+    # rows = words, cols = sentences (reference layout, code:134-137)
+    m = np.zeros((len(words), len(sent_ids)))
+    m[
+        pdf["word"].map(w_ix).to_numpy(),
+        pdf["sentence_id"].map(sid_ix).to_numpy(),
+    ] = pdf["tfidf"].to_numpy()
+    u, s, vt = np.linalg.svd(m, full_matrices=False)
+    k = min(K_CONCEPTS, len(s))
+    rows: list[tuple] = []
+    for c in range(k):
+        sent_vec = vt[c, :].copy()
+        word_vec = u[:, c].copy()
+        # sign convention: largest-|component| of the sentence vector positive
+        if sent_vec[np.argmax(np.abs(sent_vec))] < 0:
+            sent_vec, word_vec = -sent_vec, -word_vec
+        for kind, vec, ids in (
+            ("sentence", sent_vec, sent_ids),
+            ("keyword", word_vec, words),
+        ):
+            # top-n by weight desc, id asc (deterministic under ties)
+            order = sorted(
+                range(len(vec)), key=lambda i: (-float(vec[i]), ids[i])
+            )[: min(N_PER_CONCEPT, len(vec))]
+            for rk, i in enumerate(order, start=1):
+                rows.append(
+                    (source, c, kind, rk, ids[i], round(float(vec[i]), 6))
+                )
+    return pd.DataFrame(
+        rows, columns=["source", "concept", "kind", "rk", "item", "weight"]
+    )
+
+
+def lsa_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LSA concept extraction (sentences + keywords, M1+M2)."""
+    tfidf = _tfidf_long(spark, sf_dir)
+    return tfidf.groupBy("source").applyInPandas(
+        _extract_concepts, schema=_LSA_SCHEMA
+    )
+
+
+def lsa_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: the 5x3 summary sentences joined back to their text — one
+    equi-join instead of the reference's 15 per-sentence lookup() jobs
+    (code:110)."""
+    concepts = lsa_concepts(spark, sf_dir).filter(F.col("kind") == "sentence")
+    sent = sentences(spark, sf_dir).select("sentence_id", "sentence")
+    return concepts.join(
+        sent, concepts.item == sent.sentence_id
+    ).select("source", "concept", "rk", "sentence_id", "weight", "sentence")
+
+
+ORACLES: dict[str, str] = {}  # SVD is not SQL-expressible: rows-only checks
+
+QUERIES = {
+    "lsa_concepts": lsa_concepts,
+    "lsa_summary": lsa_summary,
+}

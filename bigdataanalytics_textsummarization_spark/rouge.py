@@ -1,0 +1,264 @@
+"""ROUGE evaluation operators (SURVEY.md §2.12 M5, FIXTURES.md F8).
+
+The reference calls the ``rouge-score`` library on the driver over
+positionally-zipped candidate/reference pairs (BigdataProjectCode.py:
+184-202).  Here ROUGE-N is computed *natively and distributed*: explode
+n-grams, clipped-count inner join, per-pair precision/recall/F — fully
+SQL-expressible, so the DuckDB oracle checks exact values.  ROUGE-L needs
+an LCS, which no relational operator expresses — it is the one legitimate
+pandas UDF in the evaluation layer (Arrow-batched, linear scan per pair).
+
+Divergence note: the reference scorer stems tokens (use_stemmer=True);
+this implementation tokenizes ``[a-z0-9]+`` on the lowercased text without
+stemming — recorded here so quality numbers are compared like-for-like.
+
+Pair construction for the synthetic corpus: candidate = even doc_id,
+reference = the following odd doc_id (pair_id = doc_id / 2) — the
+positional-pairing analog of the reference's ``zip``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .functions import r6
+from .io import load_table
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.col("text").alias("cand_text"),
+    )
+    ref = docs.filter(F.col("doc_id") % 2 == 1).select(
+        ((F.col("doc_id") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("text").alias("ref_text"),
+    )
+    return cand.join(ref, "pair_id")
+
+
+def _ngrams(df: DataFrame, text_col: str, n: int, out: str) -> DataFrame:
+    """Positional n-grams of ``[a-z0-9]+`` tokens of the lowercased text."""
+    toks = df.select(
+        "pair_id",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("pos", "w"),
+    )
+    if n == 1:
+        return toks.select("pair_id", F.col("w").alias(out))
+    win = Window.partitionBy("pair_id").orderBy("pos")
+    cur = toks
+    cols = [F.col("w")]
+    for i in range(1, n):
+        cur = cur.withColumn(f"w{i}", F.lead("w", i).over(win))
+        cols.append(F.col(f"w{i}"))
+    return cur.filter(F.col(f"w{n - 1}").isNotNull()).select(
+        "pair_id", F.concat_ws(" ", *cols).alias(out)
+    )
+
+
+def _rouge_n_cols(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Per-pair clipped n-gram overlap -> (pair_id, p, r, f) for ROUGE-n."""
+    pairs = _pairs(spark, sf_dir)
+    cg = _ngrams(pairs, "cand_text", n, "g").groupBy("pair_id", "g").agg(
+        F.count("*").alias("c_cnt")
+    )
+    rg = _ngrams(pairs, "ref_text", n, "g").groupBy("pair_id", "g").agg(
+        F.count("*").alias("r_cnt")
+    )
+    match = (
+        cg.join(rg, ["pair_id", "g"])
+        .groupBy("pair_id")
+        .agg(F.sum(F.least("c_cnt", "r_cnt")).alias("match"))
+    )
+    c_tot = cg.groupBy("pair_id").agg(F.sum("c_cnt").alias("c_tot"))
+    r_tot = rg.groupBy("pair_id").agg(F.sum("r_cnt").alias("r_tot"))
+    out = (
+        pairs.select("pair_id")
+        .join(c_tot, "pair_id", "left")
+        .join(r_tot, "pair_id", "left")
+        .join(match, "pair_id", "left")
+        .select(
+            "pair_id",
+            F.coalesce("match", F.lit(0)).alias("m"),
+            F.coalesce("c_tot", F.lit(0)).alias("ct"),
+            F.coalesce("r_tot", F.lit(0)).alias("rt"),
+        )
+        .withColumn("p_raw", F.when(F.col("ct") > 0, F.col("m") / F.col("ct")).otherwise(0.0))
+        .withColumn("r_raw", F.when(F.col("rt") > 0, F.col("m") / F.col("rt")).otherwise(0.0))
+        .withColumn(
+            "f_raw",
+            F.when(
+                (F.col("p_raw") + F.col("r_raw")) > 0,
+                2 * F.col("p_raw") * F.col("r_raw")
+                / (F.col("p_raw") + F.col("r_raw")),
+            ).otherwise(0.0),
+        )
+    )
+    return out.select(
+        "pair_id",
+        F.col("m").cast("long").alias(f"match{n}"),
+        r6(F.col("p_raw")).alias(f"rouge{n}_p"),
+        r6(F.col("r_raw")).alias(f"rouge{n}_r"),
+        r6(F.col("f_raw")).alias(f"rouge{n}_f"),
+    )
+
+
+def rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 + ROUGE-2 per pair, computed relationally (no UDF)."""
+    r1 = _rouge_n_cols(spark, sf_dir, 1)
+    r2 = _rouge_n_cols(spark, sf_dir, 2)
+    return r1.join(r2, "pair_id")
+
+
+_ROUGE_L_SCHEMA = T.StructType(
+    [
+        T.StructField("pair_id", T.LongType()),
+        T.StructField("lcs", T.LongType()),
+        T.StructField("rougeL_p", T.DoubleType()),
+        T.StructField("rougeL_r", T.DoubleType()),
+        T.StructField("rougeL_f", T.DoubleType()),
+    ]
+)
+
+
+def _lcs_len(a: list[str], b: list[str]) -> int:
+    """Classic O(len(a)*len(b)) LCS with O(min) memory."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L per pair via an Arrow-batched pandas UDF (LCS is not
+    relational).  Distributed by pair — each worker handles whole pairs."""
+    import re
+
+    pairs = _pairs(spark, sf_dir)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            rows = []
+            for pid, cand, ref in zip(
+                pdf["pair_id"], pdf["cand_text"], pdf["ref_text"]
+            ):
+                a = tok.findall(cand.lower())
+                b = tok.findall(ref.lower())
+                l = _lcs_len(a, b)
+                p = l / len(a) if a else 0.0
+                r = l / len(b) if b else 0.0
+                f = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+                rows.append(
+                    (int(pid), int(l), round(p, 6), round(r, 6), round(f, 6))
+                )
+            yield pd.DataFrame(
+                rows, columns=["pair_id", "lcs", "rougeL_p", "rougeL_r", "rougeL_f"]
+            )
+
+    return pairs.mapInPandas(score, schema=_ROUGE_L_SCHEMA)
+
+
+def _ngram_cte(side: str, n: int) -> str:
+    """DuckDB CTE producing ({side}_grams) of n-grams with counts."""
+    lead_cols = ["w"] + [
+        f"lead(w, {i}) OVER (PARTITION BY pair_id ORDER BY pos)" for i in range(1, n)
+    ]
+    concat = " || ' ' || ".join(lead_cols)
+    qualify = (
+        f"QUALIFY lead(w, {n - 1}) OVER (PARTITION BY pair_id ORDER BY pos) IS NOT NULL"
+        if n > 1
+        else ""
+    )
+    return f"""
+{side}{n}_toks AS (
+  SELECT pair_id, unnest(regexp_extract_all(lower({side}_text), '[a-z0-9]+')) AS w,
+         unnest(range(len(regexp_extract_all(lower({side}_text), '[a-z0-9]+')))) AS pos
+  FROM pairs
+),
+{side}{n}_grams AS (
+  SELECT pair_id, g, count(*) AS cnt FROM (
+    SELECT pair_id, {concat} AS g FROM {side}{n}_toks {qualify}
+  ) GROUP BY pair_id, g
+)
+"""
+
+
+def _rouge_n_sql(n: int) -> str:
+    return f"""
+m{n} AS (
+  SELECT c.pair_id, sum(least(c.cnt, r.cnt)) AS m
+  FROM cand{n}_grams c JOIN ref{n}_grams r
+    ON c.pair_id = r.pair_id AND c.g = r.g
+  GROUP BY c.pair_id
+),
+ct{n} AS (SELECT pair_id, sum(cnt) AS t FROM cand{n}_grams GROUP BY pair_id),
+rt{n} AS (SELECT pair_id, sum(cnt) AS t FROM ref{n}_grams GROUP BY pair_id),
+s{n} AS (
+  SELECT p.pair_id,
+         coalesce(m{n}.m, 0) AS m,
+         coalesce(ct{n}.t, 0) AS ct,
+         coalesce(rt{n}.t, 0) AS rt
+  FROM pairs p
+  LEFT JOIN m{n} ON p.pair_id = m{n}.pair_id
+  LEFT JOIN ct{n} ON p.pair_id = ct{n}.pair_id
+  LEFT JOIN rt{n} ON p.pair_id = rt{n}.pair_id
+),
+r{n}_out AS (
+  SELECT pair_id, cast(m AS bigint) AS match{n},
+         round(CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END, 6) AS rouge{n}_p,
+         round(CASE WHEN rt > 0 THEN m * 1.0 / rt ELSE 0 END, 6) AS rouge{n}_r,
+         round(CASE WHEN (CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END)
+                       + (CASE WHEN rt > 0 THEN m * 1.0 / rt ELSE 0 END) > 0
+               THEN 2 * (CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END)
+                      * (CASE WHEN rt > 0 THEN m * 1.0 / rt ELSE 0 END)
+                    / ((CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END)
+                       + (CASE WHEN rt > 0 THEN m * 1.0 / rt ELSE 0 END))
+               ELSE 0 END, 6) AS rouge{n}_f
+  FROM s{n}
+)
+"""
+
+
+PAIRS_CTE = """
+pairs AS (
+  SELECT cast(c.doc_id / 2 AS bigint) AS pair_id,
+         c.text AS cand_text, r.text AS ref_text
+  FROM documents c
+  JOIN documents r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id % 2 = 0
+)
+"""
+
+ORACLES: dict[str, str] = {
+    "rouge_n": f"""
+WITH {PAIRS_CTE},
+{_ngram_cte("cand", 1)}, {_ngram_cte("ref", 1)},
+{_ngram_cte("cand", 2)}, {_ngram_cte("ref", 2)},
+{_rouge_n_sql(1)}, {_rouge_n_sql(2)}
+SELECT r1_out.pair_id,
+       r1_out.match1, r1_out.rouge1_p, r1_out.rouge1_r, r1_out.rouge1_f,
+       r2_out.match2, r2_out.rouge2_p, r2_out.rouge2_r, r2_out.rouge2_f
+FROM r1_out JOIN r2_out ON r1_out.pair_id = r2_out.pair_id
+""",
+}
+
+QUERIES = {
+    "rouge_n": rouge_n,
+    "rouge_l": rouge_l,  # rows-only: LCS is not SQL-expressible
+}
