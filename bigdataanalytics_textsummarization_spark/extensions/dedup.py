@@ -34,27 +34,30 @@ SHINGLE_K = 3
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word-3-gram shingles per document.
 
-    Built with lead() over word positions — identical, order-deterministic
-    semantics in the DuckDB oracle.
+    Built entirely array-side (split -> transform -> array_distinct ->
+    explode): no window, no sort, no shuffle before the per-doc distinct.
+    Semantics identical to a lead()-window formulation, which is what the
+    DuckDB oracle uses.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split("text", " ", -1)).alias("pos", "w"),
+    arr = F.split("text", " ", -1)
+    grams = F.when(
+        F.size(arr) >= SHINGLE_K,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - F.lit(SHINGLE_K - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(arr, i),
+                    F.element_at(arr, i + 1),
+                    F.element_at(arr, i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", "source", F.explode(grams).alias("g")
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        words.withColumn("w1", F.lead("w", 1).over(win))
-        .withColumn("w2", F.lead("w", 2).over(win))
-        .filter(F.col("w2").isNotNull())
-        .select(
-            "doc_id",
-            "source",
-            F.concat_ws(" ", "w", "w1", "w2").alias("g"),
-        )
-    )
-    return grams.select("doc_id", "source", "g").distinct()
 
 
 SHINGLES_CTE = """
@@ -97,15 +100,24 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically.
     """
     sh = _shingles(spark, sf_dir)
-    return (
-        sh.select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(0, {N_HASHES - 1})")).alias("seed"),
-            "g",
-        )
-        .withColumn("h", F.md5(F.concat_ws("|", F.col("seed"), F.col("g"))))
-        .groupBy("doc_id", F.col("seed").cast("long").alias("seed"))
-        .agg(F.min("h").alias("minhash"))
+    # 16 min() aggregates over ONE groupBy(doc_id): map-side partial agg,
+    # no 16x row explosion.  Re-shaped to long form afterwards (cheap: one
+    # posexplode of an already-tiny 16-element array per doc).
+    wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("g")))
+            ).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    return wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"m{i}") for i in range(N_HASHES)])
+        ).alias("seed", "minhash"),
+    ).select(
+        "doc_id", F.col("seed").cast("long").alias("seed"), "minhash"
     )
 
 
@@ -253,28 +265,26 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_h = toks.withColumn(
         "hv", F.conv(F.substring(F.md5("w"), 1, SIMHASH_BITS // 4), 16, 10).cast("long")
     )
-    bits = tok_h.select(
-        "doc_id",
-        "hv",
-        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("bit"),
-    ).withColumn(
-        "sign",
-        F.when(F.expr("(hv >> bit) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)),
-    )
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("sign").alias("s"))
-        .groupBy("doc_id")
-        .agg(
+    # One sum() aggregate per bit over a single groupBy(doc_id): map-side
+    # partial agg, no 48x row explosion.  The final pack into one int64 is a
+    # pure projection.
+    wide = tok_h.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("s") > 0, F.expr("cast(1 as bigint) << bit")).otherwise(
-                    F.lit(0)
+                F.when(F.expr(f"(hv >> {b}) & 1") == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
                 )
-            )
-            .cast("long")
-            .alias("simhash")
-        )
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
+    packed = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
+    return wide.select("doc_id", packed.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

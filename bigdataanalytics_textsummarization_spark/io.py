@@ -40,12 +40,21 @@ REVIEWS_SCHEMA = T.StructType(
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, min_partitions: int | None = None
+) -> DataFrame:
     """Parquet scan of one synthetic table (column-pruned, filter-pushed).
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark rejects
     by default; read it as long nanos and convert to a microsecond timestamp
     (sub-second precision is irrelevant to every consumer here).
+
+    ``documents``/``embeddings`` default to widening the scan to
+    ``defaultParallelism`` partitions: their consumers (shingling, minhash,
+    ROUGE, TF-IDF, cosine top-k) are CPU-bound per row, and a small/single
+    parquet file would otherwise pin the whole pipeline to one task.  When
+    the scan already has >= that many splits (any real-scale dataset), this
+    is a no-op — no shuffle is added at 100 TB.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -56,7 +65,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
             )
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if min_partitions is None and name in ("documents", "embeddings"):
+        min_partitions = spark.sparkContext.defaultParallelism
+    if min_partitions and _estimated_scan_partitions(spark, path) < min_partitions:
+        df = df.repartition(min_partitions)
+    return df
+
+
+def _estimated_scan_partitions(spark: SparkSession, path: str) -> int:
+    """Cheap estimate of how many splits a parquet scan will produce.
+
+    Pure filesystem arithmetic (bytes / maxPartitionBytes) — deliberately
+    avoids ``df.rdd`` plan conversion, which costs ~100s of ms of driver time
+    per call.  Errs high for multi-row-group files (fine: erring high only
+    skips the widening repartition, the behavior a large dataset wants).
+    """
+    import os as _os
+
+    try:
+        if _os.path.isdir(path):
+            total = sum(
+                _os.path.getsize(_os.path.join(root, f))
+                for root, _, files in _os.walk(path)
+                for f in files
+            )
+        else:
+            total = _os.path.getsize(path)
+    except OSError:
+        return 1 << 30  # unknown (remote FS): assume big, never repartition
+    max_bytes = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+    )
+    return max(1, (total + max_bytes - 1) // max_bytes)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
