@@ -33,6 +33,9 @@ from bigdataanalytics_textsummarization_spark.extensions import (  # noqa: E402
     similarity,
     text_analysis,
 )
+from bigdataanalytics_textsummarization_spark.streaming import (  # noqa: E402
+    events as streaming_events,
+)
 
 _MODULES = [
     text,
@@ -45,6 +48,7 @@ _MODULES = [
     similarity,
     text_analysis,
     multimodal,
+    streaming_events,
 ]
 
 

@@ -29,6 +29,8 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "top_customers_per_nation",
     "events_hourly",
+    "events_sliding",
+    "user_sessions",
     "top_keywords",
     "term_stats",
     "textrank_top5",

@@ -61,9 +61,8 @@ def load_table(
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_field = df.schema["ts"]
         if isinstance(ts_field.dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer div: double division loses precision above 2^53 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)

@@ -1,0 +1,272 @@
+"""Structured Streaming over the events table + batch analogs.
+
+The reference has no streaming at all (SURVEY.md §2.9) — this module is the
+engine's forward-looking stream surface, built the idiomatic Spark way:
+
+- ``read_events_stream``: file-source ``readStream`` with an explicit schema
+  (streaming sources cannot infer), so the same parquet directory drives both
+  batch and stream paths;
+- watermarked tumbling/session-window aggregations that run identically in
+  batch (``queries()`` entries below, DuckDB-checkable) and streaming;
+- a custom stateful operator (running per-user totals) via
+  ``applyInPandasWithState`` — the Spark-native replacement for hand-rolled
+  per-key state loops.
+
+Scale notes: windowed aggs shuffle once on (key, window) with map-side
+partial aggregation; the watermark bounds state size, which is what makes
+the operator viable on an unbounded 100 TB/day stream.  Session windows
+merge in the state store; gap-bounded sessions keep per-key state O(open
+sessions), not O(events).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.window import Window
+
+from ..functions import r6
+from ..io import load_table
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+SESSION_GAP = "30 minutes"
+
+
+# ---------------------------------------------------------------------------
+# streaming surface
+# ---------------------------------------------------------------------------
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema fixed up front).
+
+    In production this is the same call pointed at a landing directory (or
+    swapped for a Kafka source); every transformation below is source-
+    agnostic.  The nanos-as-long quirk is handled like the batch reader.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+    # the file source requires a directory: scan sf_dir, glob to the table
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling 1-hour window x event_type aggregation.
+
+    Late rows beyond the watermark are dropped and their window state
+    evicted — bounded state on an unbounded stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            r6(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessions_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Gap-based session windows per user (native session_window merge)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+            r6(F.sum("value")).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+_RUNNING_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+_RUNNING_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_running_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful update: accumulate per-user (count, sum) across micro-batches."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+    )
+
+
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user totals, emitted per batch.
+
+    ``applyInPandasWithState`` = Arrow-batched Python state machine; the
+    state store shuffles once on user_id and persists between micro-batches.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_running_totals,
+        outputStructType=_RUNNING_OUT,
+        stateStructType=_RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DF to completion (availableNow) into a memory sink
+    and return the materialized result as a batch DataFrame."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# batch analogs (driver-gated: oracle parity below)
+# ---------------------------------------------------------------------------
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide, per event_type.
+
+    Each event lands in exactly length/slide = 2 windows; Spark's window()
+    enumerates them JVM-side, the oracle unrolls k in {0,1}.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            r6(F.avg("value")).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) as a batch query.
+
+    lag() + cumulative-sum-of-breaks is the classic SQL encoding; the
+    streaming twin is ``sessions_stream`` (native session_window) and the
+    two agree on closed sessions — asserted in tests/test_streaming.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = 30 * 60
+    with_break = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("double")
+            - F.lag(F.col("ts").cast("double")).over(order)
+            > gap_s,
+            1,
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    numbered = with_break.withColumn(
+        "session_no",
+        F.sum("new_session")
+        .over(order.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").cast("long").alias("n_events"),
+        r6(F.sum("value")).alias("sum_value"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "events_sliding": """
+SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start,
+       time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE
+         + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM (SELECT ts, event_type, value, unnest([0, 1]) AS k FROM events)
+GROUP BY 1, 2, 3
+""",
+    "user_sessions": """
+WITH lagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, cast(sum(new_session) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS bigint) AS session_no
+  FROM lagged
+)
+SELECT user_id, session_no,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, session_no
+""",
+}
+
+QUERIES = {
+    "events_sliding": events_sliding,
+    "user_sessions": user_sessions,
+}

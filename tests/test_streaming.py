@@ -1,0 +1,76 @@
+"""Structured Streaming consistency: each streaming pipeline must agree with
+its batch twin on the same events parquet (availableNow drains the source)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataanalytics_textsummarization_spark.io import load_table
+from bigdataanalytics_textsummarization_spark.streaming import events as se
+from tests.conftest import SF_DIR, normalize
+
+
+def test_hourly_counts_stream_matches_batch(spark):
+    stream = se.read_events_stream(spark, SF_DIR)
+    got = se.run_stream_to_memory(
+        spark, se.hourly_counts_stream(stream), "hourly_stream"
+    ).toPandas()
+
+    ev = load_table(spark, SF_DIR, "events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+    )
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape
+    assert g.equals(w)
+
+
+def test_sessions_stream_matches_batch_sessionization(spark):
+    stream = se.read_events_stream(spark, SF_DIR)
+    got = se.run_stream_to_memory(
+        spark, se.sessions_stream(stream), "sessions_stream"
+    ).toPandas()
+
+    want = (
+        se.user_sessions(spark, SF_DIR)
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+        .toPandas()
+    )
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
+
+
+def test_running_user_totals_stateful(spark):
+    stream = se.read_events_stream(spark, SF_DIR)
+    sink = se.run_stream_to_memory(
+        spark,
+        se.running_user_totals_stream(stream),
+        "running_totals",
+        output_mode="update",
+    )
+    # update-mode sink: the final state per user is the row with max n_events
+    got = (
+        sink.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+    )
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .toPandas()
+    )
+    g, w = normalize(got), normalize(want)
+    assert g.equals(w)
