@@ -53,12 +53,11 @@ def _tfidf_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_per_source = lsa_sentences(spark, sf_dir).groupBy("source").agg(
         F.countDistinct("sentence_id").cast("double").alias("n_sentences")
     )
+    # one tokenization pass: df re-aggregates tf (exchange reuse)
     tf = toks.groupBy("source", "sentence_id", "word").agg(
         F.count("*").alias("tf")
     )
-    df = toks.groupBy("source", "word").agg(
-        F.countDistinct("sentence_id").alias("df")
-    )
+    df = tf.groupBy("source", "word").agg(F.count("*").alias("df"))
     return (
         tf.join(df, ["source", "word"])
         .join(F.broadcast(n_per_source), "source")

@@ -26,7 +26,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 from .functions import r6
 from .io import load_table
@@ -46,24 +45,24 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngrams(df: DataFrame, text_col: str, n: int, out: str) -> DataFrame:
-    """Positional n-grams of ``[a-z0-9]+`` tokens of the lowercased text."""
-    toks = df.select(
-        "pair_id",
-        F.posexplode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
-        ).alias("pos", "w"),
-    )
+    """Positional n-grams of ``[a-z0-9]+`` tokens of the lowercased text.
+
+    Built array-side (tokens are already an array from regexp_extract_all):
+    transform over start positions — no window, no sort, no shuffle.
+    """
+    arr = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
     if n == 1:
-        return toks.select("pair_id", F.col("w").alias(out))
-    win = Window.partitionBy("pair_id").orderBy("pos")
-    cur = toks
-    cols = [F.col("w")]
-    for i in range(1, n):
-        cur = cur.withColumn(f"w{i}", F.lead("w", i).over(win))
-        cols.append(F.col(f"w{i}"))
-    return cur.filter(F.col(f"w{n - 1}").isNotNull()).select(
-        "pair_id", F.concat_ws(" ", *cols).alias(out)
-    )
+        return df.select("pair_id", F.explode(arr).alias(out))
+    grams = F.when(
+        F.size(arr) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - F.lit(n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select("pair_id", F.explode(grams).alias(out))
 
 
 def _rouge_n_cols(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:

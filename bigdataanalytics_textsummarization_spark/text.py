@@ -120,11 +120,14 @@ def term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_per_source = lsa_sentences(spark, sf_dir).groupBy("source").agg(
         F.countDistinct("sentence_id").cast("double").alias("n_sentences")
     )
+    # One tokenization pass: tf is the base aggregation, df re-aggregates it
+    # (each (sentence_id, word) appears once in tf, so df = count(*)).  The
+    # shared shuffle is computed once via Spark's exchange reuse.
     tf = toks.groupBy("source", "sentence_id", "word").agg(
         F.count("*").cast("long").alias("tf")
     )
-    df = toks.groupBy("source", "word").agg(
-        F.countDistinct("sentence_id").cast("long").alias("df")
+    df = tf.groupBy("source", "word").agg(
+        F.count("*").cast("long").alias("df")
     )
     # Both joins are small-side broadcastable (distinct sources / vocab);
     # Catalyst picks broadcast automatically under the 64 MB threshold.
@@ -169,10 +172,16 @@ def top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_per_source = lsa_sentences(spark, sf_dir).groupBy("source").agg(
         F.countDistinct("sentence_id").cast("double").alias("n_sentences")
     )
-    df = toks.groupBy("source", "word").agg(
-        F.countDistinct("sentence_id").alias("df")
+    # Single tokenization pass: aggregate once at sentence granularity, then
+    # derive both df (distinct sentences per word) and per-doc tf from that
+    # shared shuffle (exchange reuse — tokenization is not recomputed).
+    base = toks.groupBy("source", "doc_id", "sentence_id", "word").agg(
+        F.count("*").alias("cnt")
     )
-    tf_doc = toks.groupBy("source", "doc_id", "word").agg(F.count("*").alias("tf"))
+    df = base.groupBy("source", "word").agg(F.count("*").alias("df"))
+    tf_doc = base.groupBy("source", "doc_id", "word").agg(
+        F.sum("cnt").alias("tf")
+    )
     scored = (
         tf_doc.join(df, ["source", "word"])
         .join(F.broadcast(n_per_source), "source")
