@@ -24,6 +24,7 @@ from bigdataanalytics_textsummarization_spark import (  # noqa: E402
     lsa,
     pagerank,
     relational,
+    relational_ext,
     rouge,
     text,
 )
@@ -40,6 +41,7 @@ from bigdataanalytics_textsummarization_spark.streaming import (  # noqa: E402
 _MODULES = [
     text,
     relational,
+    relational_ext,
     graph,
     pagerank,
     lsa,

@@ -29,6 +29,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
+    "asof_click_attribution",
     "top_customers_per_nation",
     "events_hourly",
     "events_sliding",

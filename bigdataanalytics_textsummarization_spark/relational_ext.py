@@ -1,0 +1,316 @@
+"""Extended relational surface: more TPC-H analogs, as-of / interval joins,
+exact percentiles, statistical aggregates.
+
+The as-of join is the one operator here Spark has no builtin for
+(SURVEY.md §2.3 marks it ABSENT in the reference too).  The scale-correct
+formulation is NOT a theta self-join (quadratic per key) but the
+union + ordered forward-fill trick: tag both sides, sort each user's
+timeline once, carry the last left-side row forward with
+``last(..., ignorenulls=True)``.  One shuffle, one sort, linear in events —
+this survives 100 TB where a per-key cross product cannot.  The DuckDB
+oracle uses its native ``ASOF JOIN`` so the two formulations check each
+other.
+
+The interval-containment join (events into their session window) is
+equi-keyed on user_id with a range predicate — the blow-up is bounded by
+the per-user session count, so Catalyst's sort-merge join handles it at
+scale without a specialized interval index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import r2, r6
+from .io import load_table
+from .streaming.events import user_sessions
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: fully pushed-down filter + single agg (no joins)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    return out
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: revenue lost to returns per customer, top 20."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("rk", "c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: promo revenue share, one month, lineitem x part."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            r6(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(0.0))
+                / F.sum(disc)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: orders whose total quantity exceeds 250, with
+    customer, ordered by totalprice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(r2(F.sum("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            r2(F.col("o_totalprice")).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every error event, the user's most recent click at or
+    before it (attribution).  Union + forward-fill — see module docstring."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("error_id"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(1).alias("tag"),
+        F.col("event_id").alias("error_id"),
+    )
+    # clicks sort before errors at equal ts (tag 0 < 1) => ties attach
+    timeline = clicks.unionByName(errors)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = timeline.select(
+        "user_id",
+        "ts",
+        "tag",
+        "error_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last("click_value", ignorenulls=True).over(w).alias("last_click_value"),
+    )
+    return filled.filter(F.col("tag") == 1).select(
+        F.col("error_id").alias("event_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        F.col("last_click_id").alias("click_id"),
+        r6(F.col("last_click_value")).alias("click_value"),
+    )
+
+
+def events_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: attach each event to its session window.
+
+    Equi-join on user_id + range predicate on ts; per-session event counts
+    re-derived as a cross-check of the sessionization itself.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sess = user_sessions(spark, sf_dir).select(
+        "user_id", "session_no", "session_start", "session_end"
+    )
+    return (
+        ev.join(sess, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("session_start"))
+            & (F.col("ts") <= F.col("session_end"))
+        )
+        .groupBy("user_id", "session_no")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of part retail price per brand."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        r6(F.expr("percentile(p_retailprice, 0.25)")).alias("p25"),
+        r6(F.expr("percentile(p_retailprice, 0.5)")).alias("p50"),
+        r6(F.expr("percentile(p_retailprice, 0.75)")).alias("p75"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+
+
+def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev / correlation / covariance of
+    quantity vs extended price per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        r6(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r6(F.covar_samp("l_quantity", "l_extendedprice")).alias("covar_qty_price"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q6_forecast_revenue": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    "q10_returned_items": """
+WITH agg AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-07-01'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+SELECT cast(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS bigint) AS rk,
+       c_custkey, c_name, c_acctbal, n_name, revenue
+FROM agg
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+    "q14_promo_revenue": """
+SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+    "q18_large_orders": """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+    "asof_click_attribution": """
+SELECT e.event_id, e.user_id, e.ts AS error_ts,
+       c.event_id AS click_id, round(c.value, 6) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+""",
+    "price_percentiles": """
+SELECT p_brand,
+       round(quantile_cont(p_retailprice, 0.25), 6) AS p25,
+       round(quantile_cont(p_retailprice, 0.5), 6) AS p50,
+       round(quantile_cont(p_retailprice, 0.75), 6) AS p75,
+       count(*) AS n_parts
+FROM part GROUP BY p_brand
+""",
+    "lineitem_stats": """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(stddev_samp(l_extendedprice), 6) AS sd_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+}
+
+# sessionize with lag+cumsum, then containment join
+ORACLES["events_in_sessions"] = """
+WITH lagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, cast(sum(new_session) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS bigint) AS session_no
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, session_no, min(ts) AS session_start, max(ts) AS session_end
+  FROM numbered GROUP BY user_id, session_no
+)
+SELECT e.user_id, s.session_no, count(*) AS n_events
+FROM events e
+JOIN sess s ON e.user_id = s.user_id
+           AND e.ts >= s.session_start AND e.ts <= s.session_end
+GROUP BY e.user_id, s.session_no
+"""
+
+QUERIES = {
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "asof_click_attribution": asof_click_attribution,
+    "events_in_sessions": events_in_sessions,
+    "price_percentiles": price_percentiles,
+    "lineitem_stats": lineitem_stats,
+}
