@@ -61,9 +61,9 @@ EDGES_PREAMBLE = (
 )
 
 
-def edges_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unrounded edge table (source, src, dst, isect, weight) for PageRank."""
-    toks = tokens_textrank(spark, sf_dir)
+def edges_from(toks: DataFrame) -> DataFrame:
+    """Unrounded edge table (source, src, dst, isect, weight) from any
+    (source, sentence_id, word) token stream."""
     ntok = toks.groupBy("source", "sentence_id").agg(F.count("*").alias("n"))
     dist = toks.select("source", "sentence_id", "word").distinct()
     a, b = dist.alias("a"), dist.alias("b")
@@ -101,6 +101,11 @@ def edges_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "src", "dst", "isect", "weight")
     )
+
+
+def edges_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge table over the synthetic documents corpus."""
+    return edges_from(tokens_textrank(spark, sf_dir))
 
 
 def similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

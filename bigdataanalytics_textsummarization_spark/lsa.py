@@ -47,10 +47,9 @@ _LSA_SCHEMA = T.StructType(
 )
 
 
-def _tfidf_long(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unrounded TF-IDF in long form (source, sentence_id, word, tfidf)."""
-    toks = tokens_lsa(spark, sf_dir)
-    n_per_source = lsa_sentences(spark, sf_dir).groupBy("source").agg(
+def tfidf_long_from(toks: DataFrame, lsa_sent: DataFrame) -> DataFrame:
+    """Unrounded TF-IDF in long form from any token/sentence frames."""
+    n_per_source = lsa_sent.groupBy("source").agg(
         F.countDistinct("sentence_id").cast("double").alias("n_sentences")
     )
     # one tokenization pass: df re-aggregates tf (exchange reuse)
@@ -111,12 +110,22 @@ def _extract_concepts(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def lsa_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source LSA concept extraction (sentences + keywords, M1+M2)."""
-    tfidf = _tfidf_long(spark, sf_dir)
+def _tfidf_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_long_from(
+        tokens_lsa(spark, sf_dir), lsa_sentences(spark, sf_dir)
+    )
+
+
+def lsa_concepts_from(tfidf: DataFrame) -> DataFrame:
+    """Per-source LSA concept extraction from any long-form TF-IDF frame."""
     return tfidf.groupBy("source").applyInPandas(
         _extract_concepts, schema=_LSA_SCHEMA
     )
+
+
+def lsa_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LSA concept extraction (sentences + keywords, M1+M2)."""
+    return lsa_concepts_from(_tfidf_long(spark, sf_dir))
 
 
 def lsa_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

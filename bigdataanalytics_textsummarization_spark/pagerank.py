@@ -33,8 +33,9 @@ DAMPING = 0.85
 INIT_RANK = 0.15
 
 
-def _ranks_raw(spark: SparkSession, sf_dir: str, iterations: int = N_ITERATIONS) -> DataFrame:
-    edges = edges_raw(spark, sf_dir).select("source", "src", "dst", "weight")
+def ranks_from(edges: DataFrame, iterations: int = N_ITERATIONS) -> DataFrame:
+    """Weighted PageRank over any (source, src, dst, weight) edge table."""
+    edges = edges.select("source", "src", "dst", "weight")
     out_w = edges.groupBy("source", "src").agg(F.sum("weight").alias("out_w"))
     # Static normalized contribution weights, reused every iteration.
     ew = (
@@ -79,6 +80,26 @@ def _ranks_raw(spark: SparkSession, sf_dir: str, iterations: int = N_ITERATIONS)
     )
 
 
+def _ranks_raw(
+    spark: SparkSession, sf_dir: str, iterations: int = N_ITERATIONS
+) -> DataFrame:
+    return ranks_from(edges_raw(spark, sf_dir), iterations)
+
+
+def top_sentences_from(ranks: DataFrame, sent: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k ranked sentences per source joined back to text — the single
+    equi-join replacement for the reference's per-sentence lookup() jobs."""
+    w = Window.partitionBy("source").orderBy(F.desc("rank"), F.asc("sentence_id"))
+    top = (
+        ranks.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("source", "rk", "sentence_id", r6(F.col("rank")).alias("rank"))
+    )
+    return top.join(
+        sent.select("sentence_id", "sentence"), "sentence_id"
+    ).select("source", "rk", "sentence_id", "rank", "sentence")
+
+
 def textrank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final rank table after 5 iterations (FIXTURES.md F6)."""
     return _ranks_raw(spark, sf_dir).select(
@@ -92,18 +113,8 @@ def textrank_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replaces the reference's driver-side sort + per-sentence ``lookup()``
     jobs (BigdataProjectCode.py:396-401) with one window + one equi-join.
     """
-    ranks = _ranks_raw(spark, sf_dir)
-    w = Window.partitionBy("source").orderBy(
-        F.desc("rank"), F.asc("sentence_id")
-    )
-    top = (
-        ranks.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 5)
-        .select("source", "rk", "sentence_id", r6(F.col("rank")).alias("rank"))
-    )
-    sent = sentences(spark, sf_dir).select("sentence_id", "sentence")
-    return top.join(sent, "sentence_id").select(
-        "source", "rk", "sentence_id", "rank", "sentence"
+    return top_sentences_from(
+        _ranks_raw(spark, sf_dir), sentences(spark, sf_dir), k=5
     )
 
 

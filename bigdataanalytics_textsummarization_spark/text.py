@@ -34,23 +34,41 @@ from .io import load_table
 # ---------------------------------------------------------------------------
 
 
-def sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2: explode documents into sentences on the naive '.' split (F2/F3).
+def sentences_from(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """D2 core: explode any (id, source, text) frame into sentences on the
+    naive '.' split (F2/F3) — works for the documents table AND the
+    reference's TSV reviews (id = review_id, source = product_id).
 
     Keeps the reference's naive semantics — no abbreviation handling, empty
     strings kept (BigdataProjectCode.py:44/55/373); sentence_id =
-    ``<doc_id>_<pos>`` (code:45).
+    ``<id>_<pos>`` (code:45).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    extra = [c for c in docs.columns if c not in (id_col, text_col)]
     return docs.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.posexplode(F.split("text", "\\.")).alias("pos", "sentence"),
+        F.col(id_col).alias("doc_id"),
+        *extra,
+        F.posexplode(F.split(text_col, "\\.")).alias("pos", "sentence"),
     ).select(
         F.concat_ws("_", F.col("doc_id"), F.col("pos")).alias("sentence_id"),
-        F.col("doc_id").cast("long").alias("doc_id"),
+        "doc_id",
         F.col("pos").cast("long").alias("pos"),
+        "sentence",
+        *extra,
+    )
+
+
+def sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 over the synthetic documents table (doc_id cast long for parity)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    out = sentences_from(docs)
+    return out.select(
+        "sentence_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "pos",
         "sentence",
         "source",
         "lang",
@@ -93,19 +111,33 @@ def _tokenize(
     )
 
 
-def lsa_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsa_sentences_from(sent: DataFrame) -> DataFrame:
     """Sentences passing the LSA min-word filter (P3) — defines TF-IDF's N."""
-    return sentences(spark, sf_dir).filter(_space_words("sentence") >= 5)
+    return sent.filter(_space_words("sentence") >= 5)
+
+
+def tokens_lsa_from(sent: DataFrame) -> DataFrame:
+    """LSA-mode token stream from any sentences frame."""
+    return _tokenize(sent, 5, None, 3)
+
+
+def tokens_textrank_from(sent: DataFrame) -> DataFrame:
+    """TextRank-mode token stream from any sentences frame."""
+    return _tokenize(sent, 10, 30, 4)
+
+
+def lsa_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsa_sentences_from(sentences(spark, sf_dir))
 
 
 def tokens_lsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSA-mode token stream, long form (sentence_id, word)."""
-    return _tokenize(sentences(spark, sf_dir), 5, None, 3)
+    return tokens_lsa_from(sentences(spark, sf_dir))
 
 
 def tokens_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank-mode token stream: band filter 10<words<30, raw len > 3."""
-    return _tokenize(sentences(spark, sf_dir), 10, 30, 4)
+    return tokens_textrank_from(sentences(spark, sf_dir))
 
 
 def term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
