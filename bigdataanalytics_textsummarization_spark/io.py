@@ -110,6 +110,45 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """Parquet sink partitioned by the given columns.
+
+    At 100 TB this is the layout that makes partition pruning work: a filter
+    on a partition column skips whole directories before any IO happens
+    (PartitionFilters in the scan node — asserted in tests/test_sinks.py).
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles once at write time so every
+    future equi-join/aggregation on ``bucket_col`` is shuffle-free.
+
+    This is the deployment posture relational.py assumes for the orders x
+    lineitem fact join — both sides bucketed by orderkey co-locate, and the
+    join plan contains no Exchange (asserted in tests/test_sinks.py).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # in-memory catalog + file warehouse: a previous session's table leaves
+    # an orphaned location the catalog no longer knows about — clear it
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:") or wh.startswith("/"):
+        import shutil
+
+        shutil.rmtree(
+            f"{wh.removeprefix('file:')}/{table.lower()}", ignore_errors=True
+        )
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
 def read_reviews_tsv(spark: SparkSession, path: str) -> DataFrame:
     """Read the reference's native TSV review format (S1-S3).
 

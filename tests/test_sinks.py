@@ -1,0 +1,80 @@
+"""Sink-layout tests: the write-side half of the 100 TB posture.
+
+Bucketed writes must produce shuffle-free joins; partitioned writes must
+produce pruned scans.  Both are asserted on the physical plan, not assumed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdataanalytics_textsummarization_spark.io import (
+    load_table,
+    write_bucketed,
+    write_partitioned,
+)
+from tests.conftest import SF_DIR
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    # clear any orphaned managed-table locations from prior runs
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "li_b"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed(orders, "orders_b", "o_orderkey", n_buckets=4)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "li_b", "o_orderkey", 4
+    )
+    # force the fact-fact join path (at real scale neither side broadcasts)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(spark.table("orders_b"), "o_orderkey")
+        plan = _formatted(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed equi-join must not shuffle"
+        assert "Bucketed: true" in plan
+        # correctness: same row count as the plain join
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "docs_part")
+    write_partitioned(docs, out, "source")
+    one = spark.read.parquet(out).filter(F.col("source") == "web")
+    plan = _formatted(one)
+    assert "PartitionFilters" in plan
+    # the filter must be a partition filter, not a data filter
+    assert "isnotnull(source" in plan or "source" in plan.split("PartitionFilters")[1][:200]
+    # round-trip correctness
+    want = docs.filter(F.col("source") == "web").count()
+    assert one.count() == want
+
+
+def test_partitioned_write_roundtrip_full(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_part")
+    write_partitioned(ev.withColumn("day", F.to_date("ts")), out, "day")
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert "day" in back.columns
