@@ -149,18 +149,34 @@ def write_bucketed(
     )
 
 
-def read_reviews_tsv(spark: SparkSession, path: str) -> DataFrame:
+def read_reviews_tsv(
+    spark: SparkSession, path: str, mode: str = "PERMISSIVE"
+) -> DataFrame:
     """Read the reference's native TSV review format (S1-S3).
 
     One ``spark.read.csv`` over a file, glob, or directory replaces the
     reference's per-file ``sc.textFile`` loop + manual header strip
     (BigdataProjectCode.py:161-163); ``product_id`` is derived from the file
     name the way the reference derives it from ``os.listdir``.
+
+    Bad-record policy (the reference raises ValueError on any malformed
+    line, code:43/54 — a single corrupt row kills a 100 TB job):
+    - ``PERMISSIVE`` (default): malformed rows are kept with nulls and the
+      raw line captured in ``_corrupt_record`` for quarantine;
+    - ``DROPMALFORMED``: malformed rows silently dropped;
+    - ``FAILFAST``: the reference's behavior, opt-in.
     """
+    schema = REVIEWS_SCHEMA
+    if mode.upper() == "PERMISSIVE":
+        schema = T.StructType(
+            REVIEWS_SCHEMA.fields
+            + [T.StructField("_corrupt_record", T.StringType())]
+        )
     df = (
         spark.read.option("sep", "\t")
         .option("header", "true")
-        .schema(REVIEWS_SCHEMA)
+        .option("mode", mode)
+        .schema(schema)
         .csv(path)
     )
     return df.withColumn(

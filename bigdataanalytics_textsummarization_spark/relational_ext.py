@@ -203,7 +203,39 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (orderpriority, orderstatus): all four grouping-set combinations
+    in one pass (partial aggregation expands grouping ids map-side)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        r2(F.sum("o_totalprice")).alias("total_sales"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
+def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approx_count_distinct next to the exact count per
+    event_type.  The sketch is mergeable — the property that matters at
+    100 TB, where exact countDistinct needs a full shuffle of the keys but
+    HLL aggregates partial sketches map-side.  Accuracy asserted in
+    tests/test_sketches.py (rows-only driver check: HLL estimates are
+    engine-specific)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "sales_cube": """
+SELECT o_orderpriority, o_orderstatus,
+       round(sum(o_totalprice), 2) AS total_sales,
+       count(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
     "q6_forecast_revenue": """
 SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem
@@ -305,6 +337,8 @@ GROUP BY e.user_id, s.session_no
 """
 
 QUERIES = {
+    "sales_cube": sales_cube,
+    "distinct_sketch": distinct_sketch,  # rows-only: HLL is engine-specific
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,

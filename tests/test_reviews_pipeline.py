@@ -60,6 +60,24 @@ def test_tsv_reader_contract(spark, reviews_dir):
     assert all(r["star_rating"] in (1, 2, 3, 4, 5) for r in rows)
 
 
+def test_tsv_bad_record_quarantine(spark, tmp_path):
+    bad = tmp_path / "BADPROD.txt"
+    bad.write_text(
+        HEADER
+        + "\nR1\tGood product\t5\tN\tY\tworks great. five stars."
+        + "\nthis line has\tonly three\tfields"
+        + "\nR3\tAnother\t4\tY\tN\tfine product overall. recommended.\textra_field\n"
+    )
+    df = read_reviews_tsv(spark, str(bad)).cache()
+    rows = df.collect()
+    assert len(rows) == 3
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    ok = [r for r in rows if r["_corrupt_record"] is None]
+    assert len(ok) == 1 and ok[0]["review_id"] == "R1"
+    assert len(corrupt) == 2  # short row and long row both quarantined
+    df.unpersist()
+
+
 def test_lsa_review_summary_shape(spark, reviews_dir):
     out = rv.lsa_review_summary(spark, reviews_dir).toPandas()
     assert set(out["source"]) == {"B000000000", "B000000001", "B000000002"}

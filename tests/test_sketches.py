@@ -1,0 +1,54 @@
+"""Sketch accuracy + skew-salting correctness tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataanalytics_textsummarization_spark.relational_ext import distinct_sketch
+from bigdataanalytics_textsummarization_spark.skew import salted_join
+from tests.conftest import SF_DIR, normalize
+
+
+def test_hll_within_tolerance(spark):
+    pdf = distinct_sketch(spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    rel_err = (pdf["approx_users"] - pdf["exact_users"]).abs() / pdf[
+        "exact_users"
+    ].clip(lower=1)
+    # rsd=0.02: allow 3 sigma
+    assert (rel_err <= 0.06).all(), rel_err.tolist()
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavily skewed big side: 90% of rows share one key
+    big = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100)
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    got = normalize(salted_join(big, small, "k", n_salts=8).toPandas())
+    want = normalize(big.join(small, "k").toPandas())
+    assert got.shape == want.shape
+    assert got.equals(want)
+
+
+def test_salted_join_shuffles_on_salt(spark):
+    big = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("p")
+    )
+    small = spark.range(0, 3).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = salted_join(big, small, "k", n_salts=4)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        # join keys must include the salt column, not just k
+        assert "__salt" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
