@@ -44,13 +44,12 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(ref, "pair_id")
 
 
-def _ngrams(df: DataFrame, text_col: str, n: int, out: str) -> DataFrame:
-    """Positional n-grams of ``[a-z0-9]+`` tokens of the lowercased text.
+def _ngrams_of(df: DataFrame, arr, n: int, out: str) -> DataFrame:
+    """Positional n-grams over a token-array column expression.
 
-    Built array-side (tokens are already an array from regexp_extract_all):
-    transform over start positions — no window, no sort, no shuffle.
+    Built array-side: transform over start positions — no window, no sort,
+    no shuffle.
     """
-    arr = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
     if n == 1:
         return df.select("pair_id", F.explode(arr).alias(out))
     grams = F.when(
@@ -65,13 +64,44 @@ def _ngrams(df: DataFrame, text_col: str, n: int, out: str) -> DataFrame:
     return df.select("pair_id", F.explode(grams).alias(out))
 
 
-def _rouge_n_cols(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+def _ngrams(df: DataFrame, text_col: str, n: int, out: str) -> DataFrame:
+    """N-grams of ``[a-z0-9]+`` tokens of the lowercased text."""
+    arr = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    return _ngrams_of(df, arr, n, out)
+
+
+def _stem_tokens_udf():
+    """Arrow-batched pandas UDF: lowercase alpha-num tokens, Porter-stemmed
+    (the reference scores ROUGE with use_stemmer=True, code:183)."""
+    import re
+
+    from .porter import stem
+
+    @F.pandas_udf("array<string>")
+    def stem_tokens(s: pd.Series) -> pd.Series:
+        tok = re.compile(r"[a-z0-9]+")
+        return s.map(lambda t: [stem(w) for w in tok.findall(t.lower())])
+
+    return stem_tokens
+
+
+def _ngrams_stemmed(df: DataFrame, text_col: str, n: int, out: str) -> DataFrame:
+    stemmed = _stem_tokens_udf()
+    return _ngrams_of(
+        df.withColumn("__toks", stemmed(F.col(text_col))), F.col("__toks"), n, out
+    )
+
+
+def _rouge_n_cols(
+    spark: SparkSession, sf_dir: str, n: int, stemmed: bool = False
+) -> DataFrame:
     """Per-pair clipped n-gram overlap -> (pair_id, p, r, f) for ROUGE-n."""
     pairs = _pairs(spark, sf_dir)
-    cg = _ngrams(pairs, "cand_text", n, "g").groupBy("pair_id", "g").agg(
+    grams = _ngrams_stemmed if stemmed else _ngrams
+    cg = grams(pairs, "cand_text", n, "g").groupBy("pair_id", "g").agg(
         F.count("*").alias("c_cnt")
     )
-    rg = _ngrams(pairs, "ref_text", n, "g").groupBy("pair_id", "g").agg(
+    rg = grams(pairs, "ref_text", n, "g").groupBy("pair_id", "g").agg(
         F.count("*").alias("r_cnt")
     )
     match = (
@@ -116,6 +146,16 @@ def rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-1 + ROUGE-2 per pair, computed relationally (no UDF)."""
     r1 = _rouge_n_cols(spark, sf_dir, 1)
     r2 = _rouge_n_cols(spark, sf_dir, 2)
+    return r1.join(r2, "pair_id")
+
+
+def rouge_n_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/2 with Porter stemming — the reference's use_stemmer=True
+    configuration (code:183).  Tokens stem in an Arrow-batched pandas UDF;
+    everything downstream is the same relational machinery.  Rows-only
+    driver check (no stemmer in DuckDB without network extensions)."""
+    r1 = _rouge_n_cols(spark, sf_dir, 1, stemmed=True)
+    r2 = _rouge_n_cols(spark, sf_dir, 2, stemmed=True)
     return r1.join(r2, "pair_id")
 
 
@@ -259,5 +299,6 @@ FROM r1_out JOIN r2_out ON r1_out.pair_id = r2_out.pair_id
 
 QUERIES = {
     "rouge_n": rouge_n,
+    "rouge_n_stemmed": rouge_n_stemmed,  # rows-only: no stemmer in DuckDB
     "rouge_l": rouge_l,  # rows-only: LCS is not SQL-expressible
 }
