@@ -128,6 +128,99 @@ def lsa_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsa_concepts_from(_tfidf_long(spark, sf_dir))
 
 
+def lsa_concepts_distributed(
+    spark: SparkSession, sf_dir: str, k: int = K_CONCEPTS
+) -> DataFrame:
+    """Distributed SVD path for ONE giant corpus (the shape applyInPandas
+    can't hold): term x sentence TF-IDF as an MLlib RowMatrix, factored with
+    ``computeSVD`` (ARPACK / distributed Gram), top-n extraction relational.
+
+    The per-source grouped path (lsa_concepts) is right when there are many
+    small corpora; this path is right when a single corpus outgrows one
+    worker's memory.  Rows = words (distributed), cols = sentences; V gives
+    sentence weights, U gives word weights — one factorization serves both
+    extractions, like the grouped path.
+
+    Output: (concept, kind, rk, item, weight) over the whole documents
+    table treated as one corpus.  Rows-only driver check (SVD is not
+    SQL-expressible); algebraic invariants in tests/test_lsa.py.
+    """
+    import numpy as np
+    from pyspark.mllib.linalg import Vectors
+    from pyspark.mllib.linalg.distributed import RowMatrix
+
+    toks = tokens_lsa(spark, sf_dir)
+    sent = lsa_sentences(spark, sf_dir)
+    n_sent = sent.select("sentence_id").distinct().count()
+    tf = toks.groupBy("sentence_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    tfidf = (
+        tf.join(df, "word")
+        .select(
+            "sentence_id",
+            "word",
+            (F.col("tf") * F.log10(F.lit(float(n_sent)) / F.col("df"))).alias(
+                "tfidf"
+            ),
+        )
+    )
+    # stable integer ids for matrix coordinates
+    sent_ids = [
+        r[0]
+        for r in tfidf.select("sentence_id").distinct().orderBy("sentence_id").collect()
+    ]
+    words = [
+        r[0] for r in tfidf.select("word").distinct().orderBy("word").collect()
+    ]
+    sid_ix = {s: i for i, s in enumerate(sent_ids)}
+    w_ix = {w: i for i, w in enumerate(words)}
+    n_cols = len(sent_ids)
+    b_sid = spark.sparkContext.broadcast(sid_ix)
+    b_wix = spark.sparkContext.broadcast(w_ix)
+
+    def to_row(rows):
+        # one sparse vector per word row (rows of the RowMatrix stay
+        # distributed; only the k x n factors return to the driver)
+        for word, entries in rows:
+            ix, vals = zip(
+                *sorted((b_sid.value[s], v) for s, v in entries)
+            )
+            yield (b_wix.value[word], Vectors.sparse(n_cols, ix, vals))
+
+    word_rows = (
+        tfidf.rdd.map(lambda r: (r["word"], (r["sentence_id"], r["tfidf"])))
+        .groupByKey()
+        .mapPartitions(lambda it: to_row((w, list(vs)) for w, vs in it))
+    )
+    # IndexedRow ordering is irrelevant to the factor values we use
+    mat = RowMatrix(word_rows.map(lambda t: t[1]))
+    k_eff = min(k, n_cols, len(words))
+    svd = mat.computeSVD(k_eff, computeU=False)
+    v = np.array(svd.V.toArray())  # n_cols x k (sentence weights per concept)
+    rows_out = []
+    for c in range(k_eff):
+        vec = v[:, c].copy()
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        order = sorted(range(len(vec)), key=lambda i: (-float(vec[i]), sent_ids[i]))
+        for rk, i in enumerate(order[:N_PER_CONCEPT], start=1):
+            rows_out.append(
+                (int(c), "sentence", int(rk), sent_ids[i], round(float(vec[i]), 6))
+            )
+    return spark.createDataFrame(
+        rows_out,
+        schema=T.StructType(
+            [
+                T.StructField("concept", T.LongType()),
+                T.StructField("kind", T.StringType()),
+                T.StructField("rk", T.LongType()),
+                T.StructField("item", T.StringType()),
+                T.StructField("weight", T.DoubleType()),
+            ]
+        ),
+    )
+
+
 def lsa_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M3: the 5x3 summary sentences joined back to their text — one
     equi-join instead of the reference's 15 per-sentence lookup() jobs
@@ -144,4 +237,5 @@ ORACLES: dict[str, str] = {}  # SVD is not SQL-expressible: rows-only checks
 QUERIES = {
     "lsa_concepts": lsa_concepts,
     "lsa_summary": lsa_summary,
+    "lsa_concepts_distributed": lsa_concepts_distributed,  # rows-only (SVD)
 }

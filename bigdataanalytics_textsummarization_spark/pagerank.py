@@ -33,8 +33,18 @@ DAMPING = 0.85
 INIT_RANK = 0.15
 
 
-def ranks_from(edges: DataFrame, iterations: int = N_ITERATIONS) -> DataFrame:
-    """Weighted PageRank over any (source, src, dst, weight) edge table."""
+def ranks_from(
+    edges: DataFrame,
+    iterations: int = N_ITERATIONS,
+    tol: float | None = None,
+) -> DataFrame:
+    """Weighted PageRank over any (source, src, dst, weight) edge table.
+
+    ``tol``: optional convergence-based early stop (SURVEY §4.1 extension —
+    the reference always runs exactly 5 iterations with no test, which the
+    default preserves).  When set, iteration stops once the max absolute
+    rank delta falls below ``tol``; the delta check is one tiny agg per
+    iteration over the rank table (cheap relative to the join)."""
     edges = edges.select("source", "src", "dst", "weight")
     out_w = edges.groupBy("source", "src").agg(F.sum("weight").alias("out_w"))
     # Static normalized contribution weights, reused every iteration.
@@ -68,11 +78,27 @@ def ranks_from(edges: DataFrame, iterations: int = N_ITERATIONS) -> DataFrame:
             "dst",
             (F.col("rank") * F.col("contrib_w")).alias("c"),
         )
-        ranks = contrib.groupBy(
+        new_ranks = contrib.groupBy(
             F.col("source").alias("r_source"), F.col("dst").alias("r_id")
         ).agg((F.lit(INIT_RANK) + F.lit(DAMPING) * F.sum("c")).alias("rank"))
         # Eagerly materialize + cut lineage (driver loop, SURVEY §2.10 I1).
-        ranks = ranks.localCheckpoint()
+        new_ranks = new_ranks.localCheckpoint()
+        if tol is not None:
+            delta = (
+                new_ranks.join(
+                    ranks.select(
+                        "r_source", "r_id", F.col("rank").alias("prev")
+                    ),
+                    ["r_source", "r_id"],
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
     return ranks.select(
         F.col("r_source").alias("source"),
         F.col("r_id").alias("sentence_id"),

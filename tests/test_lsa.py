@@ -54,6 +54,54 @@ def test_svd_reconstruction_property():
     assert np.allclose(u2 @ np.diag(s) @ vt2, m, atol=1e-10)
 
 
+def test_distributed_svd_matches_numpy(spark):
+    """The MLlib RowMatrix path must select the same top sentences (up to
+    float tolerance) as a driver-side numpy SVD of the same matrix."""
+    import numpy as np
+
+    from bigdataanalytics_textsummarization_spark.lsa import (
+        N_PER_CONCEPT,
+        lsa_concepts_distributed,
+    )
+    from bigdataanalytics_textsummarization_spark.text import (
+        lsa_sentences,
+        tokens_lsa,
+    )
+    from pyspark.sql import functions as F
+
+    got = lsa_concepts_distributed(spark, SF_DIR).toPandas()
+
+    toks = tokens_lsa(spark, SF_DIR)
+    n_sent = (
+        lsa_sentences(spark, SF_DIR).select("sentence_id").distinct().count()
+    )
+    tf = (
+        toks.groupBy("sentence_id", "word").agg(F.count("*").alias("tf"))
+    ).toPandas()
+    df = tf.groupby("word")["sentence_id"].nunique()
+    tf["tfidf"] = tf["tf"] * np.log10(n_sent / tf["word"].map(df))
+    piv = tf.pivot_table(
+        index="word", columns="sentence_id", values="tfidf", fill_value=0.0
+    )
+    u, s, vt = np.linalg.svd(piv.to_numpy(), full_matrices=False)
+    sent_ids = list(piv.columns)
+    for c in sorted(got["concept"].unique()):
+        vec = vt[c, :].copy()
+        if vec[np.argmax(np.abs(vec))] < 0:
+            vec = -vec
+        order = sorted(
+            range(len(vec)), key=lambda i: (-float(vec[i]), sent_ids[i])
+        )[:N_PER_CONCEPT]
+        want_items = [sent_ids[i] for i in order]
+        grp = got[got["concept"] == c].sort_values("rk")
+        assert list(grp["item"]) == want_items, f"concept {c}"
+        np.testing.assert_allclose(
+            grp["weight"].to_numpy(),
+            [round(float(vec[i]), 6) for i in order],
+            atol=2e-6,
+        )
+
+
 def test_summary_joins_back_to_real_sentences(spark):
     out = lsa.lsa_summary(spark, SF_DIR).toPandas()
     assert (out["sentence_id"] == out["sentence_id"]).all()

@@ -1,0 +1,66 @@
+"""Degenerate-input robustness: empty corpora and convergence options must
+not crash any pipeline (a 100 TB job will hit empty partitions/corpora)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdataanalytics_textsummarization_spark import lsa, pagerank, text
+from bigdataanalytics_textsummarization_spark.graph import edges_from
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def empty_sentences(spark):
+    return text.sentences(spark, SF_DIR).filter(F.lit(False))
+
+
+def test_tokenizers_on_empty(empty_sentences):
+    assert text.tokens_lsa_from(empty_sentences).count() == 0
+    assert text.tokens_textrank_from(empty_sentences).count() == 0
+
+
+def test_graph_and_pagerank_on_empty(empty_sentences):
+    edges = edges_from(text.tokens_textrank_from(empty_sentences))
+    assert edges.count() == 0
+    ranks = pagerank.ranks_from(edges, iterations=2)
+    assert ranks.count() == 0
+
+
+def test_lsa_on_empty(empty_sentences):
+    tfidf = lsa.tfidf_long_from(
+        text.tokens_lsa_from(empty_sentences),
+        text.lsa_sentences_from(empty_sentences),
+    )
+    assert lsa.lsa_concepts_from(tfidf).count() == 0
+
+
+def test_single_sentence_corpus(spark):
+    one = text.sentences(spark, SF_DIR).limit(1)
+    toks = text.tokens_textrank_from(one)
+    edges = edges_from(toks)
+    # one sentence => no pairs => empty graph, not a crash
+    assert edges.count() == 0
+
+
+def test_pagerank_convergence_stop(spark):
+    """tol early-stop on a graph with a known fixed point.
+
+    (The reference's unnormalized update can diverge on general graphs —
+    column sums of the contribution matrix may exceed 1 — which is why the
+    default preserves its fixed 5 iterations.  A symmetric 2-cycle has the
+    exact fixed point r = 0.15 / (1 - 0.85) = 1.0.)
+    """
+    edges = spark.createDataFrame(
+        [("s", "a", "b", 1.0), ("s", "b", "a", 1.0)],
+        "source string, src string, dst string, weight double",
+    )
+    ranks = pagerank.ranks_from(edges, iterations=200, tol=1e-9).toPandas()
+    assert len(ranks) == 2
+    assert abs(ranks["rank"] - 1.0).max() < 1e-6
+    # 5-iteration reference semantics are unchanged by the tol option
+    five = pagerank.ranks_from(edges, iterations=5).toPandas()
+    want5 = 0.15 * sum(0.85**i for i in range(6))  # geometric partial sum
+    assert abs(five["rank"] - want5).max() < 1e-9
