@@ -110,6 +110,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines source — the lingua franca of training-data pipelines.
+
+    Pass an explicit schema in production: schema inference scans the data
+    twice and silently widens types; a declared StructType keeps the single
+    pass and the pushdown/pruning behavior of any other structured scan.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """JSON-lines sink, optionally partitioned (one dir per key value)."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.json(path)
+
+
 def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
     """Parquet sink partitioned by the given columns.
 

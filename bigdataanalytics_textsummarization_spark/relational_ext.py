@@ -179,6 +179,30 @@ def events_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rich_customers_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL surface: customers above their nation's average balance.
+
+    Written as a SQL string over registered views (not the DataFrame API)
+    to exercise the parser/analyzer path a SQL user takes; the correlated
+    aggregate decorrelates to a join in Catalyst — same physical shape as
+    the hand-written equivalent.
+    """
+    from .io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               round(c.c_acctbal, 2) AS acctbal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (
+          SELECT avg(c2.c_acctbal) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of part retail price per brand."""
     part = load_table(spark, sf_dir, "part")
@@ -291,6 +315,14 @@ FROM (SELECT * FROM events WHERE event_type = 'error') e
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON e.user_id = c.user_id AND e.ts >= c.ts
 """,
+    "rich_customers_sql": """
+SELECT c.c_custkey, c.c_name, n.n_name, round(c.c_acctbal, 2) AS acctbal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_acctbal > (
+  SELECT avg(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+""",
     "price_percentiles": """
 SELECT p_brand,
        round(quantile_cont(p_retailprice, 0.25), 6) AS p25,
@@ -345,6 +377,7 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "asof_click_attribution": asof_click_attribution,
     "events_in_sessions": events_in_sessions,
+    "rich_customers_sql": rich_customers_sql,
     "price_percentiles": price_percentiles,
     "lineitem_stats": lineitem_stats,
 }

@@ -71,6 +71,27 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert one.count() == want
 
 
+def test_jsonl_roundtrip(spark, tmp_path):
+    from bigdataanalytics_textsummarization_spark.io import read_jsonl, write_jsonl
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, "source")
+    back = read_jsonl(spark, out, schema=docs.schema)
+    a = normalize_cols(docs.toPandas())
+    b = normalize_cols(back.select("doc_id", "source", "text").toPandas())
+    assert a.equals(b)
+
+
+def normalize_cols(pdf):
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
 def test_partitioned_write_roundtrip_full(spark, tmp_path):
     ev = load_table(spark, SF_DIR, "events")
     out = str(tmp_path / "events_part")
