@@ -142,11 +142,86 @@ def _rouge_n_cols(
     )
 
 
+def _rouge_multi_n(
+    spark: SparkSession, sf_dir: str, stemmed: bool = False
+) -> DataFrame:
+    """ROUGE-1 + ROUGE-2 in ONE pass: n-gram streams for both n are tagged
+    and unioned, so clipping/totals/metrics run through a single aggregation
+    chain instead of two independent subtrees (half the stages, half the
+    codegen), then pivot back to wide columns."""
+    pairs = _pairs(spark, sf_dir)
+    grams = _ngrams_stemmed if stemmed else _ngrams
+
+    def tagged(side: str) -> DataFrame:
+        return grams(pairs, f"{side}_text", 1, "g").withColumn(
+            "n", F.lit(1)
+        ).unionByName(
+            grams(pairs, f"{side}_text", 2, "g").withColumn("n", F.lit(2))
+        )
+
+    cg = tagged("cand").groupBy("pair_id", "n", "g").agg(
+        F.count("*").alias("c_cnt")
+    )
+    rg = tagged("ref").groupBy("pair_id", "n", "g").agg(
+        F.count("*").alias("r_cnt")
+    )
+    match = (
+        cg.join(rg, ["pair_id", "n", "g"])
+        .groupBy("pair_id", "n")
+        .agg(F.sum(F.least("c_cnt", "r_cnt")).alias("m"))
+    )
+    c_tot = cg.groupBy("pair_id", "n").agg(F.sum("c_cnt").alias("ct"))
+    r_tot = rg.groupBy("pair_id", "n").agg(F.sum("r_cnt").alias("rt"))
+    base = (
+        pairs.select("pair_id")
+        .crossJoin(spark.range(1, 3).select(F.col("id").cast("int").alias("n")))
+        .join(match, ["pair_id", "n"], "left")
+        .join(c_tot, ["pair_id", "n"], "left")
+        .join(r_tot, ["pair_id", "n"], "left")
+        .select(
+            "pair_id",
+            "n",
+            F.coalesce("m", F.lit(0)).alias("m"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("rt", F.lit(0)).alias("rt"),
+        )
+        .withColumn("p_raw", F.when(F.col("ct") > 0, F.col("m") / F.col("ct")).otherwise(0.0))
+        .withColumn("r_raw", F.when(F.col("rt") > 0, F.col("m") / F.col("rt")).otherwise(0.0))
+        .withColumn(
+            "f_raw",
+            F.when(
+                (F.col("p_raw") + F.col("r_raw")) > 0,
+                2 * F.col("p_raw") * F.col("r_raw")
+                / (F.col("p_raw") + F.col("r_raw")),
+            ).otherwise(0.0),
+        )
+    )
+    wide = (
+        base.groupBy("pair_id")
+        .pivot("n", [1, 2])
+        .agg(
+            F.first("m").alias("match"),
+            r6(F.first("p_raw")).alias("p"),
+            r6(F.first("r_raw")).alias("r"),
+            r6(F.first("f_raw")).alias("f"),
+        )
+    )
+    return wide.select(
+        "pair_id",
+        F.col("1_match").cast("long").alias("match1"),
+        F.col("1_p").alias("rouge1_p"),
+        F.col("1_r").alias("rouge1_r"),
+        F.col("1_f").alias("rouge1_f"),
+        F.col("2_match").cast("long").alias("match2"),
+        F.col("2_p").alias("rouge2_p"),
+        F.col("2_r").alias("rouge2_r"),
+        F.col("2_f").alias("rouge2_f"),
+    )
+
+
 def rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-1 + ROUGE-2 per pair, computed relationally (no UDF)."""
-    r1 = _rouge_n_cols(spark, sf_dir, 1)
-    r2 = _rouge_n_cols(spark, sf_dir, 2)
-    return r1.join(r2, "pair_id")
+    return _rouge_multi_n(spark, sf_dir)
 
 
 def rouge_n_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,9 +229,7 @@ def rouge_n_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     configuration (code:183).  Tokens stem in an Arrow-batched pandas UDF;
     everything downstream is the same relational machinery.  Rows-only
     driver check (no stemmer in DuckDB without network extensions)."""
-    r1 = _rouge_n_cols(spark, sf_dir, 1, stemmed=True)
-    r2 = _rouge_n_cols(spark, sf_dir, 2, stemmed=True)
-    return r1.join(r2, "pair_id")
+    return _rouge_multi_n(spark, sf_dir, stemmed=True)
 
 
 _ROUGE_L_SCHEMA = T.StructType(
