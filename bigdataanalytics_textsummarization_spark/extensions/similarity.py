@@ -84,18 +84,46 @@ def _bucket(col: Column) -> Column:
     )
 
 
+def _flip(bucket: Column, j: int) -> Column:
+    """Bucket key with sign-bit j (1-based) flipped."""
+    flipped = F.when(F.substring(bucket, j, 1) == "1", F.lit("0")).otherwise(
+        F.lit("1")
+    )
+    return F.concat(
+        F.substring(bucket, 1, j - 1),
+        flipped,
+        F.substring(bucket, j + 1, SIGN_DIMS - j),
+    )
+
+
 def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed cosine top-3: candidates share the bucket key."""
+    """Multi-probe sign-LSH cosine top-3.
+
+    Each query probes its own bucket plus every bucket at Hamming
+    distance 1 (single-probe recall at cosine ~0.5 is only ~p^d ≈ 0.2 for
+    d=4 hyperplanes; probing the d flip-buckets lifts it to ~0.6 while
+    still scanning only (d+1)/2^d of the corpus).  Probe keys are distinct,
+    so each candidate matches at most one probe — no dedup needed, and the
+    candidate generation stays a pure equi-join on the bucket key.
+    """
     emb = (
         _embeddings(spark, sf_dir)
         .withColumn("nrm", _norm(F.col("e")))
         .withColumn("bucket", _bucket(F.col("e")))
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qn"),
-        F.col("bucket").alias("qbucket"),
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[_flip(F.col("bucket"), j) for j in range(1, SIGN_DIMS + 1)],
+                )
+            ).alias("qbucket"),
+        )
     )
     pairs = (
         F.broadcast(q)
@@ -192,8 +220,22 @@ FROM (
 """,
     "ann_bucketed_topk": f"""
 WITH {_EMB_CTE},
-q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn, bucket AS qbucket
-      FROM embn WHERE vec_id < {N_QUERIES}),
+q AS (
+  SELECT query_id, qe, qn, unnest(probes) AS qbucket
+  FROM (
+    SELECT vec_id AS query_id, e AS qe, nrm AS qn,
+           list_value(bucket,
+             {", ".join(
+                 "substr(bucket, 1, " + str(j - 1) + ") || "
+                 "(CASE WHEN substr(bucket, " + str(j) + ", 1) = '1' "
+                 "THEN '0' ELSE '1' END) || "
+                 "substr(bucket, " + str(j + 1) + ", " + str(SIGN_DIMS - j) + ")"
+                 for j in range(1, SIGN_DIMS + 1)
+             )}
+           ) AS probes
+    FROM embn WHERE vec_id < {N_QUERIES}
+  )
+),
 pairs AS (
   SELECT q.query_id, c.vec_id, c.bucket,
          list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS sim_raw

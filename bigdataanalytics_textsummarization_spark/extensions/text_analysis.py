@@ -130,26 +130,32 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct mins per doc.  Rolling-hash document fingerprinting for
     robust near-dup detection at scale (fingerprints are tiny vs text)."""
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "w")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        words.withColumn("w1", F.lead("w", 1).over(win))
-        .withColumn("w2", F.lead("w", 2).over(win))
-        .filter(F.col("w2").isNotNull())
-        .select(
-            "doc_id", "pos", F.md5(F.concat_ws(" ", "w", "w1", "w2")).alias("h")
-        )
-    )
-    fwin = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(0, FINGERPRINT_WINDOW - 1)
-    )
+    arr = F.split("text", " ", -1)
+    # entirely array-side: gram hashes via transform, sliding-window min via
+    # slice + array_min — no window, no sort, no shuffle before the distinct
+    hashes = F.when(
+        F.size(arr) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - F.lit(2)),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(arr, i),
+                    F.element_at(arr, i + 1),
+                    F.element_at(arr, i + 2),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fps = F.when(
+        F.size(hashes) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hashes)),
+            lambda i: F.array_min(F.slice(hashes, i, FINGERPRINT_WINDOW)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
-        grams.withColumn("fp", F.min("h").over(fwin))
-        .select("doc_id", "fp")
+        docs.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
         .distinct()
     )
 

@@ -1,0 +1,34 @@
+"""ANN quality: the bucketed (sign-LSH) path trades recall for pruning —
+measure it against the brute-force ground truth instead of assuming."""
+
+from __future__ import annotations
+
+from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+    ann_bucketed_topk,
+    ann_cosine_topk,
+)
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_ann_recall_vs_brute_force(spark):
+    brute = ann_cosine_topk(spark, SF_DIR).toPandas()
+    bucketed = ann_bucketed_topk(spark, SF_DIR).toPandas()
+
+    truth = brute.groupby("query_id")["neighbor_id"].apply(set)
+    got = bucketed.groupby("query_id")["neighbor_id"].apply(set)
+
+    recalls = []
+    for qid, t in truth.items():
+        g = got.get(qid, set())
+        # bucketed top-3 vs brute top-k: recall over the brute set
+        recalls.append(len(t & g) / len(t))
+    avg_recall = sum(recalls) / len(recalls)
+    # multi-probe (own bucket + Hamming-1) at cosine ~0.5 should recall
+    # roughly p^d + d*p^(d-1)*(1-p) ≈ 0.6; below this the probing broke
+    assert avg_recall >= 0.4, f"avg recall {avg_recall:.2f}"
+    # and every returned neighbor must share the query's bucket by
+    # construction — cosine values must match brute force where they overlap
+    merged = bucketed.merge(
+        brute, on=["query_id", "neighbor_id"], suffixes=("_b", "_t")
+    )
+    assert (merged["cosine_b"] - merged["cosine_t"]).abs().max() < 1e-9
