@@ -203,6 +203,41 @@ def rich_customers_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_typed_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON: from_json with an explicit schema — ONE parse into a
+    struct column (vs get_json_object's per-field re-parse), the right shape
+    when a 100 TB table has many JSON fields."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return ev.select(
+        "event_id",
+        F.from_json("props", schema).alias("p"),
+    ).select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.col("p.k").isNotNull().alias("has_k"),
+    )
+
+
+def user_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames over event time per user: 3-row moving average,
+    lag delta, and running max — the time-series window surface."""
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame3 = order.rowsBetween(-2, 0)
+    running = order.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        r6(F.col("value")).alias("value"),
+        r6(F.avg("value").over(frame3)).alias("mavg3"),
+        r6(F.col("value") - F.lag("value").over(order)).alias("delta"),
+        r6(F.max("value").over(running)).alias("running_max"),
+    )
+
+
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles of part retail price per brand."""
     part = load_table(spark, sf_dir, "part")
@@ -315,6 +350,21 @@ FROM (SELECT * FROM events WHERE event_type = 'error') e
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON e.user_id = c.user_id AND e.ts >= c.ts
 """,
+    "events_typed_props": """
+SELECT event_id,
+       cast(json_extract(props, '$.k') AS bigint) AS k,
+       json_extract(props, '$.k') IS NOT NULL AS has_k
+FROM events
+""",
+    "user_value_moving_avg": """
+SELECT event_id, user_id, round(value, 6) AS value,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta,
+       round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_max
+FROM events
+""",
     "rich_customers_sql": """
 SELECT c.c_custkey, c.c_name, n.n_name, round(c.c_acctbal, 2) AS acctbal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -378,6 +428,8 @@ QUERIES = {
     "asof_click_attribution": asof_click_attribution,
     "events_in_sessions": events_in_sessions,
     "rich_customers_sql": rich_customers_sql,
+    "events_typed_props": events_typed_props,
+    "user_value_moving_avg": user_value_moving_avg,
     "price_percentiles": price_percentiles,
     "lineitem_stats": lineitem_stats,
 }
