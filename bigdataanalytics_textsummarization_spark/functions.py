@@ -117,6 +117,22 @@ def r2(col: Column) -> Column:
     return F.round(col.cast("double"), 2)
 
 
+def sum2dp(col: Column) -> Column:
+    """Order-independent exact sum of a 2-decimal column.
+
+    Summing doubles is order-dependent (partial aggregation merges differ
+    between engines and runs), which lands on rounding boundaries at scale
+    — observed as 6th-decimal mismatches at sf0.1.  Summing integer cents
+    is exact in both Spark and DuckDB (< 2^53), and the single final
+    division is deterministic.  SQL twin: ``SUM2DP_SQL``.
+    """
+    return F.sum(F.round(col * 100).cast("long")) / F.lit(100.0)
+
+
+def sum2dp_sql(expr: str) -> str:
+    return f"(sum(cast(round({expr} * 100) AS bigint)) / 100.0)"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<double> columns, JVM-side (no UDF).
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions import r2, r6
+from .functions import r2, r6, sum2dp
 from .io import load_table
 
 
@@ -201,7 +201,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count("*").cast("long").alias("n_events"),
-        r2(F.sum("value")).alias("sum_value"),
+        r2(sum2dp(F.col("value"))).alias("sum_value"),
         F.countDistinct("user_id").cast("long").alias("n_users"),
     )
 
@@ -329,7 +329,7 @@ SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM o_keys EXCEPT SELEC
     "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value,
+       round(sum(cast(round(value * 100) AS bigint)) / 100.0, 2) AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """,

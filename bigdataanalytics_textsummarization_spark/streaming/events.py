@@ -30,7 +30,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.window import Window
 
-from ..functions import r6
+from ..functions import r6, sum2dp
 from ..io import load_table
 
 EVENTS_SCHEMA = T.StructType(
@@ -86,7 +86,7 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            r6(F.sum("value")).alias("sum_value"),
+            r6(sum2dp(F.col("value"))).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -106,7 +106,7 @@ def sessions_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").cast("long").alias("n_events"),
-            r6(F.sum("value")).alias("sum_value"),
+            r6(sum2dp(F.col("value"))).alias("sum_value"),
         )
         .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     )
@@ -181,20 +181,28 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumerates them JVM-side, the oracle unrolls k in {0,1}.
     """
     ev = load_table(spark, sf_dir, "events")
+    # avg rounded to 6dp in EXACT integer arithmetic: cents sums are exact
+    # bigints, and half-up rounding of sum/(100 n) to micros is
+    # (2*sc*10000 + n) div (2n) — double round() ties (e.g. avg =
+    # 65.3103125) are resolved differently by different engines, observed
+    # as a 1-row mismatch at sf0.1.
     return (
         ev.groupBy(
             F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
         )
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            r6(F.avg("value")).alias("avg_value"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sc"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "event_type",
             "n_events",
-            "avg_value",
+            (
+                F.expr("(2 * sc * 10000 + n_events) div (2 * n_events)")
+                / F.lit(1000000.0)
+            ).alias("avg_value"),
         )
     )
 
@@ -230,7 +238,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").cast("long").alias("n_events"),
-        r6(F.sum("value")).alias("sum_value"),
+        r6(sum2dp(F.col("value"))).alias("sum_value"),
     )
 
 
@@ -241,7 +249,8 @@ SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_st
          + INTERVAL 1 HOUR AS window_end,
        event_type,
        count(*) AS n_events,
-       round(avg(value), 6) AS avg_value
+       ((2 * sum(cast(round(value * 100) AS bigint)) * 10000 + count(*))
+        // (2 * count(*))) / 1000000.0 AS avg_value
 FROM (SELECT ts, event_type, value, unnest([0, 1]) AS k FROM events)
 GROUP BY 1, 2, 3
 """,
@@ -261,7 +270,7 @@ numbered AS (
 )
 SELECT user_id, session_no,
        min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 6) AS sum_value
+       count(*) AS n_events, round((sum(cast(round(value * 100) AS bigint)) / 100.0), 6) AS sum_value
 FROM numbered GROUP BY user_id, session_no
 """,
 }

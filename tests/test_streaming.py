@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from bigdataanalytics_textsummarization_spark.functions import sum2dp
 from bigdataanalytics_textsummarization_spark.io import load_table
 from bigdataanalytics_textsummarization_spark.streaming import events as se
 from tests.conftest import SF_DIR, normalize
@@ -21,7 +22,7 @@ def test_hourly_counts_stream_matches_batch(spark):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(sum2dp(F.col("value")), 6).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
