@@ -7,7 +7,12 @@ Scale design notes (the point of these operators at 100 TB):
 - MinHash/LSH: shingle -> 16 minhashes -> 4 bands; only documents sharing a
   band hash are ever paired, so candidate generation is an equi-join on
   (band, band_sig) — linear shuffle, no all-pairs blowup.  Estimated and
-  exact Jaccard are then computed only for candidates;
+  exact Jaccard are then computed only for candidates.  Signatures are
+  computed ROW-LOCALLY (one md5 per shingle, then 16 affine hashes
+  (a_i*h + b_i) mod p via higher-order array functions) — minhashing is
+  embarrassingly parallel, so the plan has no aggregation shuffle before
+  the band join, and est/exact Jaccard for candidate pairs are row-local
+  ``zip_with`` / ``array_intersect`` over carried arrays;
 - the direct n-gram Jaccard join (dedup_ngram_jaccard) blocks on shared
   shingles; it is the exact baseline to validate LSH recall at test scale.
   At 100 TB the LSH path is the production route — hot shingles make the
@@ -30,18 +35,29 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 SHINGLE_K = 3
 
+# MinHash family: minhash_i(doc) = min over shingles g of
+# (A[i] * h48(g) + B[i]) mod MH_P, where h48 = first 48 bits of md5.
+# A[i] < 2^14 and h48 < 2^48 keep a*h+b < 2^63 (no int64 overflow in
+# either engine); MH_P = 2^61 - 1 (Mersenne).  One md5 per shingle total —
+# the 16 per-seed hashes are integer multiply-adds, not re-hashes.
+MH_P = (1 << 61) - 1
+MH_A = (
+    9973, 12007, 3251, 14341, 7919, 10663, 2503, 15773,
+    6367, 11069, 4217, 13187, 8291, 9689, 5279, 16249,
+)
+MH_B = (
+    541238947, 912743181, 77003219, 388572301, 660912833, 129385577,
+    843209251, 271828183, 314159257, 577215663, 466920039, 730904883,
+    198764321, 935711081, 613570867, 102334155,
+)
+MH_A_SQL = "[" + ", ".join(str(a) for a in MH_A) + "]"
+MH_B_SQL = "[" + ", ".join(str(b) for b in MH_B) + "]"
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per document.
 
-    Built entirely array-side (split -> transform -> array_distinct ->
-    explode): no window, no sort, no shuffle before the per-doc distinct.
-    Semantics identical to a lead()-window formulation, which is what the
-    DuckDB oracle uses.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _gram_arr():
+    """Distinct word-3-gram shingle array column over ``text`` (row-local)."""
     arr = F.split("text", " ", -1)
-    grams = F.when(
+    return F.when(
         F.size(arr) >= SHINGLE_K,
         F.array_distinct(
             F.transform(
@@ -55,8 +71,53 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        "doc_id", "source", F.explode(grams).alias("g")
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word-3-gram shingles per document, long form.
+
+    Built entirely array-side (split -> transform -> array_distinct ->
+    explode): no window, no sort, no shuffle before the per-doc distinct.
+    Semantics identical to a lead()-window formulation, which is what the
+    DuckDB oracle uses.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "source", F.explode(_gram_arr()).alias("g"))
+
+
+def _doc_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, grams array, sigs array) — the whole MinHash signature in
+    ONE narrow projection per document: no explode, no groupBy.
+
+    ``sigs[i] = min over grams of (A[i]*h48(md5(g)) + B[i]) mod MH_P``.
+    Documents with no shingle (< 3 words) are dropped, matching the
+    long-form/grouped formulation where they simply have no rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    a_arr = F.array(*[F.lit(a).cast("long") for a in MH_A])
+    b_arr = F.array(*[F.lit(b).cast("long") for b in MH_B])
+    with_grams = docs.select("doc_id", _gram_arr().alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    hvs = F.transform(
+        F.col("grams"),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long"),
+    )
+    sigs = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("__hvs"),
+                lambda h: (
+                    F.element_at(a_arr, (i + 1).cast("int")) * h
+                    + F.element_at(b_arr, (i + 1).cast("int"))
+                )
+                % F.lit(MH_P),
+            )
+        ),
+    )
+    return with_grams.withColumn("__hvs", hvs).select(
+        "doc_id", "grams", sigs.alias("sigs")
     )
 
 
@@ -93,38 +154,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long-form MinHash signatures: (doc_id, seed, minhash).
-
-    minhash_i(doc) = min over shingles of md5('<i>|<shingle>') — the
-    lexicographic min of hex strings, which both engines compute
-    identically.
-    """
-    sh = _shingles(spark, sf_dir)
-    # 16 min() aggregates over ONE groupBy(doc_id): map-side partial agg,
-    # no 16x row explosion.  Re-shaped to long form afterwards (cheap: one
-    # posexplode of an already-tiny 16-element array per doc).
-    wide = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat_ws("|", F.lit(str(i)), F.col("g")))
-            ).alias(f"m{i}")
-            for i in range(N_HASHES)
-        ]
-    )
-    return wide.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[F.col(f"m{i}") for i in range(N_HASHES)])
-        ).alias("seed", "minhash"),
-    ).select(
-        "doc_id", F.col("seed").cast("long").alias("seed"), "minhash"
-    )
+    """Long-form MinHash signatures: (doc_id, seed, minhash) — one
+    posexplode of the row-local 16-element signature array."""
+    prof = _doc_profiles(spark, sf_dir)
+    return prof.select(
+        "doc_id", F.posexplode("sigs").alias("seed", "minhash")
+    ).select("doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
 
 
 MINHASH_CTE = f"""
+hv AS (
+  SELECT doc_id, g,
+         cast(cast(concat('0x', substr(md5(g), 1, 12)) AS ubigint) AS bigint) AS h
+  FROM grams
+),
 mh AS (
-  SELECT doc_id, seed, min(md5(cast(seed AS varchar) || '|' || g)) AS minhash
-  FROM (SELECT doc_id, g, unnest(range({N_HASHES})) AS seed FROM grams)
+  SELECT doc_id, seed,
+         min(({MH_A_SQL}[seed + 1] * h + {MH_B_SQL}[seed + 1]) % {MH_P}) AS minhash
+  FROM (SELECT doc_id, h, unnest(range({N_HASHES})) AS seed FROM hv)
   GROUP BY doc_id, seed
 )
 """
@@ -133,20 +180,31 @@ mh AS (
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated and exact Jaccard.
 
-    Pipeline: signatures -> band hashes (md5 of 4 ordered minhashes) ->
-    equi-join on (band, band_sig) -> per-candidate estimated Jaccard
-    (fraction of equal minhash seeds) and exact shingle Jaccard.
+    Pipeline: row-local signature arrays -> 4 band keys per doc (pure
+    projection: ``concat_ws`` over a signature slice) -> equi-join on
+    (band, band_sig) -> pair groupBy -> join the two doc profiles back and
+    finish ROW-LOCALLY: estimated Jaccard = fraction of equal seeds
+    (``zip_with``), exact Jaccard = ``array_intersect`` over the distinct
+    shingle arrays.  The only shuffles in the whole plan are the band
+    self-join, the pair groupBy, and the two profile joins — nothing
+    proportional to shingle or seed cardinality.
     """
-    mh = minhash_signatures(spark, sf_dir)
-    bands = (
-        mh.withColumn("band", F.expr(f"cast(floor(seed / {N_HASHES // N_BANDS}) as bigint)"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "md5(concat_ws('|', transform(sort_array("
-                "collect_list(struct(seed, minhash))), x -> x.minhash)))"
-            ).alias("band_sig")
-        )
+    prof = _doc_profiles(spark, sf_dir)
+    band_w = N_HASHES // N_BANDS
+    bands = prof.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        "sigs",
+    ).select(
+        "doc_id",
+        F.col("band").cast("long").alias("band"),
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.expr(f"slice(sigs, band * {band_w} + 1, {band_w})"),
+                lambda v: v.cast("string"),
+            ),
+        ).alias("band_sig"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -162,54 +220,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n_shared_bands"))
     )
-    ma = mh.select(
+    pa = prof.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("seed").alias("seed"),
-        F.col("minhash").alias("mh_a"),
+        F.col("grams").alias("ga"),
+        F.col("sigs").alias("sa"),
     )
-    mb = mh.select(
+    pb = prof.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("seed").alias("seed"),
-        F.col("minhash").alias("mh_b"),
+        F.col("grams").alias("gb"),
+        F.col("sigs").alias("sb"),
     )
-    est = (
-        cand.join(ma, "doc_a")
-        .join(mb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b", "n_shared_bands")
-        .agg(
-            r6(
-                F.sum(
-                    F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)
-                )
-                / F.lit(float(N_HASHES))
-            ).alias("est_jaccard")
+    eq_seeds = F.size(
+        F.filter(
+            F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v
         )
     )
-    sh = _shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ga = sh.select(F.col("doc_id").alias("doc_a"), "g")
-    gb = sh.select(F.col("doc_id").alias("doc_b"), "g")
-    isect = (
-        est.select("doc_a", "doc_b")
-        .join(ga, "doc_a")
-        .join(gb, ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("isect"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    isect = F.size(F.array_intersect("ga", "gb"))
     return (
-        est.join(isect, ["doc_a", "doc_b"])
-        .join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             "n_shared_bands",
-            "est_jaccard",
+            r6(eq_seeds / F.lit(float(N_HASHES))).alias("est_jaccard"),
             r6(
-                F.col("isect")
-                / (F.col("n_a") + F.col("n_b") - F.col("isect"))
+                isect / (F.size("ga") + F.size("gb") - isect)
             ).alias("jaccard"),
         )
     )
@@ -343,7 +379,7 @@ SELECT doc_id, seed, minhash FROM mh
 WITH {SHINGLES_CTE}, {MINHASH_CTE},
 bands AS (
   SELECT doc_id, cast(floor(seed / {N_HASHES // N_BANDS}) AS bigint) AS band,
-         md5(string_agg(minhash, '|' ORDER BY seed)) AS band_sig
+         string_agg(cast(minhash AS varchar), '|' ORDER BY seed) AS band_sig
   FROM mh GROUP BY doc_id, 2
 ),
 cand AS (
