@@ -7,12 +7,14 @@ Scale design notes (the point of these operators at 100 TB):
 - MinHash/LSH: shingle -> 16 minhashes -> 4 bands; only documents sharing a
   band hash are ever paired, so candidate generation is an equi-join on
   (band, band_sig) — linear shuffle, no all-pairs blowup.  Estimated and
-  exact Jaccard are then computed only for candidates.  Signatures are
-  computed ROW-LOCALLY (one md5 per shingle, then 16 affine hashes
-  (a_i*h + b_i) mod p via higher-order array functions) — minhashing is
-  embarrassingly parallel, so the plan has no aggregation shuffle before
-  the band join, and est/exact Jaccard for candidate pairs are row-local
-  ``zip_with`` / ``array_intersect`` over carried arrays;
+  exact Jaccard are then computed only for candidates.  Signatures stay
+  entirely inside whole-stage codegen: shingles are generated with
+  posexplode + element_at (NOT higher-order array functions, which Spark
+  evaluates interpreted — and which project-collapse re-evaluates per
+  reference), hashed once with md5, and reduced by ONE groupBy(doc_id)
+  carrying 16 min() columns (map-side partial agg), one affine hash
+  (a_i*h + b_i) mod p per column.  min() is duplicate-invariant, so the
+  shingle stream skips the per-doc distinct entirely;
 - the direct n-gram Jaccard join (dedup_ngram_jaccard) blocks on shared
   shingles; it is the exact baseline to validate LSH recall at test scale.
   At 100 TB the LSH path is the production route — hot shingles make the
@@ -54,70 +56,61 @@ MH_A_SQL = "[" + ", ".join(str(a) for a in MH_A) + "]"
 MH_B_SQL = "[" + ", ".join(str(b) for b in MH_B) + "]"
 
 
-def _gram_arr():
-    """Distinct word-3-gram shingle array column over ``text`` (row-local)."""
+def _shingles_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional word-3-gram shingles per document, duplicates KEPT.
+
+    Pure whole-stage-codegen shape: split once in a child projection,
+    posexplode a start-position sequence, concat three element_at lookups.
+    Consumers that are duplicate-invariant (minhash = min over shingles)
+    use this stream and skip the per-doc distinct.
+    """
+    docs = load_table(spark, sf_dir, "documents")
     arr = F.split("text", " ", -1)
-    return F.when(
-        F.size(arr) >= SHINGLE_K,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(arr) - F.lit(SHINGLE_K - 1)),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(arr, i),
-                    F.element_at(arr, i + 1),
-                    F.element_at(arr, i + 2),
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.filter(F.size(arr) >= SHINGLE_K)
+        .select("doc_id", arr.alias("__w"))
+        .select(
+            "doc_id",
+            "__w",
+            F.posexplode(
+                F.sequence(F.lit(1), F.size("__w") - F.lit(SHINGLE_K - 1))
+            ).alias("__p", "__i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("__w", F.col("__i")),
+                F.element_at("__w", F.col("__i") + 1),
+                F.element_at("__w", F.col("__i") + 2),
+            ).alias("g"),
+        )
+    )
 
 
-def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word-3-gram shingles per document, long form.
+def _wide_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sigs array<long>[16]) MinHash signatures.
 
-    Built entirely array-side (split -> transform -> array_distinct ->
-    explode): no window, no sort, no shuffle before the per-doc distinct.
-    Semantics identical to a lead()-window formulation, which is what the
-    DuckDB oracle uses.
+    ``sigs[i] = min over shingles of (A[i]*h48(md5(g)) + B[i]) mod MH_P``
+    — one md5 per shingle, then 16 min() aggregates over a single
+    groupBy(doc_id): codegen hash aggregate with map-side partials, one
+    shuffle of 16 longs per document.  Documents with no shingle
+    (< 3 words) simply have no rows.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "source", F.explode(_gram_arr()).alias("g"))
-
-
-def _doc_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, grams array, sigs array) — the whole MinHash signature in
-    ONE narrow projection per document: no explode, no groupBy.
-
-    ``sigs[i] = min over grams of (A[i]*h48(md5(g)) + B[i]) mod MH_P``.
-    Documents with no shingle (< 3 words) are dropped, matching the
-    long-form/grouped formulation where they simply have no rows.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    a_arr = F.array(*[F.lit(a).cast("long") for a in MH_A])
-    b_arr = F.array(*[F.lit(b).cast("long") for b in MH_B])
-    with_grams = docs.select("doc_id", _gram_arr().alias("grams")).filter(
-        F.size("grams") > 0
+    hv = _shingles_dup(spark, sf_dir).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long").alias("h"),
     )
-    hvs = F.transform(
-        F.col("grams"),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long"),
+    wide = hv.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a).cast("long") * F.col("h") + F.lit(b)) % F.lit(MH_P)
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(zip(MH_A, MH_B))
+        ]
     )
-    sigs = F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("__hvs"),
-                lambda h: (
-                    F.element_at(a_arr, (i + 1).cast("int")) * h
-                    + F.element_at(b_arr, (i + 1).cast("int"))
-                )
-                % F.lit(MH_P),
-            )
-        ),
-    )
-    return with_grams.withColumn("__hvs", hvs).select(
-        "doc_id", "grams", sigs.alias("sigs")
+    return wide.select(
+        "doc_id", F.array(*[f"m{i}" for i in range(N_HASHES)]).alias("sigs")
     )
 
 
@@ -155,8 +148,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-form MinHash signatures: (doc_id, seed, minhash) — one
-    posexplode of the row-local 16-element signature array."""
-    prof = _doc_profiles(spark, sf_dir)
+    posexplode of the 16-element signature array."""
+    prof = _wide_sigs(spark, sf_dir)
     return prof.select(
         "doc_id", F.posexplode("sigs").alias("seed", "minhash")
     ).select("doc_id", F.col("seed").cast("long").alias("seed"), "minhash")
@@ -180,18 +173,19 @@ mh AS (
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs with estimated and exact Jaccard.
 
-    Pipeline: row-local signature arrays -> 4 band keys per doc (pure
-    projection: ``concat_ws`` over a signature slice) -> equi-join on
-    (band, band_sig) -> pair groupBy -> join the two doc profiles back and
-    finish ROW-LOCALLY: estimated Jaccard = fraction of equal seeds
-    (``zip_with``), exact Jaccard = ``array_intersect`` over the distinct
-    shingle arrays.  The only shuffles in the whole plan are the band
-    self-join, the pair groupBy, and the two profile joins — nothing
-    proportional to shingle or seed cardinality.
+    Pipeline: codegen signature arrays (one groupBy) -> 4 slim band keys
+    per doc (doc_id, band, band_sig only — no arrays carried through the
+    wide join) -> equi-join on (band, band_sig) -> pair groupBy ->
+    estimated Jaccard by joining the 16-long signature arrays back onto
+    the pair table (row-local ``zip_with``), exact Jaccard by restricting
+    the distinct-shingle stream to candidate docs (broadcast-sized pair
+    table -> two equi-joins -> pair count).  Every shuffle in the plan is
+    either 16 longs per doc or proportional to candidate pairs — never to
+    |docs| x |shingles| x seeds.
     """
-    prof = _doc_profiles(spark, sf_dir)
+    sig = _wide_sigs(spark, sf_dir)
     band_w = N_HASHES // N_BANDS
-    bands = prof.select(
+    bands = sig.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
         "sigs",
@@ -200,14 +194,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").cast("long").alias("band"),
         F.concat_ws(
             "|",
-            F.transform(
-                F.expr(f"slice(sigs, band * {band_w} + 1, {band_w})"),
-                lambda v: v.cast("string"),
-            ),
+            *[
+                F.element_at("sigs", F.col("band").cast("int") * band_w + j)
+                .cast("string")
+                for j in range(1, band_w + 1)
+            ],
         ).alias("band_sig"),
+        "sigs",
     )
+    # The signature array rides through the band self-join (16 longs/doc —
+    # negligible next to the band_sig string), so est_jaccard needs no join
+    # back onto sig: the two identical band-join sides share one shuffle
+    # (ReusedExchange), and sig is evaluated exactly once in the plan.
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    eq_seeds = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)
+    )
+    est = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -218,34 +221,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
-        .agg(F.count("*").cast("long").alias("n_shared_bands"))
-    )
-    pa = prof.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("grams").alias("ga"),
-        F.col("sigs").alias("sa"),
-    )
-    pb = prof.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("grams").alias("gb"),
-        F.col("sigs").alias("sb"),
-    )
-    eq_seeds = F.size(
-        F.filter(
-            F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v
+        .agg(
+            F.count("*").cast("long").alias("n_shared_bands"),
+            F.first(F.col("a.sigs")).alias("sa"),
+            F.first(F.col("b.sigs")).alias("sb"),
         )
-    )
-    isect = F.size(F.array_intersect("ga", "gb"))
-    return (
-        cand.join(pa, "doc_a")
-        .join(pb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             "n_shared_bands",
             r6(eq_seeds / F.lit(float(N_HASHES))).alias("est_jaccard"),
+        )
+    )
+    cand = est.select("doc_a", "doc_b")
+    sh = _shingles_dup(spark, sf_dir).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = sh.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = sh.select(F.col("doc_id").alias("doc_b"), "g")
+    isect = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("isect"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        est.join(isect, ["doc_a", "doc_b"])
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            "est_jaccard",
             r6(
-                isect / (F.size("ga") + F.size("gb") - isect)
+                F.col("isect")
+                / (F.col("n_a") + F.col("n_b") - F.col("isect"))
             ).alias("jaccard"),
         )
     )
@@ -254,7 +266,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard near-dup pairs (threshold 0.2), blocked on
     shared shingles.  Baseline validator for the LSH path."""
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles_dup(spark, sf_dir).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "g")
     b = sh.select(F.col("doc_id").alias("doc_b"), "g")
