@@ -25,6 +25,7 @@ from bigdataanalytics_textsummarization_spark import (  # noqa: E402
     pagerank,
     relational,
     relational_ext,
+    tpch,
     rouge,
     text,
 )
@@ -42,6 +43,7 @@ _MODULES = [
     text,
     relational,
     relational_ext,
+    tpch,
     graph,
     pagerank,
     lsa,

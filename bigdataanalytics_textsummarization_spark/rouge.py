@@ -94,18 +94,36 @@ def _clipped_match(gc, gr):
     )
 
 
-def _prf(m, ct, rt, n: int):
-    p_raw = F.when(ct > F.lit(0), m / ct).otherwise(F.lit(0.0))
-    r_raw = F.when(rt > F.lit(0), m / rt).otherwise(F.lit(0.0))
-    f_raw = F.when(
-        (p_raw + r_raw) > F.lit(0), 2 * p_raw * r_raw / (p_raw + r_raw)
-    ).otherwise(F.lit(0.0))
-    return [
-        m.cast("long").alias(f"match{n}"),
-        r6(p_raw).alias(f"rouge{n}_p"),
-        r6(r_raw).alias(f"rouge{n}_r"),
-        r6(f_raw).alias(f"rouge{n}_f"),
-    ]
+def _prf(df: DataFrame, n: int) -> DataFrame:
+    """P/R/F columns from staged (m{n}, ct{n}, rt{n}) attribute columns.
+
+    Each stage references the previous stage's columns as plain attributes
+    — never re-nesting the expensive match expression.  CollapseProject
+    only inlines cheap or single-use expressions, so the optimized plan
+    evaluates every sub-expression exactly once and the logical tree stays
+    linear (a single nested select duplicated the clipped-match HOF tree
+    ~8x per n, costing seconds of analyzer/codegen time per run).
+    """
+    m, ct, rt = F.col(f"m{n}"), F.col(f"ct{n}"), F.col(f"rt{n}")
+    df = df.withColumns(
+        {
+            f"p{n}": F.when(ct > F.lit(0), m / ct).otherwise(F.lit(0.0)),
+            f"r{n}": F.when(rt > F.lit(0), m / rt).otherwise(F.lit(0.0)),
+        }
+    )
+    p, r = F.col(f"p{n}"), F.col(f"r{n}")
+    return df.withColumns(
+        {
+            f"match{n}": m.cast("long"),
+            f"rouge{n}_p": r6(p),
+            f"rouge{n}_r": r6(r),
+            f"rouge{n}_f": r6(
+                F.when(
+                    (p + r) > F.lit(0), 2 * p * r / (p + r)
+                ).otherwise(F.lit(0.0))
+            ),
+        }
+    )
 
 
 def _rouge_multi_n(
@@ -115,8 +133,8 @@ def _rouge_multi_n(
 
     Both texts of a pair live in one row after the pair join, so the whole
     metric — tokenize, n-gram, clipped overlap, P/R/F — is computed with
-    JVM higher-order array functions inside one narrow projection.  No
-    explode, no groupBy, no pivot: the only shuffle in the plan is the
+    JVM higher-order array expressions staged through narrow projections.
+    No explode, no groupBy, no pivot: the only shuffle in the plan is the
     small pair equi-join.  (An earlier revision exploded four n-gram
     streams through two aggregations and a pivot; at sf0.1 that spent ~5 s
     in stage overhead for ~50-token documents.)
@@ -124,13 +142,13 @@ def _rouge_multi_n(
     pairs = _pairs(spark, sf_dir)
     if stemmed:
         stemmer = _stem_tokens_udf()
-        pairs = pairs.select(
+        df = pairs.select(
             "pair_id",
             stemmer(F.col("cand_text")).alias("ca"),
             stemmer(F.col("ref_text")).alias("ra"),
         )
     else:
-        pairs = pairs.select(
+        df = pairs.select(
             "pair_id",
             F.expr(
                 "regexp_extract_all(lower(cand_text), '[a-z0-9]+', 0)"
@@ -139,13 +157,35 @@ def _rouge_multi_n(
                 "regexp_extract_all(lower(ref_text), '[a-z0-9]+', 0)"
             ).alias("ra"),
         )
-    cols = [F.col("pair_id")]
     for n in (1, 2):
-        gc = _gram_array(F.col("ca"), n)
-        gr = _gram_array(F.col("ra"), n)
-        m = _clipped_match(gc, gr)
-        cols += _prf(m, F.size(gc), F.size(gr), n)
-    return pairs.select(*cols)
+        df = df.withColumns(
+            {
+                f"gc{n}": _gram_array(F.col("ca"), n),
+                f"gr{n}": _gram_array(F.col("ra"), n),
+            }
+        )
+        gc, gr = F.col(f"gc{n}"), F.col(f"gr{n}")
+        df = df.withColumns(
+            {
+                f"m{n}": _clipped_match(gc, gr),
+                f"ct{n}": F.size(gc),
+                f"rt{n}": F.size(gr),
+            }
+        )
+        df = _prf(df, n)
+    return df.select(
+        "pair_id",
+        *[
+            c
+            for n in (1, 2)
+            for c in (
+                f"match{n}",
+                f"rouge{n}_p",
+                f"rouge{n}_r",
+                f"rouge{n}_f",
+            )
+        ],
+    )
 
 
 def rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
