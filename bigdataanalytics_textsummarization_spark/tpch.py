@@ -176,6 +176,33 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (no partsupp: a part's 'stock value' for a nation =
+    sum of l_extendedprice * l_quantity shipped by that nation's suppliers).
+    Parts whose NATION_5 value exceeds 0.1% of the nation total — grouped
+    aggregate HAVING against a broadcast global scalar."""
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    national = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice") * F.col("l_quantity")).alias("val"),
+        )
+    )
+    per_part = national.groupBy("l_partkey").agg(F.sum("val").alias("value_raw"))
+    total = national.agg((F.sum("val") * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_raw") > F.col("threshold"))
+        .select("l_partkey", r2(F.col("value_raw")).alias("value"))
+    )
+
+
 def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 analog (no l_shipmode/l_commitdate: 'late' = shipped more
     than 60 days after the order date; bucket = late/ontime).  Preserves
@@ -469,6 +496,19 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE p.p_name LIKE '%red%'
 GROUP BY 1, 2
 """,
+    "q11_important_stock": """
+WITH national AS (
+  SELECT l.l_partkey, l.l_extendedprice * l.l_quantity AS val
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_5'
+)
+SELECT l_partkey, round(sum(val), 2) AS value
+FROM national
+GROUP BY l_partkey
+HAVING sum(val) > (SELECT sum(val) * 0.001 FROM national)
+""",
     "q12_late_shipments": """
 SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
             THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
@@ -591,6 +631,7 @@ QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
+    "q11_important_stock": q11_important_stock,
     "q12_late_shipments": q12_late_shipments,
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
