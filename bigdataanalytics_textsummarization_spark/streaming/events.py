@@ -153,6 +153,23 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming deduplication — the front gate of a training-data ingest.
+
+    One event per (user_id, event_type, hour): ``dropDuplicatesWithinWatermark``
+    keeps per-key state only until the watermark passes the key's window, so
+    state stays bounded on an unbounded stream (plain ``dropDuplicates``
+    would grow state forever).  The batch twin is ``events_dedup`` below —
+    the streaming operator keeps the first *arrival*, the batch query the
+    first *event time*; they agree whenever the stream is time-ordered
+    (asserted on the sorted fixture in tests/test_streaming.py).
+    """
+    keyed = events.withColumn("ts_hour", F.date_trunc("hour", F.col("ts")))
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts_hour"]
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
@@ -242,7 +259,31 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``dedup_events_stream``: earliest event per
+    (user_id, event_type, hour), deterministic tiebreak on event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.withColumn("ts_hour", F.date_trunc("hour", F.col("ts")))
+    w = Window.partitionBy("user_id", "event_type", "ts_hour").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "events_dedup": """
+SELECT event_id, ts, user_id, event_type, value
+FROM (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id, event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
     "events_sliding": """
 SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS window_start,
        time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE
@@ -276,6 +317,7 @@ FROM numbered GROUP BY user_id, session_no
 }
 
 QUERIES = {
+    "events_dedup": events_dedup,
     "events_sliding": events_sliding,
     "user_sessions": user_sessions,
 }

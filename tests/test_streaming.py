@@ -75,3 +75,30 @@ def test_running_user_totals_stateful(spark):
     )
     g, w = normalize(got), normalize(want)
     assert g.equals(w)
+
+
+def test_dedup_stream_matches_batch(spark):
+    # the fixture parquet is written time-ordered per file, so first-arrival
+    # == first-event-time and the streaming dedup must agree with the batch
+    # twin on the surviving key set (not necessarily the same event_id when
+    # several duplicates share one timestamp — compare keys + counts)
+    stream = se.read_events_stream(spark, SF_DIR)
+    got = se.run_stream_to_memory(
+        spark,
+        se.dedup_events_stream(stream),
+        "dedup_stream",
+        output_mode="append",
+    )
+    batch = se.events_dedup(spark, SF_DIR)
+    assert got.count() == batch.count()
+    g_keys = normalize(
+        got.select(
+            "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).toPandas()
+    )
+    b_keys = normalize(
+        batch.select(
+            "user_id", "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).toPandas()
+    )
+    assert g_keys.equals(b_keys)
