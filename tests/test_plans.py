@@ -66,3 +66,25 @@ def test_scan_prunes_columns(spark):
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert "text" in cols
     assert "meta" not in cols and "lang" not in cols or len(cols) <= 3
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    # the OR of three (brand,size,qty) conjunctions must decompose into
+    # pushable per-table residuals on BOTH the fact and the dim scan
+    plan = _plan(spark, "q19_discounted_revenue")
+    assert re.search(r"PushedFilters:.*Or\(.*l_quantity", plan)
+    assert re.search(r"PushedFilters:.*Or\(.*p_brand,Brand#", plan)
+
+
+def test_q15_date_range_pushed(spark):
+    plan = _plan(spark, "q15_top_supplier")
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan)
+    assert re.search(r"PushedFilters:.*LessThan\(l_shipdate", plan)
+
+
+def test_tpch_dim_joins_broadcast(spark):
+    # every dimension join in the new sweep must be broadcast, never a
+    # shuffled join of a tiny table
+    for name in ("q2_min_cost_supplier", "q9_product_profit", "q19_discounted_revenue"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
