@@ -164,7 +164,38 @@ _LEX_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang, words in LEXICONS.items() for w in words
 )
 
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based corpus split — the training-data staple.
+
+    split(doc) = first byte of md5(doc_id) mod 100: < 80 -> train,
+    < 90 -> valid, else test.  Content-free and key-stable: re-running on
+    grown data never reassigns an existing document, and the assignment is
+    reproducible on any engine (md5 is the cross-engine hash contract).
+    A pure projection — at 100 TB this is a zero-shuffle map over the scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
+        "long"
+    ) % 100
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "train_test_split": """
+SELECT doc_id,
+       cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) AS ubigint) AS bigint) % 100 AS bucket,
+       CASE WHEN cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) AS ubigint) AS bigint) % 100 < 80 THEN 'train'
+            WHEN cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) AS ubigint) AS bigint) % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+""",
     "lang_id": f"""
 WITH lex(cand_lang, w) AS (VALUES {_LEX_VALUES}),
 toks AS (
@@ -239,4 +270,5 @@ QUERIES = {
     "quality_score": quality_score,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
+    "train_test_split": train_test_split,
 }

@@ -225,6 +225,39 @@ def _lcs_len(a: list[str], b: list[str]) -> int:
     return prev[-1]
 
 
+def rouge_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source average ROUGE-1/2 F — the reference's all-products sweep
+    (M6, BigdataProjectCode.py:258-288, Fig-8), computed per-corpus
+    correctly (the reference's stale-variable bug compares product 1's
+    candidate summaries against every product, SURVEY.md §2.12 — documented,
+    not replicated).
+
+    Averages are exact integer-micros sums (per-pair F values are already
+    rounded to 6dp), so the result is order-independent across engines.
+    """
+    per_pair = _rouge_multi_n(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        "source",
+        F.col("doc_id").alias("__d"),
+    ).filter(F.col("__d") % 2 == 0)
+    return (
+        per_pair.join(docs.drop("__d"), "pair_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            (
+                F.sum(F.round(F.col("rouge1_f") * 1e6).cast("long"))
+                / (F.count("*") * F.lit(1e6))
+            ).alias("avg_rouge1_f"),
+            (
+                F.sum(F.round(F.col("rouge2_f") * 1e6).cast("long"))
+                / (F.count("*") * F.lit(1e6))
+            ).alias("avg_rouge2_f"),
+        )
+    )
+
+
 def rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-L per pair via an Arrow-batched pandas UDF (LCS is not
     relational).  Distributed by pair — each worker handles whole pairs."""
@@ -337,10 +370,32 @@ SELECT r1_out.pair_id,
        r2_out.match2, r2_out.rouge2_p, r2_out.rouge2_r, r2_out.rouge2_f
 FROM r1_out JOIN r2_out ON r1_out.pair_id = r2_out.pair_id
 """,
+    "rouge_sweep": f"""
+WITH {PAIRS_CTE},
+{_ngram_cte("cand", 1)}, {_ngram_cte("ref", 1)},
+{_ngram_cte("cand", 2)}, {_ngram_cte("ref", 2)},
+{_rouge_n_sql(1)}, {_rouge_n_sql(2)},
+per_pair AS (
+  SELECT r1_out.pair_id, r1_out.rouge1_f, r2_out.rouge2_f
+  FROM r1_out JOIN r2_out ON r1_out.pair_id = r2_out.pair_id
+),
+src AS (
+  SELECT cast(doc_id / 2 AS bigint) AS pair_id, source
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT s.source, count(*) AS n_pairs,
+       sum(cast(round(p.rouge1_f * 1000000) AS bigint)) / (count(*) * 1000000.0)
+         AS avg_rouge1_f,
+       sum(cast(round(p.rouge2_f * 1000000) AS bigint)) / (count(*) * 1000000.0)
+         AS avg_rouge2_f
+FROM per_pair p JOIN src s ON p.pair_id = s.pair_id
+GROUP BY s.source
+""",
 }
 
 QUERIES = {
     "rouge_n": rouge_n,
+    "rouge_sweep": rouge_sweep,
     "rouge_n_stemmed": rouge_n_stemmed,  # rows-only: no stemmer in DuckDB
     "rouge_l": rouge_l,  # rows-only: LCS is not SQL-expressible
 }
