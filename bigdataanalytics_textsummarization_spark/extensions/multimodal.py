@@ -100,6 +100,80 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+    ]
+    + [T.StructField(f"px{i}", T.DoubleType()) for i in range(4)]
+)
+
+
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Resize' stub: treat the 16-byte payload as a 4x4 image and average
+    2x2 quadrants down to 2x2 — the Spark-side shape of a real thumbnail
+    pass (binary in, small fixed-schema feature grid out, Arrow-batched,
+    partition-preserving).  Swap the body for PIL's ``resize`` and nothing
+    else changes."""
+    media = synth_media(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = list(payload)  # 16 bytes = 4x4 grid, row-major
+                quads = []
+                for qr in (0, 2):
+                    for qc in (0, 2):
+                        vals = [
+                            px[(qr + r) * 4 + (qc + c)]
+                            for r in (0, 1)
+                            for c in (0, 1)
+                        ]
+                        quads.append(round(sum(vals) / 4.0 / 255.0, 6))
+                rows.append((int(did), 2, 2, *quads))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _RESIZE_SCHEMA.fields]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        resize, schema=_RESIZE_SCHEMA
+    )
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_val", T.LongType()),
+    ]
+)
+
+FRAME_STRIDE = 4
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stub: the payload's 16 bytes stand in for 16 video
+    frames; emit every FRAME_STRIDE-th one (1 row in -> k rows out, the
+    UDTF shape of a real ffmpeg keyframe pass)."""
+    media = synth_media(spark, sf_dir)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(0, len(payload), FRAME_STRIDE):
+                    rows.append((int(did), i, payload[i]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FRAME_SCHEMA.fields]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        sample, schema=_FRAME_SCHEMA
+    )
+
+
 def _byte_expr(i: int) -> str:
     # i-th byte of md5(text) as double/255, rounded like the pandas side.
     return (
@@ -115,8 +189,28 @@ SELECT doc_id,
        {", ".join(_byte_expr(i) for i in range(N_FEATURES))}
 FROM documents
 """,
+    "image_resize": """
+WITH px AS (
+  SELECT doc_id, i,
+         cast(cast(concat('0x', substr(md5(text), 2 * i + 1, 2)) AS ubigint) AS bigint) AS b
+  FROM (SELECT doc_id, text, unnest(range(16)) AS i FROM documents)
+)
+SELECT doc_id, cast(2 AS bigint) AS out_w, cast(2 AS bigint) AS out_h,
+       round(sum(CASE WHEN i // 4 < 2 AND i % 4 < 2 THEN b END) / 4.0 / 255.0, 6) AS px0,
+       round(sum(CASE WHEN i // 4 < 2 AND i % 4 >= 2 THEN b END) / 4.0 / 255.0, 6) AS px1,
+       round(sum(CASE WHEN i // 4 >= 2 AND i % 4 < 2 THEN b END) / 4.0 / 255.0, 6) AS px2,
+       round(sum(CASE WHEN i // 4 >= 2 AND i % 4 >= 2 THEN b END) / 4.0 / 255.0, 6) AS px3
+FROM px GROUP BY doc_id
+""",
+    "frame_sample": """
+SELECT doc_id, cast(i AS bigint) AS frame_idx,
+       cast(cast(concat('0x', substr(md5(text), 2 * i + 1, 2)) AS ubigint) AS bigint) AS frame_val
+FROM (SELECT doc_id, text, unnest(range(0, 16, 4)) AS i FROM documents)
+""",
 }
 
 QUERIES = {
     "multimodal_features": multimodal_features,
+    "image_resize": image_resize,
+    "frame_sample": frame_sample,
 }
