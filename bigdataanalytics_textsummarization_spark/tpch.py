@@ -366,8 +366,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 analog ('late' = shipped > 60 days after order date): for
     F-status multi-supplier orders, suppliers who were the ONLY late
     shipper.  The double-correlated EXISTS / NOT EXISTS is de-correlated
-    into one per-order aggregate: count distinct suppliers, count distinct
-    late suppliers — a single lineitem shuffle instead of two rechecks."""
+    into ONE per-order aggregate: when exactly one supplier shipped late,
+    ``max(when(late, suppkey))`` IS that supplier — so the whole predicate
+    resolves in a single lineitem pass (the two-sided formulation loses
+    ReusedExchange to filter pushdown and scans the fact table twice)."""
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
@@ -383,17 +385,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
             "n_late_sup"
         ),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_sup"),
     )
     lone_late = (
-        tagged.filter(F.col("late"))
-        .join(
-            per_order.filter(
-                (F.col("n_sup") > 1) & (F.col("n_late_sup") == 1)
-            ),
-            "l_orderkey",
-        )
-        .groupBy("l_suppkey")
-        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+        per_order.filter((F.col("n_sup") > 1) & (F.col("n_late_sup") == 1))
+        .groupBy(F.col("late_sup").alias("l_suppkey"))
+        .agg(F.count("*").cast("long").alias("numwait"))
     )
     w = Window.orderBy(F.desc("numwait"), F.asc("s_name"))
     return (
