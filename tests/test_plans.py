@@ -88,3 +88,26 @@ def test_tpch_dim_joins_broadcast(spark):
     for name in ("q2_min_cost_supplier", "q9_product_profit", "q19_discounted_revenue"):
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_minhash_lsh_reuses_shuffles_at_scale_shape(spark):
+    # with broadcast off (the big-data shape: every join is shuffled), the
+    # whole LSH diamond must collapse onto ONE documents scan via exchange
+    # reuse — signature/shingle subtrees are never recomputed.  At toy scale
+    # AQE broadcasts tiny sides instead, which re-evaluates cheap subtrees;
+    # that is the right trade there and irrelevant at 100 TB.
+    from bigdataanalytics_textsummarization_spark.extensions import dedup as D
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = D.dedup_minhash_lsh(spark, SF_DIR)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("ReusedExchange") >= 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
