@@ -187,7 +187,61 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics over the corpus.
+
+    (w1, w2) -> count and conditional probability p(w2|w1) =
+    c(w1,w2) / c(w1,*).  One positional explode (codegen: posexplode +
+    element_at, no window), one shuffle on the bigram key; the unigram
+    denominator re-aggregates the bigram shuffle (exchange reuse), so the
+    corpus is tokenized exactly once.  The shape of every n-gram count /
+    perplexity-filter pass a training-data pipeline runs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ", -1)
+    bigrams = (
+        docs.filter(F.size(arr) >= 2)
+        .select(F.lower("text").alias("lt"))
+        .select(F.split("lt", " ", -1).alias("__w"))
+        .select(
+            "__w",
+            F.posexplode(
+                F.sequence(F.lit(1), F.size("__w") - F.lit(1))
+            ).alias("__p", "__i"),
+        )
+        .select(
+            F.element_at("__w", F.col("__i")).alias("w1"),
+            F.element_at("__w", F.col("__i") + 1).alias("w2"),
+        )
+    )
+    pair = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return pair.join(uni, "w1").select(
+        "w1",
+        "w2",
+        F.col("c12").cast("long").alias("n"),
+        r6(F.col("c12") / F.col("c1")).alias("p_cond"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "bigram_lm": """
+WITH words AS (
+  SELECT doc_id AS doc_row, unnest(string_split(lower(text), ' ')) AS w,
+         unnest(range(len(string_split(lower(text), ' ')))) AS pos
+  FROM documents
+),
+bg AS (
+  SELECT w AS w1, lead(w) OVER (PARTITION BY doc_row ORDER BY pos) AS w2
+  FROM words
+  QUALIFY w2 IS NOT NULL
+),
+pair AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+uni AS (SELECT w1, sum(c12) AS c1 FROM pair GROUP BY w1)
+SELECT p.w1, p.w2, cast(p.c12 AS bigint) AS n,
+       round(p.c12 * 1.0 / u.c1, 6) AS p_cond
+FROM pair p JOIN uni u ON p.w1 = u.w1
+""",
     "train_test_split": """
 SELECT doc_id,
        cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) AS ubigint) AS bigint) % 100 AS bucket,
@@ -271,4 +325,5 @@ QUERIES = {
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "train_test_split": train_test_split,
+    "bigram_lm": bigram_lm,
 }
