@@ -263,6 +263,75 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLUSTER_MIN_JACCARD = 0.2
+CLUSTER_MAX_ITERS = 20
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components over the LSH pair
+    graph (exact Jaccard >= 0.2), canonical = min doc_id per component.
+
+    Production dedup's last step — pairs alone over-remove (A~B, B~C must
+    collapse to ONE canonical, not two).  Components are computed by
+    iterative min-label propagation: label(v) <- min(label(v), labels of
+    neighbors), looped to fixpoint with ``localCheckpoint`` per iteration
+    (the PageRank pattern, SURVEY §2.10).  Near-dup components are tiny in
+    practice, so convergence takes O(component diameter) iterations; each
+    iteration is one join + one aggregate on the edge key — no state ever
+    leaves the cluster.  The DuckDB oracle computes the same components
+    with a recursive transitive-closure CTE.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(
+        F.col("jaccard") >= CLUSTER_MIN_JACCARD
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(CLUSTER_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") != F.col("label")).alias("is_duplicate"),
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard near-dup pairs (threshold 0.2), blocked on
     shared shingles.  Baseline validator for the LSH path."""
@@ -425,6 +494,49 @@ JOIN isect i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
 JOIN sizes na ON na.doc_id = e.doc_a
 JOIN sizes nb ON nb.doc_id = e.doc_b
 """,
+    "dedup_clusters": f"""
+WITH RECURSIVE {SHINGLES_CTE}, {MINHASH_CTE},
+bands AS (
+  SELECT doc_id, cast(floor(seed / {N_HASHES // N_BANDS}) AS bigint) AS band,
+         string_agg(cast(minhash AS varchar), '|' ORDER BY seed) AS band_sig
+  FROM mh GROUP BY doc_id, 2
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+isect AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS isect
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+),
+lshp AS (
+  SELECT i.doc_a, i.doc_b
+  FROM isect i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE round(i.isect * 1.0 / (na.n + nb.n - i.isect), 6)
+        >= {CLUSTER_MIN_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lshp
+  UNION
+  SELECT doc_b, doc_a FROM lshp
+),
+reach(s, d) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, min(d) AS cluster_id, s <> min(d) AS is_duplicate
+FROM reach GROUP BY s
+""",
     "dedup_ngram_jaccard": f"""
 WITH {SHINGLES_CTE},
 sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
@@ -503,6 +615,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_clusters": dedup_clusters,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_pairs": simhash_near_pairs,
