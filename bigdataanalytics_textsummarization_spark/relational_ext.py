@@ -272,6 +272,29 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((priority), (status), ()) with grouping_id —
+    the asymmetric-set case neither rollup nor cube expresses (no
+    (priority, status) cell).  One pass: Spark's Expand operator replicates
+    each input row once per set before the partial aggregation."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               cast(grouping_id(o_orderpriority, o_orderstatus) AS bigint)
+                 AS gid,
+               round(sum(o_totalprice), 2) AS total_sales,
+               count(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """).select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "gid",
+        "total_sales",
+        F.col("n_orders").cast("long").alias("n_orders"),
+    )
+
+
 def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approx_count_distinct next to the exact count per
     event_type.  The sketch is mergeable — the property that matters at
@@ -288,6 +311,14 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "sales_grouping_sets": """
+SELECT o_orderpriority, o_orderstatus,
+       cast(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS bigint) AS gid,
+       round(sum(o_totalprice), 2) AS total_sales,
+       count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
     "sales_cube": """
 SELECT o_orderpriority, o_orderstatus,
        round(sum(o_totalprice), 2) AS total_sales,
@@ -420,6 +451,7 @@ GROUP BY e.user_id, s.session_no
 
 QUERIES = {
     "sales_cube": sales_cube,
+    "sales_grouping_sets": sales_grouping_sets,
     "distinct_sketch": distinct_sketch,  # rows-only: HLL is engine-specific
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
