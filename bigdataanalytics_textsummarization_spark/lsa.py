@@ -132,22 +132,27 @@ def lsa_concepts_distributed(
     spark: SparkSession, sf_dir: str, k: int = K_CONCEPTS
 ) -> DataFrame:
     """Distributed SVD path for ONE giant corpus (the shape applyInPandas
-    can't hold): term x sentence TF-IDF as an MLlib RowMatrix, factored with
-    ``computeSVD`` (ARPACK / distributed Gram), top-n extraction relational.
+    can't hold): sentence x term TF-IDF as an MLlib IndexedRowMatrix,
+    factored with ``computeSVD(computeU=True)``.
 
-    The per-source grouped path (lsa_concepts) is right when there are many
-    small corpora; this path is right when a single corpus outgrows one
-    worker's memory.  Rows = words (distributed), cols = sentences; V gives
-    sentence weights, U gives word weights — one factorization serves both
-    extractions, like the grouped path.
+    Orientation is what makes this scale: rows = SENTENCES (unbounded,
+    stays a distributed factor U), cols = vocabulary (bounded, the only
+    local factor V).  Nothing O(corpus) ever lands on the driver — sentence
+    and word coordinates come from distributed ``zipWithIndex``, the
+    per-concept sign fix and top-n selection are window queries over the
+    distributed U rows.  (The transposed layout would hand back V =
+    #sentences x k as a LOCAL matrix — the reference's driver cliff in
+    disguise.)
 
     Output: (concept, kind, rk, item, weight) over the whole documents
-    table treated as one corpus.  Rows-only driver check (SVD is not
-    SQL-expressible); algebraic invariants in tests/test_lsa.py.
+    table treated as one corpus; identical semantics to the numpy path
+    (sign: largest-|weight| sentence positive; ties by sentence_id).
+    Rows-only driver check (SVD is not SQL-expressible); numpy cross-check
+    in tests/test_lsa.py.
     """
-    import numpy as np
     from pyspark.mllib.linalg import Vectors
-    from pyspark.mllib.linalg.distributed import RowMatrix
+    from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
+    from pyspark.sql.window import Window
 
     toks = tokens_lsa(spark, sf_dir)
     sent = lsa_sentences(spark, sf_dir)
@@ -164,60 +169,80 @@ def lsa_concepts_distributed(
             ),
         )
     )
-    # stable integer ids for matrix coordinates
-    sent_ids = [
-        r[0]
-        for r in tfidf.select("sentence_id").distinct().orderBy("sentence_id").collect()
-    ]
-    words = [
-        r[0] for r in tfidf.select("word").distinct().orderBy("word").collect()
-    ]
-    sid_ix = {s: i for i, s in enumerate(sent_ids)}
-    w_ix = {w: i for i, w in enumerate(words)}
-    n_cols = len(sent_ids)
-    b_sid = spark.sparkContext.broadcast(sid_ix)
-    b_wix = spark.sparkContext.broadcast(w_ix)
-
-    def to_row(rows):
-        # one sparse vector per word row (rows of the RowMatrix stay
-        # distributed; only the k x n factors return to the driver)
-        for word, entries in rows:
-            ix, vals = zip(
-                *sorted((b_sid.value[s], v) for s, v in entries)
-            )
-            yield (b_wix.value[word], Vectors.sparse(n_cols, ix, vals))
-
-    word_rows = (
-        tfidf.rdd.map(lambda r: (r["word"], (r["sentence_id"], r["tfidf"])))
-        .groupByKey()
-        .mapPartitions(lambda it: to_row((w, list(vs)) for w, vs in it))
+    # dense integer coordinates, built distributedly (sorted for stability)
+    sent_ix = (
+        tfidf.select("sentence_id")
+        .distinct()
+        .orderBy("sentence_id")
+        .rdd.map(lambda r: r[0])
+        .zipWithIndex()
+        .toDF(["sentence_id", "sidx"])
     )
-    # IndexedRow ordering is irrelevant to the factor values we use
-    mat = RowMatrix(word_rows.map(lambda t: t[1]))
-    k_eff = min(k, n_cols, len(words))
-    svd = mat.computeSVD(k_eff, computeU=False)
-    v = np.array(svd.V.toArray())  # n_cols x k (sentence weights per concept)
-    rows_out = []
-    for c in range(k_eff):
-        vec = v[:, c].copy()
-        if vec[np.argmax(np.abs(vec))] < 0:
-            vec = -vec
-        order = sorted(range(len(vec)), key=lambda i: (-float(vec[i]), sent_ids[i]))
-        for rk, i in enumerate(order[:N_PER_CONCEPT], start=1):
-            rows_out.append(
-                (int(c), "sentence", int(rk), sent_ids[i], round(float(vec[i]), 6))
+    word_ix = (
+        tfidf.select("word")
+        .distinct()
+        .orderBy("word")
+        .rdd.map(lambda r: r[0])
+        .zipWithIndex()
+        .toDF(["word", "widx"])
+    )
+    n_words = word_ix.count()
+    entries = (
+        tfidf.join(sent_ix, "sentence_id")
+        .join(F.broadcast(word_ix), "word")
+        .select("sidx", "widx", "tfidf")
+    )
+    rows = (
+        entries.rdd.map(lambda r: (r["sidx"], (r["widx"], r["tfidf"])))
+        .groupByKey()
+        .map(
+            lambda kv: IndexedRow(
+                kv[0], Vectors.sparse(n_words, sorted(kv[1]))
             )
-    return spark.createDataFrame(
-        rows_out,
-        schema=T.StructType(
-            [
-                T.StructField("concept", T.LongType()),
-                T.StructField("kind", T.StringType()),
-                T.StructField("rk", T.LongType()),
-                T.StructField("item", T.StringType()),
-                T.StructField("weight", T.DoubleType()),
-            ]
-        ),
+        )
+    )
+    k_eff = min(k, n_sent, n_words)
+    svd = IndexedRowMatrix(rows).computeSVD(k_eff, computeU=True)
+    # U rows (distributed): sentence weights per concept
+    u_long = (
+        svd.U.rows.map(
+            lambda r: (int(r.index), [float(x) for x in r.vector])
+        )
+        .toDF(["sidx", "w"])
+        .select(
+            "sidx", F.posexplode("w").alias("concept", "weight")
+        )
+    )
+    # per-concept sign fix: weight at the largest |weight| (first index on
+    # ties, matching np.argmax) must be positive
+    w_sign = Window.partitionBy("concept").orderBy(
+        F.desc(F.abs(F.col("weight"))), F.asc("sidx")
+    )
+    signs = (
+        u_long.withColumn("rn", F.row_number().over(w_sign))
+        .filter(F.col("rn") == 1)
+        .select(
+            "concept",
+            F.when(F.col("weight") < 0, -1.0).otherwise(1.0).alias("sgn"),
+        )
+    )
+    signed = u_long.join(F.broadcast(signs), "concept").select(
+        "sidx", "concept", (F.col("weight") * F.col("sgn")).alias("weight")
+    )
+    w_top = Window.partitionBy("concept").orderBy(
+        F.desc("weight"), F.asc("sentence_id")
+    )
+    return (
+        signed.join(sent_ix, "sidx")
+        .withColumn("rk", F.row_number().over(w_top).cast("long"))
+        .filter(F.col("rk") <= N_PER_CONCEPT)
+        .select(
+            F.col("concept").cast("long").alias("concept"),
+            F.lit("sentence").alias("kind"),
+            "rk",
+            F.col("sentence_id").alias("item"),
+            F.round("weight", 6).alias("weight"),
+        )
     )
 
 
