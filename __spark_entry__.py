@@ -30,6 +30,7 @@ from bigdataanalytics_textsummarization_spark import (  # noqa: E402
     text,
 )
 from bigdataanalytics_textsummarization_spark.extensions import (  # noqa: E402
+    curation,
     dedup,
     multimodal,
     similarity,
@@ -49,6 +50,7 @@ _MODULES = [
     lsa,
     rouge,
     dedup,
+    curation,
     similarity,
     text_analysis,
     multimodal,

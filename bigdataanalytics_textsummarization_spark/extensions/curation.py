@@ -1,0 +1,183 @@
+"""End-to-end training-data curation pipeline — the flagship composition.
+
+Chains the extension operators the way a real corpus build does:
+
+    quality filter -> language filter -> exact-dedup canonical filter ->
+    near-dup cluster canonical filter -> deterministic train/valid/test
+    split -> per-split document/token accounting
+
+Every stage is one of the already-gated operators (quality_score, lang_id,
+dedup_exact, dedup_clusters, train_test_split, token_count), composed as
+plain DataFrame joins/anti-joins, so the whole pipeline remains a single
+declarative plan — Catalyst sees through the composition (filters push,
+dims broadcast, the dedup diamond reuses its shuffles at scale shape).
+The DuckDB oracle re-composes the same stages as one WITH RECURSIVE
+statement and value-checks the final per-split accounting.
+
+At 100 TB this is the query that matters: it touches the corpus a
+bounded number of times (text scans for scoring + shingling), shuffles
+only on doc-sized keys, and ends in a 3-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import STOPWORDS_SQL
+from ..io import load_table
+from .dedup import (
+    CLUSTER_MIN_JACCARD,
+    MINHASH_CTE,
+    N_BANDS,
+    N_HASHES,
+    SHINGLES_CTE,
+    dedup_clusters,
+    dedup_exact,
+)
+from .text_analysis import _LEX_VALUES, lang_id, quality_score, token_count, train_test_split
+
+QUALITY_MIN = 0.6
+KEEP_LANG = "en"
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split (train/valid/test) surviving-document and token counts
+    after the full curation chain."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keep_q = quality_score(spark, sf_dir).filter(
+        F.col("quality") >= QUALITY_MIN
+    ).select("doc_id")
+    keep_l = lang_id(spark, sf_dir).filter(
+        F.col("pred_lang") == KEEP_LANG
+    ).select("doc_id")
+    drop_exact = dedup_exact(spark, sf_dir).filter(
+        F.col("is_duplicate")
+    ).select("doc_id")
+    drop_near = dedup_clusters(spark, sf_dir).filter(
+        F.col("is_duplicate")
+    ).select("doc_id")
+    split = train_test_split(spark, sf_dir).select("doc_id", "split")
+    toks = token_count(spark, sf_dir).select("doc_id", "ws_tokens")
+    kept = (
+        docs.join(keep_q, "doc_id")
+        .join(keep_l, "doc_id")
+        .join(drop_exact, "doc_id", "left_anti")
+        .join(drop_near, "doc_id", "left_anti")
+    )
+    return (
+        kept.join(split, "doc_id")
+        .join(toks, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ws_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_SPLIT_EXPR = (
+    "cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) "
+    "AS ubigint) AS bigint) % 100"
+)
+
+ORACLES: dict[str, str] = {
+    "curation_pipeline": f"""
+WITH RECURSIVE {SHINGLES_CTE}, {MINHASH_CTE},
+bands AS (
+  SELECT doc_id, cast(floor(seed / {N_HASHES // N_BANDS}) AS bigint) AS band,
+         string_agg(cast(minhash AS varchar), '|' ORDER BY seed) AS band_sig
+  FROM mh GROUP BY doc_id, 2
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+isect AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS isect
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+),
+lshp AS (
+  SELECT i.doc_a, i.doc_b
+  FROM isect i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE round(i.isect * 1.0 / (na.n + nb.n - i.isect), 6)
+        >= {CLUSTER_MIN_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lshp
+  UNION
+  SELECT doc_b, doc_a FROM lshp
+),
+reach(s, d) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+near_dups AS (
+  SELECT s AS doc_id FROM reach GROUP BY s HAVING s <> min(d)
+),
+exact_dups AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+    FROM documents
+  ) WHERE doc_id <> canon
+),
+qtoks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_words, avg(length(w)) AS awl,
+         sum(CASE WHEN w IN {STOPWORDS_SQL} THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS swr
+  FROM qtoks GROUP BY doc_id
+),
+keep_q AS (
+  SELECT doc_id FROM per_doc
+  WHERE round(0.4 * least(n_words / 50.0, 1.0)
+              + 0.3 * (1.0 - abs(swr - 0.4))
+              + 0.3 * least(awl / 8.0, 1.0), 6) >= {QUALITY_MIN}
+),
+lex(cand_lang, w) AS (VALUES {_LEX_VALUES}),
+lscores AS (
+  SELECT t.doc_id, l.cand_lang, count(*) AS score
+  FROM qtoks t JOIN lex l ON t.w = l.w
+  GROUP BY t.doc_id, l.cand_lang
+),
+keep_l AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, cand_lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, cand_lang ASC) AS rk
+    FROM lscores
+  ) WHERE rk = 1 AND cand_lang = '{KEEP_LANG}'
+),
+kept AS (
+  SELECT d.doc_id FROM documents d
+  JOIN keep_q USING (doc_id)
+  JOIN keep_l USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM exact_dups)
+    AND d.doc_id NOT IN (SELECT doc_id FROM near_dups)
+)
+SELECT CASE WHEN {_SPLIT_EXPR} < 80 THEN 'train'
+            WHEN {_SPLIT_EXPR} < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS n_tokens
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM kept)
+GROUP BY 1
+""",
+}
+
+QUERIES = {
+    "curation_pipeline": curation_pipeline,
+}
