@@ -95,3 +95,37 @@ def test_lemma_sql_replicates_python_semantics(ws):
     ).fetchall()
     con.close()
     assert [g[0] for g in got] == [lemma_py(w) for w in ws]
+
+
+def test_dedup_clusters_are_closed_over_edges(spark):
+    """Label propagation must converge: both endpoints of every qualifying
+    near-dup pair share a cluster, and the cluster id is the component's
+    minimum doc_id (so it is a member, and canonicals are stable)."""
+    from pyspark.sql import functions as F
+
+    from bigdataanalytics_textsummarization_spark.extensions.dedup import (
+        CLUSTER_MIN_JACCARD,
+        dedup_clusters,
+        dedup_minhash_lsh,
+    )
+    from tests.conftest import SF_DIR
+
+    clusters = dedup_clusters(spark, SF_DIR)
+    pairs = dedup_minhash_lsh(spark, SF_DIR).filter(
+        F.col("jaccard") >= CLUSTER_MIN_JACCARD
+    )
+    ca = clusters.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("cl_a")
+    )
+    cb = clusters.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cl_b")
+    )
+    violating = (
+        pairs.join(ca, "doc_a").join(cb, "doc_b")
+        .filter(F.col("cl_a") != F.col("cl_b"))
+        .count()
+    )
+    assert violating == 0
+    # cluster id is a member of its own cluster and its minimum
+    mins = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("mn"))
+    assert mins.filter(F.col("cluster_id") != F.col("mn")).count() == 0
