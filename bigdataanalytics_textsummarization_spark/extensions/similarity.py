@@ -3,8 +3,12 @@
 Two paths:
 - brute-force cosine top-k: the exactness baseline.  Query set broadcast
   against the corpus; dot products computed JVM-side with zip_with +
-  aggregate (whole-stage codegen, no Python).  At 100 TB this is a broadcast
-  join whose cost is linear in corpus size — correct but O(Q x N);
+  aggregate (no Python round-trip; higher-order functions evaluate
+  interpreted, but a 64-dim dot is 64 multiply-adds — the broadcast join
+  volume, not the arithmetic, dominates).  At 100 TB this is a broadcast
+  join whose cost is linear in corpus size — correct but O(Q x N); for
+  huge query sets the vectorized alternative is a pandas_udf matmul over
+  Arrow batches;
 - sign-bucketed (LSH-flavored IVF) top-k: corpus and queries are bucketed by
   the sign pattern of the first SIGN_DIMS dimensions (a degenerate but
   deterministic random-hyperplane LSH); candidates are only same-bucket
