@@ -153,6 +153,37 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def enriched_segment_stream(
+    events: DataFrame, customers: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-static enrichment join + windowed aggregation.
+
+    The standard streaming-ETL shape: an unbounded event stream joins a
+    bounded dimension (broadcast — re-read per micro-batch, so dimension
+    updates are picked up), then aggregates per (window, segment).  No
+    state is kept for the join side; only the windowed aggregate holds
+    watermark-bounded state.
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            r6(sum2dp(F.col("value"))).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming deduplication — the front gate of a training-data ingest.
 
@@ -259,6 +290,26 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``enriched_segment_stream``: hourly activity per
+    customer market segment (stream-static enrichment join shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            r6(sum2dp(F.col("value"))).alias("sum_value"),
+        )
+    )
+
+
 def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of ``dedup_events_stream``: earliest event per
     (user_id, event_type, hour), deterministic tiebreak on event_id."""
@@ -275,6 +326,13 @@ def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "events_by_segment": """
+SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
+       count(*) AS n_events,
+       round(sum(cast(round(e.value * 100) AS bigint)) / 100.0, 6) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
     "events_dedup": """
 SELECT event_id, ts, user_id, event_type, value
 FROM (
@@ -317,6 +375,7 @@ FROM numbered GROUP BY user_id, session_no
 }
 
 QUERIES = {
+    "events_by_segment": events_by_segment,
     "events_dedup": events_dedup,
     "events_sliding": events_sliding,
     "user_sessions": user_sessions,

@@ -102,3 +102,17 @@ def test_dedup_stream_matches_batch(spark):
         ).toPandas()
     )
     assert g_keys.equals(b_keys)
+
+
+def test_enriched_segment_stream_matches_batch(spark):
+    stream = se.read_events_stream(spark, SF_DIR)
+    cust = load_table(spark, SF_DIR, "customer")
+    got = se.run_stream_to_memory(
+        spark,
+        se.enriched_segment_stream(stream, cust),
+        "segment_stream",
+    ).toPandas()
+    want = se.events_by_segment(spark, SF_DIR).toPandas()
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape
+    assert g.equals(w)
