@@ -180,6 +180,28 @@ def term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def tf_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 as a true MapType column: sentence_id -> map<word, count>.
+
+    The reference's per-sentence ``dict[word -> count]`` (code:76-82), kept
+    relationally everywhere else but exposed here as the map-typed shape
+    (map_from_entries over a sorted entry array — deterministic key order),
+    serialized with to_json so the DuckDB oracle can value-check a map
+    column exactly.
+    """
+    toks = tokens_lsa(spark, sf_dir)
+    tf = toks.groupBy("sentence_id", "word").agg(
+        F.count("*").cast("int").alias("cnt")
+    )
+    return tf.groupBy("sentence_id").agg(
+        F.to_json(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word", "cnt")))
+            )
+        ).alias("tf_json")
+    )
+
+
 def vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/D5: distributed vocabulary with corpus-wide df and total tf.
 
@@ -302,6 +324,15 @@ SELECT tf.source, tf.sentence_id, tf.word, tf.tf, df.df,
 FROM tf JOIN df ON tf.source = df.source AND tf.word = df.word
 JOIN n ON tf.source = n.source
 """,
+    "tf_map": f"""
+WITH {SENTENCES_CTE}, {LSA_SENT_CTE}, {TOKENS_LSA_CTE},
+tf AS (SELECT sentence_id, word, count(*) AS cnt
+       FROM tok GROUP BY sentence_id, word)
+SELECT sentence_id,
+       '{{' || string_agg('"' || word || '":' || cnt, ',' ORDER BY word) || '}}'
+         AS tf_json
+FROM tf GROUP BY sentence_id
+""",
     "vocabulary": f"""
 WITH {SENTENCES_CTE}, {LSA_SENT_CTE}, {TOKENS_LSA_CTE}
 SELECT word, count(DISTINCT sentence_id) AS df, count(*) AS total_tf
@@ -338,6 +369,7 @@ QUERIES = {
     "tokens_lsa": tokens_lsa,
     "tokens_textrank": tokens_textrank,
     "term_stats": term_stats,
+    "tf_map": tf_map,
     "vocabulary": vocabulary,
     "top_keywords": top_keywords,
 }
