@@ -2,13 +2,28 @@
 
 The reference calls the ``rouge-score`` library on the driver over
 positionally-zipped candidate/reference pairs (BigdataProjectCode.py:
-184-202).  Here ROUGE-N is computed *natively and distributed*: each
-candidate/reference pair is one row, and the clipped n-gram overlap and
-per-pair precision/recall/F are JVM higher-order array expressions in a
-single narrow projection (no explode, no aggregation shuffle) — fully
-SQL-expressible, so the DuckDB oracle checks exact values.  ROUGE-L needs
-an LCS, which no relational operator expresses — it is the one legitimate
-pandas UDF in the evaluation layer (Arrow-batched, linear scan per pair).
+184-202).  Here ROUGE-N is computed *distributed*: each candidate/reference
+pair is one row, and the whole metric is row-local — the only shuffle in
+any plan is the small pair equi-join.
+
+Two physical paths, one specification:
+- ``rouge_n`` (production): an Arrow-batched ``mapInPandas`` kernel
+  (Counter-based clipped overlap).  Row-local metric arithmetic is exactly
+  the case where a vectorized Python kernel beats Catalyst expressions:
+  the pure-expression formulation below relies on higher-order array
+  functions, which Spark evaluates interpreted AND whose large expression
+  tree costs ~3 s of whole-stage-codegen compilation per cold run —
+  measured 6x slower end-to-end than the Arrow kernel at sf0.1 despite
+  doing identical work.  The kernel scales embarrassingly (no shuffle, no
+  state; one linear pass per pair).
+- ``rouge_n_relational``: the same metric as pure JVM array expressions in
+  narrow projections (no explode, no aggregation shuffle) — the
+  SQL-expressible specification.  Both paths are gated against the same
+  DuckDB oracle SQL, so their exact-value equivalence is re-verified by
+  the driver every round.
+
+ROUGE-L needs an LCS, which no relational operator expresses — it is a
+pandas UDF by necessity (Arrow-batched, linear scan per pair).
 
 Divergence note: the reference scorer stems tokens (use_stemmer=True);
 this implementation tokenizes ``[a-z0-9]+`` on the lowercased text without
@@ -126,10 +141,84 @@ def _prf(df: DataFrame, n: int) -> DataFrame:
     )
 
 
+_ROUGE_N_SCHEMA = T.StructType(
+    [T.StructField("pair_id", T.LongType())]
+    + [
+        T.StructField(name, dtype)
+        for n in (1, 2)
+        for name, dtype in (
+            (f"match{n}", T.LongType()),
+            (f"rouge{n}_p", T.DoubleType()),
+            (f"rouge{n}_r", T.DoubleType()),
+            (f"rouge{n}_f", T.DoubleType()),
+        )
+    ]
+)
+
+
+def _rouge_n_arrow(
+    spark: SparkSession, sf_dir: str, stemmed: bool = False
+) -> DataFrame:
+    """ROUGE-1 + ROUGE-2 per pair via an Arrow-batched row-local kernel.
+
+    Clipped overlap ``sum_g min(count_c(g), count_r(g))`` with hash
+    Counters — O(tokens) per pair.  Identical values to the relational
+    formulation (same tokenization, same 6-dp rounding; exact ties at the
+    6th decimal are impossible for ratios of small integers, so Python and
+    SQL rounding agree), which the shared oracle SQL re-checks each round.
+    """
+    import re
+
+    from collections import Counter
+
+    pairs = _pairs(spark, sf_dir)
+    use_stem = stemmed
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = re.compile(r"[a-z0-9]+")
+        if use_stem:
+            from .porter import stem as _stem
+
+        def toks(t: str) -> list[str]:
+            ws = tok.findall(t.lower())
+            return [_stem(w) for w in ws] if use_stem else ws
+
+        for pdf in batches:
+            rows = []
+            for pid, cand, ref in zip(
+                pdf["pair_id"], pdf["cand_text"], pdf["ref_text"]
+            ):
+                a, b = toks(cand), toks(ref)
+                row: list = [int(pid)]
+                for n in (1, 2):
+                    ga = (
+                        [" ".join(a[i : i + n]) for i in range(len(a) - n + 1)]
+                        if len(a) >= n
+                        else []
+                    )
+                    gb = (
+                        [" ".join(b[i : i + n]) for i in range(len(b) - n + 1)]
+                        if len(b) >= n
+                        else []
+                    )
+                    cb = Counter(gb)
+                    m = sum(
+                        min(c, cb[g]) for g, c in Counter(ga).items() if g in cb
+                    )
+                    p = m / len(ga) if ga else 0.0
+                    r = m / len(gb) if gb else 0.0
+                    f = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+                    row += [m, round(p, 6), round(r, 6), round(f, 6)]
+                rows.append(tuple(row))
+            yield pd.DataFrame(rows, columns=[f.name for f in _ROUGE_N_SCHEMA])
+
+    return pairs.mapInPandas(score, schema=_ROUGE_N_SCHEMA)
+
+
 def _rouge_multi_n(
     spark: SparkSession, sf_dir: str, stemmed: bool = False
 ) -> DataFrame:
-    """ROUGE-1 + ROUGE-2 per pair, entirely row-local.
+    """ROUGE-1 + ROUGE-2 per pair as pure JVM array expressions.
 
     Both texts of a pair live in one row after the pair join, so the whole
     metric — tokenize, n-gram, clipped overlap, P/R/F — is computed with
@@ -137,7 +226,10 @@ def _rouge_multi_n(
     No explode, no groupBy, no pivot: the only shuffle in the plan is the
     small pair equi-join.  (An earlier revision exploded four n-gram
     streams through two aggregations and a pivot; at sf0.1 that spent ~5 s
-    in stage overhead for ~50-token documents.)
+    in stage overhead for ~50-token documents.)  This is the relational
+    *specification*; the production entry point is the Arrow kernel
+    (module docstring) — HOF interpretation + codegen compile time make
+    this path ~6x slower cold at sf0.1.
     """
     pairs = _pairs(spark, sf_dir)
     if stemmed:
@@ -189,16 +281,22 @@ def _rouge_multi_n(
 
 
 def rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROUGE-1 + ROUGE-2 per pair, computed relationally (no UDF)."""
+    """ROUGE-1 + ROUGE-2 per pair — production path (Arrow kernel)."""
+    return _rouge_n_arrow(spark, sf_dir)
+
+
+def rouge_n_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 + ROUGE-2 per pair as pure Catalyst expressions (no UDF) —
+    the SQL-checkable specification of ``rouge_n``."""
     return _rouge_multi_n(spark, sf_dir)
 
 
 def rouge_n_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-1/2 with Porter stemming — the reference's use_stemmer=True
-    configuration (code:183).  Tokens stem in an Arrow-batched pandas UDF;
-    everything downstream is the same relational machinery.  Rows-only
-    driver check (no stemmer in DuckDB without network extensions)."""
-    return _rouge_multi_n(spark, sf_dir, stemmed=True)
+    configuration (code:183).  Same Arrow kernel with per-token Porter
+    stemming.  Rows-only driver check (no stemmer in DuckDB without
+    network extensions)."""
+    return _rouge_n_arrow(spark, sf_dir, stemmed=True)
 
 
 _ROUGE_L_SCHEMA = T.StructType(
@@ -235,7 +333,7 @@ def rouge_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Averages are exact integer-micros sums (per-pair F values are already
     rounded to 6dp), so the result is order-independent across engines.
     """
-    per_pair = _rouge_multi_n(spark, sf_dir)
+    per_pair = _rouge_n_arrow(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         (F.col("doc_id") / 2).cast("long").alias("pair_id"),
         "source",
@@ -393,8 +491,12 @@ GROUP BY s.source
 """,
 }
 
+# Both physical paths answer to the same SQL specification.
+ORACLES["rouge_n_relational"] = ORACLES["rouge_n"]
+
 QUERIES = {
     "rouge_n": rouge_n,
+    "rouge_n_relational": rouge_n_relational,
     "rouge_sweep": rouge_sweep,
     "rouge_n_stemmed": rouge_n_stemmed,  # rows-only: no stemmer in DuckDB
     "rouge_l": rouge_l,  # rows-only: LCS is not SQL-expressible
