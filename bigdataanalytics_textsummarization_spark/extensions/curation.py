@@ -76,9 +76,67 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-language sampling rates: the data-mixing knob of corpus curation
+# (up/down-weight languages or sources when composing a training mix).
+SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.1}
+SAMPLE_DEFAULT_RATE = 0.05
+_SAMPLE_BUCKETS = 10000
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample of the corpus.
+
+    Keep decision = md5 of the salted doc key modulo 10k buckets compared
+    against the stratum's rate — a pure projection: no shuffle, no RNG, no
+    driver state.  Unlike ``df.sampleBy`` (seeded Bernoulli whose draw
+    depends on partition layout), the hash decision is reproducible across
+    engines, cluster sizes, and re-runs, and any doc's fate is auditable
+    from its id alone — the property a 100 TB corpus build needs when a
+    sample must be re-derived months later.  The salt decorrelates the
+    sample from the train/valid/test split hash (same md5 family,
+    different key-space).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lg, F.lit(r))
+            for lg, r in SAMPLE_RATES.items()
+        ],
+        F.lit(SAMPLE_DEFAULT_RATE),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _SAMPLE_BUCKETS
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        rate.alias("rate"),
+        bucket.alias("bucket"),
+        (bucket < F.round(rate * _SAMPLE_BUCKETS)).alias("sampled"),
+    )
+
+
 _SPLIT_EXPR = (
     "cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) "
     "AS ubigint) AS bigint) % 100"
+)
+
+_RATE_SQL = "cast(CASE " + " ".join(
+    f"WHEN lang = '{lg}' THEN {r}" for lg, r in SAMPLE_RATES.items()
+) + f" ELSE {SAMPLE_DEFAULT_RATE} END AS double)"
+
+_BUCKET_SQL = (
+    "cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar) || ':sample'), "
+    "1, 12)) AS ubigint) AS bigint) % " + str(_SAMPLE_BUCKETS)
 )
 
 ORACLES: dict[str, str] = {
@@ -176,8 +234,16 @@ FROM documents
 WHERE doc_id IN (SELECT doc_id FROM kept)
 GROUP BY 1
 """,
+    "stratified_sample": f"""
+SELECT doc_id, lang,
+       {_RATE_SQL} AS rate,
+       {_BUCKET_SQL} AS bucket,
+       {_BUCKET_SQL} < round(({_RATE_SQL}) * {_SAMPLE_BUCKETS}) AS sampled
+FROM documents
+""",
 }
 
 QUERIES = {
     "curation_pipeline": curation_pipeline,
+    "stratified_sample": stratified_sample,
 }

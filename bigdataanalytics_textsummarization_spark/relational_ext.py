@@ -295,6 +295,35 @@ def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sales_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: discounted revenue per ship-year x return-flag matrix.
+
+    ``pivot`` with an *explicit* value list — with the values declared,
+    Spark skips the extra distinct-collection job and compiles the pivot
+    into one pass (a single hash aggregate with one conditional sum per
+    pivot cell, partial map-side).  Never call ``.pivot(col)`` without
+    values at scale: the implicit path first runs a distinct query over
+    the whole input to discover them.  Revenue sums use the integer
+    1e-4-units convention (extendedprice*(1-discount) has 4 decimals), so
+    the cross-engine value-hash is order-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    exact_sum = F.sum(F.round(disc * 10000).cast("long")) / F.lit(10000.0)
+    out = (
+        li.withColumn("ship_year", F.year("l_shipdate").cast("long"))
+        .groupBy("ship_year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(r2(exact_sum))
+    )
+    return out.select(
+        "ship_year",
+        F.col("A").alias("revenue_A"),
+        F.col("N").alias("revenue_N"),
+        F.col("R").alias("revenue_R"),
+    )
+
+
 def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approx_count_distinct next to the exact count per
     event_type.  The sketch is mergeable — the property that matters at
@@ -421,6 +450,19 @@ SELECT l_returnflag,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
 """,
+    "sales_pivot": """
+SELECT cast(year(l_shipdate) AS bigint) AS ship_year,
+       round(sum(CASE WHEN l_returnflag = 'A'
+                 THEN cast(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS bigint) END) / 10000.0, 2) AS revenue_A,
+       round(sum(CASE WHEN l_returnflag = 'N'
+                 THEN cast(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS bigint) END) / 10000.0, 2) AS revenue_N,
+       round(sum(CASE WHEN l_returnflag = 'R'
+                 THEN cast(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS bigint) END) / 10000.0, 2) AS revenue_R
+FROM lineitem GROUP BY 1
+""",
 }
 
 # sessionize with lag+cumsum, then containment join
@@ -464,4 +506,5 @@ QUERIES = {
     "user_value_moving_avg": user_value_moving_avg,
     "price_percentiles": price_percentiles,
     "lineitem_stats": lineitem_stats,
+    "sales_pivot": sales_pivot,
 }

@@ -32,6 +32,17 @@ def get_session(
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
 
+    # Python workers resolve imports from PYTHONPATH, not the driver's
+    # sys.path — make sure this package's root is visible to them even when
+    # the driver is launched from another directory.  (On a real cluster
+    # the equivalent is shipping the package via --py-files / a wheel.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     builder = (
         SparkSession.builder.appName(app)
         .master(f"local[{cpus}]")

@@ -201,6 +201,55 @@ def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+ATTRIBUTION_WINDOW_S = 30 * 60
+
+
+def view_click_stream_join(
+    views: DataFrame, clicks: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: click ↔ same-user views ≤ 30 min before.
+
+    The canonical two-stream correlation (impression→conversion).  Both
+    sides carry a watermark AND the join predicate bounds event time on
+    both sides — together they let Spark evict buffered rows once the
+    watermark passes ``click_ts - 30 min``, so join state stays bounded on
+    unbounded streams.  An unconstrained stream-stream join would buffer
+    both streams forever.  Batch twin: ``view_click_pairs`` (oracle-gated);
+    stream==batch asserted in tests/test_streaming.py.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return (
+        c.join(
+            v,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") <= F.col("click_ts"))
+            & (
+                F.col("view_ts")
+                >= F.col("click_ts") - F.expr(f"interval {ATTRIBUTION_WINDOW_S} seconds")
+            ),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "click_ts",
+            "view_id",
+            "view_ts",
+            F.expr(
+                "(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000"
+            ).alias("lag_seconds"),
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:
@@ -310,6 +359,20 @@ def events_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def view_click_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``view_click_stream_join``: every (click, view) pair of
+    the same user with the view at most 30 minutes before the click.
+
+    The range predicate rides on a user_id equi-join, so Catalyst plans a
+    sort-merge join on user_id with the interval as a post-join filter —
+    per-user fan-out is bounded by activity density, never all-pairs.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return view_click_stream_join(views, clicks)
+
+
 def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of ``dedup_events_stream``: earliest event per
     (user_id, event_type, hour), deterministic tiebreak on event_id."""
@@ -372,6 +435,18 @@ SELECT user_id, session_no,
        count(*) AS n_events, round((sum(cast(round(value * 100) AS bigint)) / 100.0), 6) AS sum_value
 FROM numbered GROUP BY user_id, session_no
 """,
+    "view_click_pairs": """
+SELECT c.user_id,
+       c.event_id AS click_id, c.ts AS click_ts,
+       v.event_id AS view_id, v.ts AS view_ts,
+       (epoch_us(c.ts) - epoch_us(v.ts)) // 1000000 AS lag_seconds
+FROM events c
+JOIN events v
+  ON v.user_id = c.user_id
+ AND v.ts <= c.ts
+ AND v.ts >= c.ts - INTERVAL 1800 SECOND
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+""",
 }
 
 QUERIES = {
@@ -379,4 +454,5 @@ QUERIES = {
     "events_dedup": events_dedup,
     "events_sliding": events_sliding,
     "user_sessions": user_sessions,
+    "view_click_pairs": view_click_pairs,
 }

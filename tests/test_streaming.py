@@ -116,3 +116,21 @@ def test_enriched_segment_stream_matches_batch(spark):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape
     assert g.equals(w)
+
+
+def test_view_click_stream_join_matches_batch(spark):
+    # stream-stream interval join (append mode) must produce exactly the
+    # batch interval-join pairs when the source drains in order
+    stream = se.read_events_stream(spark, SF_DIR)
+    views = stream.filter(F.col("event_type") == "view")
+    clicks = stream.filter(F.col("event_type") == "click")
+    got = se.run_stream_to_memory(
+        spark,
+        se.view_click_stream_join(views, clicks),
+        "view_click_stream",
+        output_mode="append",
+    ).toPandas()
+    want = se.view_click_pairs(spark, SF_DIR).toPandas()
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
