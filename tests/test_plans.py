@@ -111,3 +111,75 @@ def test_minhash_lsh_reuses_shuffles_at_scale_shape(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def _formatted(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_bloom_runtime_filter_injects_at_scale_shape(spark):
+    """At 100 TB a selective dim filter must reach the fact scan as a bloom
+    runtime filter.  The default application-side threshold (10 GB scan)
+    correctly suppresses it at toy scale, so the scale posture is audited
+    with the threshold dropped and broadcast disabled (shuffle-join shape —
+    broadcast joins don't need the bloom)."""
+    from pyspark.sql import functions as F
+
+    from bigdataanalytics_textsummarization_spark.io import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        supp = load_table(spark, SF_DIR, "supplier").filter(
+            F.col("s_acctbal") > 9000
+        )
+        j = (
+            li.join(supp, li.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        assert "bloomfilter" in _formatted(spark, j).lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Star-schema DPP: fact partitioned on the join key, dim filtered on a
+    NON-key column — the partition list is only knowable at runtime, so the
+    scan must carry a dynamicpruningexpression (at 100 TB this is the
+    difference between scanning one partition and scanning the table)."""
+    from pyspark.sql import functions as F
+
+    from bigdataanalytics_textsummarization_spark.io import (
+        load_table,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "orders_by_priority")
+    write_partitioned(
+        load_table(spark, SF_DIR, "orders"), path, "o_orderpriority"
+    )
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "hot"),
+            ("2-HIGH", "hot"),
+            ("3-MEDIUM", "warm"),
+            ("4-NOT SPECIFIED", "cold"),
+            ("5-LOW", "cold"),
+        ],
+        ["pr", "klass"],
+    ).filter(F.col("klass") == "hot")
+    j = fact.join(dim, fact.o_orderpriority == dim.pr).groupBy("klass").count()
+    assert "dynamicpruningexpression" in _formatted(spark, j).lower()
