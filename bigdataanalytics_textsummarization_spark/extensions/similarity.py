@@ -22,8 +22,11 @@ brute-force query with a threshold instead of a top-k.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..functions import dot, r6
@@ -64,6 +67,72 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb, F.col("vec_id") != F.col("query_id"))
         .withColumn("sim_raw", dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")))
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "rk",
+            F.col("vec_id").alias("neighbor_id"),
+            r6(F.col("sim_raw")).alias("cosine"),
+        )
+    )
+
+
+def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 via a vectorized Arrow kernel (numpy matmul).
+
+    The scale path for LARGE query sets: the JVM formulation above pays an
+    interpreted zip_with+aggregate per (query, candidate) pair — fine for
+    10 queries, linear-in-queries slow for 10⁵.  Here the (small) query
+    matrix ships to every worker inside the closure and each Arrow batch
+    of corpus vectors does ONE numpy gemm (batch × 64) @ (64 × Q), so
+    per-pair cost is a fused multiply-add instead of an expression-tree
+    walk.  Exact same result set (same oracle SQL) — top-k selection stays
+    relational so ties and ordering are engine-checked.
+    """
+    import numpy as np
+
+    emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "e", "nrm")
+        .collect()
+    )  # bounded: N_QUERIES rows — the one deliberate driver materialization
+    q_ids = [int(r["vec_id"]) for r in qrows]
+    qm = np.array([r["e"] for r in qrows])  # Q x 64
+    qn = np.array([r["nrm"] for r in qrows])  # Q
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("sim_raw", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            c = np.stack(pdf["e"].to_numpy())  # B x 64
+            cn = pdf["nrm"].to_numpy()  # B
+            sims = (c @ qm.T) / np.outer(cn, qn)  # B x Q
+            vec_ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for qi, qid in enumerate(q_ids):
+                keep = vec_ids != qid
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": vec_ids[keep],
+                            "sim_raw": sims[keep, qi],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    pairs = emb.select("vec_id", "e", "nrm").mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim_raw"), F.asc("vec_id"))
     return (
         pairs.withColumn("rk", F.row_number().over(w).cast("long"))
@@ -262,8 +331,12 @@ WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {NEAR_DUP_THRESHOLD}
 """,
 }
 
+# The Arrow matmul path answers to the same SQL specification.
+ORACLES["ann_cosine_topk_arrow"] = ORACLES["ann_cosine_topk"]
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
     "ann_bucketed_topk": ann_bucketed_topk,
     "embedding_near_dups": embedding_near_dups,
 }

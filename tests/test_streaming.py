@@ -134,3 +134,26 @@ def test_view_click_stream_join_matches_batch(spark):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape, f"{g.shape} != {w.shape}"
     assert g.equals(w)
+
+
+def test_checkpointed_ingest_processes_only_new_files(spark, tmp_path):
+    # exactly-once incremental ingest: second run after new files land must
+    # process only the delta; the union of runs has no duplicates
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF_DIR, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    total = ev.count()
+
+    first.coalesce(1).write.mode("append").parquet(src)
+    se.stream_parquet_ingest(spark, src, first.schema, sink, ckpt)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    se.stream_parquet_ingest(spark, src, first.schema, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == total
+    assert out.select("event_id").distinct().count() == total
