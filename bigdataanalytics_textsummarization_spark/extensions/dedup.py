@@ -64,7 +64,10 @@ def _shingles_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Consumers that are duplicate-invariant (minhash = min over shingles)
     use this stream and skip the per-doc distinct.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return _shingles_dup_of(load_table(spark, sf_dir, "documents"))
+
+
+def _shingles_dup_of(docs: DataFrame) -> DataFrame:
     arr = F.split("text", " ", -1)
     return (
         docs.filter(F.size(arr) >= SHINGLE_K)
@@ -97,7 +100,12 @@ def _wide_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of 16 longs per document.  Documents with no shingle
     (< 3 words) simply have no rows.
     """
-    hv = _shingles_dup(spark, sf_dir).select(
+    return _wide_sigs_from_docs(load_table(spark, sf_dir, "documents"))
+
+
+def _wide_sigs_from_docs(docs: DataFrame) -> DataFrame:
+    """Codegen MinHash signatures of an arbitrary documents frame."""
+    hv = _shingles_dup_of(docs).select(
         "doc_id",
         F.conv(F.substring(F.md5("g"), 1, 12), 16, 10).cast("long").alias("h"),
     )
@@ -445,6 +453,136 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rowlocal_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sigs array<long>[16]) MinHash signatures computed row-locally.
+
+    The stream-safe formulation: no explode, no groupBy — shingling,
+    hashing, and the 16 min-reductions are higher-order array expressions
+    evaluated per row, so the computation is legal (and stateless) inside a
+    streaming query.  HOFs evaluate interpreted, which is the wrong trade
+    for a 100 TB corpus scan (use ``_wide_sigs``' codegen explode+groupBy
+    there) and the right one for an ingest stream's small micro-batches.
+    Identical values to ``_wide_sigs`` by construction: min over the same
+    shingle multiset, duplicates irrelevant.
+    """
+    arr = F.split("text", " ", -1)
+    with_sh = (
+        docs.filter(F.size(arr) >= SHINGLE_K)
+        .select("doc_id", arr.alias("__w"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - F.lit(SHINGLE_K - 1)),
+                lambda i: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                " ",
+                                F.element_at("__w", i),
+                                F.element_at("__w", i + 1),
+                                F.element_at("__w", i + 2),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            ).alias("__h"),
+        )
+    )
+    return with_sh.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "__h",
+                        lambda h: (F.lit(a).cast("long") * h + F.lit(b))
+                        % F.lit(MH_P),
+                    )
+                )
+                for a, b in zip(MH_A, MH_B)
+            ]
+        ).alias("sigs"),
+    )
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """Explode a (doc_id, sigs) frame into its 4 LSH band keys."""
+    band_w = N_HASHES // N_BANDS
+    return sig.select(
+        "doc_id",
+        "sigs",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "sigs",
+        F.col("band").cast("long").alias("band"),
+        F.concat_ws(
+            "|",
+            *[
+                F.element_at("sigs", F.col("band").cast("int") * band_w + j)
+                .cast("string")
+                for j in range(1, band_w + 1)
+            ],
+        ).alias("band_sig"),
+    )
+
+
+INGEST_MOD = 10  # doc_id % 10 == 0 plays the arriving stream
+
+
+def near_dup_ingest_join(new_docs: DataFrame, corpus_bands: DataFrame) -> DataFrame:
+    """Ingest-time near-dup check: new documents vs a static corpus index.
+
+    ``new_docs`` may be a STREAM — signatures are computed row-locally
+    (``_rowlocal_sigs``) and the band equi-join against the precomputed
+    ``corpus_bands`` index is a stateless stream-static join, so the whole
+    check runs in append mode with zero streaming state.  One output row
+    per matching (new, corpus, band); est_jaccard is row-local from the
+    two signature arrays riding the join — deliberately no pair-level
+    aggregation, which would need watermark state the ingest gate doesn't
+    have an event time for.
+    """
+    new_bands = _band_keys(_rowlocal_sigs(new_docs)).select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("sigs").alias("new_sigs"),
+        "band",
+        "band_sig",
+    )
+    idx = corpus_bands.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("sigs").alias("corpus_sigs"),
+        "band",
+        "band_sig",
+    )
+    eq_seeds = F.size(
+        F.filter(
+            F.zip_with("new_sigs", "corpus_sigs", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return new_bands.join(idx, ["band", "band_sig"]).select(
+        "new_doc_id",
+        "corpus_doc_id",
+        "band",
+        r6(eq_seeds / F.lit(float(N_HASHES))).alias("est_jaccard"),
+    )
+
+
+def near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming ingest check: docs with doc_id % 10 == 0
+    arrive 'new'; the rest are the indexed corpus (codegen signature path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % INGEST_MOD == 0)
+    corpus = _wide_sigs_from_docs(
+        docs.filter(F.col("doc_id") % INGEST_MOD != 0)
+    )
+    return near_dup_ingest_join(new_docs, _band_keys(corpus))
+
+
 ORACLES: dict[str, str] = {
     "dedup_exact": """
 SELECT doc_id, md5(text) AS text_hash,
@@ -611,8 +749,38 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
 """,
 }
 
+ORACLES["near_dup_ingest"] = f"""
+WITH {SHINGLES_CTE}, {MINHASH_CTE},
+bands AS (
+  SELECT doc_id, cast(floor(seed / {N_HASHES // N_BANDS}) AS bigint) AS band,
+         string_agg(cast(minhash AS varchar), '|' ORDER BY seed) AS band_sig
+  FROM mh GROUP BY doc_id, 2
+),
+pairs AS (
+  SELECT n.doc_id AS new_doc_id, o.doc_id AS corpus_doc_id, n.band
+  FROM bands n
+  JOIN bands o ON n.band = o.band AND n.band_sig = o.band_sig
+  WHERE n.doc_id % {INGEST_MOD} = 0 AND o.doc_id % {INGEST_MOD} <> 0
+),
+cand AS (SELECT DISTINCT new_doc_id, corpus_doc_id FROM pairs),
+agree AS (
+  SELECT c.new_doc_id, c.corpus_doc_id,
+         round(sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+               / {float(N_HASHES)}, 6) AS est_jaccard
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.new_doc_id
+  JOIN mh mb ON mb.doc_id = c.corpus_doc_id AND mb.seed = ma.seed
+  GROUP BY 1, 2
+)
+SELECT p.new_doc_id, p.corpus_doc_id, p.band, a.est_jaccard
+FROM pairs p
+JOIN agree a ON p.new_doc_id = a.new_doc_id
+            AND p.corpus_doc_id = a.corpus_doc_id
+"""
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "near_dup_ingest": near_dup_ingest,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_clusters": dedup_clusters,

@@ -157,3 +157,44 @@ def test_checkpointed_ingest_processes_only_new_files(spark, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == total
     assert out.select("event_id").distinct().count() == total
+
+
+def test_near_dup_ingest_stream_matches_batch(spark):
+    # the ingest near-dup gate runs as a stateless stream-static join:
+    # row-local signatures on the stream side vs the precomputed corpus
+    # band index; append-mode result must equal the batch twin
+    from pyspark.sql import types as T
+
+    from bigdataanalytics_textsummarization_spark.extensions import dedup as dd
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream_docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+        .filter(F.col("doc_id") % dd.INGEST_MOD == 0)
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    index = dd._band_keys(
+        dd._wide_sigs_from_docs(
+            docs.filter(F.col("doc_id") % dd.INGEST_MOD != 0)
+        )
+    ).localCheckpoint()  # materialized index, as a deployment would have
+    got = se.run_stream_to_memory(
+        spark,
+        dd.near_dup_ingest_join(stream_docs, index),
+        "near_dup_ingest_stream",
+        output_mode="append",
+    ).toPandas()
+    want = dd.near_dup_ingest(spark, SF_DIR).toPandas()
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
