@@ -41,9 +41,8 @@ QUALITY_MIN = 0.6
 KEEP_LANG = "en"
 
 
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-split (train/valid/test) surviving-document and token counts
-    after the full curation chain."""
+def _kept_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents surviving quality -> language -> exact-dup -> near-dup."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     keep_q = quality_score(spark, sf_dir).filter(
         F.col("quality") >= QUALITY_MIN
@@ -57,14 +56,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop_near = dedup_clusters(spark, sf_dir).filter(
         F.col("is_duplicate")
     ).select("doc_id")
-    split = train_test_split(spark, sf_dir).select("doc_id", "split")
-    toks = token_count(spark, sf_dir).select("doc_id", "ws_tokens")
-    kept = (
+    return (
         docs.join(keep_q, "doc_id")
         .join(keep_l, "doc_id")
         .join(drop_exact, "doc_id", "left_anti")
         .join(drop_near, "doc_id", "left_anti")
     )
+
+
+def _split_accounting(spark: SparkSession, sf_dir: str, kept: DataFrame) -> DataFrame:
+    split = train_test_split(spark, sf_dir).select("doc_id", "split")
+    toks = token_count(spark, sf_dir).select("doc_id", "ws_tokens")
     return (
         kept.join(split, "doc_id")
         .join(toks, "doc_id")
@@ -74,6 +76,30 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ws_tokens").cast("long").alias("n_tokens"),
         )
     )
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split (train/valid/test) surviving-document and token counts
+    after the full curation chain."""
+    return _split_accounting(spark, sf_dir, _kept_docs(spark, sf_dir))
+
+
+def curation_with_observation(spark: SparkSession, sf_dir: str):
+    """``curation_pipeline`` plus free run accounting.
+
+    Returns ``(result_df, observation)``: the Observation's metrics
+    (surviving doc count) are computed as a side effect of whatever action
+    the caller runs on the result — at 100 TB the difference between this
+    and a separate ``kept.count()`` is a full re-execution of the chain.
+    ``observation.get`` blocks until the caller's action completes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("curation")
+    kept = _kept_docs(spark, sf_dir).observe(
+        obs, F.count(F.lit(1)).alias("kept_docs")
+    )
+    return _split_accounting(spark, sf_dir, kept), obs
 
 
 # Per-language sampling rates: the data-mixing knob of corpus curation

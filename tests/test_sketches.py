@@ -52,3 +52,16 @@ def test_salted_join_shuffles_on_salt(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_curation_observation_piggybacks_on_action(spark):
+    # pipeline accounting must come from the SAME action as the result —
+    # the observed kept-docs count has to equal the sum the result reports
+    from bigdataanalytics_textsummarization_spark.extensions.curation import (
+        curation_with_observation,
+    )
+    from tests.conftest import SF_DIR
+
+    result, obs = curation_with_observation(spark, SF_DIR)
+    rows = result.collect()
+    assert obs.get["kept_docs"] == sum(r["n_docs"] for r in rows)
