@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bigdataanalytics_textsummarization_spark import (  # noqa: E402
     graph,
     lsa,
+    mllib_variants,
     pagerank,
     relational,
     relational_ext,
@@ -49,6 +50,7 @@ _MODULES = [
     pagerank,
     lsa,
     rouge,
+    mllib_variants,
     dedup,
     curation,
     similarity,
