@@ -183,3 +183,24 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     ).filter(F.col("klass") == "hot")
     j = fact.join(dim, fact.o_orderpriority == dim.pr).groupBy("klass").count()
     assert "dynamicpruningexpression" in _formatted(spark, j).lower()
+
+
+def test_sales_pivot_is_single_pass(spark):
+    # explicit pivot values => no distinct-discovery pre-job; the pivot is
+    # two chained aggregations (cell sums, then pivotfirst) over ever-
+    # smaller data, with the first one map-side partial before its shuffle
+    plan = _plan(spark, "sales_pivot")
+    # formatted output names each node twice (tree + detail): 1 scan = 2 hits
+    assert plan.count("Scan parquet") == 2
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 4
+    assert "partial_sum" in plan  # map-side combine feeds the first shuffle
+
+
+def test_view_click_pairs_joins_on_user_equi_key(spark):
+    # the interval predicate must ride an equi-join on user_id — a pure
+    # range theta-join would plan BroadcastNestedLoopJoin and blow up at scale
+    plan = _plan(spark, "view_click_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
