@@ -172,6 +172,44 @@ def write_bucketed(
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction — the standing maintenance job of any landing
+    zone (streaming sinks and per-batch appends produce thousands of tiny
+    files; scan planning and parquet footer reads then dominate query time).
+
+    Output file count = ceil(input bytes / target).  Without ``sort_cols``
+    the rewrite uses ``coalesce`` — NO shuffle, each output file absorbs
+    whole input files.  With ``sort_cols`` it uses ``repartitionByRange``
+    + ``sortWithinPartitions`` — one range shuffle that additionally
+    clusters the data, giving disjoint per-file value ranges so parquet
+    row-group min/max statistics can skip whole files on range predicates.
+    Returns the target partition count.
+    """
+    import math
+    import os as _os
+
+    total = sum(
+        _os.path.getsize(_os.path.join(root, f))
+        for root, _, files in _os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.coalesce(n)
+    df.write.mode("overwrite").parquet(out_path)
+    return n
+
+
 def read_reviews_tsv(
     spark: SparkSession, path: str, mode: str = "PERMISSIVE"
 ) -> DataFrame:

@@ -99,3 +99,54 @@ def test_partitioned_write_roundtrip_full(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == ev.count()
     assert "day" in back.columns
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from bigdataanalytics_textsummarization_spark.io import compact_parquet, load_table
+    from tests.conftest import SF_DIR
+    import os
+
+    src = str(tmp_path / "fragmented")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(64).write.parquet(src)  # simulate a fragmented landing zone
+    n_in = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_in >= 32
+
+    out = str(tmp_path / "compacted")
+    compact_parquet(spark, src, out)
+    n_out = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_out < n_in / 8
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_compact_parquet_sorted_gives_disjoint_file_ranges(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bigdataanalytics_textsummarization_spark.io import compact_parquet, load_table
+    from tests.conftest import SF_DIR
+    import os
+
+    src = str(tmp_path / "fragmented")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(16).write.parquet(src)
+    out = str(tmp_path / "clustered")
+    # tiny target so several output files exist even at test scale
+    compact_parquet(spark, src, out, target_file_bytes=8 * 1024, sort_cols=("ts",))
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) >= 2
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).collect()[0]
+        if r["lo"] is not None:
+            ranges.append((r["lo"], r["hi"]))
+    ranges.sort()
+    # range-clustered output: file value ranges must not overlap, which is
+    # exactly what lets parquet min/max stats skip whole files
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
+    total = spark.read.parquet(out).count()
+    assert total == ev.count()
