@@ -281,6 +281,41 @@ def stream_parquet_ingest(
     q.awaitTermination()
 
 
+def stream_materialize(
+    spark: SparkSession,
+    agg_stream: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *partition_cols: str,
+) -> None:
+    """Stream-driven materialized view: complete-mode aggregate →
+    ``foreachBatch`` → atomic parquet overwrite.
+
+    Each trigger hands ``foreachBatch`` the FULL current aggregate, which
+    replaces the sink in one batch-scoped overwrite — the table stays
+    queryable by any engine between refreshes, retries are idempotent
+    (same batch → same overwrite), and the checkpoint guarantees a killed
+    refresh resumes instead of double-applying.  This is the Delta-free
+    pattern for keeping a serving table in sync with a stream; with
+    ``availableNow`` it is the scheduled catch-up refresh job.
+    """
+
+    def overwrite(batch_df: DataFrame, _batch_id: int) -> None:
+        w = batch_df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(sink_dir)
+
+    q = (
+        agg_stream.writeStream.foreachBatch(overwrite)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(
     spark: SparkSession, sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

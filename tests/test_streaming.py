@@ -198,3 +198,44 @@ def test_near_dup_ingest_stream_matches_batch(spark):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape, f"{g.shape} != {w.shape}"
     assert g.equals(w)
+
+
+def test_stream_materialize_refreshes_to_batch_truth(spark, tmp_path):
+    # the materialized table must equal the batch aggregate of whatever has
+    # landed so far, after each catch-up run — and re-running with no new
+    # data must be a no-op that leaves a consistent table
+    import os
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF_DIR, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    def agg_of(df):
+        return (
+            df.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"))
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(first.schema).parquet(src)
+        )
+        se.stream_materialize(spark, agg_of(stream), sink, ckpt, "event_type")
+
+    first.coalesce(1).write.mode("append").parquet(src)
+    run()
+    got1 = normalize(spark.read.parquet(sink).toPandas())
+    want1 = normalize(agg_of(first).toPandas())
+    assert got1.equals(want1)
+
+    run()  # no new files: refresh is a no-op, table stays consistent
+    assert normalize(spark.read.parquet(sink).toPandas()).equals(want1)
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    run()
+    got2 = normalize(spark.read.parquet(sink).toPandas())
+    want2 = normalize(agg_of(ev).toPandas())
+    assert got2.equals(want2)
