@@ -64,3 +64,39 @@ def test_pagerank_convergence_stop(spark):
     five = pagerank.ranks_from(edges, iterations=5).toPandas()
     want5 = 0.15 * sum(0.85**i for i in range(6))  # geometric partial sum
     assert abs(five["rank"] - want5).max() < 1e-9
+
+
+def test_rouge_kernel_equals_relational_on_edge_cases(spark, tmp_path):
+    """The Arrow kernel and the pure-expression formulation must agree on
+    degenerate pairs: empty text, single word, no alphanumerics, unicode,
+    repeated tokens (clipping), and candidate==reference."""
+    import pandas as pd
+
+    from bigdataanalytics_textsummarization_spark import rouge as R
+    from tests.conftest import normalize
+
+    texts = [
+        "",                              # empty candidate
+        "word",                          # vs single word
+        "one two three two one",         # repeats -> clipped counts
+        "one two three two one",         # identical pair -> P=R=F=1
+        "!!! ??? ...",                   # no alphanumeric tokens
+        "naive café résumé",             # non-ascii letters
+        "a b c d e f g",
+        "g f e d c b a",                 # same unigrams, no shared bigrams
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "edge",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    got = normalize(R.rouge_n(spark, sf).toPandas())
+    want = normalize(R.rouge_n_relational(spark, sf).toPandas())
+    assert got.shape == want.shape and len(got) == len(texts) // 2
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
