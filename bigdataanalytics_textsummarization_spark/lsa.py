@@ -50,7 +50,9 @@ _LSA_SCHEMA = T.StructType(
 def tfidf_long_from(toks: DataFrame, lsa_sent: DataFrame) -> DataFrame:
     """Unrounded TF-IDF in long form from any token/sentence frames."""
     n_per_source = lsa_sent.groupBy("source").agg(
-        F.countDistinct("sentence_id").cast("double").alias("n_sentences")
+        # sentence_id is unique by construction (doc_id x pos), so the
+        # corpus size is a plain count — no Expand/distinct aggregation
+        F.count("*").cast("double").alias("n_sentences")
     )
     # one tokenization pass: df re-aggregates tf (exchange reuse)
     tf = toks.groupBy("source", "sentence_id", "word").agg(
@@ -156,7 +158,7 @@ def lsa_concepts_distributed(
 
     toks = tokens_lsa(spark, sf_dir)
     sent = lsa_sentences(spark, sf_dir)
-    n_sent = sent.select("sentence_id").distinct().count()
+    n_sent = sent.count()  # sentence_id unique by construction
     tf = toks.groupBy("sentence_id", "word").agg(F.count("*").alias("tf"))
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     tfidf = (

@@ -150,7 +150,9 @@ def term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     toks = tokens_lsa(spark, sf_dir)
     n_per_source = lsa_sentences(spark, sf_dir).groupBy("source").agg(
-        F.countDistinct("sentence_id").cast("double").alias("n_sentences")
+        # sentence_id is unique by construction (doc_id x pos), so the
+        # corpus size is a plain count — no Expand/distinct aggregation
+        F.count("*").cast("double").alias("n_sentences")
     )
     # One tokenization pass: tf is the base aggregation, df re-aggregates it
     # (each (sentence_id, word) appears once in tf, so df = count(*)).  The
@@ -224,7 +226,9 @@ def top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     toks = tokens_lsa(spark, sf_dir)
     n_per_source = lsa_sentences(spark, sf_dir).groupBy("source").agg(
-        F.countDistinct("sentence_id").cast("double").alias("n_sentences")
+        # sentence_id is unique by construction (doc_id x pos), so the
+        # corpus size is a plain count — no Expand/distinct aggregation
+        F.count("*").cast("double").alias("n_sentences")
     )
     # Single tokenization pass: aggregate once at sentence granularity, then
     # derive both df (distinct sentences per word) and per-doc tf from that
