@@ -32,3 +32,37 @@ def test_bucketed_ann_recall_vs_brute_force(spark):
         brute, on=["query_id", "neighbor_id"], suffixes=("_b", "_t")
     )
     assert (merged["cosine_b"] - merged["cosine_t"]).abs().max() < 1e-9
+
+
+def test_ivf_ann_recall_beats_scan_fraction(spark):
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        IVF_CLUSTERS,
+        IVF_NPROBE,
+        TOP_K,
+        ann_ivf_topk,
+    )
+
+    brute = ann_cosine_topk(spark, SF_DIR).toPandas()
+    ivf = ann_ivf_topk(spark, SF_DIR).toPandas()
+
+    truth = brute.groupby("query_id")["neighbor_id"].apply(set)
+    got = ivf.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(t & got.get(qid, set())) / len(t) for qid, t in truth.items()
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    # scanning nprobe/K of the corpus blindly would recall ~nprobe/K of the
+    # true top-k; learned cells must do meaningfully better than random
+    assert avg_recall >= 2 * IVF_NPROBE / IVF_CLUSTERS, (
+        f"avg recall {avg_recall:.2f}"
+    )
+    # exactness where the candidate was found: cosine equals brute force
+    merged = ivf.merge(
+        brute, on=["query_id", "neighbor_id"], suffixes=("_i", "_t")
+    )
+    if len(merged):
+        assert (merged["cosine_i"] - merged["cosine_t"]).abs().max() < 1e-9
+    # shape: at most TOP_K per query, ranks contiguous from 1
+    for _, grp in ivf.groupby("query_id"):
+        assert sorted(grp["rk"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= TOP_K
