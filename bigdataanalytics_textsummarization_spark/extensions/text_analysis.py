@@ -147,15 +147,21 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # Materialize the gram hashes as a column first: fps below references it
+    # three times (size, sequence bound, slice), and inlining the md5-per-gram
+    # transform at each reference would re-hash the whole doc once per window
+    # position — O(n^2) md5 calls.  A separate projection keeps it O(n);
+    # CollapseProject leaves non-cheap multi-referenced aliases alone.
+    hashed = docs.select("doc_id", hashes.alias("hashes"))
     fps = F.when(
-        F.size(hashes) > 0,
+        F.size("hashes") > 0,
         F.transform(
-            F.sequence(F.lit(1), F.size(hashes)),
-            lambda i: F.array_min(F.slice(hashes, i, FINGERPRINT_WINDOW)),
+            F.sequence(F.lit(1), F.size("hashes")),
+            lambda i: F.array_min(F.slice("hashes", i, FINGERPRINT_WINDOW)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
+        hashed.select("doc_id", F.explode(F.array_distinct(fps)).alias("fp"))
         .distinct()
     )
 

@@ -170,6 +170,9 @@ def lsa_concepts_distributed(
                 "tfidf"
             ),
         )
+        # consumed by three separate jobs below (sentence index, word index,
+        # matrix entries) — cache so tokenization+joins run once, not thrice
+        .persist()
     )
     # dense integer coordinates, built distributedly (sorted for stability)
     sent_ix = (
@@ -202,6 +205,9 @@ def lsa_concepts_distributed(
                 kv[0], Vectors.sparse(n_words, sorted(kv[1]))
             )
         )
+        # ARPACK re-traverses the row RDD on every Lanczos multiply; without
+        # this cache each SVD iteration replays tokenize->join->groupByKey
+        .cache()
     )
     k_eff = min(k, n_sent, n_words)
     svd = IndexedRowMatrix(rows).computeSVD(k_eff, computeU=True)

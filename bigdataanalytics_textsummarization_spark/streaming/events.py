@@ -57,22 +57,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     In production this is the same call pointed at a landing directory (or
     swapped for a Kafka source); every transformation below is source-
-    agnostic.  The nanos-as-long quirk is handled like the batch reader.
+    agnostic.  Streams can't infer schemas, so the file schema is sniffed
+    with one batch footer read; the legacy nanos-as-long layout is handled
+    like the batch reader, newer TIMESTAMP(MICROS) files pass through.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            f if f.name != "ts" else T.StructField("ts", T.LongType())
-            for f in EVENTS_SCHEMA.fields
-        ]
-    )
+    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    nanos = isinstance(file_schema["ts"].dataType, T.LongType)
     # the file source requires a directory: scan sf_dir, glob to the table
     sdf = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        # watermarks demand TIMESTAMP (ltz); the parquet column is NTZ.
+        # Under the session's UTC timezone the cast is value-identity.
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    return sdf
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -243,8 +247,11 @@ def view_click_stream_join(
             "click_ts",
             "view_id",
             "view_ts",
+            # unix_micros needs TIMESTAMP; source columns are TIMESTAMP_NTZ,
+            # so hop through LTZ (identity under the session's UTC timezone)
             F.expr(
-                "(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000"
+                "(unix_micros(cast(click_ts as timestamp_ltz))"
+                " - unix_micros(cast(view_ts as timestamp_ltz))) div 1000000"
             ).alias("lag_seconds"),
         )
     )
@@ -380,12 +387,14 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = 30 * 60
+    # ts arrives as TIMESTAMP_NTZ from parquet; NTZ has no direct numeric
+    # cast, so hop through LTZ (identity under the session's UTC timezone)
+    # to get epoch seconds for the gap comparison.
+    ts_s = F.col("ts").cast("timestamp_ltz").cast("double")
     with_break = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("double")
-            - F.lag(F.col("ts").cast("double")).over(order)
-            > gap_s,
+            ts_s - F.lag(ts_s).over(order) > gap_s,
             1,
         )
         .otherwise(0)

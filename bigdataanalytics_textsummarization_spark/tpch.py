@@ -219,7 +219,12 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "ship_bucket",
             F.when(
-                F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60), "LATE"
+                # interval arithmetic (not date_add, which truncates
+                # TIMESTAMP->DATE) so Spark and the oracle agree even when
+                # o_orderdate carries a non-midnight time component
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                "LATE",
             ).otherwise("ONTIME"),
         )
         .groupBy("ship_bucket")
@@ -511,10 +516,10 @@ HAVING sum(val) > (SELECT sum(val) * 0.0002 FROM national)
     "q12_late_shipments": """
 SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
             THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
   AND l.l_shipdate < TIMESTAMP '1997-01-01'

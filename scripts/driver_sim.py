@@ -6,6 +6,7 @@ Usage: python scripts/driver_sim.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 
@@ -27,12 +28,15 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, osql = e.queries(), e.oracle_sql()
     failed = []
+    times: dict[str, float] = {}
     for name in sorted(qs):
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         if name not in osql:
             n = qs[name](spark, sf_dir).count()
-            print(f"{name}: rows-only, {n} rows")
+            times[name] = time.monotonic() - t0
+            print(f"{name}: rows-only, {n} rows  [{times[name]:.2f}s]")
             continue
         g = qs[name](spark, sf_dir).toPandas()
         w = con.sql(osql[name]).df()
@@ -51,10 +55,13 @@ def main() -> int:
                     ok = False
             elif not (g[c].astype(str).values == w[c].astype(str).values).all():
                 ok = False
-        print(f"{name}: {'MATCH' if ok else 'VALUE MISMATCH'} {len(g)} rows")
+        times[name] = time.monotonic() - t0
+        print(f"{name}: {'MATCH' if ok else 'VALUE MISMATCH'} {len(g)} rows  [{times[name]:.2f}s]")
         if not ok:
             failed.append(name)
     spark.stop()
+    print("slowest:", sorted(times.items(), key=lambda kv: -kv[1])[:15])
+    print(f"total query time: {sum(times.values()):.1f}s over {len(times)} queries")
     if failed:
         print("FAILED:", failed)
         return 1
