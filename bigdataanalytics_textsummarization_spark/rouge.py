@@ -25,9 +25,11 @@ Two physical paths, one specification:
 ROUGE-L needs an LCS, which no relational operator expresses — it is a
 pandas UDF by necessity (Arrow-batched, linear scan per pair).
 
-Divergence note: the reference scorer stems tokens (use_stemmer=True);
-this implementation tokenizes ``[a-z0-9]+`` on the lowercased text without
-stemming — recorded here so quality numbers are compared like-for-like.
+Stemming parity (M5): the reference scorer stems tokens (use_stemmer=True,
+code:183).  ``rouge_n_stemmed`` / ``rouge_sweep_stemmed`` are the faithful
+configuration and are value-gated — the Porter stemmer itself is compiled
+to DuckDB SQL (porter_sql.py) so the oracle stems with the same rules.
+The unstemmed ``rouge_n`` remains as the tokenization-only baseline.
 
 Pair construction for the synthetic corpus: candidate = even doc_id,
 reference = the following odd doc_id (pair_id = doc_id / 2) — the
@@ -46,6 +48,7 @@ from pyspark.sql import types as T
 
 from .functions import r6
 from .io import load_table
+from .porter_sql import STEM_DICT_CTES
 
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,8 +297,8 @@ def rouge_n_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rouge_n_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROUGE-1/2 with Porter stemming — the reference's use_stemmer=True
     configuration (code:183).  Same Arrow kernel with per-token Porter
-    stemming.  Rows-only driver check (no stemmer in DuckDB without
-    network extensions)."""
+    stemming; value-gated against the SQL-compiled Porter oracle
+    (porter_sql.py)."""
     return _rouge_n_arrow(spark, sf_dir, stemmed=True)
 
 
@@ -323,6 +326,12 @@ def _lcs_len(a: list[str], b: list[str]) -> int:
     return prev[-1]
 
 
+def rouge_sweep_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source average ROUGE-1/2 F with Porter stemming — the sweep at
+    the reference's actual scorer configuration (use_stemmer=True)."""
+    return _sweep_from(spark, sf_dir, _rouge_n_arrow(spark, sf_dir, stemmed=True))
+
+
 def rouge_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source average ROUGE-1/2 F — the reference's all-products sweep
     (M6, BigdataProjectCode.py:258-288, Fig-8), computed per-corpus
@@ -333,7 +342,12 @@ def rouge_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Averages are exact integer-micros sums (per-pair F values are already
     rounded to 6dp), so the result is order-independent across engines.
     """
-    per_pair = _rouge_n_arrow(spark, sf_dir)
+    return _sweep_from(spark, sf_dir, _rouge_n_arrow(spark, sf_dir))
+
+
+def _sweep_from(
+    spark: SparkSession, sf_dir: str, per_pair: DataFrame
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         (F.col("doc_id") / 2).cast("long").alias("pair_id"),
         "source",
@@ -457,6 +471,52 @@ pairs AS (
 )
 """
 
+# Stemmed variant: tokenize both sides once, stem the DISTINCT vocabulary
+# through the pure-SQL Porter chain (porter_sql.py), then rebuild positional
+# token streams from the stem dictionary — the gram/score CTEs are reused
+# unchanged on the stemmed tokens.
+_STEM_TOKS_CTE = f"""
+raw_toks AS MATERIALIZED (
+  SELECT pair_id, 'c' AS side,
+         unnest(regexp_extract_all(lower(cand_text), '[a-z0-9]+')) AS w,
+         unnest(range(len(regexp_extract_all(lower(cand_text), '[a-z0-9]+')))) AS pos
+  FROM pairs
+  UNION ALL
+  SELECT pair_id, 'r',
+         unnest(regexp_extract_all(lower(ref_text), '[a-z0-9]+')),
+         unnest(range(len(regexp_extract_all(lower(ref_text), '[a-z0-9]+'))))
+  FROM pairs
+),
+vocab AS MATERIALIZED (SELECT DISTINCT w AS orig FROM raw_toks),
+{STEM_DICT_CTES},
+stoks AS MATERIALIZED (
+  SELECT t.pair_id, t.side, t.pos, s.stem AS w
+  FROM raw_toks t JOIN stems s ON t.w = s.orig
+)
+"""
+
+
+def _ngram_cte_stemmed(side: str, n: int) -> str:
+    """Gram CTE over the stemmed token stream (same shape as _ngram_cte)."""
+    sidechar = "c" if side == "cand" else "r"
+    lead_cols = ["w"] + [
+        f"lead(w, {i}) OVER (PARTITION BY pair_id ORDER BY pos)"
+        for i in range(1, n)
+    ]
+    concat = " || ' ' || ".join(lead_cols)
+    qualify = (
+        f"QUALIFY lead(w, {n - 1}) OVER (PARTITION BY pair_id ORDER BY pos) IS NOT NULL"
+        if n > 1
+        else ""
+    )
+    return f"""
+{side}{n}_grams AS MATERIALIZED (
+  SELECT pair_id, g, count(*) AS cnt FROM (
+    SELECT pair_id, {concat} AS g FROM stoks WHERE side = '{sidechar}' {qualify}
+  ) GROUP BY pair_id, g
+)"""
+
+
 ORACLES: dict[str, str] = {
     "rouge_n": f"""
 WITH {PAIRS_CTE},
@@ -494,10 +554,46 @@ GROUP BY s.source
 # Both physical paths answer to the same SQL specification.
 ORACLES["rouge_n_relational"] = ORACLES["rouge_n"]
 
+ORACLES["rouge_n_stemmed"] = f"""
+WITH {PAIRS_CTE},
+{_STEM_TOKS_CTE},
+{_ngram_cte_stemmed("cand", 1)}, {_ngram_cte_stemmed("ref", 1)},
+{_ngram_cte_stemmed("cand", 2)}, {_ngram_cte_stemmed("ref", 2)},
+{_rouge_n_sql(1)}, {_rouge_n_sql(2)}
+SELECT r1_out.pair_id,
+       r1_out.match1, r1_out.rouge1_p, r1_out.rouge1_r, r1_out.rouge1_f,
+       r2_out.match2, r2_out.rouge2_p, r2_out.rouge2_r, r2_out.rouge2_f
+FROM r1_out JOIN r2_out ON r1_out.pair_id = r2_out.pair_id
+"""
+
+ORACLES["rouge_sweep_stemmed"] = f"""
+WITH {PAIRS_CTE},
+{_STEM_TOKS_CTE},
+{_ngram_cte_stemmed("cand", 1)}, {_ngram_cte_stemmed("ref", 1)},
+{_ngram_cte_stemmed("cand", 2)}, {_ngram_cte_stemmed("ref", 2)},
+{_rouge_n_sql(1)}, {_rouge_n_sql(2)},
+per_pair AS (
+  SELECT r1_out.pair_id, r1_out.rouge1_f, r2_out.rouge2_f
+  FROM r1_out JOIN r2_out ON r1_out.pair_id = r2_out.pair_id
+),
+src AS (
+  SELECT cast(doc_id / 2 AS bigint) AS pair_id, source
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT s.source, count(*) AS n_pairs,
+       sum(cast(round(p.rouge1_f * 1000000) AS bigint)) / (count(*) * 1000000.0)
+         AS avg_rouge1_f,
+       sum(cast(round(p.rouge2_f * 1000000) AS bigint)) / (count(*) * 1000000.0)
+         AS avg_rouge2_f
+FROM per_pair p JOIN src s ON p.pair_id = s.pair_id
+GROUP BY s.source
+"""
+
 QUERIES = {
     "rouge_n": rouge_n,
     "rouge_n_relational": rouge_n_relational,
     "rouge_sweep": rouge_sweep,
-    "rouge_n_stemmed": rouge_n_stemmed,  # rows-only: no stemmer in DuckDB
+    "rouge_n_stemmed": rouge_n_stemmed,  # gated: Porter compiled to SQL
+    "rouge_sweep_stemmed": rouge_sweep_stemmed,
     "rouge_l": rouge_l,  # rows-only: LCS is not SQL-expressible
 }
