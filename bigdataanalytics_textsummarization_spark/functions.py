@@ -107,6 +107,161 @@ def lemma_sql(expr: str) -> str:
     )
 
 
+# --- WordNet-parity noun lemmatizer (F6) -----------------------------------
+# The reference lemmatizes with NLTK's WordNetLemmatizer().lemmatize(w)
+# (BigdataProjectCode.py:51/68/362/366), i.e. WordNet morphy in noun mode:
+# exception-list lookup, then ordered suffix-detachment rules, with
+# candidates validated against the WordNet lemma index.  The container has
+# no WordNet data, so this reproduces: (a) the common irregulars from the
+# public noun.exc list, and (b) the published noun detachment rules
+# ("s"->"", "ses"->"s", "xes"->"x", "zes"->"z", "ches"->"ch", "shes"->"sh",
+# "men"->"man", "ies"->"y"), with the index-membership check replaced by a
+# sibilant-aware rule order (boxes->box, classes->class, houses->house).
+# Divergences from full WordNet are only possible for words whose correct
+# base is neither rule-derivable nor in the exception subset.
+_NOUN_EXC = {
+    # -en / vowel-change irregulars
+    "children": "child", "oxen": "ox", "brethren": "brother",
+    "men": "man", "women": "woman",
+    "feet": "foot", "teeth": "tooth", "geese": "goose", "mice": "mouse",
+    "lice": "louse", "dice": "die", "pence": "penny",
+    # -a Greek/Latin neuter plurals
+    "criteria": "criterion", "phenomena": "phenomenon", "data": "datum",
+    "bacteria": "bacterium", "curricula": "curriculum", "media": "medium",
+    "memoranda": "memorandum", "millennia": "millennium",
+    "spectra": "spectrum", "strata": "stratum", "symposia": "symposium",
+    "addenda": "addendum", "errata": "erratum", "genera": "genus",
+    "corpora": "corpus", "quanta": "quantum", "maxima": "maximum",
+    "minima": "minimum", "optima": "optimum", "desiderata": "desideratum",
+    # -i Latin plurals
+    "alumni": "alumnus", "fungi": "fungus", "nuclei": "nucleus",
+    "radii": "radius", "stimuli": "stimulus", "syllabi": "syllabus",
+    "cacti": "cactus", "foci": "focus", "loci": "locus",
+    "termini": "terminus",
+    # -ices
+    "indices": "index", "appendices": "appendix", "matrices": "matrix",
+    "vertices": "vertex", "vortices": "vortex", "apices": "apex",
+    "codices": "codex", "helices": "helix",
+    # -es Greek -is plurals
+    "analyses": "analysis", "bases": "basis", "crises": "crisis",
+    "theses": "thesis", "hypotheses": "hypothesis", "axes": "ax",
+    "diagnoses": "diagnosis", "oases": "oasis", "ellipses": "ellipse",
+    "parentheses": "parenthesis", "synopses": "synopsis",
+    "emphases": "emphasis", "neuroses": "neurosis", "psychoses": "psychosis",
+    "prognoses": "prognosis", "syntheses": "synthesis",
+    # -ves plurals (noun.exc, not rule-derivable)
+    "calves": "calf", "elves": "elf", "halves": "half", "hooves": "hoof",
+    "knives": "knife", "leaves": "leaf", "lives": "life", "loaves": "loaf",
+    "scarves": "scarf", "selves": "self", "sheaves": "sheaf",
+    "shelves": "shelf", "thieves": "thief", "wives": "wife",
+    "wolves": "wolf", "dwarves": "dwarf", "wharves": "wharf",
+    # -oes and other index-dependent cases
+    "potatoes": "potato", "tomatoes": "tomato", "heroes": "hero",
+    "echoes": "echo", "torpedoes": "torpedo", "vetoes": "veto",
+    "mosquitoes": "mosquito", "volcanoes": "volcano", "buses": "bus",
+    "busses": "bus", "gases": "gas", "gasses": "gas", "lenses": "lens",
+    "atlases": "atlas", "aliases": "alias", "biases": "bias",
+    "canvases": "canvas", "censuses": "census", "viruses": "virus",
+    "bonuses": "bonus", "campuses": "campus", "choruses": "chorus",
+    "circuses": "circus", "statuses": "status", "surpluses": "surplus",
+    # identity entries: the men->man rule must not fire
+    "amen": "amen", "omen": "omen", "semen": "semen", "lumen": "lumen",
+    "abdomen": "abdomen", "acumen": "acumen", "albumen": "albumen",
+    "regimen": "regimen", "specimen": "specimen", "hymen": "hymen",
+    # s-rule must not fire (singular nouns ending in vowel+s handled by
+    # the us/ss guards; these end otherwise)
+    "series": "series", "species": "species", "news": "news",
+    "physics": "physics", "mathematics": "mathematics",
+    "economics": "economics", "politics": "politics",
+    "analytics": "analytics", "statistics": "statistics",
+    "athletics": "athletics", "ethics": "ethics", "linguistics":
+    "linguistics", "measles": "measles", "diabetes": "diabetes",
+    "rabies": "rabies", "molasses": "molasses", "shambles": "shambles",
+}
+
+
+def lemmatize_noun(w: str) -> str:
+    """Pure-Python WordNet-parity noun lemmatizer (spec for the twins)."""
+    hit = _NOUN_EXC.get(w)
+    if hit is not None:
+        return hit
+    if w.endswith("ies") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith(("ches", "shes", "sses", "xes", "zes")):
+        return w[:-2]
+    if w.endswith("men") and len(w) > 3:
+        return w[:-3] + "man"
+    if w.endswith("ses"):
+        return w[:-1]
+    if (
+        w.endswith("s")
+        and not w.endswith(("ss", "us", "is"))
+        and len(w) > 3
+    ):
+        return w[:-1]
+    return w
+
+
+def lemma_wordnet(col: Column) -> Column:
+    """WordNet-parity lemmatizer as a pure Catalyst expression.
+
+    Exceptions resolve through a broadcast map literal, rules through a
+    CASE chain — all JVM-side (SURVEY §2.7 F6 sketched a pandas_udf; an
+    expression does the same work with no Python worker round-trip).
+    """
+    exc = F.create_map(
+        *[F.lit(x) for kv in _NOUN_EXC.items() for x in kv]
+    )
+    rules = (
+        F.when(
+            col.rlike("ies$") & (F.length(col) > 4),
+            F.regexp_replace(col, "ies$", "y"),
+        )
+        .when(
+            col.rlike("(ches|shes|sses|xes|zes)$"),
+            F.substring(col, F.lit(1), F.length(col) - 2),
+        )
+        .when(
+            col.rlike("men$") & (F.length(col) > 3),
+            F.concat(
+                F.substring(col, F.lit(1), F.length(col) - 3), F.lit("man")
+            ),
+        )
+        .when(
+            col.rlike("ses$"),
+            F.substring(col, F.lit(1), F.length(col) - 1),
+        )
+        .when(
+            col.rlike("[^su]s$") & ~col.rlike("is$") & (F.length(col) > 3),
+            F.substring(col, F.lit(1), F.length(col) - 1),
+        )
+        .otherwise(col)
+    )
+    return F.coalesce(F.element_at(exc, col), rules)
+
+
+def lemma_wordnet_sql(expr: str) -> str:
+    """DuckDB expression computing exactly lemma_wordnet(expr)."""
+    exc_whens = " ".join(
+        f"WHEN {expr} = '{k}' THEN '{v}'" for k, v in _NOUN_EXC.items()
+    )
+    return (
+        f"(CASE {exc_whens} "
+        f"WHEN regexp_matches({expr}, 'ies$') AND length({expr}) > 4 "
+        f"THEN regexp_replace({expr}, 'ies$', 'y') "
+        f"WHEN regexp_matches({expr}, '(ches|shes|sses|xes|zes)$') "
+        f"THEN substr({expr}, 1, length({expr}) - 2) "
+        f"WHEN regexp_matches({expr}, 'men$') AND length({expr}) > 3 "
+        f"THEN substr({expr}, 1, length({expr}) - 3) || 'man' "
+        f"WHEN regexp_matches({expr}, 'ses$') "
+        f"THEN substr({expr}, 1, length({expr}) - 1) "
+        f"WHEN regexp_matches({expr}, '[^su]s$') "
+        f"AND NOT regexp_matches({expr}, 'is$') AND length({expr}) > 3 "
+        f"THEN substr({expr}, 1, length({expr}) - 1) "
+        f"ELSE {expr} END)"
+    )
+
+
 def r6(col: Column) -> Column:
     """Round a double to 6 dp — the cross-engine float-compare contract."""
     return F.round(col.cast("double"), 6)

@@ -170,12 +170,19 @@ def _rouge_n_arrow(
     6th decimal are impossible for ratios of small integers, so Python and
     SQL rounding agree), which the shared oracle SQL re-checks each round.
     """
+    return rouge_n_from(_pairs(spark, sf_dir), stemmed=stemmed)
+
+
+def rouge_n_from(pairs: DataFrame, stemmed: bool = False) -> DataFrame:
+    """Score any (pair_id, cand_text, ref_text) frame with the Arrow
+    kernel; pair_id may be any type (it is passed through unchanged)."""
     import re
 
     from collections import Counter
 
-    pairs = _pairs(spark, sf_dir)
     use_stem = stemmed
+    key_field = pairs.schema["pair_id"]
+    out_schema = T.StructType([key_field] + _ROUGE_N_SCHEMA.fields[1:])
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tok = re.compile(r"[a-z0-9]+")
@@ -192,7 +199,7 @@ def _rouge_n_arrow(
                 pdf["pair_id"], pdf["cand_text"], pdf["ref_text"]
             ):
                 a, b = toks(cand), toks(ref)
-                row: list = [int(pid)]
+                row: list = [pid]
                 for n in (1, 2):
                     ga = (
                         [" ".join(a[i : i + n]) for i in range(len(a) - n + 1)]
@@ -213,9 +220,9 @@ def _rouge_n_arrow(
                     f = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
                     row += [m, round(p, 6), round(r, 6), round(f, 6)]
                 rows.append(tuple(row))
-            yield pd.DataFrame(rows, columns=[f.name for f in _ROUGE_N_SCHEMA])
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
-    return pairs.mapInPandas(score, schema=_ROUGE_N_SCHEMA)
+    return pairs.mapInPandas(score, schema=out_schema)
 
 
 def _rouge_multi_n(

@@ -26,7 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions import STOPWORDS, STOPWORDS_SQL, lemma_light, lemma_sql, r6
+from .functions import (
+    STOPWORDS,
+    STOPWORDS_SQL,
+    lemma_light,
+    lemma_sql,
+    lemma_wordnet,
+    lemma_wordnet_sql,
+    r6,
+)
 from .io import load_table
 
 # ---------------------------------------------------------------------------
@@ -82,9 +90,19 @@ def _space_words(col: str) -> F.Column:
 
 
 def _tokenize(
-    sent: DataFrame, min_words: int, max_words: int | None, min_raw_len: int
+    sent: DataFrame,
+    min_words: int,
+    max_words: int | None,
+    min_raw_len: int,
+    lemma=lemma_light,
 ) -> DataFrame:
-    """Shared tokenizer: alpha regex -> raw-length + stopword filter -> lemma."""
+    """Shared tokenizer: alpha regex -> raw-length + stopword filter -> lemma.
+
+    ``lemma`` selects the normalization: ``lemma_light`` (regular-plural
+    rules, the SQL-twin default) or ``lemma_wordnet`` (WordNet-parity
+    exceptions + morphy detachment rules — the reference's
+    WordNetLemmatizer semantics, code:51/68).
+    """
     cond = _space_words("sentence") >= F.lit(min_words)
     if max_words is not None:
         cond = (_space_words("sentence") > F.lit(min_words)) & (
@@ -106,7 +124,7 @@ def _tokenize(
             "sentence_id",
             "doc_id",
             "source",
-            lemma_light(F.col("lw")).alias("word"),
+            lemma(F.col("lw")).alias("word"),
         )
     )
 
@@ -116,14 +134,14 @@ def lsa_sentences_from(sent: DataFrame) -> DataFrame:
     return sent.filter(_space_words("sentence") >= 5)
 
 
-def tokens_lsa_from(sent: DataFrame) -> DataFrame:
+def tokens_lsa_from(sent: DataFrame, lemma=lemma_light) -> DataFrame:
     """LSA-mode token stream from any sentences frame."""
-    return _tokenize(sent, 5, None, 3)
+    return _tokenize(sent, 5, None, 3, lemma=lemma)
 
 
-def tokens_textrank_from(sent: DataFrame) -> DataFrame:
+def tokens_textrank_from(sent: DataFrame, lemma=lemma_light) -> DataFrame:
     """TextRank-mode token stream from any sentences frame."""
-    return _tokenize(sent, 10, 30, 4)
+    return _tokenize(sent, 10, 30, 4, lemma=lemma)
 
 
 def lsa_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,6 +156,14 @@ def tokens_lsa(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tokens_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank-mode token stream: band filter 10<words<30, raw len > 3."""
     return tokens_textrank_from(sentences(spark, sf_dir))
+
+
+def tokens_wordnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSA-mode token stream under the WordNet-parity lemmatizer (F6) —
+    the reference's WordNetLemmatizer semantics (code:51/68): irregular
+    nouns resolve through the exception map (children->child), sibilant
+    plurals through the detachment rules (boxes->box)."""
+    return tokens_lsa_from(sentences(spark, sf_dir), lemma=lemma_wordnet)
 
 
 def term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -314,6 +340,18 @@ SELECT sentence_id, doc_id, source, word FROM tok
 WITH {SENTENCES_CTE}, {TR_SENT_CTE}, {TOKENS_TR_CTE}
 SELECT sentence_id, doc_id, source, word FROM trtok
 """,
+    "tokens_wordnet": f"""
+WITH {SENTENCES_CTE}, {LSA_SENT_CTE},
+wtok_raw AS (
+  SELECT sentence_id, doc_id, source,
+         unnest(regexp_extract_all(sentence, '[A-Za-z]+')) AS raw
+  FROM lsa_sent
+)
+SELECT sentence_id, doc_id, source,
+       {lemma_wordnet_sql('lower(raw)')} AS word
+FROM wtok_raw
+WHERE length(raw) >= 3 AND lower(raw) NOT IN {STOPWORDS_SQL}
+""",
     "term_stats": f"""
 WITH {SENTENCES_CTE}, {LSA_SENT_CTE}, {TOKENS_LSA_CTE},
 n AS (SELECT source, cast(count(DISTINCT sentence_id) AS double) AS n_sentences
@@ -372,6 +410,7 @@ QUERIES = {
     "sentences": sentences,
     "tokens_lsa": tokens_lsa,
     "tokens_textrank": tokens_textrank,
+    "tokens_wordnet": tokens_wordnet,
     "term_stats": term_stats,
     "tf_map": tf_map,
     "vocabulary": vocabulary,

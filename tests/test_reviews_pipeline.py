@@ -17,34 +17,51 @@ from bigdataanalytics_textsummarization_spark.io import read_reviews_tsv
 
 HEADER = "review_id\tproduct_title\tstar_rating\tvine\tverified_purchase\treview_body"
 
-WORDS = [
-    "battery", "screen", "camera", "quality", "excellent", "terrible",
-    "shipping", "arrived", "quickly", "broken", "replacement", "support",
-    "works", "great", "product", "using", "months", "still", "perfect",
-    "display", "bright", "colors", "sound", "volume", "speaker",
+TOPIC = [
+    "battery", "screen", "camera", "quality", "display", "speaker",
+    "shipping", "delivery", "packaging", "warranty", "excellent", "perfect",
 ]
 
+# Real review corpora have a few "hub" sentences carrying the product's
+# core vocabulary and many tail sentences that mostly share words with the
+# hubs — that skew is what puts the reference's top-5 TextRank ranks in
+# the ~1.0-1.5 band (pdf p.4 Fig-2) despite the 0.15 init and 5 iterations
+# (a uniform similarity graph saturates near 0.62-0.70).  Five hubs of
+# decreasing topic-word count give descending ranks; tail filler words are
+# globally unique ALPHABETIC strings (digits would be split off by the
+# [A-Za-z]+ tokenizer, accidentally creating shared tokens).
+_HUB_SIZES = (10, 9, 8, 7, 6)
 
-def _review_body(seed: int) -> str:
-    # 3 sentences of 12-16 words each => passes both pipelines' length bands
-    sents = []
-    for s in range(3):
-        n = 12 + (seed + s) % 5
-        sents.append(
-            " ".join(WORDS[(seed * 7 + s * 3 + i) % len(WORDS)] for i in range(n))
-        )
-    return ". ".join(sents) + "."
+
+def _uniq_words():
+    import itertools
+
+    for tup in itertools.product("abcdefghijklmnopqrstuvwxyz", repeat=4):
+        yield "zq" + "".join(tup)
 
 
 @pytest.fixture(scope="module")
 def reviews_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("reviews")
+    gen = _uniq_words()
     for p in range(3):
         lines = [HEADER]
         for r in range(12):
-            rid = f"R{p}_{r}"
+            sents = []
+            for s in range(3):
+                gi = r * 3 + s
+                if gi < len(_HUB_SIZES):
+                    ht = _HUB_SIZES[gi]
+                    ws = [TOPIC[(p + i) % len(TOPIC)] for i in range(ht)]
+                    ws += [next(gen) for _ in range(12 - ht)]
+                else:
+                    ws = [TOPIC[(p + (gi % 4) + i) % len(TOPIC)] for i in range(2)]
+                    ws += [next(gen) for _ in range(10)]
+                sents.append(" ".join(ws))
             lines.append(
-                f"{rid}\tProduct {p}\t{1 + (r % 5)}\tN\tY\t{_review_body(p * 12 + r)}"
+                f"R{p}_{r}\tProduct {p}\t{1 + (r % 5)}\tN\tY\t"
+                + ". ".join(sents)
+                + "."
             )
         (d / f"B00000000{p}.txt").write_text("\n".join(lines) + "\n")
     return str(d)
@@ -113,3 +130,40 @@ def test_pipelines_deterministic(spark, reviews_dir):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_reference_quality_shape(spark, reviews_dir):
+    """§6 / pdf p.4 Fig-2 reproduction on a review-shaped fixture:
+
+    - TextRank top-5 ranks land in the reference's ~1.0-1.5 band,
+      strictly descending per product (Fig-2 prints 1.42/1.29/1.15/
+      1.09/1.04 for B0035PBHX6 — same init 0.15, d=0.85, 5 iters);
+    - LSA emits 5 concepts x 3 sentences per product;
+    - the per-product ROUGE sweep yields a bounded mean per product.
+    """
+    tr = rv.textrank_review_summary(spark, reviews_dir).toPandas()
+    for src, grp in tr.groupby("source"):
+        grp = grp.sort_values("rk")
+        assert len(grp) == 5, src
+        ranks = list(grp["rank"])
+        # Fig-2's band: top-5 ranks a little above 1.0, below 1.5,
+        # decaying toward the tail (hub skew, not normalization)
+        assert all(1.0 <= r <= 1.5 for r in ranks), (src, ranks)
+        assert all(a >= b for a, b in zip(ranks, ranks[1:])), (src, ranks)
+        assert ranks[0] > ranks[-1], (src, ranks)
+
+    lsa = rv.lsa_review_summary(spark, reviews_dir).toPandas()
+    sent_rows = lsa[lsa["kind"] == "sentence"]
+    for src, grp in sent_rows.groupby("source"):
+        assert sorted(grp["concept"].unique()) == [0, 1, 2, 3, 4], src
+        assert (grp.groupby("concept").size() == 3).all(), src
+        assert grp["sentence"].notna().all(), src
+
+    sweep = rv.review_rouge_sweep(spark, reviews_dir).toPandas()
+    assert len(sweep) == 3  # one mean row per product
+    for col in ["rouge1_f", "rouge2_f"]:
+        assert ((sweep[col] >= 0) & (sweep[col] <= 1)).all()
+    # the two summaries draw from the same sentence pool, so unigram
+    # overlap must be substantial (degenerate zero overlap would mean a
+    # broken pipeline, not a quality property)
+    assert (sweep["rouge1_f"] > 0.2).all()
