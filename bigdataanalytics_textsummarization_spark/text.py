@@ -181,11 +181,17 @@ def term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n_sentences")
     )
     # One tokenization pass: tf is the base aggregation, df re-aggregates it
-    # (each (sentence_id, word) appears once in tf, so df = count(*)).  The
-    # shared shuffle is computed once via Spark's exchange reuse.
+    # (each (sentence_id, word) appears once in tf, so df = count(*)).
+    # Persisted explicitly: exchange reuse does NOT fire here — the
+    # optimizer folds the df branch's two stacked aggregations into one,
+    # so the subtrees stop matching and the scan+explode+shuffle pipeline
+    # runs once per branch (measured 6 scans / 10 explodes in the physical
+    # plan at sf0.1).  The persist pins the diamond to a single
+    # tokenization at the cost of caching one row per (sentence, word) —
+    # the same trade a 100 TB run wants, spilling via MEMORY_AND_DISK.
     tf = toks.groupBy("source", "sentence_id", "word").agg(
         F.count("*").cast("long").alias("tf")
-    )
+    ).persist()
     df = tf.groupBy("source", "word").agg(
         F.count("*").cast("long").alias("df")
     )
@@ -257,11 +263,13 @@ def top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n_sentences")
     )
     # Single tokenization pass: aggregate once at sentence granularity, then
-    # derive both df (distinct sentences per word) and per-doc tf from that
-    # shared shuffle (exchange reuse — tokenization is not recomputed).
+    # derive both df (distinct sentences per word) and per-doc tf from it.
+    # Persisted for the same reason as term_stats' tf: the stacked
+    # aggregations in each branch collapse differently, exchange reuse
+    # never fires, and without the pin the tokenization runs per branch.
     base = toks.groupBy("source", "doc_id", "sentence_id", "word").agg(
         F.count("*").alias("cnt")
-    )
+    ).persist()
     df = base.groupBy("source", "word").agg(F.count("*").alias("df"))
     tf_doc = base.groupBy("source", "doc_id", "word").agg(
         F.sum("cnt").alias("tf")
