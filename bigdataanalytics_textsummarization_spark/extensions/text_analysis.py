@@ -230,7 +230,187 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText rules):
+    duplicate fraction of unigrams, bigrams, and trigrams per document.
+
+    High duplicate-n-gram fractions flag boilerplate, templated spam, and
+    decoding loops — the standard reason a document is dropped from a
+    training mix.  Everything is row-local array math (split ->
+    array_distinct / positional transform), so at 100 TB this is a pure
+    zero-shuffle projection over the scan, like the other quality scores.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.lower("text"), " ", -1).alias("w")
+    )
+
+    def grams(n: int):
+        if n == 1:
+            return F.col("w")
+        return F.when(
+            F.size("w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("w", i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    staged = base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        grams(1).alias("g1"),
+        grams(2).alias("g2"),
+        grams(3).alias("g3"),
+    )
+
+    def dup_frac(col: str):
+        return F.when(
+            F.size(col) > 0,
+            1.0 - F.size(F.array_distinct(col)) / F.size(col),
+        ).otherwise(F.lit(0.0))
+
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        r6(dup_frac("g1")).alias("dup_unigram_frac"),
+        r6(dup_frac("g2")).alias("dup_bigram_frac"),
+        r6(dup_frac("g3")).alias("dup_trigram_frac"),
+    )
+
+
+# Redaction patterns kept to syntax both Java regex (Spark) and RE2
+# (DuckDB) interpret identically: plain char classes, no backrefs.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_URL = "https?://[^ ]+"
+PII_DIGITS = "[0-9]{7,}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and mask emails, URLs, and long digit
+    runs (phone/account-number shaped) per document.
+
+    The hygiene gate of a training-data pipeline — runs as one projection
+    (regexp_count + three chained regexp_replace), zero shuffle at any
+    scale.  The synthetic corpus is clean, so counts are zero here; the
+    masking behavior itself is pinned on adversarial strings in
+    tests/test_text_quality.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_URL,
+            "<URL>",
+        ),
+        PII_DIGITS,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_URL)).cast("long").alias("n_urls"),
+        F.regexp_count(F.col("text"), F.lit(PII_DIGITS)).cast("long").alias("n_digit_runs"),
+        clean.alias("clean_text"),
+    )
+
+
+TOPK_NGRAMS = 20
+
+
+def topk_ngrams(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Corpus-wide top-k n-grams — the LM-data composition report.
+
+    One positional explode (no window over raw tokens), one shuffle on the
+    gram key with map-side partial counts, then a deterministic top-k
+    (count desc, gram asc).  At 100 TB the gram-key aggregate is the only
+    shuffle and is the textbook combiner-friendly one.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.lower("text"), " ", -1)
+    grams = (
+        docs.select(arr.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at("w", i + j) for j in range(n)]
+                    ),
+                )
+            ).alias("gram")
+        )
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOPK_NGRAMS)
+        .select("rk", "gram", "n")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "doc_repetition": """
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+staged AS (
+  SELECT doc_id, w,
+    CASE WHEN len(w) >= 2 THEN
+      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+    ELSE [] END AS g2,
+    CASE WHEN len(w) >= 3 THEN
+      list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [] END AS g3
+  FROM base
+)
+SELECT doc_id,
+  cast(len(w) AS bigint) AS n_tokens,
+  round(CASE WHEN len(w) > 0
+        THEN 1.0 - len(list_distinct(w)) * 1.0 / len(w) ELSE 0 END, 6)
+    AS dup_unigram_frac,
+  round(CASE WHEN len(g2) > 0
+        THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) ELSE 0 END, 6)
+    AS dup_bigram_frac,
+  round(CASE WHEN len(g3) > 0
+        THEN 1.0 - len(list_distinct(g3)) * 1.0 / len(g3) ELSE 0 END, 6)
+    AS dup_trigram_frac
+FROM staged
+""",
+    "pii_scrub": f"""
+SELECT doc_id,
+  cast(len(regexp_extract_all(text, '{PII_EMAIL}')) AS bigint) AS n_emails,
+  cast(len(regexp_extract_all(text, '{PII_URL}')) AS bigint) AS n_urls,
+  cast(len(regexp_extract_all(text, '{PII_DIGITS}')) AS bigint) AS n_digit_runs,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+      '{PII_URL}', '<URL>', 'g'),
+    '{PII_DIGITS}', '<NUM>', 'g') AS clean_text
+FROM documents
+""",
+    "topk_ngrams": f"""
+WITH words AS (
+  SELECT doc_id AS d, unnest(string_split(lower(text), ' ')) AS w,
+         unnest(range(len(string_split(lower(text), ' ')))) AS pos
+  FROM documents
+),
+grams AS (
+  SELECT w || ' ' || lead(w, 1) OVER (PARTITION BY d ORDER BY pos)
+         || ' ' || lead(w, 2) OVER (PARTITION BY d ORDER BY pos) AS gram
+  FROM words
+  QUALIFY lead(w, 2) OVER (PARTITION BY d ORDER BY pos) IS NOT NULL
+),
+counts AS (SELECT gram, cast(count(*) AS bigint) AS n FROM grams GROUP BY gram)
+SELECT cast(row_number() OVER (ORDER BY n DESC, gram ASC) AS bigint) AS rk,
+       gram, n
+FROM counts
+QUALIFY rk <= {TOPK_NGRAMS}
+""",
     "bigram_lm": """
 WITH words AS (
   SELECT doc_id AS doc_row, unnest(string_split(lower(text), ' ')) AS w,
@@ -332,4 +512,7 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
     "train_test_split": train_test_split,
     "bigram_lm": bigram_lm,
+    "doc_repetition": doc_repetition,
+    "pii_scrub": pii_scrub,
+    "topk_ngrams": topk_ngrams,
 }
