@@ -249,6 +249,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only driver check (the trained quantizer is not SQL-replicable);
     recall vs the brute-force truth is pinned in tests/test_ann_recall.py.
     """
+    corpus, centers, nprobe_eff = _ivf_fit(spark, sf_dir)
+    q = corpus.filter(F.col("vec_id") < N_QUERIES)
+    return _ivf_search(corpus, centers, q, nprobe_eff)
+
+
+def _ivf_fit(spark: SparkSession, sf_dir: str):
+    """Train the coarse quantizer; return (corpus-with-cells, centers,
+    effective nprobe)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -281,7 +289,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
         ["cell", "center"],
     ).select(F.col("cell").cast("long").alias("cell"), "center")
-    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+    return corpus, centers, nprobe_eff
+
+
+def _ivf_search(
+    corpus: DataFrame, centers: DataFrame, queries: DataFrame, nprobe_eff: int
+) -> DataFrame:
+    """Multi-probe search of a cell-assigned corpus.
+
+    ``queries`` is any (vec_id, e, nrm) frame; candidate generation is a
+    broadcast equi-join on the cell id, so when ``corpus`` is the on-disk
+    index partitioned by cell (``build_ivf_index``), dynamic partition
+    pruning drops every unprobed cell directory before IO.
+    """
+    q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),
@@ -327,6 +348,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("sim_raw")).alias("cosine"),
         )
     )
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> int:
+    """Materialize the IVF inverted file on disk: the corpus partitioned
+    BY CELL, plus the centroid table.
+
+    This is what "the cell is a partition column at 100 TB" means
+    concretely: one directory per cell, so a search touches only its
+    nprobe directories — the other K-nprobe cells are pruned before any
+    IO happens (asserted on the plan in tests/test_ann_recall.py).
+    Returns the effective nprobe for searches against this index.
+    """
+    corpus, centers, nprobe_eff = _ivf_fit(spark, sf_dir)
+    corpus.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_path}/corpus"
+    )
+    centers.write.mode("overwrite").parquet(f"{index_path}/centers")
+    return nprobe_eff
+
+
+def ann_ivf_search_indexed(
+    spark: SparkSession, index_path: str, queries: DataFrame, nprobe_eff: int
+) -> DataFrame:
+    """Search the on-disk IVF index: scan is a partitioned parquet source,
+    candidate generation a broadcast join on the partition column — Spark
+    injects a dynamic-partition-pruning subquery into the scan, so only
+    probed cell directories are read."""
+    corpus = spark.read.parquet(f"{index_path}/corpus").select(
+        "vec_id", "e", "nrm", F.col("cell").cast("long").alias("cell")
+    )
+    centers = spark.read.parquet(f"{index_path}/centers")
+    return _ivf_search(corpus, centers, queries, nprobe_eff)
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -95,3 +95,47 @@ def test_ivf_ann_recall_at_gate_scale(spark):
     ]
     avg_recall = sum(recalls) / len(recalls)
     assert avg_recall >= 0.6, f"avg recall {avg_recall:.2f} at sf0.1"
+
+
+def test_ivf_on_disk_index_prunes_partitions(spark, tmp_path):
+    """The inverted file written partitionBy(cell) + a broadcast probe
+    join must plan dynamic partition pruning (unprobed cell directories
+    never read) and return the same neighbors as the in-memory path."""
+    from pyspark.sql import functions as F
+
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        N_QUERIES,
+        _embeddings,
+        _norm,
+        ann_ivf_search_indexed,
+        ann_ivf_topk,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    nprobe_eff = build_ivf_index(spark, SF_DIR, idx)
+    queries = (
+        _embeddings(spark, SF_DIR)
+        .withColumn("nrm", _norm(F.col("e")))
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "e", "nrm")
+    )
+    res = ann_ivf_search_indexed(spark, idx, queries, nprobe_eff)
+
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in plan.lower(), "no DPP on the cell scan"
+
+    got = res.toPandas().sort_values(["query_id", "rk"]).reset_index(drop=True)
+    want = (
+        ann_ivf_topk(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["query_id", "rk"])
+        .reset_index(drop=True)
+    )
+    assert got[["query_id", "rk", "neighbor_id"]].equals(
+        want[["query_id", "rk", "neighbor_id"]]
+    )

@@ -204,3 +204,23 @@ def test_view_click_pairs_joins_on_user_equi_key(spark):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_hygiene_ops_are_zero_shuffle_projections(spark):
+    """doc_repetition and pii_scrub promise pure projections over the scan
+    — no Exchange may appear (the repartition widening of tiny local
+    files excepted: assert no *hash/range* partitioning)."""
+    for name in ("doc_repetition", "pii_scrub"):
+        plan = _plan(spark, name)
+        assert "hashpartitioning" not in plan, name
+        assert "rangepartitioning" not in plan, name
+        assert "SortAggregate" not in plan and "HashAggregate" not in plan, name
+
+
+def test_topk_ngrams_single_aggregate_shuffle(spark):
+    """One gram-key aggregation (with map-side partial) feeding the top-k
+    window; no second hash shuffle of the raw token stream."""
+    plan = _plan(spark, "topk_ngrams")
+    assert plan.count("hashpartitioning(gram") <= 1
+    # partial + final aggregate pair present (combiner-friendly shape)
+    assert plan.count("HashAggregate") >= 2
