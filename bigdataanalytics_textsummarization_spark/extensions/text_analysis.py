@@ -8,6 +8,8 @@ the values exactly.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -353,6 +355,42 @@ def topk_ngrams(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     )
 
 
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the classic redundancy
+    signal (templated/boilerplate text compresses far below natural
+    prose; near-random text compresses above it).
+
+    An Arrow-batched ``mapInPandas`` kernel (zlib is not expressible in
+    SQL): one linear pass per document, no shuffle, embarrassingly
+    distributed.  Rows-only driver check; the ratio definition
+    (compressed/raw bytes at level 6) is pinned against direct zlib in
+    tests/test_text_quality.py.
+    """
+    import zlib
+    from collections.abc import Iterator as _It
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = (
+        "doc_id long, raw_bytes long, zlib_bytes long, compression_ratio double"
+    )
+
+    def kernel(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            rb = raw.str.len()
+            zb = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": rb,
+                    "zlib_bytes": zb,
+                    "compression_ratio": (zb / rb.clip(lower=1)).round(6),
+                }
+            )
+
+    return docs.mapInPandas(kernel, schema=schema)
+
+
 ORACLES: dict[str, str] = {
     "doc_repetition": """
 WITH base AS (
@@ -515,4 +553,5 @@ QUERIES = {
     "doc_repetition": doc_repetition,
     "pii_scrub": pii_scrub,
     "topk_ngrams": topk_ngrams,
+    "compression_ratio": compression_ratio,  # rows-only: zlib is not SQL
 }

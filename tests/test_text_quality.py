@@ -106,3 +106,28 @@ def test_doc_repetition_extremes(spark):
     # trigram dup <= bigram dup <= unigram dup is the usual ordering on
     # natural-ish text; don't assert strictly, but unigram must dominate
     assert (pdf["dup_unigram_frac"] >= pdf["dup_trigram_frac"] - 1e-9).all()
+
+
+def test_compression_ratio_pinned_to_zlib(spark):
+    import zlib
+
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        compression_ratio,
+    )
+    from bigdataanalytics_textsummarization_spark.io import load_table
+
+    pdf = compression_ratio(spark, "/root/testdata/sf0.001").toPandas()
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).toPandas()
+    truth = {
+        r.doc_id: len(zlib.compress(r.text.encode("utf-8"), 6))
+        for r in docs.itertuples()
+    }
+    assert len(pdf) == len(docs)
+    for r in pdf.itertuples():
+        assert r.zlib_bytes == truth[r.doc_id]
+        assert 0 < r.compression_ratio <= 1.5
+    # redundancy ordering: repeated text compresses below distinct text
+    rep = len(zlib.compress(b"spam " * 200, 6)) / 1000
+    assert rep < 0.1
