@@ -391,7 +391,58 @@ def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(kernel, schema=schema)
 
 
+PACK_CTX = 512
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM sequence packing: documents concatenated in stable order and cut
+    into fixed ``PACK_CTX``-token context windows — every document mapped
+    to its absolute token span and the pack(s) it lands in.
+
+    The final assembly step of a training-data pipeline (docs flow
+    continuously; a document may straddle a pack boundary, exactly like
+    real LM packing).  Packing runs PER SOURCE corpus: the window
+    partitions on source, so at 100 TB no global single-partition sort
+    exists — each corpus packs independently and in parallel, and the
+    pack id is deterministic from (source, doc order) alone.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return toks.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_tok"),
+        (cum - 1).alias("end_tok"),
+        F.floor((cum - F.col("n_tokens")) / PACK_CTX).cast("long").alias("start_pack"),
+        F.floor((cum - 1) / PACK_CTX).cast("long").alias("end_pack"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "pack_sequences": f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         cast(len(string_split(text, ' ')) AS bigint) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS c
+  FROM toks
+)
+SELECT source, doc_id, n_tokens,
+       c - n_tokens AS start_tok,
+       c - 1 AS end_tok,
+       cast(floor((c - n_tokens) * 1.0 / {PACK_CTX}) AS bigint) AS start_pack,
+       cast(floor((c - 1) * 1.0 / {PACK_CTX}) AS bigint) AS end_pack
+FROM cum
+""",
     "doc_repetition": """
 WITH base AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
@@ -554,4 +605,5 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "topk_ngrams": topk_ngrams,
     "compression_ratio": compression_ratio,  # rows-only: zlib is not SQL
+    "pack_sequences": pack_sequences,
 }

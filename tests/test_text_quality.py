@@ -131,3 +131,28 @@ def test_compression_ratio_pinned_to_zlib(spark):
     # redundancy ordering: repeated text compresses below distinct text
     rep = len(zlib.compress(b"spam " * 200, 6)) / 1000
     assert rep < 0.1
+
+
+def test_pack_sequences_invariants(spark):
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        PACK_CTX,
+        pack_sequences,
+    )
+
+    pdf = pack_sequences(spark, "/root/testdata/sf0.001").toPandas()
+    for _, grp in pdf.groupby("source"):
+        grp = grp.sort_values("doc_id").reset_index(drop=True)
+        # spans are contiguous and non-overlapping within a corpus
+        assert (grp["start_tok"].iloc[0]) == 0
+        assert (
+            grp["start_tok"].iloc[1:].values
+            == (grp["end_tok"].iloc[:-1].values + 1)
+        ).all()
+        # pack ids consistent with the spans
+        assert (grp["start_pack"] == grp["start_tok"] // PACK_CTX).all()
+        assert (grp["end_pack"] == grp["end_tok"] // PACK_CTX).all()
+        # a doc never spans more packs than its length requires
+        assert (
+            grp["end_pack"] - grp["start_pack"]
+            <= grp["n_tokens"] // PACK_CTX + 1
+        ).all()
