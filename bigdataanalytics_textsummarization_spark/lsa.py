@@ -197,9 +197,16 @@ def lsa_concepts_distributed(
         .join(F.broadcast(word_ix), "word")
         .select("sidx", "widx", "tfidf")
     )
+    # Partition count sized to the matrix: every Lanczos multiply inside
+    # computeSVD is one job over this RDD, so at gate scale (thousands of
+    # sentences) the fixed per-task overhead of many near-empty partitions
+    # dominates the actual math.  ~20k rows per partition amortizes task
+    # launch; on a real corpus the count grows with the data and the same
+    # expression yields hundreds of partitions.
+    n_parts = max(1, n_sent // 20_000 + 1)
     rows = (
         entries.rdd.map(lambda r: (r["sidx"], (r["widx"], r["tfidf"])))
-        .groupByKey()
+        .groupByKey(numPartitions=n_parts)
         .map(
             lambda kv: IndexedRow(
                 kv[0], Vectors.sparse(n_words, sorted(kv[1]))
