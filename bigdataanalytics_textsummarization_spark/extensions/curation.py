@@ -255,7 +255,7 @@ SELECT CASE WHEN {_SPLIT_EXPR} < 80 THEN 'train'
             WHEN {_SPLIT_EXPR} < 90 THEN 'valid'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS n_tokens
+       cast(sum(len(string_split(text, ' '))) AS bigint) AS n_tokens
 FROM documents
 WHERE doc_id IN (SELECT doc_id FROM kept)
 GROUP BY 1

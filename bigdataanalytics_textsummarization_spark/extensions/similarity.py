@@ -54,6 +54,16 @@ def _norm(col: Column) -> Column:
     return F.sqrt(dot(col, col))
 
 
+def _unit(e: str, nrm: str) -> Column:
+    """Unit-normalized copy of array column ``e``; an all-zero embedding
+    stays the zero vector (0 / eps) instead of going null/NaN."""
+    return F.zip_with(
+        e,
+        F.array_repeat(F.greatest(F.col(nrm), F.lit(1.0e-300)), F.size(e)),
+        lambda a, b: a / b,
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 neighbors for each query vector."""
     emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
@@ -269,12 +279,12 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
         "vec_id",
         "e",
         "nrm",
-        array_to_vector(
-            F.zip_with("e", F.array_repeat("nrm", F.size("e")), lambda a, b: a / b)
-        ).alias("features"),
+        array_to_vector(_unit("e", "nrm")).alias("features"),
     )
     n_vecs = feat.count()
-    k_eff = max(4, min(IVF_CLUSTERS, n_vecs // 16))
+    # clamp by corpus size both ways: MLlib KMeans needs k <= n, and a
+    # tiny corpus shouldn't train IVF_CLUSTERS near-singleton cells
+    k_eff = max(1, min(IVF_CLUSTERS, n_vecs // 16, n_vecs))
     nprobe_eff = max(1, round(k_eff * IVF_NPROBE / IVF_CLUSTERS))
     km = KMeans(
         k=k_eff, seed=IVF_SEED, featuresCol="features",
@@ -307,9 +317,7 @@ def _ivf_search(
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),
         # unit-space copy for probing (centroids live on the unit sphere)
-        F.zip_with(
-            "e", F.array_repeat("nrm", F.size("e")), lambda a, b: a / b
-        ).alias("qu"),
+        _unit("e", "nrm").alias("qu"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.asc("dist2"), F.asc("cell")

@@ -437,8 +437,8 @@ cum AS (
   FROM toks
 )
 SELECT source, doc_id, n_tokens,
-       c - n_tokens AS start_tok,
-       c - 1 AS end_tok,
+       cast(c - n_tokens AS bigint) AS start_tok,
+       cast(c - 1 AS bigint) AS end_tok,
        cast(floor((c - n_tokens) * 1.0 / {PACK_CTX}) AS bigint) AS start_pack,
        cast(floor((c - 1) * 1.0 / {PACK_CTX}) AS bigint) AS end_pack
 FROM cum

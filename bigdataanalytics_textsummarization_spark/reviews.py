@@ -93,13 +93,23 @@ def review_rouge_sweep(spark: SparkSession, path: str, k: int = 5) -> DataFrame:
 
     tr = textrank_review_summary(spark, path, k=k)
     lsa = lsa_review_summary(spark, path)
-    cand = tr.groupBy("source").agg(
-        F.concat_ws(". ", F.collect_list("sentence")).alias("cand_text")
-    )
+    # collect_list order is partitioning-dependent; ROUGE-2 bigrams straddle
+    # sentence-join boundaries, so sort by rank inside the aggregate to keep
+    # the score deterministic across runs
+    def ordered_text(*keys: str) -> Column:
+        return F.concat_ws(
+            ". ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(*keys, "sentence"))),
+                lambda s: s["sentence"],
+            ),
+        )
+
+    cand = tr.groupBy("source").agg(ordered_text("rk").alias("cand_text"))
     ref = (
         lsa.filter(F.col("kind") == "sentence")
         .groupBy("source")
-        .agg(F.concat_ws(". ", F.collect_list("sentence")).alias("ref_text"))
+        .agg(ordered_text("concept", "rk").alias("ref_text"))
     )
     pairs = cand.join(ref, "source").select(
         F.col("source").alias("pair_id"), "cand_text", "ref_text"

@@ -385,7 +385,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "l_orderkey",
         "l_suppkey",
-        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+        # interval arithmetic, not date_add (which truncates TIMESTAMP->DATE),
+        # matching the oracle's `+ INTERVAL 60 DAY` for non-midnight orderdates
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
     )
     per_order = tagged.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_sup"),

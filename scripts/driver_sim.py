@@ -49,14 +49,26 @@ def main() -> int:
         g = g.sort_values(by=list(g.columns), kind="mergesort").reset_index(drop=True)
         w = w.sort_values(by=list(w.columns), kind="mergesort").reset_index(drop=True)
         ok = True
+        dtype_bad = []
         for c in g.columns:
+            # The real driver hashes TYPED values: a DuckDB HUGEINT column red-flags
+            # against Spark BIGINT even when every value is equal (cost a red row in
+            # rounds 1 AND 2). Mirror that: dtypes must agree exactly — except
+            # datetime64 resolution (Spark toPandas gives ns, DuckDB us; the real
+            # driver normalizes: these queries were green in r1/r2).
+            if g[c].dtype != w[c].dtype and not (
+                g[c].dtype.kind == "M" and w[c].dtype.kind == "M"
+            ):
+                dtype_bad.append(f"{c}: spark={g[c].dtype} oracle={w[c].dtype}")
+                ok = False
             if g[c].dtype.kind == "f" or w[c].dtype.kind == "f":
                 if g[c].astype(float).sub(w[c].astype(float)).abs().max() >= 1e-9:
                     ok = False
             elif not (g[c].astype(str).values == w[c].astype(str).values).all():
                 ok = False
         times[name] = time.monotonic() - t0
-        print(f"{name}: {'MATCH' if ok else 'VALUE MISMATCH'} {len(g)} rows  [{times[name]:.2f}s]")
+        verdict = "MATCH" if ok else ("DTYPE MISMATCH " + "; ".join(dtype_bad) if dtype_bad else "VALUE MISMATCH")
+        print(f"{name}: {verdict} {len(g)} rows  [{times[name]:.2f}s]")
         if not ok:
             failed.append(name)
     spark.stop()
