@@ -6,6 +6,10 @@ without driver-side collect overhead) and prints exactly ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3); "queries" holds
+the per-query MEDIAN and "spread" the [min, max], so single-rep scheduler
+noise (measured +/-25% on this box) stops reading as regression.
+
 Defaults: /root/testdata/sf0.1 on local[$SPARK_GRAFT_CPUS or 32].
 """
 
@@ -52,7 +56,15 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_session(app="bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    spark = get_session(
+        app="bench",
+        cpus=cpus,
+        shuffle_partitions=max(cpus, 8),
+        # progress bars would be the only stderr output; without them the
+        # driver's captured "tail" stays empty instead of megabytes of \r
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
 
@@ -76,14 +88,20 @@ def main() -> None:
         sf = -1.0
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,6 +111,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": sf,
             }
         )
