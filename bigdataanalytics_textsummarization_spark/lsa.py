@@ -23,6 +23,8 @@ rows-only oracle + algebraic property tests (tests/test_lsa.py).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -272,10 +274,27 @@ def lsa_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "concept", "rk", "sentence_id", "weight", "sentence")
 
 
-ORACLES: dict[str, str] = {}  # SVD is not SQL-expressible: rows-only checks
+# SVD is not SQL-expressible, but the output IS deterministic (sign-fixed
+# vectors, id-broken ties, round-6 weights — verified identical across
+# sessions), so the value gate reads a committed golden snapshot taken at
+# the driver's gate scale.  Regenerate with scripts/make_golden.py only on
+# an intentional semantic change; the parquet diff is the review surface.
+# (The golden is pinned to sf0.01 — exactly the scale the driver compares
+# at; algebraic property tests in tests/test_lsa.py cover other scales.)
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "golden",
+    "sf0.01",
+)
+
+ORACLES: dict[str, str] = {
+    name: f"SELECT * FROM '{os.path.join(_GOLDEN_DIR, name + '.parquet')}'"
+    for name in ("lsa_concepts", "lsa_summary", "lsa_concepts_distributed")
+}
 
 QUERIES = {
     "lsa_concepts": lsa_concepts,
     "lsa_summary": lsa_summary,
-    "lsa_concepts_distributed": lsa_concepts_distributed,  # rows-only (SVD)
+    "lsa_concepts_distributed": lsa_concepts_distributed,
 }
