@@ -241,6 +241,7 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_CLUSTERS = 64
 IVF_NPROBE = 16
 IVF_SEED = 7
+RECALL_FLOOR = 0.6  # gate for ann_ivf_recall (measured 0.74+ at sf0.1)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,6 +263,29 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, centers, nprobe_eff = _ivf_fit(spark, sf_dir)
     q = corpus.filter(F.col("vec_id") < N_QUERIES)
     return _ivf_search(corpus, centers, q, nprobe_eff)
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the IVF index against brute-force truth, as a
+    driver-gateable determinate fact.
+
+    ``ann_ivf_topk`` itself is rows-only (the trained quantizer is not
+    SQL-replicable), so this companion query closes the loop in the value
+    gate's own terms: it joins the IVF results to the exact top-k and
+    returns ONE row with the query count and a recall >= {RECALL_FLOOR}
+    boolean.  Both facts are determinate regardless of k-means platform
+    variation, so the oracle is a constant — but the row flips red the
+    moment recall drifts below the floor (exact recall values are pinned
+    at two scales in tests/test_ann_recall.py).
+    """
+    truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return truth.join(ivf, ["query_id", "neighbor_id"], "left").agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        (F.sum("hit") / F.count(F.lit(1)) >= RECALL_FLOOR).alias("recall_ok"),
+    )
 
 
 def _ivf_fit(spark: SparkSession, sf_dir: str):
@@ -501,10 +525,18 @@ WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {NEAR_DUP_THRESHOLD}
 # The Arrow matmul path answers to the same SQL specification.
 ORACLES["ann_cosine_topk_arrow"] = ORACLES["ann_cosine_topk"]
 
+# Both facts are platform-determinate (see ann_ivf_recall docstring): the
+# query count is fixed and the boolean only flips if recall drops below
+# the floor — the distinct_sketch determinate-fact pattern.
+ORACLES["ann_ivf_recall"] = (
+    f"SELECT cast({N_QUERIES} AS bigint) AS n_queries, true AS recall_ok"
+)
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_cosine_topk_arrow": ann_cosine_topk_arrow,
     "ann_bucketed_topk": ann_bucketed_topk,
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: trained quantizer
+    "ann_ivf_recall": ann_ivf_recall,
     "embedding_near_dups": embedding_near_dups,
 }
