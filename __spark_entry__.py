@@ -74,6 +74,11 @@ _PRIORITY = [
     "tfidf_topk_mllib",
     "curation_pipeline",
     "pack_sequences",
+    # new this round
+    "doc_perplexity",
+    "substring_dedup",
+    "source_mixture",
+    "semantic_dedup",
 ]
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import STOPWORDS_SQL
+from ..functions import STOPWORDS_SQL, r6
 from ..io import load_table
 from .dedup import (
     CLUSTER_MIN_JACCARD,
@@ -151,6 +151,42 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.5  # temperature exponent for source re-weighting
+MIX_BUDGET = 10_000  # docs per sampling epoch
+
+
+def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing weights (the multilingual-sampling
+    rule of mBERT/XLM-R, applied to corpus sources): raw share p_s is
+    flattened to p_s^alpha and renormalized, so low-resource sources are
+    up-sampled without letting any single giant source dominate an epoch.
+    ``quota`` is the resulting per-source document budget.
+
+    Two scalar aggregates (corpus total, normalizer) ride back on
+    broadcast cross-joins — per-source math stays distributed and the
+    whole plan is two combiner-friendly shuffles of #sources rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    total = per.agg(F.sum("n_docs").cast("double").alias("N"))
+    shared = per.crossJoin(F.broadcast(total)).withColumn(
+        "pa", F.pow(F.col("n_docs") / F.col("N"), F.lit(MIX_ALPHA))
+    )
+    z = shared.agg(F.sum("pa").alias("Z"))
+    return (
+        shared.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            r6(F.col("n_docs") / F.col("N")).alias("p_raw"),
+            r6(F.col("pa") / F.col("Z")).alias("p_mix"),
+            F.round(F.col("pa") / F.col("Z") * MIX_BUDGET)
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+
+
 _SPLIT_EXPR = (
     "cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) "
     "AS ubigint) AS bigint) % 100"
@@ -267,9 +303,28 @@ SELECT doc_id, lang,
        {_BUCKET_SQL} < round(({_RATE_SQL}) * {_SAMPLE_BUCKETS}) AS sampled
 FROM documents
 """,
+    "source_mixture": f"""
+WITH per AS (
+  SELECT source, cast(count(*) AS bigint) AS n_docs FROM documents GROUP BY source
+),
+shared AS (
+  SELECT source, n_docs,
+         n_docs / (SELECT cast(sum(n_docs) AS double) FROM per) AS p,
+         pow(n_docs / (SELECT cast(sum(n_docs) AS double) FROM per),
+             {MIX_ALPHA}) AS pa
+  FROM per
+)
+SELECT source, n_docs,
+       round(p, 6) AS p_raw,
+       round(pa / (SELECT sum(pa) FROM shared), 6) AS p_mix,
+       cast(round(pa / (SELECT sum(pa) FROM shared) * {MIX_BUDGET})
+            AS bigint) AS quota
+FROM shared
+""",
 }
 
 QUERIES = {
     "curation_pipeline": curation_pipeline,
     "stratified_sample": stratified_sample,
+    "source_mixture": source_mixture,
 }

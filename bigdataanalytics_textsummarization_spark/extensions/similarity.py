@@ -448,6 +448,53 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level dedup verdict per vector (the SemDeDup-style filter):
+    a vector is dropped when a LOWER-id near neighbor (cosine >= threshold,
+    same sign-LSH bucket) exists — the lowest id of each near-dup pair is
+    the canonical survivor.
+
+    Edge-greedy, not transitive: in a chain a~b~c with a<b<c, both b and c
+    drop even if c is not near a (the connected-components flavor is
+    ``dedup_clusters``).  The pair generation is exactly the
+    ``embedding_near_dups`` bucketed equi-join, so the verdict column costs
+    one extra left join — no new O(n^2) stage appears at 100 TB.
+    """
+    emb = (
+        _embeddings(spark, sf_dir)
+        .withColumn("nrm", _norm(F.col("e")))
+        .withColumn("bucket", _bucket(F.col("e")))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    dropped = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+            >= NEAR_DUP_THRESHOLD
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return emb.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "label",
+        F.col("__dropped").isNull().alias("kept"),
+    )
+
+
 _EMB_CTE = """
 emb AS (
   SELECT vec_id, label,
@@ -520,6 +567,18 @@ FROM embn a
 JOIN embn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {NEAR_DUP_THRESHOLD}
 """,
+    "semantic_dedup": f"""
+WITH {_EMB_CTE},
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM embn a
+  JOIN embn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {NEAR_DUP_THRESHOLD}
+)
+SELECT e.vec_id, e.label,
+       e.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+FROM emb e
+""",
 }
 
 # The Arrow matmul path answers to the same SQL specification.
@@ -539,4 +598,5 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,  # rows-only: trained quantizer
     "ann_ivf_recall": ann_ivf_recall,
     "embedding_near_dups": embedding_near_dups,
+    "semantic_dedup": semantic_dedup,
 }

@@ -425,7 +425,194 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPL_SMOOTH_K = 0.5  # add-k smoothing for the bigram LM
+SPAN_N = 8  # tokens per cross-document duplicated span
+
+
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy / perplexity under the corpus-trained
+    bigram LM (add-k smoothing) — the CCNet-style quality filter: docs the
+    corpus LM finds surprising are boilerplate, word salad, or wrong-
+    language, and get dropped or down-bucketed in a training mix.
+
+    One tokenization pass: per-doc bigram counts are the base aggregate;
+    the corpus LM (pair and context counts) re-aggregates it, then rides
+    back on a (w1, w2) equi-join.  The base aggregate is persisted because
+    the optimizer collapses the stacked aggregations and ReusedExchange
+    stops matching (same diamond as text.py term_stats).  Vocabulary size
+    and doc scores are scalar broadcast joins — nothing lands on the
+    driver.  At 100 TB every stage is O(tokens) with combiner-friendly
+    single-key shuffles.
+
+    Output: one row per document with >= 2 tokens; h = mean -log2
+    p(w2|w1), ppl = 2^h.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.split(F.lower("text"), " ", -1).alias("__w"))
+        .filter(F.size("__w") >= 2)
+        .select(
+            "doc_id",
+            "__w",
+            F.posexplode(
+                F.sequence(F.lit(1), F.size("__w") - F.lit(1))
+            ).alias("__p", "__i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("__w", F.col("__i")).alias("w1"),
+            F.element_at("__w", F.col("__i") + 1).alias("w2"),
+        )
+    )
+    doc_pair = (
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m")).persist()
+    )
+    pair = doc_pair.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
+    uni = pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = uni.agg(F.count("*").cast("double").alias("V"))
+    neglog = F.col("m") * -F.log2(
+        (F.col("c12") + F.lit(PPL_SMOOTH_K))
+        / (F.col("c1") + F.lit(PPL_SMOOTH_K) * F.col("V"))
+    )
+    h = F.sum(neglog) / F.sum("m")
+    return (
+        doc_pair.join(pair, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            r6(h).alias("h"),
+            r6(F.pow(F.lit(2.0), h)).alias("ppl"),
+        )
+    )
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage (the exact-substring dedup
+    signal of Lee et al. 2022): per document, the fraction of token
+    positions covered by some ``SPAN_N``-gram that also appears in at
+    least one OTHER document.
+
+    Shape at 100 TB: shingle explode -> count-distinct-docs per shingle
+    (one shuffle on the gram key) -> semi-join back -> position explode ->
+    per-doc distinct count.  Every stage is O(tokens x SPAN_N) with equi-
+    join keys only — no pairwise comparison exists.  The gram key is the
+    raw token string here so the DuckDB oracle replicates values exactly;
+    a production run would key on ``xxhash64(gram)`` to shrink shuffle
+    width (collision rate 2^-64 — same trade documented in dedup.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), " ", -1).alias("__w"),
+    ).select("doc_id", "__w", F.size("__w").cast("long").alias("n_tokens"))
+    sh = (
+        toks.filter(F.col("n_tokens") >= SPAN_N)
+        .select(
+            "doc_id",
+            "__w",
+            F.posexplode(
+                F.sequence(F.lit(1), (F.col("n_tokens") - SPAN_N + 1).cast("int"))
+            ).alias("__p", "i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.concat_ws(" ", F.slice("__w", F.col("i"), SPAN_N)).alias("gram"),
+        )
+    )
+    dup = (
+        sh.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    covered = (
+        sh.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(SPAN_N - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("covered"))
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("covered"), F.lit(0).cast("long")).alias("covered"),
+            r6(
+                F.coalesce(F.col("covered"), F.lit(0)) / F.col("n_tokens")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "doc_perplexity": f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM toks WHERE len(w) >= 2)
+),
+doc_pair AS MATERIALIZED (
+  SELECT doc_id, w1, w2, count(*) AS m FROM bg GROUP BY doc_id, w1, w2
+),
+pair AS MATERIALIZED (
+  SELECT w1, w2, cast(sum(m) AS bigint) AS c12 FROM doc_pair GROUP BY w1, w2
+),
+uni AS MATERIALIZED (
+  SELECT w1, cast(sum(c12) AS bigint) AS c1 FROM pair GROUP BY w1
+),
+vocab AS (SELECT cast(count(*) AS double) AS V FROM uni)
+SELECT doc_id,
+       cast(sum(m) AS bigint) AS n_bigrams,
+       round(sum(m * -log2((c12 + {PPL_SMOOTH_K}) / (c1 + {PPL_SMOOTH_K} * V)))
+             / sum(m), 6) AS h,
+       round(pow(2.0, sum(m * -log2((c12 + {PPL_SMOOTH_K}) / (c1 + {PPL_SMOOTH_K} * V)))
+                      / sum(m)), 6) AS ppl
+FROM doc_pair
+JOIN pair USING (w1, w2)
+JOIN uni USING (w1)
+CROSS JOIN vocab
+GROUP BY doc_id
+""",
+    "substring_dedup": f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, string_split(lower(text), ' ') AS w,
+         cast(len(string_split(lower(text), ' ')) AS bigint) AS n_tokens
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, i, array_to_string(w[i:i + {SPAN_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - {SPAN_N} + 2)) AS i
+        FROM toks WHERE len(w) >= {SPAN_N})
+),
+dup AS (
+  SELECT gram FROM sh GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.i + t.o AS pos
+  FROM sh s JOIN dup USING (gram)
+  CROSS JOIN range(0, {SPAN_N}) t(o)
+),
+covc AS (
+  SELECT doc_id, cast(count(*) AS bigint) AS covered FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(c.covered, cast(0 AS bigint)) AS covered,
+       round(coalesce(c.covered, 0) * 1.0 / t.n_tokens, 6) AS dup_frac
+FROM toks t LEFT JOIN covc c USING (doc_id)
+""",
     "pack_sequences": f"""
 WITH toks AS (
   SELECT doc_id, source,
@@ -606,4 +793,6 @@ QUERIES = {
     "topk_ngrams": topk_ngrams,
     "compression_ratio": compression_ratio,  # rows-only: zlib is not SQL
     "pack_sequences": pack_sequences,
+    "doc_perplexity": doc_perplexity,
+    "substring_dedup": substring_dedup,
 }

@@ -1,0 +1,117 @@
+"""Semantic pins for the round-3 training-data operators, independent of
+the DuckDB oracles (which tests/test_oracle_parity.py already exercises):
+hand-built fixtures where the expected values are derivable by eye."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bigdataanalytics_textsummarization_spark.extensions.curation import (
+    MIX_BUDGET,
+    source_mixture,
+)
+from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+    embedding_near_dups,
+    semantic_dedup,
+)
+from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+    PPL_SMOOTH_K,
+    SPAN_N,
+    doc_perplexity,
+    substring_dedup,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("llm_ops")
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 1, 2], dtype="int64"),
+            "text": [
+                shared + " india juliet",
+                "kilo lima " + shared,
+                "mike november oscar papa quebec romeo sierra tango uniform victor",
+            ],
+            "lang": ["en", "en", "en"],
+            "source": ["s1", "s1", "s2"],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False), d / "documents.parquet"
+    )
+    return str(d)
+
+
+def test_substring_dedup_span_coverage(spark, docs_dir):
+    """Docs 0 and 1 share one exact 8-token span; doc 2 is unique."""
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in substring_dedup(spark, docs_dir).collect()
+    }
+    # the shared 8-gram covers exactly its 8 positions in each carrier
+    assert rows[0]["covered"] == SPAN_N and rows[0]["n_tokens"] == 10
+    assert rows[1]["covered"] == SPAN_N and rows[1]["n_tokens"] == 10
+    assert rows[2]["covered"] == 0 and rows[2]["dup_frac"] == 0.0
+    assert rows[0]["dup_frac"] == round(SPAN_N / 10, 6)
+
+
+def test_doc_perplexity_formula(spark, docs_dir):
+    """Every bigram in the fixture corpus is unique, so for each doc bigram
+    c12 = 1, c1 = 1 except the shared-span words (c1 = 2 for bigram starts
+    appearing twice).  Cross-check doc 2 (fully unique, all c12=c1=1)
+    against the closed form: p = (1+k)/(1+kV), h = -log2 p."""
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in doc_perplexity(spark, docs_dir).collect()
+    }
+    # total distinct contexts V: count distinct w1 across the corpus
+    all_texts = [
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+        "kilo lima alpha bravo charlie delta echo foxtrot golf hotel",
+        "mike november oscar papa quebec romeo sierra tango uniform victor",
+    ]
+    w1s = set()
+    for t in all_texts:
+        w = t.split()
+        w1s.update(w[:-1])
+    v = float(len(w1s))
+    k = PPL_SMOOTH_K
+    p = (1 + k) / (1 + k * v)
+    h = -math.log2(p)
+    assert rows[2]["n_bigrams"] == 9
+    assert rows[2]["h"] == pytest.approx(h, abs=1e-6)
+    assert rows[2]["ppl"] == pytest.approx(2.0**h, abs=1e-4)
+    # doc 1's span bigrams repeat corpus-wide (c12=2, c1=2) -> higher p,
+    # lower surprise than doc 2's all-singleton bigrams
+    assert rows[1]["h"] < rows[2]["h"]
+
+
+def test_source_mixture_flattens(spark, docs_dir):
+    rows = {r["source"]: r.asDict() for r in source_mixture(spark, docs_dir).collect()}
+    # temperature < 1 up-weights the minority source
+    assert rows["s2"]["p_mix"] > rows["s2"]["p_raw"]
+    assert rows["s1"]["p_mix"] < rows["s1"]["p_raw"]
+    assert abs(sum(r["p_mix"] for r in rows.values()) - 1.0) < 1e-5
+    assert sum(r["quota"] for r in rows.values()) == pytest.approx(
+        MIX_BUDGET, abs=1
+    )
+
+
+def test_semantic_dedup_consistent_with_near_dups(spark):
+    """kept == vector never appears as the higher id of a near-dup pair."""
+    dropped = {
+        r["vec_b"] for r in embedding_near_dups(spark, SF_DIR).collect()
+    }
+    verdicts = semantic_dedup(spark, SF_DIR).collect()
+    assert len(verdicts) > 0
+    for r in verdicts:
+        assert r["kept"] == (r["vec_id"] not in dropped)

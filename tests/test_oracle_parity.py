@@ -23,6 +23,12 @@ def test_every_oracle_has_query():
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_parity(spark, oracle, name):
+    from tests.conftest import SF_DIR
+
+    # golden-snapshot oracles are pinned to the driver's gate scale
+    # (sf0.01); at any other SF the snapshot is the wrong ground truth
+    if "tests/golden/sf0.01" in ORACLES[name] and not SF_DIR.endswith("sf0.01"):
+        pytest.skip("golden oracle is sf0.01-only; covered by driver_sim")
     assert_parity(spark, oracle, QUERIES[name], ORACLES[name])
 
 
