@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import STOPWORDS_SQL, r6
 from ..io import load_table
@@ -162,28 +163,27 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     up-sampled without letting any single giant source dominate an epoch.
     ``quota`` is the resulting per-source document budget.
 
-    Two scalar aggregates (corpus total, normalizer) ride back on
-    broadcast cross-joins — per-source math stays distributed and the
-    whole plan is two combiner-friendly shuffles of #sources rows.
+    The corpus is scanned ONCE into the per-source count; the two scalar
+    normalizers (corpus total, sum of flattened weights) are unpartitioned
+    window sums over that aggregate — safe because its cardinality is
+    #sources (a mixture with more than a few thousand strata isn't a
+    mixture), and the cross-join formulation would re-scan the corpus per
+    scalar reference.
     """
     docs = load_table(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
-    total = per.agg(F.sum("n_docs").cast("double").alias("N"))
-    shared = per.crossJoin(F.broadcast(total)).withColumn(
-        "pa", F.pow(F.col("n_docs") / F.col("N"), F.lit(MIX_ALPHA))
-    )
-    z = shared.agg(F.sum("pa").alias("Z"))
-    return (
-        shared.crossJoin(F.broadcast(z))
-        .select(
-            "source",
-            "n_docs",
-            r6(F.col("n_docs") / F.col("N")).alias("p_raw"),
-            r6(F.col("pa") / F.col("Z")).alias("p_mix"),
-            F.round(F.col("pa") / F.col("Z") * MIX_BUDGET)
-            .cast("long")
-            .alias("quota"),
-        )
+    w = Window.partitionBy()
+    shared = per.withColumn(
+        "p", F.col("n_docs") / F.sum(F.col("n_docs").cast("double")).over(w)
+    ).withColumn("pa", F.pow("p", F.lit(MIX_ALPHA)))
+    return shared.select(
+        "source",
+        "n_docs",
+        r6(F.col("p")).alias("p_raw"),
+        r6(F.col("pa") / F.sum("pa").over(w)).alias("p_mix"),
+        F.round(F.col("pa") / F.sum("pa").over(w) * MIX_BUDGET)
+        .cast("long")
+        .alias("quota"),
     )
 
 

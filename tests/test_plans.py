@@ -224,3 +224,32 @@ def test_topk_ngrams_single_aggregate_shuffle(spark):
     assert plan.count("hashpartitioning(gram") <= 1
     # partial + final aggregate pair present (combiner-friendly shape)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_source_mixture_single_scan(spark):
+    """The corpus is read once; both normalizers are window sums over the
+    #sources-row aggregate (the cross-join formulation re-scanned the
+    corpus per scalar reference)."""
+    plan = _plan(spark, "source_mixture")
+    # one detail block per scan node in formatted explain
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_substring_dedup_no_pairwise_stage(spark):
+    """Candidate generation is gram-key aggregation + semi-ish join back;
+    there must be no join without an equi-key (no nested-loop/cartesian)
+    and the gram aggregate must be combiner-friendly."""
+    plan = _plan(spark, "substring_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "hashpartitioning(gram" in plan
+
+
+def test_doc_perplexity_word_keyed_shuffles(spark):
+    """Every aggregation shuffle is keyed on words (vocabulary-bounded),
+    except the final per-doc rollup; the per-doc bigram base is persisted
+    so the corpus is tokenized once (InMemoryRelation present)."""
+    plan = _plan(spark, "doc_perplexity")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
