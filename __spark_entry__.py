@@ -76,6 +76,7 @@ _PRIORITY = [
     "pack_sequences",
     # new this round
     "doc_perplexity",
+    "ppl_ingest",
     "substring_dedup",
     "source_mixture",
     "semantic_dedup",

@@ -429,6 +429,28 @@ PPL_SMOOTH_K = 0.5  # add-k smoothing for the bigram LM
 SPAN_N = 8  # tokens per cross-document duplicated span
 
 
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) for every adjacent lowercase-token pair — the shared
+    explode of the LM operators (positional, codegen-friendly: posexplode +
+    element_at, no window)."""
+    return (
+        docs.select("doc_id", F.split(F.lower("text"), " ", -1).alias("__w"))
+        .filter(F.size("__w") >= 2)
+        .select(
+            "doc_id",
+            "__w",
+            F.posexplode(
+                F.sequence(F.lit(1), F.size("__w") - F.lit(1))
+            ).alias("__p", "__i"),
+        )
+        .select(
+            "doc_id",
+            F.element_at("__w", F.col("__i")).alias("w1"),
+            F.element_at("__w", F.col("__i") + 1).alias("w2"),
+        )
+    )
+
+
 def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy / perplexity under the corpus-trained
     bigram LM (add-k smoothing) — the CCNet-style quality filter: docs the
@@ -448,24 +470,11 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p(w2|w1), ppl = 2^h.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bg = (
-        docs.select("doc_id", F.split(F.lower("text"), " ", -1).alias("__w"))
-        .filter(F.size("__w") >= 2)
-        .select(
-            "doc_id",
-            "__w",
-            F.posexplode(
-                F.sequence(F.lit(1), F.size("__w") - F.lit(1))
-            ).alias("__p", "__i"),
-        )
-        .select(
-            "doc_id",
-            F.element_at("__w", F.col("__i")).alias("w1"),
-            F.element_at("__w", F.col("__i") + 1).alias("w2"),
-        )
-    )
     doc_pair = (
-        bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("m")).persist()
+        _doc_bigrams(docs)
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("m"))
+        .persist()
     )
     pair = doc_pair.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
     uni = pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -486,6 +495,74 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.pow(F.lit(2.0), h)).alias("ppl"),
         )
     )
+
+
+PPL_INGEST_MOD = 10  # doc_id % 10 == 0 plays the arriving stream
+
+
+def ppl_ingest_score(new_docs: DataFrame, pair: DataFrame, uni: DataFrame) -> DataFrame:
+    """Score arriving documents against a STATIC bigram LM — the serve-time
+    half of the perplexity gate (train/serve split, unlike
+    ``doc_perplexity`` where the corpus scores itself).
+
+    ``new_docs`` may be a STREAM: bigram extraction is row-local, the LM
+    lookups are stateless stream-static joins, and because each document
+    arrives as ONE row, the per-doc rollup is micro-batch-local — run it
+    inside ``foreachBatch`` with zero cross-batch state (the same
+    no-watermark-needed argument as ``dedup.near_dup_ingest_join``).
+
+    Unseen bigrams take the smoothed floor (c12=0, and c1=0 for unseen
+    contexts — p = k/(c1 + kV), never null); ``oov_frac`` reports how much
+    of the doc fell outside the LM, a filter signal in its own right.
+    """
+    vocab = uni.agg(F.count("*").cast("double").alias("V"))
+    new_bg = _doc_bigrams(new_docs).groupBy("doc_id", "w1", "w2").agg(
+        F.count("*").alias("m")
+    )
+    c12 = F.coalesce(F.col("c12"), F.lit(0).cast("long"))
+    c1 = F.coalesce(F.col("c1"), F.lit(0).cast("long"))
+    neglog = F.col("m") * -F.log2(
+        (c12 + F.lit(PPL_SMOOTH_K)) / (c1 + F.lit(PPL_SMOOTH_K) * F.col("V"))
+    )
+    h = F.sum(neglog) / F.sum("m")
+    return (
+        new_bg.join(pair, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            (
+                F.sum(F.when(F.col("c12").isNull(), F.col("m")).otherwise(0))
+                .cast("double")
+                / F.sum("m")
+            ).alias("__oov"),
+            r6(h).alias("h"),
+            r6(F.pow(F.lit(2.0), h)).alias("ppl"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            r6(F.col("__oov")).alias("oov_frac"),
+            "h",
+            "ppl",
+        )
+    )
+
+
+def ppl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming perplexity gate: docs with
+    doc_id % 10 == 0 arrive 'new'; the LM trains on the rest."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % PPL_INGEST_MOD == 0)
+    corpus_pair = (
+        _doc_bigrams(docs.filter(F.col("doc_id") % PPL_INGEST_MOD != 0))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .persist()  # consumed twice: context counts + the scoring join
+    )
+    corpus_uni = corpus_pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return ppl_ingest_score(new_docs, corpus_pair, corpus_uni)
 
 
 def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,6 +660,43 @@ SELECT doc_id,
 FROM doc_pair
 JOIN pair USING (w1, w2)
 JOIN uni USING (w1)
+CROSS JOIN vocab
+GROUP BY doc_id
+""",
+    "ppl_ingest": f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        FROM toks WHERE len(w) >= 2)
+),
+pair AS MATERIALIZED (
+  SELECT w1, w2, cast(count(*) AS bigint) AS c12
+  FROM bg WHERE doc_id % {PPL_INGEST_MOD} <> 0 GROUP BY w1, w2
+),
+uni AS MATERIALIZED (
+  SELECT w1, cast(sum(c12) AS bigint) AS c1 FROM pair GROUP BY w1
+),
+vocab AS (SELECT cast(count(*) AS double) AS V FROM uni),
+new_bg AS (
+  SELECT doc_id, w1, w2, count(*) AS m
+  FROM bg WHERE doc_id % {PPL_INGEST_MOD} = 0 GROUP BY doc_id, w1, w2
+)
+SELECT doc_id,
+       cast(sum(m) AS bigint) AS n_bigrams,
+       round(cast(sum(CASE WHEN p.c12 IS NULL THEN m ELSE 0 END) AS double)
+             / sum(m), 6) AS oov_frac,
+       round(sum(m * -log2((coalesce(p.c12, 0) + {PPL_SMOOTH_K})
+                           / (coalesce(u.c1, 0) + {PPL_SMOOTH_K} * V)))
+             / sum(m), 6) AS h,
+       round(pow(2.0, sum(m * -log2((coalesce(p.c12, 0) + {PPL_SMOOTH_K})
+                                    / (coalesce(u.c1, 0) + {PPL_SMOOTH_K} * V)))
+                      / sum(m)), 6) AS ppl
+FROM new_bg n
+LEFT JOIN pair p USING (w1, w2)
+LEFT JOIN uni u USING (w1)
 CROSS JOIN vocab
 GROUP BY doc_id
 """,
@@ -794,5 +908,6 @@ QUERIES = {
     "compression_ratio": compression_ratio,  # rows-only: zlib is not SQL
     "pack_sequences": pack_sequences,
     "doc_perplexity": doc_perplexity,
+    "ppl_ingest": ppl_ingest,
     "substring_dedup": substring_dedup,
 }

@@ -23,6 +23,7 @@ from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
     PPL_SMOOTH_K,
     SPAN_N,
     doc_perplexity,
+    ppl_ingest,
     substring_dedup,
 )
 from tests.conftest import SF_DIR
@@ -93,6 +94,19 @@ def test_doc_perplexity_formula(spark, docs_dir):
     # doc 1's span bigrams repeat corpus-wide (c12=2, c1=2) -> higher p,
     # lower surprise than doc 2's all-singleton bigrams
     assert rows[1]["h"] < rows[2]["h"]
+
+
+def test_ppl_ingest_train_serve_split(spark, docs_dir):
+    """Doc 0 'arrives'; the LM trains on docs 1 and 2.  Doc 0's seven
+    in-span bigrams exist in doc 1; the two tail bigrams (hotel->india,
+    india->juliet) are unseen -> oov_frac = 2/9, and smoothing keeps the
+    score finite."""
+    rows = {r["doc_id"]: r.asDict() for r in ppl_ingest(spark, docs_dir).collect()}
+    assert list(rows) == [0]
+    r = rows[0]
+    assert r["n_bigrams"] == 9
+    assert r["oov_frac"] == round(2 / 9, 6)
+    assert math.isfinite(r["h"]) and math.isfinite(r["ppl"]) and r["ppl"] > 1
 
 
 def test_source_mixture_flattens(spark, docs_dir):
