@@ -239,3 +239,64 @@ def test_stream_materialize_refreshes_to_batch_truth(spark, tmp_path):
     got2 = normalize(spark.read.parquet(sink).toPandas())
     want2 = normalize(agg_of(ev).toPandas())
     assert got2.equals(want2)
+
+
+def test_ppl_ingest_stream_matches_batch(spark):
+    # the perplexity gate streams: row-local bigrams + stateless
+    # stream-static LM left-joins; the per-doc rollup runs inside
+    # foreachBatch (each doc is one input row, so the aggregation is
+    # micro-batch-local — no cross-batch state), and the union of all
+    # micro-batch outputs must equal the batch twin
+    from pyspark.sql import types as T
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream_docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(SF_DIR)
+        .filter(F.col("doc_id") % ta.PPL_INGEST_MOD == 0)
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus_pair = (
+        ta._doc_bigrams(docs.filter(F.col("doc_id") % ta.PPL_INGEST_MOD != 0))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .localCheckpoint()  # materialized LM, as a deployment would have
+    )
+    corpus_uni = corpus_pair.groupBy("w1").agg(
+        F.sum("c12").alias("c1")
+    ).localCheckpoint()
+
+    batches = []
+
+    def score_batch(batch_df, _bid):
+        batches.append(
+            ta.ppl_ingest_score(batch_df, corpus_pair, corpus_uni).toPandas()
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pandas as pd
+
+    got = pd.concat(batches, ignore_index=True)
+    want = ta.ppl_ingest(spark, SF_DIR).toPandas()
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
