@@ -306,9 +306,20 @@ def _ivf_fit(spark: SparkSession, sf_dir: str):
         array_to_vector(_unit("e", "nrm")).alias("features"),
     )
     n_vecs = feat.count()
-    # clamp by corpus size both ways: MLlib KMeans needs k <= n, and a
-    # tiny corpus shouldn't train IVF_CLUSTERS near-singleton cells
-    k_eff = max(1, min(IVF_CLUSTERS, n_vecs // 16, n_vecs))
+    if n_vecs < 2:
+        # no structure to quantize: one cell holding everything (MLlib
+        # KMeans also rejects k < 2)
+        corpus = feat.select(
+            "vec_id", "e", "nrm", F.lit(0).cast("long").alias("cell")
+        )
+        centers = feat.select(
+            F.lit(0).cast("long").alias("cell"),
+            _unit("e", "nrm").alias("center"),
+        )
+        return corpus, centers, 1
+    # clamp by corpus size both ways: MLlib KMeans needs 2 <= k <= n, and
+    # a tiny corpus shouldn't train IVF_CLUSTERS near-singleton cells
+    k_eff = min(max(2, min(IVF_CLUSTERS, n_vecs // 16)), n_vecs)
     nprobe_eff = max(1, round(k_eff * IVF_NPROBE / IVF_CLUSTERS))
     km = KMeans(
         k=k_eff, seed=IVF_SEED, featuresCol="features",

@@ -129,3 +129,67 @@ def test_semantic_dedup_consistent_with_near_dups(spark):
     assert len(verdicts) > 0
     for r in verdicts:
         assert r["kept"] == (r["vec_id"] not in dropped)
+
+
+@pytest.fixture(scope="module")
+def short_docs_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("short_docs")
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 1], dtype="int64"),
+            "text": ["solo", "just seven tokens here not eight yet"],
+            "lang": ["en", "en"],
+            "source": ["s1", "s1"],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False), d / "documents.parquet"
+    )
+    return str(d)
+
+
+def test_substring_dedup_all_docs_below_span(spark, short_docs_dir):
+    """No doc reaches SPAN_N tokens: every row survives with covered=0."""
+    rows = {r["doc_id"]: r.asDict() for r in substring_dedup(spark, short_docs_dir).collect()}
+    assert set(rows) == {0, 1}
+    assert all(r["covered"] == 0 and r["dup_frac"] == 0.0 for r in rows.values())
+
+
+def test_doc_perplexity_drops_single_token_docs(spark, short_docs_dir):
+    """A 1-token doc has no bigrams -> no row; the 7-token doc scores."""
+    rows = {r["doc_id"]: r.asDict() for r in doc_perplexity(spark, short_docs_dir).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_bigrams"] == 6
+
+
+@pytest.fixture(scope="module")
+def tiny_emb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_emb")
+    emb = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 0.0], [0.6, 0.8, 0.0, 0.0]],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 1, 2], type=pa.int32()),
+        }
+    )
+    pq.write_table(emb, d / "embeddings.parquet")
+    return str(d)
+
+
+def test_ivf_survives_tiny_corpus_with_zero_vector(spark, tiny_emb_dir):
+    """3 vectors (one all-zero): k clamps to >= 1 <= n, unit-normalization
+    maps the zero vector to the zero vector (no null/NaN features), and
+    the search runs end-to-end."""
+    import math as m
+
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        ann_ivf_topk,
+    )
+
+    rows = ann_ivf_topk(spark, tiny_emb_dir).collect()
+    for r in rows:
+        assert r["cosine"] is None or m.isfinite(r["cosine"])
