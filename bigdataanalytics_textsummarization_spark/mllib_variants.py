@@ -18,9 +18,14 @@ Semantics differ deliberately and are documented here:
   per-pair Jaccard DISTANCE exposed; the test asserts recall against the
   exact shingle-Jaccard ground truth (``dedup_ngram_jaccard``).
 
-Both are registered as rows-only queries (their values are not
-SQL-replicable by design; the invariant tests in tests/test_mllib.py are
-their correctness story).
+``tfidf_topk_mllib`` IS value-gated: the CountVectorizer vocabulary only
+assigns indices, which cancel out when scores join back to words, and the
+IDF weights are the closed formula above — so the whole pipeline compiles
+to SQL (regexp tokenize -> stopword filter -> tf -> df -> ln-smoothed
+score -> top-k window).  ``minhash_lsh_mllib`` stays rows-only: its hash
+family is seeded over vocabulary INDICES, whose frequency-tie order is
+partition-dependent — the candidate set is not replicable by design; the
+invariant tests in tests/test_mllib.py are its correctness story.
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions import STOPWORDS
+from .functions import STOPWORDS, STOPWORDS_SQL
 from .io import load_table
 
 TOP_K = 3
@@ -140,7 +145,40 @@ def minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES: dict[str, str] = {}  # rows-only by design (see module docstring)
+# minhash_lsh_mllib is rows-only by design (see module docstring); the
+# tfidf pipeline's values are the closed MLlib formulas, compiled to SQL.
+# Score parity holds because ln() differences between engines are sub-ulp
+# against round(..., 6), and rank ties only occur at exactly-equal
+# (tf, df), where both sides break by word ASC.
+ORACLES: dict[str, str] = {
+    "tfidf_topk_mllib": f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                     t -> t NOT IN {STOPWORDS_SQL}) AS tokens
+  FROM documents
+),
+n AS (SELECT cast(count(*) AS double) AS m FROM documents),
+tf AS (
+  SELECT doc_id, t AS word, cast(count(*) AS bigint) AS tf
+  FROM (SELECT doc_id, unnest(tokens) AS t FROM toks)
+  GROUP BY doc_id, t
+),
+df AS (SELECT word, cast(count(*) AS bigint) AS df FROM tf GROUP BY word)
+SELECT doc_id, rk, word, round(score, 6) AS score
+FROM (
+  SELECT doc_id, word,
+         tf * ln((m + 1.0) / (df + 1.0)) AS score,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY tf * ln((m + 1.0) / (df + 1.0)) DESC, word ASC
+         ) AS rk
+  FROM tf JOIN df USING (word) CROSS JOIN n
+  WHERE tf * ln((m + 1.0) / (df + 1.0)) > 0
+)
+WHERE rk <= {TOP_K}
+""",
+}
 
 QUERIES = {
     "tfidf_topk_mllib": tfidf_topk_mllib,
