@@ -514,8 +514,12 @@ def ppl_ingest_score(new_docs: DataFrame, pair: DataFrame, uni: DataFrame) -> Da
     Unseen bigrams take the smoothed floor (c12=0, and c1=0 for unseen
     contexts — p = k/(c1 + kV), never null); ``oov_frac`` reports how much
     of the doc fell outside the LM, a filter signal in its own right.
+    V floors at 1 so a degenerate EMPTY LM scores every doc at the neutral
+    p=1 / ppl=1 instead of dividing by zero (found by hypothesis).
     """
-    vocab = uni.agg(F.count("*").cast("double").alias("V"))
+    vocab = uni.agg(
+        F.greatest(F.count("*"), F.lit(1)).cast("double").alias("V")
+    )
     new_bg = _doc_bigrams(new_docs).groupBy("doc_id", "w1", "w2").agg(
         F.count("*").alias("m")
     )
@@ -679,7 +683,7 @@ pair AS MATERIALIZED (
 uni AS MATERIALIZED (
   SELECT w1, cast(sum(c12) AS bigint) AS c1 FROM pair GROUP BY w1
 ),
-vocab AS (SELECT cast(count(*) AS double) AS V FROM uni),
+vocab AS (SELECT cast(greatest(count(*), 1) AS double) AS V FROM uni),
 new_bg AS (
   SELECT doc_id, w1, w2, count(*) AS m
   FROM bg WHERE doc_id % {PPL_INGEST_MOD} = 0 GROUP BY doc_id, w1, w2

@@ -129,3 +129,101 @@ def test_dedup_clusters_are_closed_over_edges(spark):
     # cluster id is a member of its own cluster and its minimum
     mins = clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("mn"))
     assert mins.filter(F.col("cluster_id") != F.col("mn")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Training-data operator invariants, property-tested through the DuckDB
+# oracles (the parity gate proves oracle == Spark values, so invariants of
+# the oracle are invariants of the engine — and DuckDB runs per-example
+# corpora in milliseconds where Spark cannot).
+# ---------------------------------------------------------------------------
+
+_vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+          "hotel", "india", "juliet"]
+_texts = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=0, max_size=20).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _docs_con(texts):
+    import pandas as pd
+
+    con = duckdb.connect()
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s%d" % (i % 2) for i in range(len(texts))],
+        }
+    )
+    df["n_chars"] = df["text"].str.len()
+    con.register("documents", df)
+    return con
+
+
+@settings(max_examples=80, deadline=None)
+@given(_texts)
+def test_substring_dedup_invariants(texts):
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    con = _docs_con(texts)
+    out = con.sql(ta.ORACLES["substring_dedup"]).df()
+    assert len(out) == len(texts)  # every doc gets a verdict row
+    assert ((out["covered"] >= 0) & (out["covered"] <= out["n_tokens"])).all()
+    assert (
+        out["dup_frac"] == (out["covered"] / out["n_tokens"]).round(6)
+    ).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.sampled_from(_vocab), min_size=8, max_size=20).map(" ".join))
+def test_substring_dedup_identical_docs_fully_covered(text):
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    con = _docs_con([text, text])
+    out = con.sql(ta.ORACLES["substring_dedup"]).df()
+    assert (out["dup_frac"] == 1.0).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(_texts)
+def test_perplexity_invariants(texts):
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    con = _docs_con(texts)
+    out = con.sql(ta.ORACLES["doc_perplexity"]).df()
+    scoreable = sum(1 for t in texts if len(t.split(" ")) >= 2)
+    assert len(out) == scoreable
+    if len(out):
+        # p <= 1 under add-k smoothing (equality when one context has one
+        # continuation and V=1) -> h >= 0 -> ppl >= 1
+        assert (out["h"] >= 0).all() and (out["ppl"] >= 1).all()
+    ing = con.sql(ta.ORACLES["ppl_ingest"]).df()
+    if len(ing):
+        assert ((ing["oov_frac"] >= 0) & (ing["oov_frac"] <= 1)).all()
+        assert ing["h"].map(lambda v: v == v).all()  # finite, no NaN
+
+
+@settings(max_examples=80, deadline=None)
+@given(_texts)
+def test_source_mixture_flattening_invariant(texts):
+    from bigdataanalytics_textsummarization_spark.extensions import curation
+
+    con = _docs_con(texts)
+    out = con.sql(curation.ORACLES["source_mixture"]).df()
+    assert abs(out["p_mix"].sum() - 1.0) < 1e-5
+    if len(out) == 2:
+        a, b = out.sort_values("n_docs", ascending=False).to_dict("records")
+        # temperature < 1 compresses the ratio toward 1 (never inverts)
+        if a["n_docs"] > b["n_docs"]:
+            assert a["p_mix"] >= b["p_mix"]
+            assert a["p_mix"] / b["p_mix"] <= a["p_raw"] / b["p_raw"] + 1e-6
