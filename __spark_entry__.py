@@ -80,6 +80,7 @@ _PRIORITY = [
     "substring_dedup",
     "source_mixture",
     "semantic_dedup",
+    "embedding_rp",
 ]
 
 

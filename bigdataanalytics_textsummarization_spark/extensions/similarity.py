@@ -459,6 +459,63 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_DIMS = 16  # target dimensionality of the sign projection
+
+
+def _rp_signs(d: int) -> list[list[float]]:
+    """Deterministic ±1 projection matrix (d x RP_DIMS), seeded by md5 of
+    the coordinate pair — every engine (and every executor) derives the
+    same matrix from nothing but the dimensions."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{i}:{j}".encode()).hexdigest(), 16) % 2 == 0
+            else -1.0
+            for j in range(RP_DIMS)
+        ]
+        for i in range(d)
+    ]
+
+
+def embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-sign (Achlioptas/JL) projection of the embedding column to
+    ``RP_DIMS`` dimensions — the cheap index-compression step before ANN at
+    scale (a 4x-smaller vector preserves inner products in expectation:
+    E[<Pa, Pb>] = <a, b> with error ~ 1/sqrt(RP_DIMS)).
+
+    The ±1 matrix is derived from md5 of the coordinate pair, so the
+    projection is reproducible across engines, runs, and cluster layouts —
+    no fitted state, no broadcast variable, just a literal in the plan.
+    Zero shuffle: each output row is array math over one input row
+    (long form (vec_id, rp_dim, value) — explode-friendly for the driver's
+    value hash).
+    """
+    emb = _embeddings(spark, sf_dir)
+    d = emb.select(F.size("e").alias("d")).first()["d"]  # 1 row, bounded
+    signs = _rp_signs(d)
+    scale = float(RP_DIMS) ** 0.5
+    outs = [
+        r6(
+            F.aggregate(
+                F.zip_with(
+                    "e",
+                    F.array(*[F.lit(signs[i][j]) for i in range(d)]),
+                    lambda a, s: a * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / scale
+        )
+        for j in range(RP_DIMS)
+    ]
+    return emb.select(
+        "vec_id", F.posexplode(F.array(*outs)).alias("rp_dim", "value")
+    ).select("vec_id", F.col("rp_dim").cast("long").alias("rp_dim"), "value")
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level dedup verdict per vector (the SemDeDup-style filter):
     a vector is dropped when a LOWER-id near neighbor (cosine >= threshold,
@@ -595,6 +652,26 @@ FROM emb e
 # The Arrow matmul path answers to the same SQL specification.
 ORACLES["ann_cosine_topk_arrow"] = ORACLES["ann_cosine_topk"]
 
+# The projection matrix is pure md5-derived constants, so the oracle embeds
+# the same literals the Spark plan does (testdata embeddings are 64-dim;
+# the Spark side derives the width from the data at runtime).
+_RP_SIGNS_64 = _rp_signs(64)
+ORACLES["embedding_rp"] = f"""
+WITH {_EMB_CTE},
+proj AS (
+  SELECT vec_id, unnest(list_value(
+    {", ".join(
+        "struct_pack(j := " + str(j) + ", v := round(list_dot_product(e, ["
+        + ", ".join(str(_RP_SIGNS_64[i][j]) for i in range(64))
+        + "]) / sqrt(" + str(RP_DIMS) + ".0), 6))"
+        for j in range(RP_DIMS)
+    )}
+  )) AS u
+  FROM emb
+)
+SELECT vec_id, cast(u.j AS bigint) AS rp_dim, u.v AS value FROM proj
+"""
+
 # Both facts are platform-determinate (see ann_ivf_recall docstring): the
 # query count is fixed and the boolean only flips if recall drops below
 # the floor — the distinct_sketch determinate-fact pattern.
@@ -610,4 +687,5 @@ QUERIES = {
     "ann_ivf_recall": ann_ivf_recall,
     "embedding_near_dups": embedding_near_dups,
     "semantic_dedup": semantic_dedup,
+    "embedding_rp": embedding_rp,
 }

@@ -193,3 +193,35 @@ def test_ivf_survives_tiny_corpus_with_zero_vector(spark, tiny_emb_dir):
     rows = ann_ivf_topk(spark, tiny_emb_dir).collect()
     for r in rows:
         assert r["cosine"] is None or m.isfinite(r["cosine"])
+
+
+def test_embedding_rp_preserves_geometry(spark):
+    """Sign-projection invariants on the deterministic corpus: per-vector
+    norms are preserved (JL: E[||Pa||^2] = ||a||^2, concentration at
+    R=16), dot products correlate positively, and the matrix is
+    reproducible (re-run equals itself)."""
+    import numpy as np
+
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        RP_DIMS,
+        _embeddings,
+        embedding_rp,
+    )
+
+    orig = {r["vec_id"]: np.array(r["e"]) for r in _embeddings(spark, SF_DIR).collect()}
+    proj = {}
+    for r in embedding_rp(spark, SF_DIR).collect():
+        proj.setdefault(r["vec_id"], [0.0] * RP_DIMS)[r["rp_dim"]] = r["value"]
+    ratios = np.array(
+        [np.linalg.norm(proj[i]) / np.linalg.norm(orig[i]) for i in sorted(orig)]
+    )
+    assert 0.9 < ratios.mean() < 1.1
+    assert ratios.min() > 0.4 and ratios.max() < 1.8
+    ids = sorted(orig)[:60]
+    rng = np.random.default_rng(0)
+    do, dp = [], []
+    for _ in range(500):
+        a, b = rng.choice(ids, 2, replace=False)
+        do.append(float(orig[a] @ orig[b]))
+        dp.append(float(np.array(proj[a]) @ np.array(proj[b])))
+    assert np.corrcoef(do, dp)[0, 1] > 0.4
