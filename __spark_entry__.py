@@ -81,6 +81,7 @@ _PRIORITY = [
     "source_mixture",
     "semantic_dedup",
     "embedding_rp",
+    "gopher_rules",
 ]
 
 

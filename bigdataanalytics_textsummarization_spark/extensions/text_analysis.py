@@ -497,6 +497,82 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher/MassiveText rule thresholds (Rae et al. 2021 table A1 shape,
+# bounds kept where the synthetic corpus makes the verdict non-trivial)
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_AWL, GOPHER_MAX_AWL = 3.0, 10.0
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_DUP_BIGRAM = 0.2
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule table: one row per document with each filter rule's
+    boolean verdict and the composite ``keep`` — the canonical rule-based
+    cleaning pass of a training-data pipeline, with per-rule accounting so
+    a corpus build can report WHY documents dropped.
+
+    Every signal is row-local array math over one split of the text
+    (word count, mean word length, distinct-stopword hits, alphabetic-word
+    fraction, duplicate-bigram fraction): zero shuffle, zero explode — at
+    100 TB this is a pure projection pass over the scan, like the other
+    hygiene operators.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower("text"), " ", -1)
+    n = F.size(w)
+    awl = F.aggregate(
+        w, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / n
+    stop_hits = F.size(
+        F.array_distinct(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    )
+    alpha_frac = F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / n
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_bigram = F.when(
+        F.size(bigrams) > 0,
+        1.0 - F.size(F.array_distinct(bigrams)) / F.size(bigrams),
+    ).otherwise(F.lit(0.0))
+    staged = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        r6(awl).alias("avg_word_len"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        r6(alpha_frac).alias("alpha_frac"),
+        r6(dup_bigram).alias("dup_bigram_frac"),
+    )
+    rules = {
+        "r_word_count": (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS),
+        "r_word_len": (F.col("avg_word_len") >= GOPHER_MIN_AWL)
+        & (F.col("avg_word_len") <= GOPHER_MAX_AWL),
+        "r_stopwords": F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS,
+        "r_alpha": F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC,
+        "r_repetition": F.col("dup_bigram_frac") <= GOPHER_MAX_DUP_BIGRAM,
+    }
+    out = staged.select(
+        "doc_id",
+        "n_words",
+        "avg_word_len",
+        "stopword_hits",
+        "alpha_frac",
+        "dup_bigram_frac",
+        *[expr.alias(name) for name, expr in rules.items()],
+    )
+    keep = F.lit(True)
+    for name in rules:
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)
+
+
 PPL_INGEST_MOD = 10  # doc_id % 10 == 0 plays the arriving stream
 
 
@@ -636,6 +712,39 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "gopher_rules": f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+staged AS (
+  SELECT doc_id,
+         cast(len(w) AS bigint) AS n_words,
+         round(list_sum(list_transform(w, x -> cast(len(x) AS double)))
+               / len(w), 6) AS avg_word_len,
+         cast(len(list_distinct(list_filter(w, x -> x IN {{STOP}}))) AS bigint)
+           AS stopword_hits,
+         round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+               * 1.0 / len(w), 6) AS alpha_frac,
+         CASE WHEN len(w) >= 2 THEN round(
+           1.0 - len(list_distinct(list_transform(range(1, len(w)),
+                     i -> w[i] || ' ' || w[i+1])))
+               * 1.0 / (len(w) - 1), 6)
+         ELSE 0.0 END AS dup_bigram_frac
+  FROM base
+)
+SELECT *,
+       (r_word_count AND r_word_len AND r_stopwords AND r_alpha
+        AND r_repetition) AS keep
+FROM (
+  SELECT *,
+         n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS r_word_count,
+         avg_word_len BETWEEN {GOPHER_MIN_AWL} AND {GOPHER_MAX_AWL} AS r_word_len,
+         stopword_hits >= {GOPHER_MIN_STOPWORD_HITS} AS r_stopwords,
+         alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS r_alpha,
+         dup_bigram_frac <= {GOPHER_MAX_DUP_BIGRAM} AS r_repetition
+  FROM staged
+)
+""".replace("{STOP}", STOPWORDS_SQL),
     "doc_perplexity": f"""
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
@@ -914,4 +1023,5 @@ QUERIES = {
     "doc_perplexity": doc_perplexity,
     "ppl_ingest": ppl_ingest,
     "substring_dedup": substring_dedup,
+    "gopher_rules": gopher_rules,
 }

@@ -225,3 +225,19 @@ def test_embedding_rp_preserves_geometry(spark):
         do.append(float(orig[a] @ orig[b]))
         dp.append(float(np.array(proj[a]) @ np.array(proj[b])))
     assert np.corrcoef(do, dp)[0, 1] > 0.4
+
+
+def test_gopher_rules_verdicts(spark, docs_dir):
+    """The 10-token fixture docs all fail the 50-word minimum but pass the
+    shape rules: per-rule accounting shows WHY they drop."""
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        gopher_rules,
+    )
+
+    rows = {r["doc_id"]: r.asDict() for r in gopher_rules(spark, docs_dir).collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r["r_word_count"] is False  # 10 tokens < 50
+        assert r["r_word_len"] is True and r["r_alpha"] is True
+        assert r["r_repetition"] is True  # no repeated bigrams
+        assert r["keep"] is False

@@ -210,7 +210,7 @@ def test_hygiene_ops_are_zero_shuffle_projections(spark):
     """doc_repetition and pii_scrub promise pure projections over the scan
     — no Exchange may appear (the repartition widening of tiny local
     files excepted: assert no *hash/range* partitioning)."""
-    for name in ("doc_repetition", "pii_scrub"):
+    for name in ("doc_repetition", "pii_scrub", "gopher_rules"):
         plan = _plan(spark, name)
         assert "hashpartitioning" not in plan, name
         assert "rangepartitioning" not in plan, name
