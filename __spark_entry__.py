@@ -82,6 +82,7 @@ _PRIORITY = [
     "semantic_dedup",
     "embedding_rp",
     "gopher_rules",
+    "contamination_check",
 ]
 
 

@@ -195,6 +195,87 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every VALID/TEST document, the
+    fraction of its ``SPAN_N``-grams that also occur in some TRAIN
+    document — the standard eval-leakage audit run before a training mix
+    ships (the n-gram-overlap decontamination of GPT-3/PaLM reports).
+
+    Uses the same key-stable md5 split as ``train_test_split``, so the
+    audit is reproducible from ids alone.  Shape at 100 TB: one shingle
+    explode, one distinct on train grams (shuffle keyed on the gram), one
+    left semi-ish join back — O(tokens), no pairwise stage, same skeleton
+    as ``substring_dedup``.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    toks = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.split(F.lower("text"), " ", -1).alias("__w"),
+    ).select(
+        "doc_id", "split", "__w", F.size("__w").cast("long").alias("n_tokens")
+    )
+    sh = (
+        toks.filter(F.col("n_tokens") >= SPAN_N)
+        .select(
+            "doc_id",
+            "split",
+            F.posexplode(
+                F.sequence(F.lit(1), (F.col("n_tokens") - SPAN_N + 1).cast("int"))
+            ).alias("__p", "i"),
+            "__w",
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.concat_ws(" ", F.slice("__w", F.col("i"), SPAN_N)).alias("gram"),
+        )
+    )
+    train_grams = (
+        sh.filter(F.col("split") == "train").select("gram").distinct()
+        .withColumn("__in_train", F.lit(1))
+    )
+    eval_sh = sh.filter(F.col("split") != "train")
+    hits = (
+        eval_sh.join(train_grams, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__in_train"), F.lit(0)))
+            .cast("long")
+            .alias("contam_grams"),
+        )
+    )
+    return (
+        toks.filter(F.col("split") != "train")
+        .select("doc_id", "split", "n_tokens")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            "n_tokens",
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce(F.col("contam_grams"), F.lit(0).cast("long")).alias(
+                "contam_grams"
+            ),
+            F.when(
+                F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+                r6(F.col("contam_grams") / F.col("n_grams")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contam_frac"),
+        )
+    )
+
+
 def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model statistics over the corpus.
 
@@ -776,6 +857,42 @@ JOIN uni USING (w1)
 CROSS JOIN vocab
 GROUP BY doc_id
 """,
+    "contamination_check": f"""
+WITH tagged AS (
+  SELECT doc_id,
+         CASE WHEN cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) AS ubigint) AS bigint) % 100 < 80 THEN 'train'
+              WHEN cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) AS ubigint) AS bigint) % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split,
+         string_split(lower(text), ' ') AS w,
+         cast(len(string_split(lower(text), ' ')) AS bigint) AS n_tokens
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, split, array_to_string(w[i:i + {SPAN_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, split, w, unnest(range(1, len(w) - {SPAN_N} + 2)) AS i
+        FROM tagged WHERE len(w) >= {SPAN_N})
+),
+train_grams AS (
+  SELECT DISTINCT gram FROM sh WHERE split = 'train'
+),
+hits AS (
+  SELECT e.doc_id,
+         cast(count(*) AS bigint) AS n_grams,
+         cast(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+           AS contam_grams
+  FROM sh e LEFT JOIN train_grams t USING (gram)
+  WHERE e.split <> 'train'
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id, d.split, d.n_tokens,
+       coalesce(h.n_grams, cast(0 AS bigint)) AS n_grams,
+       coalesce(h.contam_grams, cast(0 AS bigint)) AS contam_grams,
+       CASE WHEN coalesce(h.n_grams, 0) > 0
+            THEN round(h.contam_grams * 1.0 / h.n_grams, 6)
+            ELSE 0.0 END AS contam_frac
+FROM tagged d LEFT JOIN hits h USING (doc_id)
+WHERE d.split <> 'train'
+""",
     "ppl_ingest": f"""
 WITH toks AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
@@ -1024,4 +1141,5 @@ QUERIES = {
     "ppl_ingest": ppl_ingest,
     "substring_dedup": substring_dedup,
     "gopher_rules": gopher_rules,
+    "contamination_check": contamination_check,
 }

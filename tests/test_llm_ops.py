@@ -241,3 +241,24 @@ def test_gopher_rules_verdicts(spark, docs_dir):
         assert r["r_word_len"] is True and r["r_alpha"] is True
         assert r["r_repetition"] is True  # no repeated bigrams
         assert r["keep"] is False
+
+
+def test_contamination_check_consistency(spark):
+    """Audits exactly the non-train docs; fractions bounded; a doc with
+    contam_grams == n_grams reports frac 1.0 (the planted cross-split
+    duplicates)."""
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        contamination_check,
+        train_test_split,
+    )
+
+    splits = {r["doc_id"]: r["split"] for r in train_test_split(spark, SF_DIR).collect()}
+    rows = contamination_check(spark, SF_DIR).collect()
+    expected = {d for d, s in splits.items() if s != "train"}
+    assert {r["doc_id"] for r in rows} == expected
+    for r in rows:
+        assert r["split"] == splits[r["doc_id"]]
+        assert 0 <= r["contam_grams"] <= r["n_grams"]
+        assert 0.0 <= r["contam_frac"] <= 1.0
+        if r["n_grams"] and r["contam_grams"] == r["n_grams"]:
+            assert r["contam_frac"] == 1.0
