@@ -587,19 +587,10 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MAX_DUP_BIGRAM = 0.2
 
 
-def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Gopher rule table: one row per document with each filter rule's
-    boolean verdict and the composite ``keep`` — the canonical rule-based
-    cleaning pass of a training-data pipeline, with per-rule accounting so
-    a corpus build can report WHY documents dropped.
-
-    Every signal is row-local array math over one split of the text
-    (word count, mean word length, distinct-stopword hits, alphabetic-word
-    fraction, duplicate-bigram fraction): zero shuffle, zero explode — at
-    100 TB this is a pure projection pass over the scan, like the other
-    hygiene operators.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def gopher_rules_from(docs: DataFrame) -> DataFrame:
+    """Rule table over any (doc_id, text) frame — including a STREAM:
+    every signal is row-local, so the whole pass is a stateless append-mode
+    projection (stream==batch pinned in tests/test_streaming.py)."""
     w = F.split(F.lower("text"), " ", -1)
     n = F.size(w)
     awl = F.aggregate(
@@ -652,6 +643,21 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in rules:
         keep = keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule table: one row per document with each filter rule's
+    boolean verdict and the composite ``keep`` — the canonical rule-based
+    cleaning pass of a training-data pipeline, with per-rule accounting so
+    a corpus build can report WHY documents dropped.
+
+    Every signal is row-local array math over one split of the text
+    (word count, mean word length, distinct-stopword hits, alphabetic-word
+    fraction, duplicate-bigram fraction): zero shuffle, zero explode — at
+    100 TB this is a pure projection pass over the scan, like the other
+    hygiene operators.
+    """
+    return gopher_rules_from(load_table(spark, sf_dir, "documents"))
 
 
 PPL_INGEST_MOD = 10  # doc_id % 10 == 0 plays the arriving stream

@@ -300,3 +300,38 @@ def test_ppl_ingest_stream_matches_batch(spark):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape, f"{g.shape} != {w.shape}"
     assert g.equals(w)
+
+
+def test_gopher_rules_stream_matches_batch(spark):
+    # every rule signal is row-local array math, so the cleaning pass is a
+    # stateless append-mode projection on a stream — no watermark, no state
+    from pyspark.sql import types as T
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream_docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+    )
+    got = se.run_stream_to_memory(
+        spark,
+        ta.gopher_rules_from(stream_docs),
+        "gopher_rules_stream",
+        output_mode="append",
+    ).toPandas()
+    want = ta.gopher_rules(spark, SF_DIR).toPandas()
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
