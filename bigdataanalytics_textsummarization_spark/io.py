@@ -133,6 +133,21 @@ def write_jsonl(df: DataFrame, path: str, *partition_cols: str) -> None:
     w.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (built into Spark) — same pushdown/pruning contract as
+    parquet (PushedFilters / ReadSchema on the scan, asserted in
+    tests/test_sinks.py), for pipelines landing Hive-ecosystem data."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """ORC sink, optionally partitioned."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
 def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
     """Parquet sink partitioned by the given columns.
 

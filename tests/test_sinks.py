@@ -150,3 +150,28 @@ def test_compact_parquet_sorted_gives_disjoint_file_ranges(spark, tmp_path):
         assert hi_prev <= lo_next
     total = spark.read.parquet(out).count()
     assert total == ev.count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from bigdataanalytics_textsummarization_spark.io import read_orc, write_orc
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out, "source")
+    back = read_orc(spark, out)
+    a = normalize_cols(docs.toPandas())
+    b = normalize_cols(back.select("doc_id", "source", "text").toPandas())
+    assert a.equals(b)
+    # same pushdown/pruning contract as the parquet scans
+    plan = (
+        back.filter(back.doc_id < 10)
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)" in plan
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
