@@ -83,6 +83,7 @@ _PRIORITY = [
     "embedding_rp",
     "gopher_rules",
     "contamination_check",
+    "event_funnel",
 ]
 
 

@@ -158,6 +158,67 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_WINDOW_MIN = 72 * 60  # max view->purchase span (72 h) for a conversion
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch funnel (the MATCH_RECOGNIZE shape): per user, the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that, and whether the full sequence completed
+    within ``FUNNEL_WINDOW_MIN`` minutes.
+
+    Three user-keyed aggregations chained by equi-joins — every stage
+    shuffles on user_id only (the partitioning is reusable across stages),
+    no self-join on the raw event table, no per-user collect of full
+    histories.  Output: one row per user with at least one view.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id", "view_ts")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id", "view_ts", "click_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        v.join(c.select("user_id", "click_ts"), "user_id", "left")
+        .join(p.select("user_id", "purchase_ts"), "user_id", "left")
+        .select(
+            "user_id",
+            "view_ts",
+            "click_ts",
+            "purchase_ts",
+            (
+                F.lit(1)
+                + F.when(F.col("click_ts").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("steps"),
+            (
+                F.col("purchase_ts").isNotNull()
+                & (
+                    F.col("purchase_ts")
+                    <= F.col("view_ts")
+                    + F.expr(f"INTERVAL {FUNNEL_WINDOW_MIN} MINUTES")
+                )
+            ).alias("converted"),
+        )
+    )
+
+
 def events_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-containment join: attach each event to its session window.
 
@@ -357,6 +418,35 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "event_funnel": f"""
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.view_ts, min(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts
+  GROUP BY e.user_id, v.view_ts
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+       cast(1 + CASE WHEN c.click_ts IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN p.purchase_ts IS NOT NULL THEN 1 ELSE 0 END
+            AS bigint) AS steps,
+       coalesce(p.purchase_ts IS NOT NULL
+                AND p.purchase_ts <= v.view_ts
+                    + INTERVAL {FUNNEL_WINDOW_MIN} MINUTE,
+                false) AS converted
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+""",
     "distinct_sketch": """
 SELECT event_type,
        cast(count(DISTINCT user_id) AS bigint) AS exact_users,
@@ -532,4 +622,5 @@ QUERIES = {
     "price_percentiles": price_percentiles,
     "lineitem_stats": lineitem_stats,
     "sales_pivot": sales_pivot,
+    "event_funnel": event_funnel,
 }

@@ -130,3 +130,38 @@ def test_q21_interval_semantics(spark, nonmidnight_dir):
     formulation ever comes back."""
     rows = tpch.q21_waiting_suppliers(spark, nonmidnight_dir).collect()
     assert [(r.s_name, r.numwait) for r in rows] == [("Supplier#11", 2)]
+
+
+def test_event_funnel_requires_strict_order(spark, tmp_path):
+    """A purchase BEFORE the first click doesn't complete the funnel: steps
+    counts the longest in-order prefix, not presence of event types."""
+    from datetime import datetime
+
+    from bigdataanalytics_textsummarization_spark.relational_ext import event_funnel
+
+    ev = pd.DataFrame(
+        {
+            "event_id": pd.array(range(6), dtype="int64"),
+            "ts": [
+                # user 1: view -> click -> purchase (in order, tight)
+                datetime(2024, 1, 1, 10, 0),
+                datetime(2024, 1, 1, 10, 5),
+                datetime(2024, 1, 1, 10, 10),
+                # user 2: purchase BEFORE view/click
+                datetime(2024, 1, 1, 9, 0),
+                datetime(2024, 1, 1, 10, 0),
+                datetime(2024, 1, 1, 10, 5),
+            ],
+            "user_id": pd.array([1, 1, 1, 2, 2, 2], dtype="int64"),
+            "event_type": ["view", "click", "purchase", "purchase", "view", "click"],
+            "value": [1.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    d = tmp_path / "funnel"
+    d.mkdir()
+    _write(d / "events.parquet", ev)
+    rows = {r["user_id"]: r.asDict() for r in event_funnel(spark, str(d)).collect()}
+    assert rows[1]["steps"] == 3 and rows[1]["converted"] is True
+    assert rows[2]["steps"] == 2 and rows[2]["converted"] is False
+    assert rows[2]["purchase_ts"] is None
