@@ -84,6 +84,11 @@ _PRIORITY = [
     "gopher_rules",
     "contamination_check",
     "event_funnel",
+    "ann_ivf_recall",
+    # rows-only in r1/r2, golden-gated this round
+    "lsa_concepts",
+    "lsa_summary",
+    "lsa_concepts_distributed",
 ]
 
 
