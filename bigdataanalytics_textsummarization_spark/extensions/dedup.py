@@ -529,6 +529,33 @@ def _band_keys(sig: DataFrame) -> DataFrame:
     )
 
 
+def build_band_index(docs: DataFrame, index_path: str) -> None:
+    """Materialize the LSH band index on disk, partitioned BY BAND: the
+    persistent half of the ingest near-dup gate.  A probe touches only its
+    4 band directories; everything else is pruned before IO."""
+    _band_keys(_wide_sigs_from_docs(docs)).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(index_path)
+
+
+def append_band_index(new_docs: DataFrame, index_path: str) -> None:
+    """Incremental index maintenance: append the band keys of newly
+    admitted documents (dynamic partition overwrite is unnecessary —
+    appends land inside the existing band directories).  This closes the
+    ingest loop: gate the batch with ``near_dup_ingest_join`` against the
+    index, admit survivors, append their keys so the NEXT batch dedups
+    against them — no index rebuild, no full-corpus rescan."""
+    _band_keys(_rowlocal_sigs(new_docs)).write.mode("append").partitionBy(
+        "band"
+    ).parquet(index_path)
+
+
+def read_band_index(spark: SparkSession, index_path: str) -> DataFrame:
+    return spark.read.parquet(index_path).select(
+        "doc_id", "sigs", F.col("band").cast("long").alias("band"), "band_sig"
+    )
+
+
 INGEST_MOD = 10  # doc_id % 10 == 0 plays the arriving stream
 
 

@@ -262,3 +262,43 @@ def test_contamination_check_consistency(spark):
         assert 0.0 <= r["contam_frac"] <= 1.0
         if r["n_grams"] and r["contam_grams"] == r["n_grams"]:
             assert r["contam_frac"] == 1.0
+
+
+def test_incremental_band_index_closes_ingest_loop(spark, tmp_path):
+    """Build index from the corpus; batch 1 admits a new doc and appends
+    its keys; batch 2 carrying a duplicate OF THAT DOC is then caught by
+    the index without any rebuild."""
+    from pyspark.sql import functions as F
+
+    from bigdataanalytics_textsummarization_spark.extensions import dedup as dd
+    from bigdataanalytics_textsummarization_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % dd.INGEST_MOD != 0)
+    idx = str(tmp_path / "band_index")
+    dd.build_band_index(corpus, idx)
+
+    # batch 1: one genuinely new doc (unique text, >= 3 tokens)
+    b1 = spark.createDataFrame(
+        [(900001, "utterly novel ingest text nothing resembles this payload")],
+        ["doc_id", "text"],
+    )
+    hits1 = dd.near_dup_ingest_join(
+        b1, dd.read_band_index(spark, idx)
+    ).filter(F.col("est_jaccard") >= 0.9)
+    assert hits1.count() == 0  # admitted
+    dd.append_band_index(b1, idx)
+
+    # batch 2: an exact duplicate of the batch-1 doc
+    b2 = spark.createDataFrame(
+        [(900002, "utterly novel ingest text nothing resembles this payload")],
+        ["doc_id", "text"],
+    )
+    hits2 = (
+        dd.near_dup_ingest_join(b2, dd.read_band_index(spark, idx))
+        .filter(F.col("est_jaccard") >= 0.9)
+        .select("corpus_doc_id")
+        .distinct()
+        .collect()
+    )
+    assert [r["corpus_doc_id"] for r in hits2] == [900001]
