@@ -133,6 +133,19 @@ def write_jsonl(df: DataFrame, path: str, *partition_cols: str) -> None:
     w.json(path)
 
 
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with schema merging for landed data whose schema GREW
+    over time (training corpora gain metadata columns between snapshots).
+
+    ``mergeSchema`` unions the footer schemas across all files (older
+    files surface the new columns as nulls).  Spark leaves it off by
+    default because the union is a per-file footer pass at plan time —
+    acceptable for a landing zone, wrong as a default for a 100 TB
+    curated table, which is why this is a separate entry point instead of
+    an option on ``load_table``."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (built into Spark) — same pushdown/pruning contract as
     parquet (PushedFilters / ReadSchema on the scan, asserted in

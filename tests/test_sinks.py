@@ -175,3 +175,18 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,10)" in plan
     assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_parquet_schema_evolution_merges_columns(spark, tmp_path):
+    from bigdataanalytics_textsummarization_spark.io import read_parquet_evolving
+
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["doc_id", "text"]).write.parquet(out)
+    spark.createDataFrame(
+        [(2, "b", "en")], ["doc_id", "text", "lang"]
+    ).write.mode("append").parquet(out)
+    back = read_parquet_evolving(spark, out)
+    assert set(back.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: r for r in back.collect()}
+    assert rows[1]["lang"] is None  # old files surface the new column as null
+    assert rows[2]["lang"] == "en"
