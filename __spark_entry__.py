@@ -84,6 +84,7 @@ _PRIORITY = [
     "gopher_rules",
     "contamination_check",
     "event_funnel",
+    "table_profile",
     "ann_ivf_recall",
     # rows-only in r1/r2, golden-gated this round
     "lsa_concepts",
