@@ -90,6 +90,7 @@ _PRIORITY = [
     "lsa_concepts",
     "lsa_summary",
     "lsa_concepts_distributed",
+    "compression_ratio",
 ]
 
 

@@ -21,11 +21,17 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bigdataanalytics_textsummarization_spark import lsa  # noqa: E402
+import __spark_entry__ as entry  # noqa: E402
+
 from bigdataanalytics_textsummarization_spark.session import get_session  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
-GOLDEN_QUERIES = ["lsa_concepts", "lsa_summary", "lsa_concepts_distributed"]
+GOLDEN_QUERIES = [
+    "lsa_concepts",
+    "lsa_summary",
+    "lsa_concepts_distributed",
+    "compression_ratio",  # zlib bytes: deterministic for a fixed zlib build
+]
 
 
 def main() -> None:
@@ -37,8 +43,9 @@ def main() -> None:
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session(app="make-golden", cpus=8, shuffle_partitions=16)
+    queries = entry.queries()
     for name in GOLDEN_QUERIES:
-        pdf = lsa.QUERIES[name](spark, SF_DIR).toPandas()
+        pdf = queries[name](spark, SF_DIR).toPandas()
         key = sorted(pdf.columns)
         pdf = (
             pdf.reindex(key, axis=1)
