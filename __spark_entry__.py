@@ -35,6 +35,7 @@ from bigdataanalytics_textsummarization_spark.extensions import (  # noqa: E402
     dedup,
     multimodal,
     similarity,
+    snapshot,
     text_analysis,
 )
 from bigdataanalytics_textsummarization_spark.streaming import (  # noqa: E402
@@ -53,6 +54,7 @@ _MODULES = [
     similarity,  # ann_ivf_recall new this round
     curation,  # curation_pipeline red in r2 (oracle HUGEINT, fixed)
     text_analysis,  # pack_sequences red in r2 (oracle HUGEINT, fixed)
+    snapshot,  # new this round
     multimodal,
     rouge,
     streaming_events,
@@ -86,6 +88,11 @@ _PRIORITY = [
     "event_funnel",
     "table_profile",
     "ann_ivf_recall",
+    "snapshot_diff",
+    "partition_rewrite_plan",
+    "shard_shuffle",
+    "classifier_score",
+    "cohort_retention",
     # rows-only in r1/r2, golden-gated this round
     "lsa_concepts",
     "lsa_summary",

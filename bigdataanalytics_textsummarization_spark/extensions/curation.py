@@ -187,6 +187,40 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SHARDS = 8
+
+
+def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: shard assignment + in-shard
+    position for writing training shards.
+
+    Training wants the corpus in a reproducible pseudo-random order, but a
+    global ``orderBy(rand())`` is a full sort with an RNG that depends on
+    partition layout.  The scale shape is hash-order: md5 of the salted
+    key picks both the shard (modulo) and the within-shard order (the hash
+    value itself) — one hash shuffle on ``shard`` plus a per-shard local
+    sort, no global sort, and any document's placement is re-derivable
+    from its id alone.  This is exactly
+    ``repartition(N, shard).sortWithinPartitions(h)`` at write time; the
+    query exposes the assignment so the oracle can value-check it.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shard"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    sharded = docs.select("doc_id", h.alias("h"), (h % N_SHARDS).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
 _SPLIT_EXPR = (
     "cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) "
     "AS ubigint) AS bigint) % 100"
@@ -303,6 +337,19 @@ SELECT doc_id, lang,
        {_BUCKET_SQL} < round(({_RATE_SQL}) * {_SAMPLE_BUCKETS}) AS sampled
 FROM documents
 """,
+    "shard_shuffle": f"""
+WITH h AS (
+  SELECT doc_id,
+         cast(cast(concat('0x',
+           substr(md5(cast(doc_id AS varchar) || ':shard'), 1, 12))
+           AS ubigint) AS bigint) AS h
+  FROM documents
+)
+SELECT doc_id, h % {N_SHARDS} AS shard,
+       cast(row_number() OVER (PARTITION BY h % {N_SHARDS}
+                               ORDER BY h, doc_id) AS bigint) AS pos
+FROM h
+""",
     "source_mixture": f"""
 WITH per AS (
   SELECT source, cast(count(*) AS bigint) AS n_docs FROM documents GROUP BY source
@@ -327,4 +374,5 @@ QUERIES = {
     "curation_pipeline": curation_pipeline,
     "stratified_sample": stratified_sample,
     "source_mixture": source_mixture,
+    "shard_shuffle": shard_shuffle,
 }

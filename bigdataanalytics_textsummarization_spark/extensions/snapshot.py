@@ -1,0 +1,195 @@
+"""Incremental snapshot operators: CDC-style diff and rewrite planning.
+
+A 100 TB corpus is never rebuilt from scratch — each landing-zone drop is
+reconciled against the previous snapshot and only the delta flows through
+the (expensive) curation chain.  Two operators cover that reconciliation:
+
+- ``snapshot_diff``: classify every key as added / removed / changed
+  between two snapshot versions.  The scale-correct shape is to hash each
+  row's payload *before* the join, so the single full-outer sort-merge
+  join shuffles only ``(key, 32-byte hash)`` — never the document bodies.
+  With both snapshots bucketed by the key (io.write_bucketed) the join is
+  shuffle-free.
+- ``partition_rewrite_plan``: aggregate the diff to per-partition change
+  counts and a rewrite verdict — the job-planning step of an incremental
+  writer (only partitions with any delta are rewritten; untouched
+  partition directories are never opened).
+
+The two snapshot versions are derived deterministically from the
+``documents`` table (the fixtures are read-only), which keeps the diff
+fully oracle-checkable:
+
+- the OLD snapshot is missing keys with ``doc_id % 17 == 3`` → those rows
+  classify as ``added``;
+- the NEW snapshot is missing keys with ``doc_id % 13 == 5`` → ``removed``;
+- the NEW snapshot revises the text of keys with ``doc_id % 7 == 0`` →
+  ``changed`` (when present in both).
+
+Unchanged keys are dropped from the diff output — CDC output is the
+delta, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+OLD_DROP_MOD, OLD_DROP_REM = 17, 3
+NEW_DROP_MOD, NEW_DROP_REM = 13, 5
+REV_MOD = 7
+
+
+def _old_snapshot(docs: DataFrame) -> DataFrame:
+    return docs.filter(
+        F.col("doc_id") % OLD_DROP_MOD != OLD_DROP_REM
+    ).select("doc_id", "source", F.md5("text").alias("row_hash"))
+
+
+def _new_snapshot(docs: DataFrame) -> DataFrame:
+    revised = F.when(
+        F.col("doc_id") % REV_MOD == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    return docs.filter(
+        F.col("doc_id") % NEW_DROP_MOD != NEW_DROP_REM
+    ).select("doc_id", "source", F.md5(revised).alias("row_hash"))
+
+
+def _diff(docs: DataFrame) -> DataFrame:
+    old = _old_snapshot(docs)
+    new = _new_snapshot(docs)
+    joined = old.alias("o").join(
+        new.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("o.row_hash") != F.col("n.row_hash"), F.lit("changed"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            F.coalesce(F.col("o.source"), F.col("n.source")).alias("source"),
+            change.alias("change"),
+            F.col("o.row_hash").alias("old_hash"),
+            F.col("n.row_hash").alias("new_hash"),
+        )
+        # unchanged rows (change IS NULL) are not part of the delta
+        .filter(F.col("change").isNotNull())
+    )
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed delta between the two snapshot versions.
+
+    One full-outer join on the key over pre-hashed rows; the payload never
+    crosses a shuffle.  The reference has no incremental story at all (it
+    re-reads its whole dataset per run, BigdataProjectCode.py:117-118);
+    this is the operator that replaces "re-run everything".
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return _diff(docs)
+
+
+def partition_rewrite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition (source) change accounting + rewrite verdict.
+
+    The diff is already O(delta); this aggregate is O(partitions).  A
+    copy-on-write incremental sink rewrites exactly the partitions where
+    ``needs_rewrite`` — everything else is carried forward untouched, so
+    the write cost scales with the delta, not the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    per = (
+        _diff(docs)
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("change") == "added", 1).otherwise(0))
+            .cast("long")
+            .alias("n_added"),
+            F.sum(F.when(F.col("change") == "removed", 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.sum(F.when(F.col("change") == "changed", 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+        )
+    )
+    # partitions with no delta simply don't appear in the diff; a right
+    # join against the partition list surfaces them as no-rewrite rows
+    parts = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_rows"))
+    return (
+        parts.join(per, "source", "left")
+        .select(
+            "source",
+            "n_rows",
+            F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("n_changed", F.lit(0)).cast("long").alias("n_changed"),
+        )
+        .withColumn(
+            "needs_rewrite",
+            (F.col("n_added") + F.col("n_removed") + F.col("n_changed")) > 0,
+        )
+    )
+
+
+_SNAPSHOTS_CTE = f"""
+old AS (
+  SELECT doc_id, source, md5(text) AS row_hash
+  FROM documents WHERE doc_id % {OLD_DROP_MOD} <> {OLD_DROP_REM}
+),
+new AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % {REV_MOD} = 0 THEN text || ' rev2'
+                  ELSE text END) AS row_hash
+  FROM documents WHERE doc_id % {NEW_DROP_MOD} <> {NEW_DROP_REM}
+),
+diff AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         coalesce(o.source, n.source) AS source,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.row_hash <> n.row_hash THEN 'changed' END AS change,
+         o.row_hash AS old_hash,
+         n.row_hash AS new_hash
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+"""
+
+ORACLES: dict[str, str] = {
+    "snapshot_diff": f"""
+WITH {_SNAPSHOTS_CTE}
+SELECT * FROM diff WHERE change IS NOT NULL
+""",
+    "partition_rewrite_plan": f"""
+WITH {_SNAPSHOTS_CTE},
+delta AS (SELECT * FROM diff WHERE change IS NOT NULL),
+per AS (
+  SELECT source,
+         cast(sum(CASE WHEN change = 'added' THEN 1 ELSE 0 END) AS bigint)
+           AS n_added,
+         cast(sum(CASE WHEN change = 'removed' THEN 1 ELSE 0 END) AS bigint)
+           AS n_removed,
+         cast(sum(CASE WHEN change = 'changed' THEN 1 ELSE 0 END) AS bigint)
+           AS n_changed
+  FROM delta GROUP BY source
+),
+parts AS (
+  SELECT source, cast(count(*) AS bigint) AS n_rows FROM documents GROUP BY source
+)
+SELECT p.source, p.n_rows,
+       coalesce(per.n_added, 0) AS n_added,
+       coalesce(per.n_removed, 0) AS n_removed,
+       coalesce(per.n_changed, 0) AS n_changed,
+       coalesce(per.n_added, 0) + coalesce(per.n_removed, 0)
+         + coalesce(per.n_changed, 0) > 0 AS needs_rewrite
+FROM parts p LEFT JOIN per ON p.source = per.source
+""",
+}
+
+QUERIES = {
+    "snapshot_diff": snapshot_diff,
+    "partition_rewrite_plan": partition_rewrite_plan,
+}

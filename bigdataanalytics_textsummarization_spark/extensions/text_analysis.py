@@ -802,7 +802,74 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLF_BUCKETS = 4096  # feature-hash dimensionality of the linear scorer
+
+
+def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier scoring — the fasttext-style
+    quality-classifier plumbing of corpus curation (CCNet/GPT-3 use a
+    linear model over hashed token features to score every document),
+    expressed entirely JVM-side.
+
+    The hashing trick: token -> md5 -> bucket in [0, CLF_BUCKETS); the
+    per-bucket weight is looked up and summed, logit = mean weight,
+    prob = sigmoid(logit).  Weights here are a deterministic closed
+    formula over the bucket id ((bucket % 2001 - 1000)/1000, uniform in
+    [-1, 1]) standing in for a learned weight vector — the container has
+    no model artifacts, and a learned vector would join in as a
+    CLF_BUCKETS-row broadcast table without changing the plan.  Shape at
+    100 TB: explode -> projection (hash + weight are per-row expressions,
+    no dictionary shuffle) -> one groupBy(doc_id).  The whole scorer is
+    one shuffle of (doc_id, weight) pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ", -1)).alias("w")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("w"), F.lit(":clf"))), 1, 8), 16, 10
+        ).cast("long")
+        % CLF_BUCKETS
+    )
+    # weights are integers/1000, so the per-doc reduction stays in exact
+    # integer space — float enters only at the final division, making the
+    # result independent of summation order (and engine)
+    weight_milli = bucket % 2001 - 1000
+    per = toks.select("doc_id", weight_milli.alias("wm")).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_feats"),
+        F.sum("wm").cast("long").alias("s"),
+    )
+    logit_raw = F.col("s") / (F.lit(1000.0) * F.col("n_feats"))
+    return per.select(
+        "doc_id",
+        "n_feats",
+        r6(logit_raw).alias("logit"),
+        r6(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit_raw))).alias("prob"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "classifier_score": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         (cast(cast(concat('0x', substr(md5(w || ':clf'), 1, 8))
+            AS ubigint) AS bigint) % {CLF_BUCKETS}) AS bucket
+  FROM toks
+),
+per AS (
+  SELECT doc_id, cast(count(*) AS bigint) AS n_feats,
+         cast(sum(bucket % 2001 - 1000) AS bigint) AS s
+  FROM feat GROUP BY doc_id
+)
+SELECT doc_id, n_feats,
+       round(s / (1000.0 * n_feats), 6) AS logit,
+       round(1.0 / (1.0 + exp(-(s / (1000.0 * n_feats)))), 6) AS prob
+FROM per
+""",
     "gopher_rules": f"""
 WITH base AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
@@ -1168,4 +1235,5 @@ QUERIES = {
     "substring_dedup": substring_dedup,
     "gopher_rules": gopher_rules,
     "contamination_check": contamination_check,
+    "classifier_score": classifier_score,
 }

@@ -456,7 +456,69 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the event stream.
+
+    Classic product-analytics shape: cohort = the week of a user's first
+    event; each cell = how many cohort users were active ``week_offset``
+    weeks later, plus the retention rate vs the cohort's own week-0 size.
+
+    Scale shape: the (user, week) activity grid is one distinct over the
+    events scan; first-week is a groupBy(user) on that already-reduced
+    grid; the grid joins back co-keyed on user_id.  Every shuffle is
+    O(active user-weeks) — far below O(events) — and the output matrix is
+    O(weeks^2), so the window computing the week-0 denominator runs on a
+    tiny aggregate.  No self-join of the raw event table anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    first = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        weekly.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    w = Window.partitionBy("cohort_week")
+    base = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_users"))
+    ).over(w)
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        r6(F.col("n_users") / base).alias("retention"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "cohort_retention": """
+WITH weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+firsts AS (
+  SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY user_id
+),
+cells AS (
+  SELECT f.cohort_week,
+         cast(date_diff('day', f.cohort_week, w.week) // 7 AS bigint)
+           AS week_offset,
+         cast(count(*) AS bigint) AS n_users
+  FROM weekly w JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_users,
+       round(n_users * 1.0 / max(CASE WHEN week_offset = 0 THEN n_users END)
+             OVER (PARTITION BY cohort_week), 6) AS retention
+FROM cells
+""",
     "table_profile": "\nUNION ALL\n".join(
         f"""SELECT '{c}' AS column_name,
        cast(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_nulls,
@@ -672,4 +734,5 @@ QUERIES = {
     "sales_pivot": sales_pivot,
     "event_funnel": event_funnel,
     "table_profile": table_profile,
+    "cohort_retention": cohort_retention,
 }

@@ -1,0 +1,119 @@
+"""Semantic invariants for the incremental/curation operators added in
+round 3 (snapshot diff, rewrite planning, shard shuffle, classifier
+scoring, cohort retention) — value-level parity is covered by
+test_oracle_parity; these pin the semantics parity alone can't."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdataanalytics_textsummarization_spark.extensions.curation import (
+    N_SHARDS,
+    shard_shuffle,
+)
+from bigdataanalytics_textsummarization_spark.extensions.snapshot import (
+    NEW_DROP_MOD,
+    NEW_DROP_REM,
+    OLD_DROP_MOD,
+    OLD_DROP_REM,
+    REV_MOD,
+    partition_rewrite_plan,
+    snapshot_diff,
+)
+from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+    classifier_score,
+)
+from bigdataanalytics_textsummarization_spark.relational_ext import cohort_retention
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def diff_rows(spark):
+    return snapshot_diff(spark, SF_DIR).collect()
+
+
+def test_snapshot_diff_classification(diff_rows):
+    assert diff_rows, "fixture derivation should produce a non-empty delta"
+    for r in diff_rows:
+        if r.change == "added":
+            # absent from the old snapshot, present in the new one
+            assert r.doc_id % OLD_DROP_MOD == OLD_DROP_REM
+            assert r.old_hash is None and r.new_hash is not None
+        elif r.change == "removed":
+            assert r.doc_id % NEW_DROP_MOD == NEW_DROP_REM
+            assert r.new_hash is None and r.old_hash is not None
+        elif r.change == "changed":
+            # present in both, revised text in the new snapshot
+            assert r.doc_id % REV_MOD == 0
+            assert r.old_hash is not None and r.new_hash is not None
+            assert r.old_hash != r.new_hash
+        else:
+            raise AssertionError(f"unexpected change class {r.change!r}")
+
+
+def test_snapshot_diff_excludes_unchanged(diff_rows):
+    # a key in neither drop-set nor the revision set must not appear
+    seen = {r.doc_id for r in diff_rows}
+    for doc_id in seen:
+        assert (
+            doc_id % OLD_DROP_MOD == OLD_DROP_REM
+            or doc_id % NEW_DROP_MOD == NEW_DROP_REM
+            or doc_id % REV_MOD == 0
+        )
+
+
+def test_snapshot_diff_plan_has_no_cartesian(spark):
+    plan = snapshot_diff(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "FullOuter" in plan
+
+
+def test_rewrite_plan_reconciles_with_diff(spark, diff_rows):
+    plan = partition_rewrite_plan(spark, SF_DIR).collect()
+    by_class: dict[str, int] = {"added": 0, "removed": 0, "changed": 0}
+    for r in diff_rows:
+        by_class[r.change] += 1
+    assert sum(p.n_added for p in plan) == by_class["added"]
+    assert sum(p.n_removed for p in plan) == by_class["removed"]
+    assert sum(p.n_changed for p in plan) == by_class["changed"]
+    for p in plan:
+        expect = (p.n_added + p.n_removed + p.n_changed) > 0
+        assert p.needs_rewrite == expect
+
+
+def test_shard_shuffle_dense_positions_and_determinism(spark):
+    rows = shard_shuffle(spark, SF_DIR).collect()
+    shards: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < N_SHARDS
+        shards.setdefault(r.shard, []).append(r.pos)
+    # every shard's positions are dense 1..n (row_number semantics held)
+    for positions in shards.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # assignment is hash-derived: a rerun reproduces it exactly
+    again = {(r.doc_id, r.shard, r.pos) for r in shard_shuffle(spark, SF_DIR).collect()}
+    assert {(r.doc_id, r.shard, r.pos) for r in rows} == again
+
+
+def test_classifier_score_ranges(spark):
+    rows = classifier_score(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # mean of per-token weights in [-1, 1] => logit bounded, prob open (0,1)
+        assert -1.0 <= r.logit <= 1.0
+        assert 0.0 < r.prob < 1.0
+        assert r.n_feats >= 1
+
+
+def test_cohort_retention_matrix_invariants(spark):
+    rows = cohort_retention(spark, SF_DIR).collect()
+    assert rows
+    base = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    for r in rows:
+        assert r.week_offset >= 0
+        assert r.cohort_week in base, "every cohort must have a week-0 cell"
+        assert r.n_users <= base[r.cohort_week]
+        if r.week_offset == 0:
+            assert r.retention == 1.0
+        else:
+            assert 0.0 < r.retention <= 1.0
