@@ -93,6 +93,7 @@ _PRIORITY = [
     "shard_shuffle",
     "classifier_score",
     "cohort_retention",
+    "timeseries_fill",
     # rows-only in r1/r2, golden-gated this round
     "lsa_concepts",
     "lsa_summary",

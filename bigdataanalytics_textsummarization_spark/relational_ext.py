@@ -498,7 +498,75 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample of each user's event timeline.
+
+    Time-series engines call this gap-filling / resampling: generate the
+    dense hour spine between a user's first and last activity with
+    ``sequence(min, max, INTERVAL 1 HOUR)``, left-join the sparse hourly
+    aggregate onto it, zero-fill the holes, and carry a running total.
+    Everything stays integer so the result is exactly reproducible.
+
+    Scale shape: the hourly aggregate is one shuffle of (user, hour)
+    partial counts; the spine explodes O(users x span-hours) rows from
+    the tiny per-user bounds aggregate — generated, not shuffled — and
+    the fill join + cumulative window run on the user_id partitioning the
+    aggregate already has.  Span is bounded by the retention window of
+    the data (a production spine would also cap it explicitly), so no
+    stage depends on raw event volume after the first aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+        .withColumn("cum_events", F.sum("n_events").over(w).cast("long"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "timeseries_fill": """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         cast(count(*) AS bigint) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+)
+SELECT s.user_id, s.hour,
+       coalesce(h.n_events, 0) AS n_events,
+       h.n_events IS NULL AS is_gap,
+       cast(sum(coalesce(h.n_events, 0)) OVER (
+              PARTITION BY s.user_id ORDER BY s.hour
+              ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_events
+FROM spine s LEFT JOIN hourly h USING (user_id, hour)
+""",
     "cohort_retention": """
 WITH weekly AS (
   SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
@@ -735,4 +803,5 @@ QUERIES = {
     "event_funnel": event_funnel,
     "table_profile": table_profile,
     "cohort_retention": cohort_retention,
+    "timeseries_fill": timeseries_fill,
 }

@@ -23,7 +23,10 @@ from bigdataanalytics_textsummarization_spark.extensions.snapshot import (
 from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
     classifier_score,
 )
-from bigdataanalytics_textsummarization_spark.relational_ext import cohort_retention
+from bigdataanalytics_textsummarization_spark.relational_ext import (
+    cohort_retention,
+    timeseries_fill,
+)
 from tests.conftest import SF_DIR
 
 
@@ -103,6 +106,27 @@ def test_classifier_score_ranges(spark):
         assert -1.0 <= r.logit <= 1.0
         assert 0.0 < r.prob < 1.0
         assert r.n_feats >= 1
+
+
+def test_timeseries_fill_spine_is_dense(spark):
+    rows = timeseries_fill(spark, SF_DIR).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert (r.n_events == 0) == r.is_gap
+        by_user.setdefault(r.user_id, []).append(r)
+    for series in by_user.values():
+        series.sort(key=lambda r: r.hour)
+        # first and last spine hours carry real activity by construction
+        assert not series[0].is_gap and not series[-1].is_gap
+        cum = 0
+        for prev, cur in zip(series, series[1:]):
+            assert (cur.hour - prev.hour).total_seconds() == 3600, (
+                "spine must be one row per hour with no holes"
+            )
+        for r in series:
+            cum += r.n_events
+            assert r.cum_events == cum
 
 
 def test_cohort_retention_matrix_invariants(spark):
