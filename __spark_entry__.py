@@ -73,6 +73,7 @@ _PRIORITY = [
     "q21_waiting_suppliers",
     "distinct_sketch",
     "minhash_lsh_mllib",
+    "minhash_lsh_mllib_recall",
     "tfidf_topk_mllib",
     "curation_pipeline",
     "pack_sequences",

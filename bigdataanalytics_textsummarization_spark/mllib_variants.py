@@ -145,6 +145,81 @@ def minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LSH_RECALL_FLOOR = 0.8  # measured 1.0 at sf0.001/sf0.01 (truth pairs all J>=0.87)
+
+
+def _trigram_shingles(docs: DataFrame) -> DataFrame:
+    """The exact shingle derivation minhash_lsh_mllib feeds its LSH."""
+    arr = F.split("text", " ", -1)
+    return (
+        docs.filter(F.size(arr) >= 3)
+        .select("doc_id", arr.alias("w"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - F.lit(2)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("w", i),
+                        F.element_at("w", i + 1),
+                        F.element_at("w", i + 2),
+                    ),
+                )
+            ).alias("grams"),
+        )
+    )
+
+
+def minhash_lsh_mllib_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MLlib LSH candidate pairs against exact shingle
+    Jaccard truth, as a driver-gateable determinate fact.
+
+    ``minhash_lsh_mllib`` itself is rows-only (its hash family runs over
+    CountVectorizer indices whose frequency-tie order is partition-
+    dependent), so this companion closes the loop the same way
+    ``ann_ivf_recall`` does for the IVF index: ONE row with the exact
+    truth-pair count (fully SQL-derivable) and a recall >= floor boolean.
+    The boolean is determinate despite the index nondeterminism because
+    every truth pair in the fixture has J >= 0.87, where the per-pair
+    miss probability of an 8-table OR-amplified MinHash is
+    (1-J)^8 <= 1e-8.  Truth pairs must share a shingle, so the blocked
+    equi-join is complete — same validator-scope trade as
+    dedup_ngram_jaccard.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = _trigram_shingles(docs).select("doc_id", F.explode("grams").alias("g"))
+    n = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = (
+        g.alias("a")
+        .join(
+            g.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("isect"))
+    )
+    truth = (
+        cand.join(n.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(n.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .filter(
+            F.col("isect") / (F.col("na") + F.col("nb") - F.col("isect"))
+            >= 1.0 - MAX_JACCARD_DISTANCE
+        )
+        .select("doc_a", "doc_b")
+    )
+    found = minhash_lsh_mllib(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    return truth.join(found, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth_pairs"),
+        (F.sum("hit") / F.count(F.lit(1)) >= LSH_RECALL_FLOOR).alias("recall_ok"),
+    )
+
+
 # minhash_lsh_mllib is rows-only by design (see module docstring); the
 # tfidf pipeline's values are the closed MLlib formulas, compiled to SQL.
 # Score parity holds because ln() differences between engines are sub-ulp
@@ -178,9 +253,34 @@ FROM (
 )
 WHERE rk <= {TOP_K}
 """,
+    "minhash_lsh_mllib_recall": f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+tri AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM w)
+),
+n AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+  FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN n na ON na.doc_id = cand.doc_a
+  JOIN n nb ON nb.doc_id = cand.doc_b
+  WHERE isect * 1.0 / (na.n + nb.n - isect) >= {1.0 - MAX_JACCARD_DISTANCE}
+)
+SELECT cast(count(*) AS bigint) AS n_truth_pairs, true AS recall_ok FROM truth
+""",
 }
 
 QUERIES = {
     "tfidf_topk_mllib": tfidf_topk_mllib,
     "minhash_lsh_mllib": minhash_lsh_mllib,
+    "minhash_lsh_mllib_recall": minhash_lsh_mllib_recall,
 }
