@@ -1,0 +1,63 @@
+"""Results must not depend on parallelism.
+
+A 100 TB run executes the same logical plan over thousands of partitions;
+any operator whose output depends on partition count or layout (RNG keyed
+to partitions, order-sensitive float reductions surviving the rounding
+contract, first()/collect_list without an order) would pass a fixed-
+parallelism oracle gate and still drift on a real cluster.  This suite
+re-runs a representative query slice under three shuffle-partition
+settings (including 1, which serializes every reduction order) and
+asserts byte-identical normalized output.
+
+Float caveat: the engine's rounding contract (r6/r2) makes reduction-
+order ulp differences collapse at 1e-6 except exactly at a rounding
+boundary; the queries chosen here either reduce in integer space or have
+their order-robustness guaranteed by construction (documented per query).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tests.conftest import SF_DIR, normalize
+
+# Queries spanning every shuffle-bearing shape: agg diamonds (term_stats),
+# window top-k (top_keywords), banded self-join (dedup_minhash_lsh),
+# iterative checkpointing (textrank_top5), hash-bucketed assignment
+# (shard_shuffle, train_test_split), integer-exact scoring
+# (classifier_score), full-outer diff (snapshot_diff), spine generation
+# (timeseries_fill), and sessionization (user_sessions).
+INVARIANCE_SLICE = [
+    "term_stats",
+    "top_keywords",
+    "dedup_minhash_lsh",
+    "textrank_top5",
+    "shard_shuffle",
+    "train_test_split",
+    "classifier_score",
+    "snapshot_diff",
+    "timeseries_fill",
+    "user_sessions",
+    "cohort_retention",
+]
+
+PARTITION_SETTINGS = ["1", "7", "32"]
+
+
+@pytest.mark.parametrize("name", INVARIANCE_SLICE)
+def test_partition_count_does_not_change_results(spark, name):
+    fn = entry_mod.queries()[name]
+    baseline = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in PARTITION_SETTINGS:
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results.append(normalize(fn(spark, SF_DIR).toPandas()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", baseline)
+    for other, n in zip(results[1:], PARTITION_SETTINGS[1:]):
+        assert results[0].equals(other), (
+            f"{name}: output differs between shuffle.partitions="
+            f"{PARTITION_SETTINGS[0]} and {n}"
+        )
