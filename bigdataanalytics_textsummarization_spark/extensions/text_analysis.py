@@ -840,11 +840,22 @@ def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_feats"),
         F.sum("wm").cast("long").alias("s"),
     )
+    # logit = s/(1000*n) is a RATIONAL of integers, so it can land exactly
+    # on a half-microunit (e.g. s=-10309, n=80 -> -0.1288625), where
+    # engines' round() disagree (Spark rounds the shortest-decimal string
+    # HALF_UP, DuckDB the binary value).  So the 6-decimal quantization is
+    # done in exact integer arithmetic — round-half-away-from-zero of
+    # s*1000/n micro-units — identically on both sides; float enters only
+    # for the final exact division by 1e6.
+    logit_micro = F.expr(
+        "CASE WHEN s >= 0 THEN (2000 * s + n_feats) DIV (2 * n_feats) "
+        "ELSE -((2000 * -s + n_feats) DIV (2 * n_feats)) END"
+    )
     logit_raw = F.col("s") / (F.lit(1000.0) * F.col("n_feats"))
     return per.select(
         "doc_id",
         "n_feats",
-        r6(logit_raw).alias("logit"),
+        (logit_micro / F.lit(1000000.0)).alias("logit"),
         r6(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit_raw))).alias("prob"),
     )
 
@@ -866,7 +877,9 @@ per AS (
   FROM feat GROUP BY doc_id
 )
 SELECT doc_id, n_feats,
-       round(s / (1000.0 * n_feats), 6) AS logit,
+       (CASE WHEN s >= 0 THEN (2000 * s + n_feats) // (2 * n_feats)
+             ELSE -((2000 * -s + n_feats) // (2 * n_feats)) END)
+         / 1000000.0 AS logit,
        round(1.0 / (1.0 + exp(-(s / (1000.0 * n_feats)))), 6) AS prob
 FROM per
 """,

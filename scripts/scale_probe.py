@@ -1,0 +1,112 @@
+"""Scale-stress probe: replicate the sf0.1 corpus 10x and measure how the
+heavy operators' wall time grows.
+
+The correctness gate proves operators right at small SF; this probe gives
+measured (not argued) evidence for the scaling claim: each probed query
+runs on sf0.1 and on a 10x replicated corpus (~50k docs / ~6M tokens),
+and the report prints the wall-time ratio.  A linear-shaped operator
+lands near 10x (or below, while fixed costs still dominate); anything
+super-linear (a hidden pairwise stage, a driver materialization) shows up
+immediately as a blow-up ratio.
+
+Replication keeps doc_ids unique by offsetting each replica by a stride.
+Replica texts are identical, so the corpus is ADVERSARIAL for dedup:
+every document gains 9 exact twins, every LSH band bucket holds >= 10
+docs, and pair counts grow ~45x per duplicate group — the workload dedup
+exists for, and a direct probe of the "hot band" risk documented in
+PLANS.md.
+
+Usage: python scripts/scale_probe.py [replicas]   (default 10)
+Writes the replicated corpus under /tmp/spark_graft_scale_probe/.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from bigdataanalytics_textsummarization_spark.session import get_session  # noqa: E402
+
+BASE_SF = "/root/testdata/sf0.1"
+WORK_DIR = "/tmp/spark_graft_scale_probe"
+ID_STRIDE = 10_000_000
+
+# The shuffle-heavy slice worth stressing: text diamonds, window top-k,
+# exact + LSH dedup, hashed scoring, sessionization.
+PROBE = [
+    "term_stats",
+    "top_keywords",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "classifier_score",
+    "quality_score",
+    "user_sessions",
+]
+
+
+def build_replicated(spark, replicas: int) -> str:
+    out = os.path.join(WORK_DIR, f"x{replicas}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    rep = (
+        docs.withColumn(
+            "r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        )
+        .withColumn("doc_id", F.col("doc_id") + F.col("r") * F.lit(ID_STRIDE))
+        .drop("r")
+    )
+    rep.write.parquet(f"{out}/documents.parquet")
+    ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    rep_ev = (
+        ev.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+        .withColumn("event_id", F.col("event_id") + F.col("r") * F.lit(ID_STRIDE))
+        .withColumn("user_id", F.col("user_id") + F.col("r") * F.lit(ID_STRIDE))
+        .drop("r")
+    )
+    rep_ev.write.parquet(f"{out}/events.parquet")
+    for t in (
+        "region nation customer supplier part orders lineitem embeddings"
+    ).split():
+        os.symlink(f"{BASE_SF}/{t}.parquet", f"{out}/{t}.parquet")
+    return out
+
+
+def time_query(spark, fn, sf_dir: str) -> float:
+    df = fn(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_session(
+        app="scale-probe",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    big_dir = build_replicated(spark, replicas)
+    queries = entry_mod.queries()
+    print(f"{'query':24} {'sf0.1':>8} {'x' + str(replicas):>8} {'ratio':>7}")
+    for name in PROBE:
+        fn = queries[name]
+        time_query(spark, fn, BASE_SF)  # warm
+        base = time_query(spark, fn, BASE_SF)
+        big = time_query(spark, fn, big_dir)
+        print(f"{name:24} {base:8.2f} {big:8.2f} {big / base:7.1f}x")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
