@@ -93,6 +93,7 @@ _PRIORITY = [
     "partition_rewrite_plan",
     "shard_shuffle",
     "classifier_score",
+    "clf_ingest",
     "cohort_retention",
     "timeseries_fill",
     # rows-only in r1/r2, golden-gated this round

@@ -860,7 +860,85 @@ def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLF_KEEP_PROB = 0.5  # admission threshold of the ingest gate
+
+
+def clf_ingest_score(new_docs: DataFrame) -> DataFrame:
+    """Row-local classifier scoring — the ingest-gate formulation.
+
+    Same model as ``classifier_score`` (hashed buckets, integer milli-
+    weights, integer-quantized logit), but the per-doc reduction runs as
+    a higher-order ``aggregate`` over the token array INSIDE the row:
+    zero shuffle, zero state, so ``new_docs`` may be an unbounded STREAM
+    and the gate stays append-mode legal (the same codegen-vs-HOF trade
+    dedup.py documents for its stream path — the batch path keeps the
+    codegen explode+groupBy form).  The keep decision compares the
+    integer weight sum against 0 (sigmoid is monotone, so prob >= 0.5
+    <=> s >= 0) — no float anywhere in the admission decision.
+    """
+    toks = F.split(F.lower("text"), " ", -1)
+    wm = F.transform(
+        toks,
+        lambda w: (
+            F.conv(
+                F.substring(F.md5(F.concat(w, F.lit(":clf"))), 1, 8), 16, 10
+            ).cast("long")
+            % CLF_BUCKETS
+        )
+        % 2001
+        - 1000,
+    )
+    base = new_docs.select(
+        "doc_id",
+        F.aggregate(wm, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("s"),
+        F.size(toks).cast("long").alias("n_feats"),
+    )
+    logit_micro = F.expr(
+        "CASE WHEN s >= 0 THEN (2000 * s + n_feats) DIV (2 * n_feats) "
+        "ELSE -((2000 * -s + n_feats) DIV (2 * n_feats)) END"
+    )
+    logit_raw = F.col("s") / (F.lit(1000.0) * F.col("n_feats"))
+    return base.select(
+        "doc_id",
+        "n_feats",
+        (logit_micro / F.lit(1000000.0)).alias("logit"),
+        r6(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit_raw))).alias("prob"),
+        (F.col("s") >= 0).alias("keep"),
+    )
+
+
+def clf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming classifier gate: docs with
+    doc_id % PPL_INGEST_MOD == 0 play the arriving stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return clf_ingest_score(docs.filter(F.col("doc_id") % PPL_INGEST_MOD == 0))
+
+
 ORACLES: dict[str, str] = {
+    "clf_ingest": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents WHERE doc_id % {PPL_INGEST_MOD} = 0
+),
+feat AS (
+  SELECT doc_id,
+         (cast(cast(concat('0x', substr(md5(w || ':clf'), 1, 8))
+            AS ubigint) AS bigint) % {CLF_BUCKETS}) AS bucket
+  FROM toks
+),
+per AS (
+  SELECT doc_id, cast(count(*) AS bigint) AS n_feats,
+         cast(sum(bucket % 2001 - 1000) AS bigint) AS s
+  FROM feat GROUP BY doc_id
+)
+SELECT doc_id, n_feats,
+       (CASE WHEN s >= 0 THEN (2000 * s + n_feats) // (2 * n_feats)
+             ELSE -((2000 * -s + n_feats) // (2 * n_feats)) END)
+         / 1000000.0 AS logit,
+       round(1.0 / (1.0 + exp(-(s / (1000.0 * n_feats)))), 6) AS prob,
+       s >= 0 AS keep
+FROM per
+""",
     "classifier_score": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
@@ -1249,4 +1327,5 @@ QUERIES = {
     "gopher_rules": gopher_rules,
     "contamination_check": contamination_check,
     "classifier_score": classifier_score,
+    "clf_ingest": clf_ingest,
 }

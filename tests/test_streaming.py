@@ -335,3 +335,41 @@ def test_gopher_rules_stream_matches_batch(spark):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape, f"{g.shape} != {w.shape}"
     assert g.equals(w)
+
+
+def test_clf_ingest_stream_matches_batch(spark):
+    # the classifier gate is a pure row-local projection (HOF aggregate
+    # over the token array inside the row), so it streams append-mode
+    # with no watermark and no state; the admission decision itself is
+    # integer-exact (s >= 0)
+    from pyspark.sql import types as T
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream_docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+        .filter(F.col("doc_id") % ta.PPL_INGEST_MOD == 0)
+    )
+    got = se.run_stream_to_memory(
+        spark,
+        ta.clf_ingest_score(stream_docs),
+        "clf_ingest_stream",
+        output_mode="append",
+    ).toPandas()
+    want = ta.clf_ingest(spark, SF_DIR).toPandas()
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
