@@ -253,3 +253,55 @@ def test_doc_perplexity_word_keyed_shuffles(spark):
     plan = _plan(spark, "doc_perplexity")
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_clf_ingest_is_zero_shuffle_projection(spark):
+    """The ingest classifier gate reduces inside the row (HOF aggregate),
+    so the plan must contain no exchange and no aggregation at all —
+    that's what makes it append-mode stream-legal."""
+    plan = _plan(spark, "clf_ingest")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_classifier_score_single_doc_keyed_shuffle(spark):
+    """Batch classifier scoring is explode -> projection -> ONE doc-keyed
+    aggregation shuffle (hash/weight computed per row, no dictionary or
+    model join)."""
+    plan = _plan(spark, "classifier_score")
+    assert plan.count("hashpartitioning(doc_id") == 1
+    assert plan.count("hashpartitioning") == 1
+
+
+def test_shard_shuffle_is_hash_order_not_global_sort(spark):
+    """Training-order shuffle must be one hash shuffle on the shard id +
+    per-shard local sort; a global orderBy would plan rangepartitioning."""
+    plan = _plan(spark, "shard_shuffle")
+    assert plan.count("hashpartitioning(shard") == 1
+    assert plan.count("hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_snapshot_diff_joins_prehashed_keys(spark):
+    """The CDC diff is a single key-keyed full-outer join over pre-hashed
+    rows: both sides shuffle on doc_id only, and the document payload is
+    reduced to md5 below the exchanges (no text column crosses a shuffle:
+    the exchanges' input is the hash projection)."""
+    plan = _plan(spark, "snapshot_diff")
+    assert "FullOuter" in plan
+    assert plan.count("hashpartitioning(doc_id") == 2
+    assert plan.count("hashpartitioning") == 2
+    # md5 evaluated in the pre-shuffle project, once per side
+    assert plan.count("md5") >= 2
+
+
+def test_cohort_and_timeseries_shuffle_on_user_keys_only(spark):
+    """Both event-timeline operators promise shuffles keyed on the
+    already-reduced user grids — never a range shuffle, never a raw-event
+    self-join without an equi-key."""
+    for name in ("cohort_retention", "timeseries_fill"):
+        plan = _plan(spark, name)
+        assert "rangepartitioning" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
