@@ -94,6 +94,7 @@ _PRIORITY = [
     "shard_shuffle",
     "classifier_score",
     "clf_ingest",
+    "heavy_hitters_sketch",
     "cohort_retention",
     "timeseries_fill",
     # rows-only in r1/r2, golden-gated this round

@@ -860,6 +860,84 @@ def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CM_DEPTH = 4  # count-min hash rows
+CM_WIDTH = 1024  # buckets per row
+HH_K = 20  # heavy hitters to certify
+
+
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters, exactly value-checkable.
+
+    The bounded-memory frequency sketch of stream processing: every token
+    increments one bucket per hash row (md5-derived, so the sketch is
+    deterministic and cross-engine reproducible), and a word's estimate
+    is the MIN over its CM_DEPTH bucket counts — an upper bound on the
+    true count (collisions only ever inflate).  The query reports the
+    exact top-HH_K words with their sketch estimates and the
+    overcount, so the gate certifies the sketch's defining inequality
+    est >= exact on every row, at exact value level.
+
+    Scale shape: the sketch aggregate is CM_DEPTH x CM_WIDTH cells
+    REGARDLESS of vocabulary size — the point of the structure: the
+    shuffle carries at most 4096 (row, bucket) partial counts per map
+    task however hot or wide the token distribution is.  The exact top-k
+    (one word-keyed shuffle) exists here as the certification side; a
+    production monitor would keep only the sketch.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ", -1)).alias("w")
+    )
+
+    def cm_bucket(w, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(w, F.lit(f":cm{j}"))), 1, 12
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CM_WIDTH
+        )
+
+    cells = (
+        toks.select(
+            F.posexplode(
+                F.array(*[cm_bucket(F.col("w"), j) for j in range(CM_DEPTH)])
+            ).alias("row", "bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    exact = toks.groupBy("w").agg(F.count("*").cast("long").alias("exact"))
+    wnd = Window.orderBy(F.desc("exact"), F.asc("w"))
+    top = (
+        exact.withColumn("rk", F.row_number().over(wnd).cast("long"))
+        .filter(F.col("rk") <= HH_K)
+    )
+    probes = top.select(
+        "rk",
+        "w",
+        "exact",
+        F.posexplode(
+            F.array(*[cm_bucket(F.col("w"), j) for j in range(CM_DEPTH)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        probes.join(cells, ["row", "bucket"])
+        .groupBy("rk", "w", "exact")
+        .agg(F.min("cnt").alias("est"))
+        .select(
+            "rk",
+            F.col("w").alias("word"),
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+        )
+    )
+
+
 CLF_KEEP_PROB = 0.5  # admission threshold of the ingest gate
 
 
@@ -914,7 +992,50 @@ def clf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clf_ingest_score(docs.filter(F.col("doc_id") % PPL_INGEST_MOD == 0))
 
 
+def _cm_bucket_sql(w_expr: str, j: int) -> str:
+    return (
+        f"cast(cast(concat('0x', substr(md5({w_expr} || ':cm{j}'), 1, 12)) "
+        f"AS ubigint) AS bigint) % {CM_WIDTH}"
+    )
+
+
+_CM_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+hashed AS (
+  SELECT w, j,
+         CASE {' '.join(f"WHEN j = {j} THEN {_cm_bucket_sql('w', j)}" for j in range(CM_DEPTH))}
+         END AS bucket
+  FROM toks CROSS JOIN (SELECT unnest(range({CM_DEPTH})) AS j)
+),
+cells AS (
+  SELECT j AS row, bucket, cast(count(*) AS bigint) AS cnt
+  FROM hashed GROUP BY 1, 2
+),
+exact AS (
+  SELECT w, cast(count(*) AS bigint) AS exact FROM toks GROUP BY w
+),
+top AS (
+  SELECT w, exact,
+         cast(row_number() OVER (ORDER BY exact DESC, w ASC) AS bigint) AS rk
+  FROM exact QUALIFY rk <= {HH_K}
+),
+probes AS (
+  SELECT t.rk, t.w, t.exact, h.j AS row,
+         CASE {' '.join(f"WHEN h.j = {j} THEN {_cm_bucket_sql('t.w', j)}" for j in range(CM_DEPTH))}
+         END AS bucket
+  FROM top t CROSS JOIN (SELECT unnest(range({CM_DEPTH})) AS j) h
+)
+SELECT p.rk, p.w AS word, p.exact, min(c.cnt) AS est,
+       min(c.cnt) - p.exact AS overcount
+FROM probes p JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+GROUP BY p.rk, p.w, p.exact
+"""
+
+
 ORACLES: dict[str, str] = {
+    "heavy_hitters_sketch": _CM_ORACLE,
     "clf_ingest": f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
@@ -1328,4 +1449,5 @@ QUERIES = {
     "contamination_check": contamination_check,
     "classifier_score": classifier_score,
     "clf_ingest": clf_ingest,
+    "heavy_hitters_sketch": heavy_hitters_sketch,
 }

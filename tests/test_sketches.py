@@ -80,3 +80,19 @@ def test_curation_observation_piggybacks_on_action(spark):
     result, obs = curation_with_observation(spark, SF_DIR)
     rows = result.collect()
     assert obs.get["kept_docs"] == sum(r["n_docs"] for r in rows)
+
+
+def test_count_min_estimate_upper_bounds_exact(spark):
+    """The count-min defining inequality: est >= exact on every heavy
+    hitter (collisions only inflate); ranks dense 1..k."""
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        HH_K,
+        heavy_hitters_sketch,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = heavy_hitters_sketch(spark, SF_DIR).collect()
+    assert sorted(r.rk for r in rows) == list(range(1, min(HH_K, len(rows)) + 1))
+    for r in rows:
+        assert r.est >= r.exact
+        assert r.overcount == r.est - r.exact
