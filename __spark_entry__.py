@@ -95,6 +95,7 @@ _PRIORITY = [
     "classifier_score",
     "clf_ingest",
     "heavy_hitters_sketch",
+    "line_dedup",
     "cohort_retention",
     "timeseries_fill",
     # rows-only in r1/r2, golden-gated this round

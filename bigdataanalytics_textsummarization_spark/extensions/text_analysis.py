@@ -860,6 +860,69 @@ def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_ENC = 1_000_000  # (doc_id, pos) -> doc_id*LINE_ENC + pos (pos < 1e6)
+
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-line dedup accounting: per document, how many
+    of its sentences occur elsewhere in the corpus, and how many survive
+    keep-first-occurrence removal.
+
+    C4 discards repeated spans corpus-wide (boilerplate: headers,
+    disclaimers, navigation); this is that rule over the engine's naive
+    '.' sentence unit.  An occurrence is KEPT iff its sentence is unique
+    or it is the first occurrence (minimal (doc_id, pos), encoded as
+    doc_id*LINE_ENC + pos so the argmin is a plain integer MIN — exact
+    in both engines).  Whitespace-only sentences are excluded (the empty
+    string between every '.' would otherwise mark every document
+    duplicated).
+
+    Scale shape: one shuffle on the sentence hash (the sentence TEXT
+    never shuffles — md5 rides instead), one shuffle back on doc_id.
+    keep_frac is an unrounded division of exact integers — identical
+    IEEE doubles on both engines, per the never-round-a-rational rule.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\\.")).alias("pos", "sentence"),
+        )
+        .filter(F.trim("sentence") != "")
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.trim("sentence")).alias("key"),
+            (F.col("doc_id") * LINE_ENC + F.col("pos")).alias("enc"),
+        )
+    )
+    stats = occ.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.min("enc").alias("first_enc"),
+    )
+    kept = F.when(
+        (F.col("n_occ") == 1) | (F.col("enc") == F.col("first_enc")), 1
+    ).otherwise(0)
+    return (
+        occ.join(stats, "key")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sents"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+            F.sum(kept).cast("long").alias("n_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_sents",
+            "n_dup",
+            "n_kept",
+            (F.col("n_kept") / F.col("n_sents")).alias("keep_frac"),
+        )
+    )
+
+
 CM_DEPTH = 4  # count-min hash rows
 CM_WIDTH = 1024  # buckets per row
 HH_K = 20  # heavy hitters to certify
@@ -1035,6 +1098,32 @@ GROUP BY p.rk, p.w, p.exact
 
 
 ORACLES: dict[str, str] = {
+    "line_dedup": f"""
+WITH occ AS (
+  SELECT doc_id, pos, md5(trim(sentence)) AS key,
+         doc_id * {LINE_ENC} + pos AS enc
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, '.')) AS sentence,
+           unnest(range(len(string_split(text, '.')))) AS pos
+    FROM documents
+  )
+  WHERE trim(sentence) <> ''
+),
+stats AS (
+  SELECT key, cast(count(*) AS bigint) AS n_occ, min(enc) AS first_enc
+  FROM occ GROUP BY key
+)
+SELECT o.doc_id,
+       cast(count(*) AS bigint) AS n_sents,
+       cast(sum(CASE WHEN s.n_occ > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup,
+       cast(sum(CASE WHEN s.n_occ = 1 OR o.enc = s.first_enc
+                     THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+       sum(CASE WHEN s.n_occ = 1 OR o.enc = s.first_enc THEN 1 ELSE 0 END)
+         * 1.0 / count(*) AS keep_frac
+FROM occ o JOIN stats s USING (key)
+GROUP BY o.doc_id
+""",
     "heavy_hitters_sketch": _CM_ORACLE,
     "clf_ingest": f"""
 WITH toks AS (
@@ -1450,4 +1539,5 @@ QUERIES = {
     "classifier_score": classifier_score,
     "clf_ingest": clf_ingest,
     "heavy_hitters_sketch": heavy_hitters_sketch,
+    "line_dedup": line_dedup,
 }

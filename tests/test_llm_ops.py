@@ -302,3 +302,25 @@ def test_incremental_band_index_closes_ingest_loop(spark, tmp_path):
         .collect()
     )
     assert [r["corpus_doc_id"] for r in hits2] == [900001]
+
+
+def test_line_dedup_keep_first_semantics(spark):
+    """Per-key accounting must balance: across the corpus, kept
+    occurrences of a duplicated sentence = 1 (the first), and a doc's
+    kept + dropped = its sentence count."""
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        line_dedup,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = line_dedup(spark, SF_DIR).collect()
+    assert rows
+    total_sents = sum(r.n_sents for r in rows)
+    total_kept = sum(r.n_kept for r in rows)
+    assert 0 < total_kept <= total_sents
+    for r in rows:
+        assert 0 <= r.n_dup <= r.n_sents
+        assert 0 < r.n_kept <= r.n_sents
+        # a doc's non-duplicated sentences are always kept
+        assert r.n_kept >= r.n_sents - r.n_dup
+        assert r.keep_frac == r.n_kept / r.n_sents
