@@ -190,3 +190,50 @@ def test_parquet_schema_evolution_merges_columns(spark, tmp_path):
     rows = {r["doc_id"]: r for r in back.collect()}
     assert rows[1]["lang"] is None  # old files surface the new column as null
     assert rows[2]["lang"] == "en"
+
+
+def test_bucketed_snapshot_diff_is_shuffle_free(spark):
+    """PLANS.md claims the CDC diff goes exchange-free when both snapshot
+    versions are bucketed by the key — the deployment posture of an
+    incremental landing zone.  Write the two derived snapshots bucketed
+    by doc_id and assert the full-outer diff join plans with no Exchange,
+    and that its delta equals the unbucketed snapshot_diff."""
+    import shutil
+
+    from bigdataanalytics_textsummarization_spark.extensions.snapshot import (
+        _new_snapshot,
+        _old_snapshot,
+        snapshot_diff,
+    )
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("snap_old_b", "snap_new_b"):
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    write_bucketed(_old_snapshot(docs), "snap_old_b", "doc_id", n_buckets=4)
+    write_bucketed(_new_snapshot(docs), "snap_new_b", "doc_id", n_buckets=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("snap_old_b").alias("o")
+        n = spark.table("snap_new_b").alias("n")
+        joined = o.join(n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer")
+        diff = joined.select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+            .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+            .when(F.col("o.row_hash") != F.col("n.row_hash"), F.lit("changed"))
+            .alias("change"),
+        ).filter(F.col("change").isNotNull())
+        plan = _formatted(diff)
+        assert "SortMergeJoin FullOuter" in plan
+        assert "Exchange" not in plan, "bucketed CDC diff must not shuffle"
+        got = {(r.doc_id, r.change) for r in diff.collect()}
+        want = {
+            (r.doc_id, r.change) for r in snapshot_diff(spark, SF_DIR).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS snap_old_b")
+        spark.sql("DROP TABLE IF EXISTS snap_new_b")
