@@ -96,6 +96,7 @@ _PRIORITY = [
     "clf_ingest",
     "heavy_hitters_sketch",
     "line_dedup",
+    "graph_triangles",
     "cohort_retention",
     "timeseries_fill",
     # rows-only in r1/r2, golden-gated this round

@@ -115,13 +115,113 @@ def similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-corpus triangle census of the similarity graph: vertex/edge
+    counts, triangle count, and global transitivity (3·triangles /
+    wedges) — the third graph-analytics primitive next to PageRank
+    (pagerank.py) and connected components (dedup_clusters).
+
+    The symmetric edge table is canonicalized (src < dst) so each
+    undirected edge appears once; triangles enumerate as the standard
+    two-join a<b<c path-closure, whose cost is sum-over-edges of degree
+    (skewed hubs split by AQE) — never a cube of the vertex count.
+    Transitivity is an unrounded division of exact integers (identical
+    IEEE doubles on both engines), 0.0 for wedge-free corpora.
+    """
+    e = (
+        edges_raw(spark, sf_dir)
+        .filter(F.col("src") < F.col("dst"))
+        .select("source", "src", "dst")
+    )
+    deg = (
+        edges_raw(spark, sf_dir)
+        .groupBy("source", "src")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.source") == F.col("e2.source"))
+            & (F.col("e1.dst") == F.col("e2.src")),
+        )
+        .join(
+            e3,
+            (F.col("e1.source") == F.col("e3.source"))
+            & (F.col("e1.src") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
+        )
+        .groupBy(F.col("e1.source").alias("source"))
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    per = deg.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("long")
+        .alias("wedges"),
+    )
+    n_edges = e.groupBy("source").agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        per.join(n_edges, "source", "left")
+        .join(tri, "source", "left")
+        .select(
+            "source",
+            "n_vertices",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            "wedges",
+            F.when(
+                F.col("wedges") > 0,
+                3.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / F.col("wedges"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("transitivity"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "similarity_edges": f"""
 {EDGES_PREAMBLE}
 SELECT source, src, dst, isect, round(weight, 6) AS weight FROM edges
 """,
+    "graph_triangles": f"""
+{EDGES_PREAMBLE},
+canon AS (SELECT DISTINCT source, src, dst FROM edges WHERE src < dst),
+deg AS (
+  SELECT source, src, cast(count(*) AS bigint) AS deg
+  FROM edges GROUP BY source, src
+),
+tri AS (
+  SELECT e1.source, cast(count(*) AS bigint) AS n_triangles
+  FROM canon e1
+  JOIN canon e2 ON e1.source = e2.source AND e1.dst = e2.src
+  JOIN canon e3 ON e1.source = e3.source AND e1.src = e3.src
+              AND e2.dst = e3.dst
+  GROUP BY e1.source
+),
+per AS (
+  SELECT source, cast(count(*) AS bigint) AS n_vertices,
+         cast(sum(deg * (deg - 1)) / 2 AS bigint) AS wedges
+  FROM deg GROUP BY source
+),
+ne AS (SELECT source, cast(count(*) AS bigint) AS n_edges FROM canon GROUP BY source)
+SELECT p.source, p.n_vertices,
+       coalesce(ne.n_edges, 0) AS n_edges,
+       coalesce(tri.n_triangles, 0) AS n_triangles,
+       p.wedges,
+       CASE WHEN p.wedges > 0
+            THEN 3.0 * coalesce(tri.n_triangles, 0) / p.wedges
+            ELSE 0.0 END AS transitivity
+FROM per p
+LEFT JOIN ne USING (source)
+LEFT JOIN tri USING (source)
+""",
 }
 
 QUERIES = {
     "similarity_edges": similarity_edges,
+    "graph_triangles": graph_triangles,
 }
