@@ -91,6 +91,7 @@ _PRIORITY = [
     "ann_ivf_recall",
     "snapshot_diff",
     "partition_rewrite_plan",
+    "snapshot_drift",
     "shard_shuffle",
     "classifier_score",
     "clf_ingest",

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load_table
 
@@ -135,6 +136,64 @@ def partition_rewrite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between the two snapshot versions.
+
+    The data-quality check an incremental pipeline runs before promoting
+    a new snapshot: per language stratum, document counts and mean text
+    length for both versions, the count delta, and a share-shift column
+    (new share minus old share of the corpus).  A large shift flags
+    upstream breakage (a crawler dropping a language, an encoding bug
+    shortening documents) before the corpus ships to training.
+
+    All aggregates reduce in integer space (counts, length sums); the
+    means and shares are unrounded divisions of exact integers, so both
+    engines agree bit-for-bit.  Shape: two stratum-keyed aggregates over
+    the pre-filtered snapshots and a tiny full-outer join on the stratum
+    — O(strata) output regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    old = docs.filter(F.col("doc_id") % OLD_DROP_MOD != OLD_DROP_REM)
+    revised = F.when(
+        F.col("doc_id") % REV_MOD == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    new = docs.filter(F.col("doc_id") % NEW_DROP_MOD != NEW_DROP_REM).select(
+        "doc_id", "lang", revised.alias("text")
+    )
+
+    def profile(snap: DataFrame, tag: str) -> DataFrame:
+        return snap.groupBy("lang").agg(
+            F.count("*").cast("long").alias(f"{tag}_docs"),
+            F.sum(F.length("text")).cast("long").alias(f"{tag}_chars"),
+        )
+
+    po, pn = profile(old, "old"), profile(new, "new")
+    tot_old = F.sum("old_docs").over(Window.partitionBy())
+    tot_new = F.sum("new_docs").over(Window.partitionBy())
+    joined = po.join(pn, "lang", "full_outer").select(
+        "lang",
+        F.coalesce("old_docs", F.lit(0)).cast("long").alias("old_docs"),
+        F.coalesce("new_docs", F.lit(0)).cast("long").alias("new_docs"),
+        F.coalesce("old_chars", F.lit(0)).cast("long").alias("old_chars"),
+        F.coalesce("new_chars", F.lit(0)).cast("long").alias("new_chars"),
+    )
+    return joined.select(
+        "lang",
+        "old_docs",
+        "new_docs",
+        (F.col("new_docs") - F.col("old_docs")).alias("delta_docs"),
+        F.when(
+            F.col("old_docs") > 0, F.col("old_chars") / F.col("old_docs")
+        ).otherwise(F.lit(0.0)).alias("old_mean_len"),
+        F.when(
+            F.col("new_docs") > 0, F.col("new_chars") / F.col("new_docs")
+        ).otherwise(F.lit(0.0)).alias("new_mean_len"),
+        (F.col("new_docs") / tot_new - F.col("old_docs") / tot_old).alias(
+            "share_shift"
+        ),
+    )
+
+
 _SNAPSHOTS_CTE = f"""
 old AS (
   SELECT doc_id, source, md5(text) AS row_hash
@@ -162,6 +221,45 @@ ORACLES: dict[str, str] = {
     "snapshot_diff": f"""
 WITH {_SNAPSHOTS_CTE}
 SELECT * FROM diff WHERE change IS NOT NULL
+""",
+    "snapshot_drift": f"""
+WITH vold AS (
+  SELECT doc_id, lang, text FROM documents
+  WHERE doc_id % {OLD_DROP_MOD} <> {OLD_DROP_REM}
+),
+vnew AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % {REV_MOD} = 0 THEN text || ' rev2'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % {NEW_DROP_MOD} <> {NEW_DROP_REM}
+),
+po AS (
+  SELECT lang, cast(count(*) AS bigint) AS old_docs,
+         cast(sum(length(text)) AS bigint) AS old_chars
+  FROM vold GROUP BY lang
+),
+pn AS (
+  SELECT lang, cast(count(*) AS bigint) AS new_docs,
+         cast(sum(length(text)) AS bigint) AS new_chars
+  FROM vnew GROUP BY lang
+),
+j AS (
+  SELECT coalesce(po.lang, pn.lang) AS lang,
+         coalesce(old_docs, 0) AS old_docs,
+         coalesce(new_docs, 0) AS new_docs,
+         coalesce(old_chars, 0) AS old_chars,
+         coalesce(new_chars, 0) AS new_chars
+  FROM po FULL OUTER JOIN pn ON po.lang = pn.lang
+)
+SELECT lang, old_docs, new_docs,
+       new_docs - old_docs AS delta_docs,
+       CASE WHEN old_docs > 0 THEN old_chars * 1.0 / old_docs
+            ELSE 0.0 END AS old_mean_len,
+       CASE WHEN new_docs > 0 THEN new_chars * 1.0 / new_docs
+            ELSE 0.0 END AS new_mean_len,
+       new_docs * 1.0 / (SELECT sum(new_docs) FROM j)
+         - old_docs * 1.0 / (SELECT sum(old_docs) FROM j) AS share_shift
+FROM j
 """,
     "partition_rewrite_plan": f"""
 WITH {_SNAPSHOTS_CTE},
@@ -192,4 +290,5 @@ FROM parts p LEFT JOIN per ON p.source = per.source
 QUERIES = {
     "snapshot_diff": snapshot_diff,
     "partition_rewrite_plan": partition_rewrite_plan,
+    "snapshot_drift": snapshot_drift,
 }

@@ -19,6 +19,7 @@ from bigdataanalytics_textsummarization_spark.extensions.snapshot import (
     REV_MOD,
     partition_rewrite_plan,
     snapshot_diff,
+    snapshot_drift,
 )
 from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
     classifier_score,
@@ -82,6 +83,18 @@ def test_rewrite_plan_reconciles_with_diff(spark, diff_rows):
     for p in plan:
         expect = (p.n_added + p.n_removed + p.n_changed) > 0
         assert p.needs_rewrite == expect
+
+
+def test_snapshot_drift_shares_balance(spark):
+    rows = snapshot_drift(spark, SF_DIR).collect()
+    assert rows
+    # shares are fractions of each corpus: the shifts must sum to ~0
+    assert abs(sum(r.share_shift for r in rows)) < 1e-12
+    for r in rows:
+        assert r.delta_docs == r.new_docs - r.old_docs
+        if r.old_docs and r.new_docs:
+            # revision appends 5 chars to every 7th doc: means stay close
+            assert abs(r.new_mean_len - r.old_mean_len) < 10
 
 
 def test_shard_shuffle_dense_positions_and_determinism(spark):
