@@ -97,6 +97,7 @@ _PRIORITY = [
     "clf_ingest",
     "heavy_hitters_sketch",
     "line_dedup",
+    "length_outliers",
     "graph_triangles",
     "cohort_retention",
     "timeseries_fill",

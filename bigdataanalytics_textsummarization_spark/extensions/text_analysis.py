@@ -860,6 +860,52 @@ def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_Z = 3.0  # |z| beyond which a document length is flagged
+
+
+def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length z-scores with an outlier flag — the
+    screening pass that catches truncated or concatenated documents
+    (a crawler bug's signature) before they skew training.
+
+    Determinism without rounding: the per-source moments reduce in exact
+    integer space (sum of lengths, sum of squared lengths), the variance
+    is formed from those exact integers, and IEEE-754 requires sqrt to
+    be correctly rounded — so mean, std, and z are bit-identical across
+    engines and partitionings, and the raw doubles are emitted unrounded
+    (no r6, nothing to diverge).  Zero-variance sources flag nothing.
+    Shape: one source-keyed aggregate broadcast back onto the corpus
+    projection.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("len")
+    )
+    mom = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("len").cast("long").alias("s"),
+        F.sum(F.col("len") * F.col("len")).cast("long").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    stats = mom.select(
+        "source", mean.alias("mean_len"), F.sqrt(var).alias("std_len")
+    )
+    z = F.when(
+        F.col("std_len") > 0,
+        (F.col("len") - F.col("mean_len")) / F.col("std_len"),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.join(F.broadcast(stats), "source")
+        .select(
+            "doc_id",
+            "source",
+            "len",
+            z.alias("z"),
+            (F.abs(z) > OUTLIER_Z).alias("is_outlier"),
+        )
+    )
+
+
 LINE_ENC = 1_000_000  # (doc_id, pos) -> doc_id*LINE_ENC + pos (pos < 1e6)
 
 
@@ -1098,6 +1144,28 @@ GROUP BY p.rk, p.w, p.exact
 
 
 ORACLES: dict[str, str] = {
+    "length_outliers": f"""
+WITH d AS (
+  SELECT doc_id, source, cast(length(text) AS bigint) AS len FROM documents
+),
+mom AS (
+  SELECT source, cast(count(*) AS bigint) AS n,
+         cast(sum(len) AS bigint) AS s,
+         cast(sum(len * len) AS bigint) AS ss
+  FROM d GROUP BY source
+),
+stats AS (
+  SELECT source, s / n AS mean_len,
+         sqrt(ss / n - (s / n) * (s / n)) AS std_len
+  FROM mom
+)
+SELECT d.doc_id, d.source, d.len,
+       CASE WHEN st.std_len > 0 THEN (d.len - st.mean_len) / st.std_len
+            ELSE 0.0 END AS z,
+       abs(CASE WHEN st.std_len > 0 THEN (d.len - st.mean_len) / st.std_len
+                ELSE 0.0 END) > {OUTLIER_Z} AS is_outlier
+FROM d JOIN stats st USING (source)
+""",
     "line_dedup": f"""
 WITH occ AS (
   SELECT doc_id, pos, md5(trim(sentence)) AS key,
@@ -1540,4 +1608,5 @@ QUERIES = {
     "clf_ingest": clf_ingest,
     "heavy_hitters_sketch": heavy_hitters_sketch,
     "line_dedup": line_dedup,
+    "length_outliers": length_outliers,
 }
