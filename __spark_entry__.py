@@ -98,6 +98,7 @@ _PRIORITY = [
     "heavy_hitters_sketch",
     "line_dedup",
     "length_outliers",
+    "ngram_novelty",
     "graph_triangles",
     "cohort_retention",
     "timeseries_fill",

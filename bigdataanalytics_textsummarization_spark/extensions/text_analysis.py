@@ -860,6 +860,68 @@ def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NOVELTY_N = 3  # n-gram order for the novelty curve
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: of a document's distinct trigrams,
+    the fraction it INTRODUCES to the corpus (its doc_id is the minimum
+    over all documents containing the gram).
+
+    Reading the column in doc_id order gives the corpus's diversity
+    curve — the marginal-new-content measure used to judge whether more
+    data of a source is still worth ingesting (novelty decaying to ~0
+    means the source is exhausted or boilerplate).  Shape: one shuffle
+    keyed on the gram (min-doc aggregate, text never shuffles — grams
+    ride as md5), one semi-join back, one doc-keyed count.  The fraction
+    is an unrounded division of exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.lower("text"), " ", -1)
+    grams = (
+        docs.filter(F.size(arr) >= NOVELTY_N)
+        .select("doc_id", arr.alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - F.lit(NOVELTY_N - 1)),
+                        lambda i: F.md5(
+                            F.concat_ws(
+                                " ",
+                                *[
+                                    F.element_at("w", i + j)
+                                    for j in range(NOVELTY_N)
+                                ],
+                            )
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel") / F.col("n_grams")).alias("novelty"),
+        )
+    )
+
+
 OUTLIER_Z = 3.0  # |z| beyond which a document length is flagged
 
 
@@ -1144,6 +1206,25 @@ GROUP BY p.rk, p.w, p.exact
 
 
 ORACLES: dict[str, str] = {
+    "ngram_novelty": f"""
+WITH wsplit AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= {NOVELTY_N}
+),
+grams AS (
+  SELECT DISTINCT doc_id, md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM wsplit)
+),
+firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT doc_id,
+       cast(count(*) AS bigint) AS n_grams,
+       cast(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS bigint)
+         AS n_novel,
+       sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) * 1.0 / count(*)
+         AS novelty
+FROM grams JOIN firsts USING (g)
+GROUP BY doc_id
+""",
     "length_outliers": f"""
 WITH d AS (
   SELECT doc_id, source, cast(length(text) AS bigint) AS len FROM documents
@@ -1609,4 +1690,5 @@ QUERIES = {
     "heavy_hitters_sketch": heavy_hitters_sketch,
     "line_dedup": line_dedup,
     "length_outliers": length_outliers,
+    "ngram_novelty": ngram_novelty,
 }
