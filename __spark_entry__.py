@@ -99,6 +99,7 @@ _PRIORITY = [
     "line_dedup",
     "length_outliers",
     "ngram_novelty",
+    "audio_resample",
     "graph_triangles",
     "cohort_retention",
     "timeseries_fill",

@@ -174,6 +174,46 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("idx", T.LongType()),
+        T.StructField("sample", T.DoubleType()),
+    ]
+)
+
+AUDIO_DECIMATE = 2  # 2:1 downsample (16 payload "samples" -> 8)
+
+
+def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-resample stub: the payload's 16 bytes stand in for a 16-sample
+    waveform; decimate 2:1 by averaging adjacent sample pairs — the
+    box-filter shape of a real resampler (soxr/librosa swap in here; the
+    1-row-in -> k-rows-out Arrow plumbing, declared schema, and
+    partition preservation are the production parts).  Output is the
+    normalized resampled waveform in long form."""
+    media = synth_media(spark, sf_dir)
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(0, len(payload) // AUDIO_DECIMATE):
+                    pair = payload[
+                        i * AUDIO_DECIMATE : (i + 1) * AUDIO_DECIMATE
+                    ]
+                    rows.append(
+                        (int(did), i, round(sum(pair) / AUDIO_DECIMATE / 255.0, 6))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_SCHEMA.fields]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        resample, schema=_AUDIO_SCHEMA
+    )
+
+
 def _byte_expr(i: int) -> str:
     # i-th byte of md5(text) as double/255, rounded like the pandas side.
     return (
@@ -207,10 +247,21 @@ SELECT doc_id, cast(i AS bigint) AS frame_idx,
        cast(cast(concat('0x', substr(md5(text), 2 * i + 1, 2)) AS ubigint) AS bigint) AS frame_val
 FROM (SELECT doc_id, text, unnest(range(0, 16, 4)) AS i FROM documents)
 """,
+    "audio_resample": """
+WITH px AS (
+  SELECT doc_id, i,
+         cast(cast(concat('0x', substr(md5(text), 2 * i + 1, 2)) AS ubigint) AS bigint) AS b
+  FROM (SELECT doc_id, text, unnest(range(16)) AS i FROM documents)
+)
+SELECT doc_id, cast(i // 2 AS bigint) AS idx,
+       round(sum(b) / 2.0 / 255.0, 6) AS sample
+FROM px GROUP BY doc_id, i // 2
+""",
 }
 
 QUERIES = {
     "multimodal_features": multimodal_features,
     "image_resize": image_resize,
     "frame_sample": frame_sample,
+    "audio_resample": audio_resample,
 }
