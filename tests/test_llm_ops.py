@@ -320,7 +320,7 @@ def test_line_dedup_keep_first_semantics(spark):
     assert 0 < total_kept <= total_sents
     for r in rows:
         assert 0 <= r.n_dup <= r.n_sents
-        assert 0 < r.n_kept <= r.n_sents
+        assert 0 <= r.n_kept <= r.n_sents
         # a doc's non-duplicated sentences are always kept
         assert r.n_kept >= r.n_sents - r.n_dup
         assert r.keep_frac == r.n_kept / r.n_sents

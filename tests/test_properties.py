@@ -227,3 +227,84 @@ def test_source_mixture_flattening_invariant(texts):
         if a["n_docs"] > b["n_docs"]:
             assert a["p_mix"] >= b["p_mix"]
             assert a["p_mix"] / b["p_mix"] <= a["p_raw"] / b["p_raw"] + 1e-6
+
+
+@settings(max_examples=80, deadline=None)
+@given(_texts)
+def test_line_dedup_kept_equals_distinct_sentences(texts):
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    con = _docs_con(texts)
+    out = con.sql(ta.ORACLES["line_dedup"]).df()
+    # keep-first semantics: exactly one survivor per distinct sentence
+    distinct_keys = con.sql(
+        "SELECT count(DISTINCT md5(trim(s))) AS n FROM ("
+        "  SELECT unnest(string_split(text, '.')) AS s FROM documents"
+        ") WHERE trim(s) <> ''"
+    ).fetchone()[0]
+    assert out["n_kept"].sum() == distinct_keys
+    assert ((out["n_kept"] >= out["n_sents"] - out["n_dup"])).all()
+    # a doc may keep ZERO sentences (its only sentence first occurred
+    # in an earlier doc) — hypothesis found the > 0 variant falsifiable
+    assert ((out["n_kept"] >= 0) & (out["n_kept"] <= out["n_sents"])).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(_texts)
+def test_ngram_novelty_sums_to_distinct_grams(texts):
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    con = _docs_con(texts)
+    out = con.sql(ta.ORACLES["ngram_novelty"]).df()
+    # every distinct gram is introduced exactly once, corpus-wide
+    total_grams = con.sql(
+        "SELECT count(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) FROM ("
+        "  SELECT string_split(lower(text), ' ') AS w,"
+        "         unnest(range(1, len(string_split(lower(text), ' ')) - 1)) AS i"
+        "  FROM documents WHERE len(string_split(lower(text), ' ')) >= 3)"
+    ).fetchone()[0]
+    assert out["n_novel"].sum() == total_grams
+    if len(out):
+        assert ((out["novelty"] >= 0) & (out["novelty"] <= 1)).all()
+        # the earliest scoreable doc introduces everything it contains
+        first = out.loc[out["doc_id"].idxmin()]
+        assert first["novelty"] == 1.0
+
+
+@settings(max_examples=80, deadline=None)
+@given(_texts)
+def test_length_outlier_z_scores_center(texts):
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    con = _docs_con(texts)
+    out = con.sql(ta.ORACLES["length_outliers"]).df()
+    assert len(out) == len(texts)
+    # z-scores are mean-centered within each source (sums to ~0)
+    for _, grp in out.groupby("source"):
+        assert abs(grp["z"].sum()) < 1e-9 * max(1, len(grp))
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts)
+def test_snapshot_diff_reconciles_with_rewrite_plan(texts):
+    from bigdataanalytics_textsummarization_spark.extensions import snapshot as sn
+
+    con = _docs_con(texts)
+    diff = con.sql(sn.ORACLES["snapshot_diff"]).df()
+    plan = con.sql(sn.ORACLES["partition_rewrite_plan"]).df()
+    for change, col in (
+        ("added", "n_added"),
+        ("removed", "n_removed"),
+        ("changed", "n_changed"),
+    ):
+        assert (diff["change"] == change).sum() == plan[col].sum()
+    assert (
+        plan["needs_rewrite"]
+        == (plan["n_added"] + plan["n_removed"] + plan["n_changed"] > 0)
+    ).all()
