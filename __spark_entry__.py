@@ -103,6 +103,7 @@ _PRIORITY = [
     "graph_triangles",
     "cohort_retention",
     "timeseries_fill",
+    "event_anomalies",
     # rows-only in r1/r2, golden-gated this round
     "lsa_concepts",
     "lsa_summary",

@@ -456,6 +456,49 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_Z = 3.0
+
+
+def event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly detection per event type: hours whose event
+    count sits more than ANOMALY_Z standard deviations from that type's
+    hourly mean — the ops-monitoring query a streaming pipeline runs over
+    its own throughput (traffic spikes, upstream outages).
+
+    Same exact-float-parity scheme as length_outliers: counts reduce to
+    exact integer moments per type, std is IEEE-exact sqrt, z ships
+    unrounded (bit-identical across engines).  Hours with zero events do
+    not appear (the aggregate can't see them); a spine join
+    (timeseries_fill) composes in when silence itself is the anomaly.
+    Shape: one (type, hour) aggregate, one tiny per-type moment
+    broadcast back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").cast("long").alias("n"))
+    mom = hourly.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n_hours")
+    var = F.col("ss") / F.col("n_hours") - mean * mean
+    stats = mom.select(
+        "event_type", mean.alias("mean_n"), F.sqrt(var).alias("std_n")
+    )
+    z = F.when(
+        F.col("std_n") > 0, (F.col("n") - F.col("mean_n")) / F.col("std_n")
+    ).otherwise(F.lit(0.0))
+    return hourly.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        z.alias("z"),
+        (F.abs(z) > ANOMALY_Z).alias("is_anomaly"),
+    )
+
+
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the event stream.
 
@@ -546,6 +589,30 @@ def timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "event_anomalies": f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         cast(count(*) AS bigint) AS n
+  FROM events GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type, cast(count(*) AS bigint) AS n_hours,
+         cast(sum(n) AS bigint) AS s,
+         cast(sum(n * n) AS bigint) AS ss
+  FROM hourly GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, s / n_hours AS mean_n,
+         sqrt(ss / n_hours - (s / n_hours) * (s / n_hours)) AS std_n
+  FROM mom
+)
+SELECT h.event_type, h.hour, h.n,
+       CASE WHEN st.std_n > 0 THEN (h.n - st.mean_n) / st.std_n
+            ELSE 0.0 END AS z,
+       abs(CASE WHEN st.std_n > 0 THEN (h.n - st.mean_n) / st.std_n
+                ELSE 0.0 END) > {ANOMALY_Z} AS is_anomaly
+FROM hourly h JOIN stats st USING (event_type)
+""",
     "timeseries_fill": """
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS hour,
@@ -804,4 +871,5 @@ QUERIES = {
     "table_profile": table_profile,
     "cohort_retention": cohort_retention,
     "timeseries_fill": timeseries_fill,
+    "event_anomalies": event_anomalies,
 }
