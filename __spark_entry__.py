@@ -104,6 +104,7 @@ _PRIORITY = [
     "cohort_retention",
     "timeseries_fill",
     "event_anomalies",
+    "quantile_sketch",
     # rows-only in r1/r2, golden-gated this round
     "lsa_concepts",
     "lsa_summary",

@@ -456,6 +456,48 @@ def distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QSKETCH_ACCURACY = 10_000  # approx_percentile accuracy parameter
+QSKETCH_RTOL = 0.01  # certified relative error bound
+
+
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch certification: per return flag, Spark's
+    approx_percentile (Greenwald-Khanna summaries, merged per-partition
+    — the bounded-memory quantile structure a 100 TB scan must use) is
+    checked against the exact interpolated percentile, and the row
+    carries the determinate facts: group size and a within-1%-relative
+    boolean per quantile.
+
+    Same gate pattern as distinct_sketch (HLL) and heavy_hitters_sketch
+    (count-min): the sketch value itself is partition-dependent, so the
+    certified facts are the count (exact, oracle-computed) and the error
+    bound booleans (true at any partitioning for this accuracy).  With
+    this, all three classic sketch families — distinct, frequency,
+    quantile — are certified in the gate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, array(0.5, 0.95), {QSKETCH_ACCURACY})"
+        ).alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("ex"),
+    )
+    def ok(i: int):
+        return (
+            F.abs(F.element_at("ap", i) - F.element_at("ex", i))
+            <= F.element_at("ex", i) * F.lit(QSKETCH_RTOL)
+        )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        ok(1).alias("p50_within_tol"),
+        ok(2).alias("p95_within_tol"),
+    )
+
+
 ANOMALY_Z = 3.0
 
 
@@ -589,6 +631,11 @@ def timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "quantile_sketch": """
+SELECT l_returnflag, cast(count(*) AS bigint) AS n_rows,
+       true AS p50_within_tol, true AS p95_within_tol
+FROM lineitem GROUP BY l_returnflag
+""",
     "event_anomalies": f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS hour,
@@ -872,4 +919,5 @@ QUERIES = {
     "cohort_retention": cohort_retention,
     "timeseries_fill": timeseries_fill,
     "event_anomalies": event_anomalies,
+    "quantile_sketch": quantile_sketch,
 }

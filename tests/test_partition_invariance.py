@@ -40,6 +40,10 @@ INVARIANCE_SLICE = [
     "timeseries_fill",
     "user_sessions",
     "cohort_retention",
+    # sketch gates: the sketch values are partition-dependent, but the
+    # emitted rows (counts + tolerance booleans) must not be
+    "quantile_sketch",
+    "distinct_sketch",
 ]
 
 PARTITION_SETTINGS = ["1", "7", "32"]
