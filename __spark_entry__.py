@@ -105,6 +105,8 @@ _PRIORITY = [
     "timeseries_fill",
     "event_anomalies",
     "quantile_sketch",
+    "mixture_sample",
+    "text_normalize",
     # rows-only in r1/r2, golden-gated this round
     "lsa_concepts",
     "lsa_summary",

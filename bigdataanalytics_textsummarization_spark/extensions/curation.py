@@ -187,6 +187,39 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mixture: the per-source quotas of
+    ``source_mixture`` become an actual epoch sample — each source's
+    documents are ranked by salted hash and the top ``quota`` survive.
+
+    This closes the loop from mixing policy to training epoch: the
+    sampling is an order-by-hash rank within each source (deterministic,
+    re-derivable, decorrelated from the split and stratified-sample
+    hashes by its own salt), so two runs — or two engines — materialize
+    the identical epoch.  Shape: the quota table is O(sources) and
+    broadcasts; ranking is one hash shuffle on source + per-source local
+    sort, same as shard_shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    quotas = source_mixture(spark, sf_dir).select("source", "quota")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = docs.select("doc_id", "source", h.alias("h")).withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "source", "rk")
+    )
+
+
 N_SHARDS = 8
 
 
@@ -350,6 +383,37 @@ SELECT doc_id, h % {N_SHARDS} AS shard,
                                ORDER BY h, doc_id) AS bigint) AS pos
 FROM h
 """,
+    "mixture_sample": f"""
+WITH per AS (
+  SELECT source, cast(count(*) AS bigint) AS n_docs FROM documents GROUP BY source
+),
+shared AS (
+  SELECT source, n_docs,
+         pow(n_docs / (SELECT cast(sum(n_docs) AS double) FROM per),
+             {MIX_ALPHA}) AS pa
+  FROM per
+),
+q AS (
+  SELECT source,
+         cast(round(pa / (SELECT sum(pa) FROM shared) * {MIX_BUDGET})
+              AS bigint) AS quota
+  FROM shared
+),
+h AS (
+  SELECT doc_id, source,
+         cast(cast(concat('0x',
+           substr(md5(cast(doc_id AS varchar) || ':mix'), 1, 12))
+           AS ubigint) AS bigint) AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         cast(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+              AS bigint) AS rk
+  FROM h
+)
+SELECT doc_id, source, rk FROM r JOIN q USING (source) WHERE rk <= quota
+""",
     "source_mixture": f"""
 WITH per AS (
   SELECT source, cast(count(*) AS bigint) AS n_docs FROM documents GROUP BY source
@@ -375,4 +439,5 @@ QUERIES = {
     "stratified_sample": stratified_sample,
     "source_mixture": source_mixture,
     "shard_shuffle": shard_shuffle,
+    "mixture_sample": mixture_sample,
 }

@@ -860,6 +860,32 @@ def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization accounting: strip control characters,
+    collapse whitespace runs, trim — the first pass of every corpus
+    cleanup — reported as before/after lengths, a changed flag, and the
+    md5 of the normalized form (the key later dedup stages would use).
+
+    Zero-shuffle projection; the normalized text itself never leaves the
+    executor — only its length and hash do, which is also why the oracle
+    can value-check a transformation whose output column would be the
+    corpus itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "[\\x00-\\x1f]", ""), " +", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("raw_chars"),
+        F.length(norm).cast("long").alias("norm_chars"),
+        (F.length("text") != F.length(norm)).alias("changed"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
 NOVELTY_N = 3  # n-gram order for the novelty curve
 
 
@@ -1206,6 +1232,20 @@ GROUP BY p.rk, p.w, p.exact
 
 
 ORACLES: dict[str, str] = {
+    "text_normalize": r"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(text, '[\x00-\x1f]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       cast(length(text) AS bigint) AS raw_chars,
+       cast(length(norm) AS bigint) AS norm_chars,
+       length(text) <> length(norm) AS changed,
+       md5(norm) AS norm_hash
+FROM n
+""",
     "ngram_novelty": f"""
 WITH wsplit AS (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
@@ -1691,4 +1731,5 @@ QUERIES = {
     "line_dedup": line_dedup,
     "length_outliers": length_outliers,
     "ngram_novelty": ngram_novelty,
+    "text_normalize": text_normalize,
 }
