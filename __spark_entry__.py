@@ -107,6 +107,10 @@ _PRIORITY = [
     "quantile_sketch",
     "mixture_sample",
     "text_normalize",
+    "doc_chunks",
+    "bloom_semijoin",
+    "embedding_quantize",
+    "bpe_vocab",
     # rows-only in r1/r2, golden-gated this round
     "lsa_concepts",
     "lsa_summary",

@@ -689,3 +689,116 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "embedding_rp": embedding_rp,
 }
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization of the embedding store
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255  # uint8 code range [0, 255]
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension uint8 scalar quantization of the embedding column —
+    the vector-store compression step (FAISS ``ScalarQuantizer``-style):
+    each dimension's corpus [min, max] is split into 256 equal cells and
+    every value becomes its cell index, a 4x size cut (float32 -> uint8)
+    before ANN indexing; ``max_abs_err`` reports the reconstruction bound
+    actually achieved per vector (midpoint decode).
+
+    Scale shape: one posexplode pass feeds a groupBy(dim) whose output is
+    exactly n_dims rows — it broadcasts regardless of corpus size — and
+    codes are computed map-side against that broadcast; the only O(corpus)
+    shuffle is the per-vector regroup.  All arithmetic is IEEE double ops
+    evaluated identically by Spark and DuckDB (same expression tree), so
+    the codes — integer floor results — carry EXACT cross-engine parity;
+    only the err column needs the r6 convention.  ``max`` (not mean) keeps
+    the per-vector reduction order-independent, dodging the float-sum
+    association pitfall documented in COVERAGE.md.
+    """
+    emb = _embeddings(spark, sf_dir)
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("e").alias("dim", "v")
+    )
+    stats = ex.groupBy("dim").agg(
+        F.min("v").alias("dmin"), F.max("v").alias("dmax")
+    )
+    coded = ex.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "label",
+        "dim",
+        "v",
+        "dmin",
+        "dmax",
+        F.when(F.col("dmax") == F.col("dmin"), F.lit(0).cast("long"))
+        .otherwise(
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(SQ_LEVELS).cast("long"),
+                    F.floor(
+                        (F.col("v") - F.col("dmin"))
+                        * float(SQ_LEVELS + 1)
+                        / (F.col("dmax") - F.col("dmin"))
+                    ),
+                ),
+            )
+        )
+        .alias("code"),
+    )
+    err = F.when(F.col("dmax") == F.col("dmin"), F.lit(0.0)).otherwise(
+        F.abs(
+            F.col("v")
+            - (
+                F.col("dmin")
+                + (F.col("code") + 0.5)
+                * (F.col("dmax") - F.col("dmin"))
+                / float(SQ_LEVELS + 1)
+            )
+        )
+    )
+    return (
+        coded.withColumn("err", err)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "code"))),
+                    lambda s: s["code"].cast("string"),
+                ),
+                ",",
+            ).alias("code_sig"),
+            r6(F.max("err")).alias("max_abs_err"),
+        )
+    )
+
+
+ORACLES["embedding_quantize"] = f"""
+WITH ex AS (
+  SELECT vec_id, label,
+         unnest(list_transform(embedding, x -> cast(x AS double))) AS v,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings
+),
+stats AS (
+  SELECT dim, min(v) AS dmin, max(v) AS dmax FROM ex GROUP BY dim
+),
+coded AS (
+  SELECT ex.vec_id, ex.label, ex.dim, ex.v, s.dmin, s.dmax,
+         CASE WHEN s.dmax = s.dmin THEN 0
+              ELSE greatest(0, least({SQ_LEVELS},
+                cast(floor((ex.v - s.dmin) * {float(SQ_LEVELS + 1)}
+                           / (s.dmax - s.dmin)) AS bigint)))
+         END AS code
+  FROM ex JOIN stats s USING (dim)
+)
+SELECT vec_id, label,
+       string_agg(cast(code AS varchar), ',' ORDER BY dim) AS code_sig,
+       round(max(CASE WHEN dmax = dmin THEN 0.0
+                      ELSE abs(v - (dmin + (code + 0.5) * (dmax - dmin)
+                                    / {float(SQ_LEVELS + 1)})) END), 6)
+         AS max_abs_err
+FROM coded
+GROUP BY vec_id, label
+"""
+QUERIES["embedding_quantize"] = embedding_quantize

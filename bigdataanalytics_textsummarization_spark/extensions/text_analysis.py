@@ -1733,3 +1733,183 @@ QUERIES = {
     "ngram_novelty": ngram_novelty,
     "text_normalize": text_normalize,
 }
+
+
+# ---------------------------------------------------------------------------
+# RAG-style sliding-window chunking
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64  # tokens per retrieval chunk
+CHUNK_STRIDE = 48  # chunk start spacing (16-token overlap)
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (the RAG / context-window prep step):
+    each document's whitespace token stream is cut into ``CHUNK_TOKENS``-token
+    windows every ``CHUNK_STRIDE`` tokens, so consecutive chunks share a
+    16-token overlap and no token is lost at the tail.
+
+    Scale shape: one projection — the chunk index set is generated
+    row-locally (``sequence`` + ``explode``) and each chunk is a ``slice``
+    of the already-split token array, so there is NO shuffle and no
+    re-tokenization per chunk; output size is corpus tokens x ~1.33
+    (the overlap factor).  At 100 TB this runs as a map-only stage and
+    the chunk writer inherits the scan's partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ", -1).alias("toks")
+    ).withColumn("n", F.size("toks").cast("long"))
+    n_chunks = F.when(
+        F.col("n") <= CHUNK_TOKENS, F.lit(1).cast("long")
+    ).otherwise(
+        (F.col("n") - CHUNK_TOKENS + CHUNK_STRIDE - 1)
+        .cast("long")
+        / CHUNK_STRIDE
+        + 1
+    ).cast(
+        "long"
+    )
+    chunked = toks.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE  # 0-based
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start_tok"),
+        F.least(F.lit(CHUNK_TOKENS).cast("long"), F.col("n") - start).alias(
+            "chunk_tokens"
+        ),
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), (start + 1).cast("int"), CHUNK_TOKENS)
+        ).alias("chunk_text"),
+    )
+
+
+ORACLES["doc_chunks"] = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         cast(len(string_split(text, ' ')) AS bigint) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n,
+         unnest(range(CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                           ELSE (n - {CHUNK_TOKENS} + {CHUNK_STRIDE - 1})
+                                // {CHUNK_STRIDE} + 1 END)) AS chunk_id
+  FROM t
+)
+SELECT doc_id, cast(chunk_id AS bigint) AS chunk_id,
+       cast(chunk_id * {CHUNK_STRIDE} AS bigint) AS start_tok,
+       cast(least({CHUNK_TOKENS}, n - chunk_id * {CHUNK_STRIDE}) AS bigint)
+         AS chunk_tokens,
+       array_to_string(
+         list_slice(toks, cast(chunk_id * {CHUNK_STRIDE} + 1 AS bigint),
+                    cast(least(chunk_id * {CHUNK_STRIDE} + {CHUNK_TOKENS}, n)
+                         AS bigint)),
+         ' ') AS chunk_text
+FROM c
+"""
+QUERIES["doc_chunks"] = doc_chunks
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE vocabulary learning (golden-gated)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 20  # merge operations to learn
+
+
+def _bpe_merge_udf():
+    """Arrow-batched leftmost-first BPE pair merge over symbol arrays."""
+    @F.pandas_udf("array<string>")
+    def merge(s: pd.Series, a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for toks, x, y in zip(s, a, b):
+            xy = x + y
+            merged = []
+            i, n = 0, len(toks)
+            while i < n:
+                if i < n - 1 and toks[i] == x and toks[i + 1] == y:
+                    merged.append(xy)
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            out.append(merged)
+        return pd.Series(out)
+
+    return merge
+
+
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the top-``BPE_MERGES`` byte-pair-encoding merges over the
+    corpus (Sennrich et al. 2016), the vocabulary-construction step of a
+    subword tokenizer pipeline.
+
+    Scale shape — the reason distributed BPE is tractable at 100 TB: the
+    CORPUS is touched exactly once, aggregated to a (word, count) table
+    whose cardinality is the vocabulary (bounded, ~10^6 even for web-scale
+    text), and the entire merge loop then runs on that vocab-bounded table:
+    per iteration one explode+groupBy pair count (a small shuffle over
+    O(vocab x word_len) rows) and one Arrow-batched merge application.
+    The 1-row argmax collect per iteration is the same bounded-collect
+    convergence pattern ``pagerank.ranks_from`` documents; lineage is cut
+    with ``localCheckpoint`` per iteration exactly as there.
+
+    Tie-break: highest pair count, then lexicographic (left, right) — the
+    output is fully deterministic, so the value gate reads a committed
+    golden snapshot (scripts/make_golden.py), the compression_ratio / LSA
+    pattern for non-SQL-expressible but deterministic operators.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    # word -> symbol array: characters plus an explicit end-of-word marker
+    cur = words.select(
+        "cnt",
+        F.concat(
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            F.array(F.lit("</w>")),
+        ).alias("s"),
+    ).localCheckpoint()
+    merge = _bpe_merge_udf()
+    pair_expr = F.expr(
+        "transform(sequence(1, size(s) - 1),"
+        " i -> struct(s[i-1] AS a, s[i] AS b))"
+    )
+    rows = []
+    for rank in range(1, BPE_MERGES + 1):
+        best = (
+            cur.filter(F.size("s") >= 2)
+            .select("cnt", F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()  # 1 row/iteration: bounded argmax, see docstring
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        rows.append((rank, a, b, n))
+        cur = cur.select(
+            "cnt", merge(F.col("s"), F.lit(a), F.lit(b)).alias("s")
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rows, schema="rank bigint, left string, right string, pair_count bigint"
+    )
+
+
+ORACLES["bpe_vocab"] = (
+    f"SELECT * FROM '{os.path.join(_GOLDEN_DIR, 'bpe_vocab.parquet')}'"
+)
+QUERIES["bpe_vocab"] = bpe_vocab

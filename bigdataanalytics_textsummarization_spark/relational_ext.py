@@ -921,3 +921,126 @@ QUERIES = {
     "event_anomalies": event_anomalies,
     "quantile_sketch": quantile_sketch,
 }
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable Bloom-filter semi-join
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 4096  # filter bits
+BLOOM_K = 3  # hash functions per key
+
+
+def _bloom_pos(col, j: int):
+    """Bit position j of a key: 48 md5 bits mod BLOOM_M (the engine's
+    standard cross-engine hash construction — see curation._SPLIT_EXPR)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(f":b{j}"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M
+    )
+
+
+def bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit Bloom-filter semi-join: probe every ordering customer
+    against a Bloom filter built from the high-balance customer set
+    (``c_acctbal > 8000``), reporting per key the filter verdict, ground
+    truth, and whether it is one of the filter's false positives.
+
+    Spark injects Bloom runtime filters into scans on its own
+    (spark.sql.optimizer.runtime.bloomFilter.enabled, asserted at scale
+    shape in test_plans.py); THIS operator is the engine-portable version
+    of the same idea — the filter's set-bit table is a first-class
+    DataFrame that can be persisted and shipped to a different engine or
+    an ingest gate, and the bit positions are the deterministic md5
+    construction both Spark and DuckDB evaluate identically (that is what
+    the value gate certifies).
+
+    Scale shape: the set-bit table is DISTINCT positions, so it is bounded
+    by BLOOM_M rows REGARDLESS of build-side cardinality — it always
+    broadcasts.  The probe side explodes to K rows per key (map-side),
+    hits the broadcast, and re-aggregates on the probe key: one shuffle
+    over O(probe) rows, no join of fact against fact.  Ground truth rides
+    the same aggregate via a broadcast left join of the (small) build-key
+    set; at 100 TB where the build side is NOT small, the truth column is
+    dropped and the filter verdict alone prunes the probe scan — exactly
+    how a cross-system dedup/admission gate uses it.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = cust.filter(F.col("c_acctbal") > 8000).select(
+        F.col("c_custkey").alias("k")
+    )
+    bits = (
+        build.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("k"), j) for j in range(BLOOM_K)])
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    probe = orders.select(F.col("o_custkey").alias("k")).distinct()
+    probe_bits = probe.select(
+        "k",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("k"), j) for j in range(BLOOM_K)])
+        ).alias("bit"),
+    )
+    verdict = (
+        probe_bits.join(F.broadcast(bits), "bit", "left")
+        .groupBy("k")
+        .agg((F.min(F.coalesce("present", F.lit(0))) == 1).alias("bloom_pass"))
+    )
+    truth = build.withColumn("actual", F.lit(True))
+    return (
+        verdict.join(F.broadcast(truth), "k", "left")
+        .select(
+            F.col("k").alias("o_custkey"),
+            "bloom_pass",
+            F.coalesce("actual", F.lit(False)).alias("actual"),
+            (F.col("bloom_pass") & ~F.coalesce("actual", F.lit(False))).alias(
+                "false_pos"
+            ),
+        )
+    )
+
+
+def _bloom_pos_sql(key: str, j: int) -> str:
+    return (
+        f"cast(cast(concat('0x', substr(md5(cast({key} AS varchar) || ':b{j}'), "
+        f"1, 12)) AS ubigint) AS bigint) % {BLOOM_M}"
+    )
+
+
+ORACLES["bloom_semijoin"] = f"""
+WITH build AS (
+  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 8000
+),
+bits AS (
+  SELECT DISTINCT bit FROM build, unnest([
+    {", ".join(_bloom_pos_sql("k", j) for j in range(BLOOM_K))}
+  ]) AS t(bit)
+),
+probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+probe_bits AS (
+  SELECT k, bit FROM probe, unnest([
+    {", ".join(_bloom_pos_sql("k", j) for j in range(BLOOM_K))}
+  ]) AS t(bit)
+),
+verdict AS (
+  SELECT pb.k, bool_and(b.bit IS NOT NULL) AS bloom_pass
+  FROM probe_bits pb LEFT JOIN bits b USING (bit)
+  GROUP BY pb.k
+)
+SELECT v.k AS o_custkey, v.bloom_pass,
+       coalesce(bu.k IS NOT NULL, false) AS actual,
+       v.bloom_pass AND bu.k IS NULL AS false_pos
+FROM verdict v LEFT JOIN build bu USING (k)
+"""
+QUERIES["bloom_semijoin"] = bloom_semijoin

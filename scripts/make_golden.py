@@ -8,7 +8,7 @@ driver's gate scale (sf0.01): the oracle is `SELECT * FROM '<golden>'`.
 Run this ONLY when an intentional semantic change to the LSA pipeline is
 made; the diff of the regenerated parquet is the review surface.
 
-Usage: python scripts/make_golden.py
+Usage: python scripts/make_golden.py [query ...]   (default: all)
 """
 
 from __future__ import annotations
@@ -31,6 +31,7 @@ GOLDEN_QUERIES = [
     "lsa_summary",
     "lsa_concepts_distributed",
     "compression_ratio",  # zlib bytes: deterministic for a fixed zlib build
+    "bpe_vocab",  # deterministic merge argmax (count desc, pair lexicographic)
 ]
 
 
@@ -44,7 +45,11 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session(app="make-golden", cpus=8, shuffle_partitions=16)
     queries = entry.queries()
-    for name in GOLDEN_QUERIES:
+    wanted = sys.argv[1:] or GOLDEN_QUERIES
+    unknown = set(wanted) - set(GOLDEN_QUERIES)
+    if unknown:
+        raise SystemExit(f"not golden-gated: {sorted(unknown)}")
+    for name in wanted:
         pdf = queries[name](spark, SF_DIR).toPandas()
         key = sorted(pdf.columns)
         pdf = (

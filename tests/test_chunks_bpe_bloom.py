@@ -1,0 +1,195 @@
+"""Semantic pins for the chunking / BPE / Bloom / quantization operators,
+independent of the DuckDB oracles (tests/test_oracle_parity.py exercises
+those): hand-built fixtures where the expected values are derivable by eye,
+plus a from-scratch Python BPE reference for the merge sequence."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+    SQ_LEVELS,
+    embedding_quantize,
+)
+from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+    BPE_MERGES,
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    bpe_vocab,
+    doc_chunks,
+)
+from bigdataanalytics_textsummarization_spark.relational_ext import (
+    bloom_semijoin,
+)
+from tests.conftest import SF_DIR
+
+
+def _write_docs(tmp_path_factory, name: str, texts: list[str]) -> str:
+    d = tmp_path_factory.mktemp(name)
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s1"] * len(texts),
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+# ---------------------------------------------------------------------------
+# doc_chunks
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def chunk_dir(tmp_path_factory):
+    long_doc = " ".join(f"t{i}" for i in range(150))  # 150 tokens -> 3 chunks
+    short_doc = "a b c"  # 3 tokens -> 1 chunk
+    exact_doc = " ".join(f"x{i}" for i in range(CHUNK_TOKENS))  # boundary
+    return _write_docs(tmp_path_factory, "chunks", [long_doc, short_doc, exact_doc])
+
+
+def test_doc_chunks_starts_and_tail(spark, chunk_dir):
+    out = (
+        doc_chunks(spark, chunk_dir)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out.doc_id == 0]
+    # ceil((150-64)/48)+1 = 3 chunks at starts 0, 48, 96
+    assert list(d0.start_tok) == [0, 48, 96]
+    assert list(d0.chunk_tokens) == [64, 64, 54]
+    # short doc and exactly-CHUNK_TOKENS doc each produce one whole chunk
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1 and d1.iloc[0].chunk_text == "a b c"
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and int(d2.iloc[0].chunk_tokens) == CHUNK_TOKENS
+
+
+def test_doc_chunks_reconstruct_document(spark, chunk_dir):
+    """Taking the first CHUNK_STRIDE tokens of every chunk (all of the
+    last) rebuilds the document exactly — no token lost or duplicated."""
+    out = (
+        doc_chunks(spark, chunk_dir)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    for doc_id, grp in out.groupby("doc_id"):
+        rebuilt: list[str] = []
+        chunks = list(grp.itertuples())
+        for i, row in enumerate(chunks):
+            toks = row.chunk_text.split(" ")
+            rebuilt.extend(toks if i == len(chunks) - 1 else toks[:CHUNK_STRIDE])
+        n = 150 if doc_id == 0 else (3 if doc_id == 1 else CHUNK_TOKENS)
+        assert len(rebuilt) == n
+        # interior chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE tokens
+        for prev, cur in zip(chunks, chunks[1:]):
+            p, c = prev.chunk_text.split(" "), cur.chunk_text.split(" ")
+            assert p[CHUNK_STRIDE:] == c[: CHUNK_TOKENS - CHUNK_STRIDE]
+
+
+# ---------------------------------------------------------------------------
+# bpe_vocab
+# ---------------------------------------------------------------------------
+
+
+def _reference_bpe(word_counts: dict[str, int], k: int):
+    """Plain-Python Sennrich-style BPE: count adjacent symbol pairs over
+    the (word, count) table, merge the argmax (count desc, then pair
+    lexicographic), repeat."""
+    vocab = {tuple(w) + ("</w>",): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(k):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_vocab_matches_python_reference(spark, tmp_path_factory):
+    # the classic BPE toy corpus (low/lower/newest/widest), as documents
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest newest newest newest",
+        "widest widest widest",
+    ]
+    d = _write_docs(tmp_path_factory, "bpe", texts)
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    expected = _reference_bpe(counts, BPE_MERGES)
+    got = (
+        bpe_vocab(spark, d)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert [
+        (r["left"], r["right"], int(r.pair_count)) for _, r in got.iterrows()
+    ] == expected
+    assert list(got["rank"]) == list(range(1, len(expected) + 1))
+
+
+# ---------------------------------------------------------------------------
+# bloom_semijoin
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_semijoin_no_false_negatives(spark):
+    out = bloom_semijoin(spark, SF_DIR).toPandas()
+    # Bloom filters never miss a true member: actual => bloom_pass, always.
+    assert not ((out.actual) & (~out.bloom_pass)).any()
+    # false_pos is exactly the bloom-positive non-members
+    assert (out.false_pos == (out.bloom_pass & ~out.actual)).all()
+    # the filter actually prunes: non-members overwhelmingly rejected
+    nonmember = out[~out.actual]
+    if len(nonmember):
+        assert nonmember.bloom_pass.mean() < 0.5
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_quantize_codes_and_error_bound(spark):
+    out = embedding_quantize(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    dims = len(emb.embedding.iloc[0])
+    mat = pd.DataFrame(emb.embedding.tolist(), dtype="float64")
+    half_cell = ((mat.max() - mat.min()) / (SQ_LEVELS + 1) / 2).max()
+    assert len(out) == len(emb)
+    codes = out.code_sig.str.split(",")
+    assert (codes.str.len() == dims).all()
+    flat = pd.to_numeric(codes.explode())
+    assert flat.between(0, SQ_LEVELS).all()
+    # midpoint decode bounds the reconstruction error by half a cell
+    assert (out.max_abs_err <= half_cell + 1e-9).all()
