@@ -1873,14 +1873,23 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    # word -> symbol array: characters plus an explicit end-of-word marker
-    cur = words.select(
-        "cnt",
-        F.concat(
-            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
-            F.array(F.lit("</w>")),
-        ).alias("s"),
-    ).localCheckpoint()
+    # word -> symbol array: characters plus an explicit end-of-word marker.
+    # The vocab table is tiny relative to the corpus (and to the cluster),
+    # so collapse it to a few partitions: every one of the ~2K merge-loop
+    # tasks that follow stops paying per-partition scheduler overhead.
+    cur = (
+        words.coalesce(4)
+        .select(
+            "cnt",
+            F.concat(
+                F.expr(
+                    "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+                ),
+                F.array(F.lit("</w>")),
+            ).alias("s"),
+        )
+        .localCheckpoint()
+    )
     merge = _bpe_merge_udf()
     pair_expr = F.expr(
         "transform(sequence(1, size(s) - 1),"
