@@ -111,6 +111,8 @@ _PRIORITY = [
     "bloom_semijoin",
     "embedding_quantize",
     "bpe_vocab",
+    "bm25_search",
+    "char_entropy",
     # rows-only in r1/r2, golden-gated this round
     "lsa_concepts",
     "lsa_summary",

@@ -1922,3 +1922,265 @@ ORACLES["bpe_vocab"] = (
     f"SELECT * FROM '{os.path.join(_GOLDEN_DIR, 'bpe_vocab.parquet')}'"
 )
 QUERIES["bpe_vocab"] = bpe_vocab
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+# Fixed literal query set (deterministic; terms drawn from the corpus
+# domain).  A real deployment would read these from a query table — the
+# plan is identical: the parsed query-term relation broadcasts.
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join order"),
+    (1, "stream window agg"),
+    (2, "fast vector scan"),
+    (3, "customer table filter"),
+    (4, "sort merge join"),
+]
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k document retrieval (Robertson/Lucene idf variant)
+    for a fixed query set — the lexical-retrieval baseline every RAG/search
+    pipeline starts from.
+
+    score(D,Q) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).
+
+    Scale shape: the corpus is tokenized ONCE into (doc_id, term, tf) and
+    immediately semi-joined against the broadcast query-term relation, so
+    everything downstream is O(docs x query_terms), not O(corpus tokens);
+    df comes from re-aggregating that small table; N and avgdl are a 1-row
+    scalar aggregate broadcast by crossJoin (the doc_perplexity pattern).
+    Per-(query, doc) scores are summed by an ORDER-FIXED fold over the
+    term-sorted contribution array — both engines add identical IEEE
+    doubles in identical order, so ranking ties cannot split across
+    engines and the top-k is exact (the ann_cosine_topk determinism
+    argument, extended to summed scores).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, q in BM25_QUERIES for t in q.split(" ")],
+        schema="query_id bigint, term string",
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ", -1)).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    scalars = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    hits = tf.join(
+        F.broadcast(qterms.select("term").distinct()), "term"
+    )
+    df_ = hits.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    contrib = (
+        hits.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        # dl is O(docs): a real shuffle join on doc_id (AQE may still
+        # broadcast it at small SF, but the plan must not require it)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "query_id",
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                lambda s: s["c"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select("query_id", "rk", "doc_id", r6(F.col("score")).alias("score"))
+    )
+
+
+_BM25_QUERY_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, q in BM25_QUERIES for t in q.split(" ")
+)
+
+ORACLES["bm25_search"] = f"""
+WITH qterms AS (
+  SELECT cast(query_id AS bigint) AS query_id, term
+  FROM (VALUES {_BM25_QUERY_VALUES}) v(query_id, term)
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, cast(count(*) AS bigint) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dl AS (
+  SELECT doc_id, cast(count(*) AS bigint) AS dl FROM toks GROUP BY doc_id
+),
+scalars AS (
+  SELECT cast(count(*) AS bigint) AS n_docs,
+         avg(cast(dl AS double)) AS avgdl
+  FROM dl
+),
+hits AS (
+  SELECT tf.* FROM tf
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+),
+df_ AS (
+  SELECT term, cast(count(DISTINCT doc_id) AS bigint) AS df
+  FROM hits GROUP BY term
+),
+contrib AS (
+  SELECT q.query_id, h.doc_id, h.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (h.tf * ({BM25_K1} + 1))
+         / (h.tf + {BM25_K1}
+            * (1 - {BM25_B} + {BM25_B} * l.dl / s.avgdl)) AS c
+  FROM hits h
+  JOIN qterms q USING (term)
+  JOIN df_ d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN scalars s
+),
+scored AS (
+  SELECT query_id, doc_id,
+         list_aggregate(list(c ORDER BY term), 'sum') AS score
+  FROM contrib GROUP BY query_id, doc_id
+)
+SELECT query_id,
+       cast(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS bigint)
+         AS rk,
+       doc_id, round(score, 6) AS score
+FROM scored
+QUALIFY rk <= {BM25_TOPK}
+"""
+QUERIES["bm25_search"] = bm25_search
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits/char) of each document's character
+    distribution — the info-theoretic quality signal that separates
+    natural text (~4 bits) from degenerate repetition (near 0) and
+    random/encoded noise (near log2 alphabet): the cheap complement to
+    ``compression_ratio`` that needs no codec.
+
+    Scale shape: explode-to-chars feeds a (doc_id, ch) count whose
+    map-side combine collapses each partition to O(docs x alphabet)
+    before the shuffle — the wire volume is bounded by the alphabet, not
+    by corpus bytes.  The per-doc entropy sum is an ORDER-FIXED fold over
+    the char-sorted contribution array (the bm25_search float-parity
+    construction), so the doubles are bit-identical across engines before
+    the r6 round.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    nonempty = docs.filter(F.length("text") > 0)
+    counts = (
+        nonempty.select(
+            "doc_id", F.explode(F.split("text", "", -1)).alias("ch")
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n = nonempty.select(
+        "doc_id", F.length("text").cast("long").alias("n")
+    )
+    per_doc = (
+        counts.join(n, "doc_id")
+        .select(
+            "doc_id",
+            "ch",
+            (
+                -(F.col("c") / F.col("n"))
+                * F.log2(F.col("c") / F.col("n"))
+            ).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("distinct_chars"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ch", "e"))),
+                    lambda s: s["e"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("h"),
+        )
+    )
+    return docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    ).join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("distinct_chars", F.lit(0).cast("long")).alias(
+            "distinct_chars"
+        ),
+        r6(F.coalesce("h", F.lit(0.0))).alias("entropy_bits"),
+    )
+
+
+ORACLES["char_entropy"] = """
+WITH counts AS (
+  SELECT doc_id, ch, cast(count(*) AS bigint) AS c
+  FROM (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch
+    FROM documents WHERE len(text) > 0
+  ) GROUP BY doc_id, ch
+),
+n AS (
+  SELECT doc_id, cast(len(text) AS bigint) AS n
+  FROM documents WHERE len(text) > 0
+),
+per_doc AS (
+  SELECT doc_id, cast(count(*) AS bigint) AS distinct_chars,
+         list_aggregate(
+           list(-(c / n) * log2(c / n) ORDER BY ch), 'sum') AS h
+  FROM counts JOIN n USING (doc_id)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, cast(len(d.text) AS bigint) AS n_chars,
+       coalesce(p.distinct_chars, 0) AS distinct_chars,
+       round(coalesce(p.h, 0.0), 6) AS entropy_bits
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+QUERIES["char_entropy"] = char_entropy

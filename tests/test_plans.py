@@ -305,3 +305,41 @@ def test_cohort_and_timeseries_shuffle_on_user_keys_only(spark):
         assert "rangepartitioning" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoop" not in plan, name
+
+
+def test_doc_chunks_is_map_only(spark):
+    """Chunking is a pure projection: sequence+explode+slice over the
+    once-split token array — no data-keyed shuffle at any scale.  (The
+    only Exchange allowed is load_table's round-robin scan widening,
+    which is a documented no-op on real-scale inputs.)"""
+    plan = _plan(spark, "doc_chunks")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    # one Exchange node = two mentions in formatted explain (tree + detail)
+    assert plan.count("Exchange") <= 2
+    assert "RoundRobinPartitioning" in plan  # and it IS the widening
+
+
+def test_bloom_semijoin_broadcasts_filter(spark):
+    """The Bloom set-bit table is bounded by BLOOM_M rows regardless of
+    build-side cardinality, so both the bit-membership join and the
+    ground-truth join must be broadcast — never a sort-merge of facts."""
+    plan = _plan(spark, "bloom_semijoin")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_quantize_broadcasts_dim_stats(spark):
+    """Per-dimension min/max is n_dims rows — must ride a broadcast, and
+    the only O(corpus) shuffle is the per-vector regroup."""
+    plan = _plan(spark, "embedding_quantize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_broadcasts_query_relation(spark):
+    """Query terms, df, and the 1-row scalar aggregate all broadcast; the
+    corpus-side token aggregate is the only fact-sized shuffle input."""
+    plan = _plan(spark, "bm25_search")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
