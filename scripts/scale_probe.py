@@ -48,6 +48,11 @@ PROBE = [
     "classifier_score",
     "quality_score",
     "user_sessions",
+    # round-3c additions over the replicated document corpus
+    "doc_chunks",
+    "bm25_search",
+    "char_entropy",
+    "bpe_encode",
 ]
 
 

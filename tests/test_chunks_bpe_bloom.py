@@ -18,6 +18,7 @@ from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
     BPE_MERGES,
     CHUNK_STRIDE,
     CHUNK_TOKENS,
+    bpe_encode,
     bpe_vocab,
     doc_chunks,
 )
@@ -133,21 +134,27 @@ def _reference_bpe(word_counts: dict[str, int], k: int):
     return merges
 
 
-def test_bpe_vocab_matches_python_reference(spark, tmp_path_factory):
-    # the classic BPE toy corpus (low/lower/newest/widest), as documents
-    texts = [
-        "low low low low low lower lower",
-        "newest newest newest newest newest newest",
-        "widest widest widest",
-    ]
-    d = _write_docs(tmp_path_factory, "bpe", texts)
+# the classic BPE toy corpus (low/lower/newest/widest), as documents
+_BPE_TEXTS = [
+    "low low low low low lower lower",
+    "newest newest newest newest newest newest",
+    "widest widest widest",
+]
+
+
+@pytest.fixture(scope="module")
+def bpe_corpus_dir(tmp_path_factory):
+    return _write_docs(tmp_path_factory, "bpe", _BPE_TEXTS)
+
+
+def test_bpe_vocab_matches_python_reference(spark, bpe_corpus_dir):
     counts: dict[str, int] = {}
-    for t in texts:
+    for t in _BPE_TEXTS:
         for w in t.split():
             counts[w] = counts.get(w, 0) + 1
     expected = _reference_bpe(counts, BPE_MERGES)
     got = (
-        bpe_vocab(spark, d)
+        bpe_vocab(spark, bpe_corpus_dir)
         .toPandas()
         .sort_values("rank")
         .reset_index(drop=True)
@@ -156,6 +163,42 @@ def test_bpe_vocab_matches_python_reference(spark, tmp_path_factory):
         (r["left"], r["right"], int(r.pair_count)) for _, r in got.iterrows()
     ] == expected
     assert list(got["rank"]) == list(range(1, len(expected) + 1))
+
+
+def test_bpe_encode_consistent_with_learned_merges(spark, bpe_corpus_dir):
+    """Applying the learned merges in plain Python to every word must give
+    exactly the per-document subword totals bpe_encode reports."""
+    counts: dict[str, int] = {}
+    for t in _BPE_TEXTS:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    merges = [(a, b) for a, b, _ in _reference_bpe(counts, BPE_MERGES)]
+
+    def encode_len(word: str) -> int:
+        syms = list(word) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = bpe_encode(spark, bpe_corpus_dir).toPandas().set_index("doc_id")
+    for doc_id, text in enumerate(_BPE_TEXTS):
+        words = text.split()
+        assert got.loc[doc_id, "words"] == len(words)
+        assert got.loc[doc_id, "bpe_tokens"] == sum(
+            encode_len(w) for w in words
+        )
+        assert got.loc[doc_id, "alpha_chars"] == sum(len(w) for w in words)
+    # the merged vocabulary must compress vs character-level tokens
+    char_level = sum(len(w) + 1 for t in _BPE_TEXTS for w in t.split())
+    assert got.bpe_tokens.sum() < char_level
 
 
 # ---------------------------------------------------------------------------
