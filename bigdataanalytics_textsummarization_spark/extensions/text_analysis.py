@@ -1743,7 +1743,7 @@ CHUNK_TOKENS = 64  # tokens per retrieval chunk
 CHUNK_STRIDE = 48  # chunk start spacing (16-token overlap)
 
 
-def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_chunks_from(docs: DataFrame) -> DataFrame:
     """Sliding-window token chunking (the RAG / context-window prep step):
     each document's whitespace token stream is cut into ``CHUNK_TOKENS``-token
     windows every ``CHUNK_STRIDE`` tokens, so consecutive chunks share a
@@ -1754,9 +1754,11 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the already-split token array, so there is NO shuffle and no
     re-tokenization per chunk; output size is corpus tokens x ~1.33
     (the overlap factor).  At 100 TB this runs as a map-only stage and
-    the chunk writer inherits the scan's partitioning.
+    the chunk writer inherits the scan's partitioning.  Because it is a
+    stateless projection it is also stream-legal as-is: chunking happens
+    at ingest in append mode with no watermark and no state
+    (test_streaming pins stream==batch).
     """
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.split("text", " ", -1).alias("toks")
     ).withColumn("n", F.size("toks").cast("long"))
@@ -1785,6 +1787,11 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.slice(F.col("toks"), (start + 1).cast("int"), CHUNK_TOKENS)
         ).alias("chunk_text"),
     )
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch entry point for :func:`doc_chunks_from`."""
+    return doc_chunks_from(load_table(spark, sf_dir, "documents"))
 
 
 ORACLES["doc_chunks"] = f"""

@@ -373,3 +373,38 @@ def test_clf_ingest_stream_matches_batch(spark):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape, f"{g.shape} != {w.shape}"
     assert g.equals(w)
+
+
+def test_doc_chunks_stream_matches_batch(spark):
+    # chunking is a stateless map-only projection (sequence+explode+slice),
+    # so RAG chunk prep runs at ingest: append mode, no watermark, no state
+    from pyspark.sql import types as T
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream_docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+    )
+    got = se.run_stream_to_memory(
+        spark,
+        ta.doc_chunks_from(stream_docs),
+        "doc_chunks_stream",
+        output_mode="append",
+    ).toPandas()
+    want = ta.doc_chunks(spark, SF_DIR).toPandas()
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
