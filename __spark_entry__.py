@@ -114,6 +114,7 @@ _PRIORITY = [
     "bm25_search",
     "char_entropy",
     "bpe_encode",
+    "ann_sq_topk",
     # rows-only in r1/r2, golden-gated this round
     "lsa_concepts",
     "lsa_summary",

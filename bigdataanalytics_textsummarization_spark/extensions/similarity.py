@@ -698,32 +698,15 @@ QUERIES = {
 SQ_LEVELS = 255  # uint8 code range [0, 255]
 
 
-def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-dimension uint8 scalar quantization of the embedding column —
-    the vector-store compression step (FAISS ``ScalarQuantizer``-style):
-    each dimension's corpus [min, max] is split into 256 equal cells and
-    every value becomes its cell index, a 4x size cut (float32 -> uint8)
-    before ANN indexing; ``max_abs_err`` reports the reconstruction bound
-    actually achieved per vector (midpoint decode).
-
-    Scale shape: one posexplode pass feeds a groupBy(dim) whose output is
-    exactly n_dims rows — it broadcasts regardless of corpus size — and
-    codes are computed map-side against that broadcast; the only O(corpus)
-    shuffle is the per-vector regroup.  All arithmetic is IEEE double ops
-    evaluated identically by Spark and DuckDB (same expression tree), so
-    the codes — integer floor results — carry EXACT cross-engine parity;
-    only the err column needs the r6 convention.  ``max`` (not mean) keeps
-    the per-vector reduction order-independent, dodging the float-sum
-    association pitfall documented in COVERAGE.md.
-    """
-    emb = _embeddings(spark, sf_dir)
-    ex = emb.select(
-        "vec_id", "label", F.posexplode("e").alias("dim", "v")
-    )
+def _sq_coded(emb: DataFrame) -> DataFrame:
+    """Exploded (vec_id, label, dim, v, dmin, dmax, code) rows: per-dim
+    corpus [min, max] stats ride a broadcast (n_dims rows), codes are
+    integer floor results computed map-side — exact cross-engine parity."""
+    ex = emb.select("vec_id", "label", F.posexplode("e").alias("dim", "v"))
     stats = ex.groupBy("dim").agg(
         F.min("v").alias("dmin"), F.max("v").alias("dmax")
     )
-    coded = ex.join(F.broadcast(stats), "dim").select(
+    return ex.join(F.broadcast(stats), "dim").select(
         "vec_id",
         "label",
         "dim",
@@ -746,6 +729,27 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("code"),
     )
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension uint8 scalar quantization of the embedding column —
+    the vector-store compression step (FAISS ``ScalarQuantizer``-style):
+    each dimension's corpus [min, max] is split into 256 equal cells and
+    every value becomes its cell index, a 4x size cut (float32 -> uint8)
+    before ANN indexing; ``max_abs_err`` reports the reconstruction bound
+    actually achieved per vector (midpoint decode).
+
+    Scale shape: one posexplode pass feeds a groupBy(dim) whose output is
+    exactly n_dims rows — it broadcasts regardless of corpus size — and
+    codes are computed map-side against that broadcast; the only O(corpus)
+    shuffle is the per-vector regroup.  All arithmetic is IEEE double ops
+    evaluated identically by Spark and DuckDB (same expression tree), so
+    the codes — integer floor results — carry EXACT cross-engine parity;
+    only the err column needs the r6 convention.  ``max`` (not mean) keeps
+    the per-vector reduction order-independent, dodging the float-sum
+    association pitfall documented in COVERAGE.md.
+    """
+    coded = _sq_coded(_embeddings(spark, sf_dir))
     err = F.when(F.col("dmax") == F.col("dmin"), F.lit(0.0)).otherwise(
         F.abs(
             F.col("v")
@@ -802,3 +806,129 @@ FROM coded
 GROUP BY vec_id, label
 """
 QUERIES["embedding_quantize"] = embedding_quantize
+
+
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over the QUANTIZED store — asymmetric distance
+    computation (ADC), the FAISS pattern: exact float queries score
+    against midpoint-reconstructed uint8 corpus vectors, so search runs
+    on the 4x-compressed representation while the query side loses no
+    precision.  This closes the loop from ``embedding_quantize`` to
+    search: the accuracy cost of the codes is directly observable as the
+    rank/cosine deltas vs ``ann_cosine_topk`` (overlap pinned in
+    tests/test_chunks_bpe_bloom.py).
+
+    Scale shape is ``ann_cosine_topk``'s (broadcast query set, linear
+    corpus scan) except the corpus side reads codes: at 100 TB the
+    inverted-file + DPP layout of ``build_ivf_index`` stores codes, and
+    this ADC scoring runs inside each probed cell.  Reconstruction is the
+    same IEEE expression tree in both engines and the dot is an ordered
+    fold, so the result — ranking included — is exactly value-gated, no
+    recall floor needed.
+    """
+    coded = _sq_coded(_embeddings(spark, sf_dir))
+    recon = F.when(F.col("dmax") == F.col("dmin"), F.col("dmin")).otherwise(
+        F.col("dmin")
+        + (F.col("code") + 0.5)
+        * (F.col("dmax") - F.col("dmin"))
+        / float(SQ_LEVELS + 1)
+    )
+    corpus = (
+        coded.withColumn("rv", recon)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "rv"))),
+                lambda s: s["rv"],
+            ).alias("re")
+        )
+        .select("vec_id", "re", _norm(F.col("re")).alias("rn"))
+    )
+    q = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            _norm(F.col("e")).alias("qn"),
+        )
+    )
+    pairs = corpus.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        (dot(F.col("qe"), F.col("re")) / (F.col("qn") * F.col("rn"))).alias(
+            "sim_raw"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("vec_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "rk",
+            F.col("vec_id").alias("neighbor_id"),
+            r6(F.col("sim_raw")).alias("cosine"),
+        )
+    )
+
+
+_SQ_RECON_CTE = f"""
+ex AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding, x -> cast(x AS double))) AS v,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings
+),
+stats AS (
+  SELECT dim, min(v) AS dmin, max(v) AS dmax FROM ex GROUP BY dim
+),
+coded AS (
+  SELECT ex.vec_id, ex.dim, s.dmin, s.dmax,
+         CASE WHEN s.dmax = s.dmin THEN 0
+              ELSE greatest(0, least({SQ_LEVELS},
+                cast(floor((ex.v - s.dmin) * {float(SQ_LEVELS + 1)}
+                           / (s.dmax - s.dmin)) AS bigint)))
+         END AS code
+  FROM ex JOIN stats s USING (dim)
+),
+recon AS (
+  SELECT vec_id,
+         list(CASE WHEN dmax = dmin THEN dmin
+                   ELSE dmin + (code + 0.5) * (dmax - dmin)
+                        / {float(SQ_LEVELS + 1)} END ORDER BY dim) AS re
+  FROM coded GROUP BY vec_id
+),
+corpus AS (
+  SELECT vec_id, re, sqrt(list_dot_product(re, re)) AS rn FROM recon
+)
+"""
+
+ORACLES["ann_sq_topk"] = f"""
+WITH {_SQ_RECON_CTE},
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> cast(x AS double)) AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+qn AS (
+  SELECT query_id, qe, sqrt(list_dot_product(qe, qe)) AS qn FROM q
+),
+pairs AS (
+  SELECT qn.query_id, c.vec_id,
+         list_dot_product(qn.qe, c.re) / (qn.qn * c.rn) AS sim_raw
+  FROM qn JOIN corpus c ON c.vec_id <> qn.query_id
+)
+SELECT query_id, rk, vec_id AS neighbor_id, round(sim_raw, 6) AS cosine
+FROM (
+  SELECT *, cast(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_raw DESC, vec_id ASC) AS bigint)
+            AS rk
+  FROM pairs
+) WHERE rk <= {TOP_K}
+"""
+QUERIES["ann_sq_topk"] = ann_sq_topk

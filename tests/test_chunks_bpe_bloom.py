@@ -12,6 +12,8 @@ import pytest
 
 from bigdataanalytics_textsummarization_spark.extensions.similarity import (
     SQ_LEVELS,
+    ann_cosine_topk,
+    ann_sq_topk,
     embedding_quantize,
 )
 from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
@@ -221,6 +223,27 @@ def test_bloom_semijoin_no_false_negatives(spark):
 # ---------------------------------------------------------------------------
 # embedding_quantize
 # ---------------------------------------------------------------------------
+
+
+def test_sq_search_mostly_agrees_with_exact(spark):
+    """ADC over uint8 codes must track exact search closely: for each
+    query, the top-k sets overlap strongly and cosines differ by at most
+    the quantization error scale."""
+    exact = ann_cosine_topk(spark, SF_DIR).toPandas()
+    sq = ann_sq_topk(spark, SF_DIR).toPandas()
+    overlaps = []
+    for qid, e_grp in exact.groupby("query_id"):
+        s_grp = sq[sq.query_id == qid]
+        overlaps.append(
+            len(set(e_grp.neighbor_id) & set(s_grp.neighbor_id))
+            / len(e_grp)
+        )
+    assert sum(overlaps) / len(overlaps) >= 0.8
+    # scores of the agreed neighbors shift by less than ~1% cosine
+    merged = exact.merge(
+        sq, on=["query_id", "neighbor_id"], suffixes=("_ex", "_sq")
+    )
+    assert (merged.cosine_ex - merged.cosine_sq).abs().max() < 0.01
 
 
 def test_embedding_quantize_codes_and_error_bound(spark):
