@@ -44,6 +44,15 @@ INVARIANCE_SLICE = [
     # emitted rows (counts + tolerance booleans) must not be
     "quantile_sketch",
     "distinct_sketch",
+    # order-fixed float folds (scores summed over key-sorted arrays) and
+    # quantized ranking must survive a serialized reduction order
+    "bm25_search",
+    "char_entropy",
+    "ann_sq_topk",
+    "embedding_quantize",
+    # map-only chunking + the broadcast-bounded Bloom verdict
+    "doc_chunks",
+    "bloom_semijoin",
 ]
 
 PARTITION_SETTINGS = ["1", "7", "32"]

@@ -308,3 +308,100 @@ def test_snapshot_diff_reconciles_with_rewrite_plan(texts):
         plan["needs_rewrite"]
         == (plan["n_added"] + plan["n_removed"] + plan["n_changed"] > 0)
     ).all()
+
+
+@settings(max_examples=80, deadline=None)
+@given(_texts)
+def test_doc_chunks_invariants(texts):
+    import math
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    con = _docs_con(texts)
+    out = con.sql(ta.ORACLES["doc_chunks"]).df()
+    C, S = ta.CHUNK_TOKENS, ta.CHUNK_STRIDE
+    for doc_id, text in enumerate(texts):
+        toks = text.split(" ")
+        n = len(toks)
+        grp = out[out.doc_id == doc_id].sort_values("chunk_id")
+        want_chunks = 1 if n <= C else math.ceil((n - C) / S) + 1
+        assert list(grp.chunk_id) == list(range(want_chunks))
+        assert list(grp.start_tok) == [i * S for i in range(want_chunks)]
+        assert (grp.chunk_tokens >= 1).all() and (grp.chunk_tokens <= C).all()
+        last = grp.iloc[-1]
+        assert last.start_tok + last.chunk_tokens == n
+        # stride-prefix concatenation rebuilds the token stream exactly
+        rebuilt = []
+        rows = list(grp.itertuples())
+        for i, row in enumerate(rows):
+            cts = row.chunk_text.split(" ")
+            rebuilt.extend(cts if i == len(rows) - 1 else cts[:S])
+        assert rebuilt == toks
+
+
+@settings(max_examples=80, deadline=None)
+@given(_texts)
+def test_char_entropy_invariants(texts):
+    import math
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    con = _docs_con(texts)
+    out = con.sql(ta.ORACLES["char_entropy"]).df().sort_values("doc_id")
+    assert len(out) == len(texts)
+    for doc_id, text in enumerate(texts):
+        row = out[out.doc_id == doc_id].iloc[0]
+        assert row.n_chars == len(text)
+        assert row.distinct_chars == len(set(text))
+        hi = math.log2(max(row.distinct_chars, 1))
+        assert -1e-9 <= row.entropy_bits <= hi + 1e-6
+        if len(set(text)) <= 1:
+            assert row.entropy_bits == 0.0
+
+
+# corpora drawn from the BM25 query-term vocabulary so hits actually occur
+_bm25_texts = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["hash", "join", "order", "stream", "window", "agg",
+             "fast", "vector", "scan", "filler", "noise"]
+        ),
+        min_size=0,
+        max_size=20,
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_bm25_texts)
+def test_bm25_invariants(texts):
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    con = _docs_con(texts)
+    out = con.sql(ta.ORACLES["bm25_search"]).df()
+    # Lucene idf variant is strictly positive, so every hit scores > 0
+    assert (out.score > 0).all()
+    # a doc appears for a query iff it contains >= 1 of the query's terms
+    for qid, q in ta.BM25_QUERIES:
+        terms = set(q.split(" "))
+        want = {
+            doc_id
+            for doc_id, t in enumerate(texts)
+            if terms & set(t.split(" "))
+        }
+        got = set(out[out.query_id == qid].doc_id)
+        assert got <= want
+        if len(want) <= ta.BM25_TOPK:
+            assert got == want
+    for _, grp in out.groupby("query_id"):
+        grp = grp.sort_values("rk")
+        assert list(grp.rk) == list(range(1, len(grp) + 1))
+        assert (grp.score.diff().dropna() <= 1e-12).all()
