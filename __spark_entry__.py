@@ -115,6 +115,7 @@ _PRIORITY = [
     "char_entropy",
     "bpe_encode",
     "ann_sq_topk",
+    "typo_pairs",
     # rows-only in r1/r2, golden-gated this round
     "lsa_concepts",
     "lsa_summary",

@@ -2286,3 +2286,104 @@ SELECT d.doc_id, cast(len(d.text) AS bigint) AS n_chars,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 QUERIES["char_entropy"] = char_entropy
+
+
+# ---------------------------------------------------------------------------
+# Approximate string join: edit-distance-1 vocabulary pairs
+# ---------------------------------------------------------------------------
+
+
+TYPO_MAX_DIST = 2  # SymSpell deletion-neighborhood radius
+
+_DEL_EXPR = (
+    "transform(sequence(0, length({c})),"
+    " i -> concat(substring({c}, 1, i), substring({c}, i + 2)))"
+)
+
+
+def typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pairs within Levenshtein distance ``TYPO_MAX_DIST`` —
+    typo/variant mining for corpus normalization (an approximate STRING
+    join, the one join family the relational suite lacked).
+
+    Scale shape is deletion-neighborhood blocking (FastSS / SymSpell):
+    each vocabulary word emits every string reachable by deleting up to
+    k characters (two rounds of the single-deletion transform; round one
+    includes the identity, so the union is the full <=k neighborhood).
+    The SymSpell invariant — levenshtein(a, b) <= k implies the two
+    deletion sets intersect — turns candidate generation into an
+    EQUI-join on the variant key, never an all-pairs cross of the
+    vocabulary; the exact ``levenshtein`` runs on candidates only.
+    Everything is vocab-bounded (the bpe_vocab argument): ~L^2/2
+    variants per word is the standard SymSpell space cost and why k=2
+    is the practical radius ceiling.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    # round 1 (includes identity at i = length), then round 2: <=2 deletions
+    d1 = vocab.select(
+        "w", "cnt", F.explode(F.expr(_DEL_EXPR.format(c="w"))).alias("u")
+    )
+    variants = d1.select(
+        "w", "cnt", F.explode(F.expr(_DEL_EXPR.format(c="u"))).alias("v")
+    ).distinct()
+    a = variants.select(
+        F.col("w").alias("word_a"), F.col("cnt").alias("n_a"), "v"
+    )
+    b = variants.select(
+        F.col("w").alias("word_b"), F.col("cnt").alias("n_b"), "v"
+    )
+    return (
+        a.join(b, "v")
+        .filter(F.col("word_a") < F.col("word_b"))
+        .filter(F.levenshtein("word_a", "word_b") <= TYPO_MAX_DIST)
+        .groupBy("word_a", "word_b")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.levenshtein("word_a", "word_b").cast("long")
+            ).alias("dist"),
+        )
+    )
+
+
+ORACLES["typo_pairs"] = f"""
+WITH vocab AS (
+  SELECT w, cast(count(*) AS bigint) AS cnt
+  FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents
+  ) GROUP BY w
+),
+d1 AS (
+  SELECT w, cnt,
+         unnest([substr(w, 1, i) || substr(w, i + 2)
+                 for i in range(0, len(w) + 1)]) AS u
+  FROM vocab
+),
+variants AS (
+  SELECT DISTINCT w, cnt, v FROM (
+    SELECT w, cnt,
+           unnest([substr(u, 1, i) || substr(u, i + 2)
+                   for i in range(0, len(u) + 1)]) AS v
+    FROM d1
+  )
+)
+SELECT a.w AS word_a, b.w AS word_b,
+       max(a.cnt) AS n_a, max(b.cnt) AS n_b,
+       max(cast(levenshtein(a.w, b.w) AS bigint)) AS dist
+FROM variants a
+JOIN variants b USING (v)
+WHERE a.w < b.w AND levenshtein(a.w, b.w) <= {TYPO_MAX_DIST}
+GROUP BY a.w, b.w
+"""
+QUERIES["typo_pairs"] = typo_pairs

@@ -116,3 +116,46 @@ def test_char_entropy_closed_form(spark, entropy_dir):
     assert out.loc[3, "entropy_bits"] == 0.0  # empty doc: defined as 0
     assert out.loc[3, "distinct_chars"] == 0 and out.loc[3, "n_chars"] == 0
     assert list(out.distinct_chars[:3]) == [1, 2, 4]
+
+
+def test_typo_pairs_complete_vs_bruteforce(spark, tmp_path_factory):
+    """Deletion-neighborhood blocking must find EXACTLY the brute-force
+    all-pairs Levenshtein <= 2 set (the SymSpell completeness invariant),
+    covering insert ('scan'/'scans'), substitute ('merge'/'marge'), and
+    transposition-as-two-edits ('spark'/'sprak')."""
+    import itertools
+
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        TYPO_MAX_DIST,
+        typo_pairs,
+    )
+
+    texts = [
+        "spark sprak scan scans merge marge",
+        "window join filter totally unrelated words",
+        "windows joins",
+    ]
+    d = _write_docs(tmp_path_factory, "typos", texts)
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    words = sorted({w for t in texts for w in t.split()})
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(words, 2)
+        if lev(a, b) <= TYPO_MAX_DIST
+    }
+    out = typo_pairs(spark, d).toPandas()
+    got = {(r.word_a, r.word_b) for _, r in out.iterrows()}
+    assert got == want
+    for _, r in out.iterrows():
+        assert r.dist == lev(r.word_a, r.word_b) and 1 <= r.dist <= 2
