@@ -121,6 +121,9 @@ _PRIORITY = [
     "lsa_summary",
     "lsa_concepts_distributed",
     "compression_ratio",
+    # position 51+: first in line for the NEXT round's budget window
+    # (this round's 50 slots are all never-certified or fixed-since-row)
+    "stupid_backoff",
 ]
 
 

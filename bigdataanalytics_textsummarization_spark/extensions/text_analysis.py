@@ -2387,3 +2387,246 @@ WHERE a.w < b.w AND levenshtein(a.w, b.w) <= {TYPO_MAX_DIST}
 GROUP BY a.w, b.w
 """
 QUERIES["typo_pairs"] = typo_pairs
+
+
+# ---------------------------------------------------------------------------
+# Stupid-backoff trigram LM scoring of the held-out split
+# ---------------------------------------------------------------------------
+
+SB_ALPHA = 0.4  # the backoff discount of Brants et al. 2007
+SB_OOV = 0.5  # pseudo-count for train-unseen unigrams (ppl_ingest floor)
+
+
+def stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every held-out document under a trigram LM with stupid
+    backoff (Brants et al. 2007, "Large Language Models in Machine
+    Translation") trained on the train split — THE web-scale smoothing:
+    no discount mass bookkeeping, just S(w3|w1w2) = c123/c12 when the
+    trigram was seen, else 0.4 * S(w3|w2), else 0.4^2 * c3/N (train-OOV
+    words take a 0.5 pseudo-count).  Scoring the md5-split held-out side
+    against the train-side counts is what makes backoff actually fire —
+    scoring the training corpus against itself never backs off.
+
+    Scale shape: the train corpus collapses to three n-gram count tables
+    (combiner-friendly single-key shuffles, each O(train tokens) in and
+    O(distinct grams) out); held-out trigrams join them by gram key.  The
+    per-doc log-score average is an ORDER-FIXED fold over the
+    position-sorted contributions (the bm25_search construction), so the
+    doubles — and therefore the r6 values — are engine-exact.  Output
+    also counts which backoff level served each position: the
+    observability a data-quality dashboard wants.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+        ).cast("long")
+        % 100
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ", -1).alias("__w"), bucket.alias("__b")
+    )
+    train = toks.filter(F.col("__b") < 80)
+    uni = (
+        train.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    total = uni.agg(F.sum("c").cast("long").alias("n_train"))
+    bi = (
+        train.filter(F.size("__w") >= 2)
+        .select(
+            F.posexplode(F.sequence(F.lit(1), F.size("__w") - 1)).alias(
+                "__p", "__i"
+            ),
+            "__w",
+        )
+        .select(
+            F.element_at("__w", F.col("__i")).alias("w1"),
+            F.element_at("__w", F.col("__i") + 1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    tri = (
+        train.filter(F.size("__w") >= 3)
+        .select(
+            F.posexplode(F.sequence(F.lit(1), F.size("__w") - 2)).alias(
+                "__p", "__i"
+            ),
+            "__w",
+        )
+        .select(
+            F.element_at("__w", F.col("__i")).alias("w1"),
+            F.element_at("__w", F.col("__i") + 1).alias("w2"),
+            F.element_at("__w", F.col("__i") + 2).alias("w3"),
+        )
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    held = (
+        toks.filter((F.col("__b") >= 80) & (F.size("__w") >= 3))
+        .select(
+            "doc_id",
+            "__w",
+            F.posexplode(F.sequence(F.lit(1), F.size("__w") - 2)).alias(
+                "pos", "__i"
+            ),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.element_at("__w", F.col("__i")).alias("w1"),
+            F.element_at("__w", F.col("__i") + 1).alias("w2"),
+            F.element_at("__w", F.col("__i") + 2).alias("w3"),
+        )
+    )
+    joined = (
+        held.join(
+            tri.select("w1", "w2", "w3", F.col("c").alias("c123")),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(
+            bi.select("w1", "w2", F.col("c").alias("c12")), ["w1", "w2"], "left"
+        )
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("cw2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w").alias("w3"), F.col("c").alias("cw3")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    alpha2 = SB_ALPHA * SB_ALPHA
+    score = (
+        F.when(
+            F.col("c123").isNotNull(), F.col("c123") / F.col("c12")
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(SB_ALPHA) * F.col("c23") / F.col("cw2"),
+        )
+        .otherwise(
+            F.lit(alpha2)
+            * F.coalesce(F.col("cw3"), F.lit(SB_OOV))
+            / F.col("n_train")
+        )
+    )
+    level = (
+        F.when(F.col("c123").isNotNull(), F.lit(0))
+        .when(F.col("c23").isNotNull(), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return (
+        joined.select(
+            "doc_id", "pos", F.log10(score).alias("lg"), level.alias("lvl")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            r6(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "lg"))),
+                        lambda s: s["lg"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count("*")
+            ).alias("avg_log10_score"),
+            F.sum(F.when(F.col("lvl") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_tri_hits"),
+            F.sum(F.when(F.col("lvl") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bi_backoffs"),
+            F.sum(F.when(F.col("lvl") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_uni_backoffs"),
+        )
+    )
+
+
+_SB_BUCKET = (
+    "cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) "
+    "AS ubigint) AS bigint) % 100"
+)
+
+ORACLES["stupid_backoff"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w,
+         {_SB_BUCKET} AS b
+  FROM documents
+),
+uni AS (
+  SELECT u AS w, cast(count(*) AS bigint) AS c
+  FROM (SELECT unnest(w) AS u FROM toks WHERE b < 80) GROUP BY u
+),
+total AS (SELECT cast(sum(c) AS bigint) AS n_train FROM uni),
+bi AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2, cast(count(*) AS bigint) AS c
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks
+        WHERE b < 80 AND len(w) >= 2)
+  GROUP BY 1, 2
+),
+tri AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3,
+         cast(count(*) AS bigint) AS c
+  FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM toks
+        WHERE b < 80 AND len(w) >= 3)
+  GROUP BY 1, 2, 3
+),
+held AS (
+  SELECT doc_id, cast(i AS bigint) AS pos,
+         w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks
+        WHERE b >= 80 AND len(w) >= 3)
+),
+scored AS (
+  SELECT h.doc_id, h.pos,
+         CASE WHEN t.c IS NOT NULL THEN t.c / b12.c
+              WHEN b23.c IS NOT NULL
+                THEN cast({SB_ALPHA} AS double) * b23.c / u2.c
+              ELSE cast({SB_ALPHA * SB_ALPHA!r} AS double)
+                   * coalesce(cast(u3.c AS double),
+                              cast({SB_OOV} AS double))
+                   / tt.n_train
+         END AS s,
+         CASE WHEN t.c IS NOT NULL THEN 0
+              WHEN b23.c IS NOT NULL THEN 1 ELSE 2 END AS lvl
+  FROM held h
+  LEFT JOIN tri t ON t.w1 = h.w1 AND t.w2 = h.w2 AND t.w3 = h.w3
+  LEFT JOIN bi b12 ON b12.w1 = h.w1 AND b12.w2 = h.w2
+  LEFT JOIN bi b23 ON b23.w1 = h.w2 AND b23.w2 = h.w3
+  LEFT JOIN uni u2 ON u2.w = h.w2
+  LEFT JOIN uni u3 ON u3.w = h.w3
+  CROSS JOIN total tt
+)
+SELECT doc_id, cast(count(*) AS bigint) AS n_trigrams,
+       round(list_aggregate(list(log10(s) ORDER BY pos), 'sum')
+             / count(*), 6) AS avg_log10_score,
+       cast(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS bigint)
+         AS n_tri_hits,
+       cast(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS bigint)
+         AS n_bi_backoffs,
+       cast(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS bigint)
+         AS n_uni_backoffs
+FROM scored
+GROUP BY doc_id
+"""
+QUERIES["stupid_backoff"] = stupid_backoff

@@ -159,3 +159,86 @@ def test_typo_pairs_complete_vs_bruteforce(spark, tmp_path_factory):
     assert got == want
     for _, r in out.iterrows():
         assert r.dist == lev(r.word_a, r.word_b) and 1 <= r.dist <= 2
+
+
+def test_stupid_backoff_closed_form(spark, tmp_path_factory):
+    """All three backoff levels checked against a from-scratch Python
+    reference, including a train-OOV word (unigram floor)."""
+    import hashlib
+    import math
+
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        SB_ALPHA,
+        SB_OOV,
+        stupid_backoff,
+    )
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16) % 100
+
+    train_ids = [i for i in range(200) if bucket(i) < 80]
+    held_ids = [i for i in range(200) if bucket(i) >= 80]
+    # train corpus: repeated 'a b c' plus 'b d' so trigram/bigram/unigram
+    # tables are all non-trivial; held doc exercises every level:
+    #   (a b c)   -> trigram hit
+    #   (b c d)   -> unseen trigram, seen bigram (c d? no) ...
+    held_text = "a b c d zzz a b"
+    texts_by_id = {train_ids[0]: "a b c a b c a b c", train_ids[1]: "c d c d"}
+    texts_by_id[held_ids[0]] = held_text
+    ids = sorted(texts_by_id)
+    d = tmp_path_factory.mktemp("sbo")
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(ids, dtype="int64"),
+            "text": [texts_by_id[i] for i in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["s1"] * len(ids),
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(d / "documents.parquet"),
+    )
+
+    # python reference over the train side
+    train_toks = [
+        texts_by_id[i].split(" ") for i in ids if bucket(i) < 80
+    ]
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    tri: dict[tuple, int] = {}
+    for t in train_toks:
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(t, t[1:]):
+            bi[(x, y)] = bi.get((x, y), 0) + 1
+        for x, y, z in zip(t, t[1:], t[2:]):
+            tri[(x, y, z)] = tri.get((x, y, z), 0) + 1
+    n_train = sum(uni.values())
+
+    def score(w1, w2, w3):
+        if (w1, w2, w3) in tri:
+            return tri[(w1, w2, w3)] / bi[(w1, w2)], 0
+        if (w2, w3) in bi:
+            return SB_ALPHA * bi[(w2, w3)] / uni[w2], 1
+        return SB_ALPHA * SB_ALPHA * uni.get(w3, SB_OOV) / n_train, 2
+
+    ht = held_text.split(" ")
+    contribs = [score(x, y, z) for x, y, z in zip(ht, ht[1:], ht[2:])]
+    levels = [lvl for _, lvl in contribs]
+    assert set(levels) == {0, 1, 2}  # all three paths exercised ('zzz' OOV)
+    acc = 0.0
+    for s, _ in contribs:
+        acc += math.log10(s)
+    want = round(acc / len(contribs), 6)
+
+    out = stupid_backoff(spark, str(d)).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row.doc_id == held_ids[0]
+    assert row.n_trigrams == len(contribs)
+    assert row.n_tri_hits == levels.count(0)
+    assert row.n_bi_backoffs == levels.count(1)
+    assert row.n_uni_backoffs == levels.count(2)
+    assert row.avg_log10_score == pytest.approx(want, abs=1e-9)
