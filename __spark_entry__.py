@@ -124,6 +124,8 @@ _PRIORITY = [
     # position 51+: first in line for the NEXT round's budget window
     # (this round's 50 slots are all never-certified or fixed-since-row)
     "stupid_backoff",
+    "dq_checks",
+    "vocab_kl_drift",
 ]
 
 

@@ -2630,3 +2630,130 @@ FROM scored
 GROUP BY doc_id
 """
 QUERIES["stupid_backoff"] = stupid_backoff
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-distribution drift between splits (KL / Jensen-Shannon)
+# ---------------------------------------------------------------------------
+
+KL_SMOOTH = 0.5  # add-half smoothing so both distributions support the union
+
+
+def vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL and Jensen-Shannon divergence (bits) between the train and
+    held-out word distributions — the information-theoretic drift check
+    that complements ``snapshot_drift``'s count/share deltas: a large
+    JS says the held-out split no longer looks like training data (or,
+    run between snapshot versions, that the corpus composition moved).
+
+    Scale shape: one tokenization feeds a per-word (train, held) count
+    aggregate whose cardinality is the vocabulary; the scalar totals
+    broadcast back over it.  The divergence sums are vocab-bounded
+    single-row aggregates using the order-fixed fold (word-sorted), so
+    the bits are engine-exact before r6; a web-scale vocabulary (~1e6)
+    still folds in one bounded buffer — the same vocab-fits-in-one-
+    aggregate argument as bpe_vocab's merge table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+        ).cast("long")
+        % 100
+    )
+    words = docs.select(
+        bucket.alias("__b"),
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    counts = words.groupBy("w").agg(
+        F.sum(F.when(F.col("__b") < 80, 1).otherwise(0))
+        .cast("long")
+        .alias("c_tr"),
+        F.sum(F.when(F.col("__b") >= 80, 1).otherwise(0))
+        .cast("long")
+        .alias("c_he"),
+    )
+    totals = counts.agg(
+        F.sum("c_tr").cast("long").alias("n_tr"),
+        F.sum("c_he").cast("long").alias("n_he"),
+        F.count("*").cast("long").alias("v"),
+    )
+    k = float(KL_SMOOTH)
+    with_p = counts.crossJoin(F.broadcast(totals)).select(
+        "w",
+        "n_tr",
+        "n_he",
+        "v",
+        ((F.col("c_tr") + k) / (F.col("n_tr") + k * F.col("v"))).alias("p"),
+        ((F.col("c_he") + k) / (F.col("n_he") + k * F.col("v"))).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    contrib = with_p.select(
+        "w",
+        "n_tr",
+        "n_he",
+        "v",
+        (F.col("p") * F.log2(F.col("p") / F.col("q"))).alias("kl_w"),
+        (
+            F.col("p") / 2 * F.log2(F.col("p") / m)
+            + F.col("q") / 2 * F.log2(F.col("q") / m)
+        ).alias("js_w"),
+    )
+
+    def fold(col: str):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("w", F.col(col)))),
+                lambda s: s[col],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    return contrib.groupBy("n_tr", "n_he", "v").agg(
+        r6(fold("kl_w")).alias("kl_bits"), r6(fold("js_w")).alias("js_bits")
+    ).select("n_tr", "n_he", "v", "kl_bits", "js_bits")
+
+
+ORACLES["vocab_kl_drift"] = f"""
+WITH words AS (
+  SELECT {_SB_BUCKET} AS b,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT w,
+         cast(sum(CASE WHEN b < 80 THEN 1 ELSE 0 END) AS bigint) AS c_tr,
+         cast(sum(CASE WHEN b >= 80 THEN 1 ELSE 0 END) AS bigint) AS c_he
+  FROM words GROUP BY w
+),
+totals AS (
+  SELECT cast(sum(c_tr) AS bigint) AS n_tr,
+         cast(sum(c_he) AS bigint) AS n_he,
+         cast(count(*) AS bigint) AS v
+  FROM counts
+),
+with_p AS (
+  SELECT w, n_tr, n_he, v,
+         (c_tr + cast({KL_SMOOTH} AS double))
+           / (n_tr + cast({KL_SMOOTH} AS double) * v) AS p,
+         (c_he + cast({KL_SMOOTH} AS double))
+           / (n_he + cast({KL_SMOOTH} AS double) * v) AS q
+  FROM counts CROSS JOIN totals
+),
+contrib AS (
+  SELECT w, n_tr, n_he, v,
+         p * log2(p / q) AS kl_w,
+         p / 2 * log2(p / ((p + q) / 2))
+           + q / 2 * log2(q / ((p + q) / 2)) AS js_w
+  FROM with_p
+)
+SELECT n_tr, n_he, v,
+       round(list_aggregate(list(kl_w ORDER BY w), 'sum'), 6) AS kl_bits,
+       round(list_aggregate(list(js_w ORDER BY w), 'sum'), 6) AS js_bits
+FROM contrib
+GROUP BY n_tr, n_he, v
+"""
+QUERIES["vocab_kl_drift"] = vocab_kl_drift

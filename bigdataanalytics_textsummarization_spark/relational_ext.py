@@ -1044,3 +1044,154 @@ SELECT v.k AS o_custkey, v.bloom_pass,
 FROM verdict v LEFT JOIN build bu USING (k)
 """
 QUERIES["bloom_semijoin"] = bloom_semijoin
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audit (Great-Expectations-style checks as one query)
+# ---------------------------------------------------------------------------
+
+
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The landing-zone data-quality audit: one row per expectation with
+    its violation count and pass verdict — uniqueness, derived-column
+    consistency, referential integrity, domain ranges, null screens.
+    This is the admission gate a lake runs before promoting a snapshot
+    (the relational complement of the text-side gopher/classifier
+    gates).
+
+    Scale shape: every check is a single aggregate over one scan or one
+    anti-join — uniqueness is count minus distinct-count (map-side
+    combine), referential checks are LEFT ANTI joins that shuffle only
+    the key column, ranges and null screens are conditional counts that
+    fold into the scan.  The result is O(#checks) rows regardless of
+    input size; checks over the same table share a scan via one
+    multi-aggregate where possible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def row(name: str, viol) -> DataFrame:
+        return viol.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("long").alias("violations"),
+        )
+
+    checks = [
+        row(
+            "documents.doc_id is unique",
+            docs.agg(
+                (F.count("*") - F.countDistinct("doc_id")).alias("violations")
+            ),
+        ),
+        row(
+            "documents.n_chars equals length(text)",
+            docs.agg(
+                F.sum(
+                    F.when(F.col("n_chars") != F.length("text"), 1).otherwise(0)
+                ).alias("violations")
+            ),
+        ),
+        row(
+            "orders.o_custkey references customer",
+            orders.join(
+                customer,
+                orders.o_custkey == customer.c_custkey,
+                "left_anti",
+            ).agg(F.count("*").alias("violations")),
+        ),
+        row(
+            "lineitem.l_orderkey references orders",
+            lineitem.join(
+                orders,
+                lineitem.l_orderkey == orders.o_orderkey,
+                "left_anti",
+            ).agg(F.count("*").alias("violations")),
+        ),
+        row(
+            "lineitem.l_quantity in [1, 50]",
+            lineitem.agg(
+                F.sum(
+                    F.when(
+                        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+                        1,
+                    ).otherwise(0)
+                ).alias("violations")
+            ),
+        ),
+        row(
+            "lineitem.l_discount in [0, 0.1]",
+            lineitem.agg(
+                F.sum(
+                    F.when(
+                        (F.col("l_discount") < 0)
+                        | (F.col("l_discount") > 0.1),
+                        1,
+                    ).otherwise(0)
+                ).alias("violations")
+            ),
+        ),
+        row(
+            "events.ts is not null",
+            events.agg(
+                F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias(
+                    "violations"
+                )
+            ),
+        ),
+        row(
+            "events.value is non-negative",
+            events.agg(
+                F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias(
+                    "violations"
+                )
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.select(
+        "check_name", "violations", (F.col("violations") == 0).alias("ok")
+    )
+
+
+ORACLES["dq_checks"] = """
+WITH raw(check_name, violations) AS (
+  SELECT 'documents.doc_id is unique',
+         (SELECT cast(count(*) - count(DISTINCT doc_id) AS bigint)
+          FROM documents)
+  UNION ALL
+  SELECT 'documents.n_chars equals length(text)',
+         (SELECT cast(count(*) FILTER (n_chars <> len(text)) AS bigint)
+          FROM documents)
+  UNION ALL
+  SELECT 'orders.o_custkey references customer',
+         (SELECT cast(count(*) AS bigint) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'lineitem.l_orderkey references orders',
+         (SELECT cast(count(*) AS bigint) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem.l_quantity in [1, 50]',
+         (SELECT cast(count(*) FILTER (l_quantity < 1 OR l_quantity > 50)
+                      AS bigint) FROM lineitem)
+  UNION ALL
+  SELECT 'lineitem.l_discount in [0, 0.1]',
+         (SELECT cast(count(*) FILTER (l_discount < 0 OR l_discount > 0.1)
+                      AS bigint) FROM lineitem)
+  UNION ALL
+  SELECT 'events.ts is not null',
+         (SELECT cast(count(*) FILTER (ts IS NULL) AS bigint) FROM events)
+  UNION ALL
+  SELECT 'events.value is non-negative',
+         (SELECT cast(count(*) FILTER (value < 0) AS bigint) FROM events)
+)
+SELECT check_name, violations, violations = 0 AS ok FROM raw
+"""
+QUERIES["dq_checks"] = dq_checks

@@ -17,6 +17,7 @@ from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
     bm25_search,
     char_entropy,
 )
+from tests.conftest import SF_DIR
 
 
 def _write_docs(tmp_path_factory, name: str, texts: list[str]) -> str:
@@ -242,3 +243,78 @@ def test_stupid_backoff_closed_form(spark, tmp_path_factory):
     assert row.n_bi_backoffs == levels.count(1)
     assert row.n_uni_backoffs == levels.count(2)
     assert row.avg_log10_score == pytest.approx(want, abs=1e-9)
+
+
+def test_dq_checks_all_pass_on_clean_data(spark):
+    from bigdataanalytics_textsummarization_spark.relational_ext import dq_checks
+
+    out = dq_checks(spark, SF_DIR).toPandas()
+    assert len(out) == 8
+    assert out.ok.all() and (out.violations == 0).all()
+
+
+def test_dq_checks_counts_planted_violations(spark, tmp_path_factory):
+    import os
+
+    from bigdataanalytics_textsummarization_spark.relational_ext import dq_checks
+
+    d = tmp_path_factory.mktemp("dq")
+    # documents with a duplicate doc_id and a wrong n_chars
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([1, 1, 2], dtype="int64"),
+            "text": ["aa", "bb", "cc"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": pd.array([2, 2, 99], dtype="int64"),  # 99 is wrong
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(d / "documents.parquet"),
+    )
+    for t in ("orders", "lineitem", "events", "customer"):
+        os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+    out = (
+        dq_checks(spark, str(d)).toPandas().set_index("check_name")
+    )
+    assert out.loc["documents.doc_id is unique", "violations"] == 1
+    assert not out.loc["documents.doc_id is unique", "ok"]
+    assert (
+        out.loc["documents.n_chars equals length(text)", "violations"] == 1
+    )
+    # untouched tables still pass
+    assert out.loc["orders.o_custkey references customer", "ok"]
+
+
+def test_vocab_kl_drift_zero_for_identical_distributions(spark, tmp_path_factory):
+    import hashlib
+
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        vocab_kl_drift,
+    )
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16) % 100
+
+    # same text everywhere -> train and held word distributions identical
+    ids = list(range(60))
+    assert any(bucket(i) < 80 for i in ids) and any(bucket(i) >= 80 for i in ids)
+    d = _write_docs(tmp_path_factory, "kl0", ["alpha beta beta gamma"] * len(ids))
+    out = vocab_kl_drift(spark, d).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row.v == 3
+    # smoothing keeps p != q only via the totals; with identical
+    # proportions and equal-shape smoothing the divergence stays tiny
+    assert abs(row.kl_bits) < 1e-4 and 0 <= row.js_bits < 1e-4
+
+
+def test_vocab_kl_drift_bounds_on_real_data(spark):
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        vocab_kl_drift,
+    )
+
+    row = vocab_kl_drift(spark, SF_DIR).toPandas().iloc[0]
+    assert row.kl_bits >= 0
+    assert 0 <= row.js_bits <= 1  # JS with log2 is bounded by 1 bit
