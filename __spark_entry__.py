@@ -126,6 +126,7 @@ _PRIORITY = [
     "stupid_backoff",
     "dq_checks",
     "vocab_kl_drift",
+    "tfidf_doc_topk",
 ]
 
 

@@ -318,3 +318,67 @@ def test_vocab_kl_drift_bounds_on_real_data(spark):
     row = vocab_kl_drift(spark, SF_DIR).toPandas().iloc[0]
     assert row.kl_bits >= 0
     assert 0 <= row.js_bits <= 1  # JS with log2 is bounded by 1 bit
+
+
+def test_tfidf_doc_topk_closed_form(spark, tmp_path_factory):
+    """Sparse TF-IDF cosine against a from-scratch Python reference on a
+    corpus where the nearest neighbor is decided by a shared RARE term
+    (common terms carry idf -> 0 and must not dominate)."""
+    import math
+
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        tfidf_doc_topk,
+    )
+
+    texts = [
+        "common common zebra quartz",  # 0: shares rare zebra+quartz with 1
+        "common zebra quartz",         # 1
+        "common common common apple",  # 2: shares only 'common' (idf>0 here)
+        "apple banana cherry",         # 3
+    ]
+    d = _write_docs(tmp_path_factory, "tfidf_sim", texts)
+    out = tfidf_doc_topk(spark, d).toPandas()
+
+    # python reference
+    toks = [t.split() for t in texts]
+    n = len(texts)
+    df = {}
+    for t in toks:
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+    def vec(t):
+        return {
+            w: t.count(w) * math.log10(n / df[w])
+            for w in set(t)
+            if t.count(w) * math.log10(n / df[w]) > 0
+        }
+    vecs = [vec(t) for t in toks]
+    def cos(a, b):
+        shared = sorted(set(a) & set(b))
+        if not shared:
+            return None
+        dot = 0.0
+        for w in shared:
+            dot += a[w] * b[w]
+        na = math.sqrt(sum(v * v for v in sorted_vals(a)))
+        nb = math.sqrt(sum(v * v for v in sorted_vals(b)))
+        return dot / (na * nb)
+    def sorted_vals(a):
+        return [a[w] for w in sorted(a)]
+
+    for qid in range(4):
+        expect = sorted(
+            (
+                (cid, cos(vecs[qid], vecs[cid]))
+                for cid in range(4)
+                if cid != qid and cos(vecs[qid], vecs[cid]) is not None
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )
+        got = out[out.query_doc == qid].sort_values("rk")
+        assert list(got.similar_doc) == [c for c, _ in expect[:3]]
+        for (_, want_sim), (_, row) in zip(expect, got.iterrows()):
+            assert row.cosine == pytest.approx(round(want_sim, 6), abs=2e-6)
+    # the rare-term pair ranks first for both of its members
+    assert out[out.query_doc == 0].iloc[0].similar_doc == 1
+    assert out[out.query_doc == 1].iloc[0].similar_doc == 0
