@@ -127,6 +127,7 @@ _PRIORITY = [
     "dq_checks",
     "vocab_kl_drift",
     "tfidf_doc_topk",
+    "knn_accuracy",
 ]
 
 

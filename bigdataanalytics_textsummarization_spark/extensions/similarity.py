@@ -932,3 +932,109 @@ FROM (
 ) WHERE rk <= {TOP_K}
 """
 QUERIES["ann_sq_topk"] = ann_sq_topk
+
+
+def knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label evaluation of the embedding space: each query vector's
+    exact top-k neighbors vote on its label (majority, ties to the
+    smallest label) — the standard intrinsic quality check for an
+    embedding store, and the eval loop a similarity deployment runs
+    after re-embedding.
+
+    Composes ``ann_cosine_topk`` (already value-gated) with two label
+    joins and an integer-only verdict — counts and booleans, no float
+    output at all, so the gate is exact by construction.  Scale shape
+    adds one broadcast label join per side on top of the ANN plan.
+    """
+    topk = ann_cosine_topk(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    joined = (
+        topk.join(
+            F.broadcast(
+                labels.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("label").alias("true_label"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+    )
+    votes = joined.groupBy("query_id", "true_label", "n_label").agg(
+        F.count("*").cast("long").alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("n_label")
+    )
+    picked = votes.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") == 1
+    )
+    same = joined.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_neighbors"),
+        F.sum(
+            F.when(F.col("n_label") == F.col("true_label"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_same_label"),
+    )
+    return picked.join(same, "query_id").select(
+        "query_id",
+        "true_label",
+        "n_neighbors",
+        "n_same_label",
+        F.col("n_label").alias("pred_label"),
+        (F.col("n_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+ORACLES["knn_accuracy"] = f"""
+WITH {_EMB_CTE},
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM embn WHERE vec_id < {N_QUERIES}),
+pairs AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS sim_raw
+  FROM q JOIN embn c ON c.vec_id <> q.query_id
+),
+topk AS (
+  SELECT query_id, vec_id AS neighbor_id
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim_raw DESC, vec_id ASC) AS rk
+    FROM pairs
+  ) WHERE rk <= {TOP_K}
+),
+joined AS (
+  SELECT t.query_id, ql.label AS true_label, nl.label AS n_label
+  FROM topk t
+  JOIN embeddings ql ON ql.vec_id = t.query_id
+  JOIN embeddings nl ON nl.vec_id = t.neighbor_id
+),
+votes AS (
+  SELECT query_id, true_label, n_label,
+         cast(count(*) AS bigint) AS votes
+  FROM joined GROUP BY 1, 2, 3
+),
+picked AS (
+  SELECT query_id, true_label, n_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY votes DESC, n_label ASC) AS r
+    FROM votes
+  ) WHERE r = 1
+),
+same AS (
+  SELECT query_id, cast(count(*) AS bigint) AS n_neighbors,
+         cast(sum(CASE WHEN n_label = true_label THEN 1 ELSE 0 END)
+              AS bigint) AS n_same_label
+  FROM joined GROUP BY query_id
+)
+SELECT p.query_id, p.true_label, s.n_neighbors, s.n_same_label,
+       p.n_label AS pred_label, p.n_label = p.true_label AS correct
+FROM picked p JOIN same s USING (query_id)
+"""
+QUERIES["knn_accuracy"] = knn_accuracy

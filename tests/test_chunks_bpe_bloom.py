@@ -259,3 +259,37 @@ def test_embedding_quantize_codes_and_error_bound(spark):
     assert flat.between(0, SQ_LEVELS).all()
     # midpoint decode bounds the reconstruction error by half a cell
     assert (out.max_abs_err <= half_cell + 1e-9).all()
+
+
+def test_knn_accuracy_perfect_on_separable_clusters(spark, tmp_path_factory):
+    """Three well-separated label clusters -> the kNN vote must recover
+    every query's label with all neighbors in-cluster."""
+    import numpy as np
+
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        N_QUERIES,
+        TOP_K,
+        knn_accuracy,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(3)  # orthogonal cluster axes
+    rows = []
+    for vec_id in range(60):
+        label = vec_id % 3
+        v = centers[label] + rng.normal(0, 0.01, 3)
+        rows.append((vec_id, [float(x) for x in v], label))
+    d = tmp_path_factory.mktemp("knn")
+    emb = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    emb["vec_id"] = emb["vec_id"].astype("int64")
+    emb["label"] = emb["label"].astype("int32")
+    pq.write_table(
+        pa.Table.from_pandas(emb, preserve_index=False),
+        str(d / "embeddings.parquet"),
+    )
+    out = knn_accuracy(spark, str(d)).toPandas()
+    assert len(out) == N_QUERIES
+    assert (out.n_neighbors == TOP_K).all()
+    assert (out.n_same_label == TOP_K).all()
+    assert out.correct.all()
+    assert (out.pred_label == out.true_label).all()
