@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import STOPWORDS_SQL, r6
+from ..functions import SPLIT_BUCKET_SQL, STOPWORDS_SQL, r6
 from ..io import load_table
 from .dedup import (
     CLUSTER_MIN_JACCARD,
@@ -254,10 +254,7 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPLIT_EXPR = (
-    "cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) "
-    "AS ubigint) AS bigint) % 100"
-)
+_SPLIT_EXPR = SPLIT_BUCKET_SQL  # the shared split contract (functions.py)
 
 _RATE_SQL = "cast(CASE " + " ".join(
     f"WHEN lang = '{lg}' THEN {r}" for lg, r in SAMPLE_RATES.items()

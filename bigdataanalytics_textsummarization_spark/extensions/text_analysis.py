@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import STOPWORDS, STOPWORDS_SQL, r6
+from ..functions import SPLIT_BUCKET_SQL, STOPWORDS, STOPWORDS_SQL, r6, split_bucket
 from ..io import load_table
 
 # Small marker lexicons per language (public stopword cores).  The synthetic
@@ -184,9 +184,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     A pure projection — at 100 TB this is a zero-shuffle map over the scan.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast(
-        "long"
-    ) % 100
+    bucket = split_bucket()
     return docs.select(
         "doc_id",
         bucket.alias("bucket"),
@@ -210,11 +208,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ``substring_dedup``.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
-        .cast("long")
-        % 100
-    )
+    bucket = split_bucket()
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
     )
@@ -1427,8 +1421,8 @@ GROUP BY doc_id
     "contamination_check": f"""
 WITH tagged AS (
   SELECT doc_id,
-         CASE WHEN cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) AS ubigint) AS bigint) % 100 < 80 THEN 'train'
-              WHEN cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) AS ubigint) AS bigint) % 100 < 90 THEN 'valid'
+         CASE WHEN {SPLIT_BUCKET_SQL} < 80 THEN 'train'
+              WHEN {SPLIT_BUCKET_SQL} < 90 THEN 'valid'
               ELSE 'test' END AS split,
          string_split(lower(text), ' ') AS w,
          cast(len(string_split(lower(text), ' ')) AS bigint) AS n_tokens
@@ -1615,11 +1609,11 @@ SELECT p.w1, p.w2, cast(p.c12 AS bigint) AS n,
        round(p.c12 * 1.0 / u.c1, 6) AS p_cond
 FROM pair p JOIN uni u ON p.w1 = u.w1
 """,
-    "train_test_split": """
+    "train_test_split": f"""
 SELECT doc_id,
-       cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) AS ubigint) AS bigint) % 100 AS bucket,
-       CASE WHEN cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) AS ubigint) AS bigint) % 100 < 80 THEN 'train'
-            WHEN cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) AS ubigint) AS bigint) % 100 < 90 THEN 'valid'
+       {SPLIT_BUCKET_SQL} AS bucket,
+       CASE WHEN {SPLIT_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {SPLIT_BUCKET_SQL} < 90 THEN 'valid'
             ELSE 'test' END AS split
 FROM documents
 """,
@@ -2001,7 +1995,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("w").cast("long").alias("n_chars"),
         )
     )
-    return (
+    totals = (
         word_counts.join(F.broadcast(vocab_map), "w")
         .groupBy("doc_id")
         .agg(
@@ -2013,6 +2007,15 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "alpha_chars"
             ),
         )
+    )
+    # every document gets a row — a doc with no [a-z] words costs 0 tokens,
+    # it does not vanish (sibling per-doc operators emit a row per doc too)
+    zero = F.lit(0).cast("long")
+    return docs.select("doc_id").join(totals, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("words", zero).alias("words"),
+        F.coalesce("bpe_tokens", zero).alias("bpe_tokens"),
+        F.coalesce("alpha_chars", zero).alias("alpha_chars"),
     )
 
 
@@ -2341,19 +2344,18 @@ def typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = variants.select(
         F.col("w").alias("word_b"), F.col("cnt").alias("n_b"), "v"
     )
-    return (
+    # collapse duplicate candidates (pairs sharing several variants) BEFORE
+    # the exact check, so levenshtein — the expensive scalar — runs once
+    # per DISTINCT pair, not once per shared variant
+    cand = (
         a.join(b, "v")
         .filter(F.col("word_a") < F.col("word_b"))
-        .filter(F.levenshtein("word_a", "word_b") <= TYPO_MAX_DIST)
         .groupBy("word_a", "word_b")
-        .agg(
-            F.max("n_a").alias("n_a"),
-            F.max("n_b").alias("n_b"),
-            F.max(
-                F.levenshtein("word_a", "word_b").cast("long")
-            ).alias("dist"),
-        )
+        .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"))
     )
+    return cand.withColumn(
+        "dist", F.levenshtein("word_a", "word_b").cast("long")
+    ).filter(F.col("dist") <= TYPO_MAX_DIST)
 
 
 ORACLES["typo_pairs"] = f"""
@@ -2377,14 +2379,19 @@ variants AS (
                    for i in range(0, len(u) + 1)]) AS v
     FROM d1
   )
+),
+cand AS (
+  SELECT a.w AS word_a, b.w AS word_b,
+         max(a.cnt) AS n_a, max(b.cnt) AS n_b
+  FROM variants a
+  JOIN variants b USING (v)
+  WHERE a.w < b.w
+  GROUP BY a.w, b.w
 )
-SELECT a.w AS word_a, b.w AS word_b,
-       max(a.cnt) AS n_a, max(b.cnt) AS n_b,
-       max(cast(levenshtein(a.w, b.w) AS bigint)) AS dist
-FROM variants a
-JOIN variants b USING (v)
-WHERE a.w < b.w AND levenshtein(a.w, b.w) <= {TYPO_MAX_DIST}
-GROUP BY a.w, b.w
+SELECT word_a, word_b, n_a, n_b,
+       cast(levenshtein(word_a, word_b) AS bigint) AS dist
+FROM cand
+WHERE levenshtein(word_a, word_b) <= {TYPO_MAX_DIST}
 """
 QUERIES["typo_pairs"] = typo_pairs
 
@@ -2417,12 +2424,7 @@ def stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     observability a data-quality dashboard wants.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
-        ).cast("long")
-        % 100
-    )
+    bucket = split_bucket()
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ", -1).alias("__w"), bucket.alias("__b")
     )
@@ -2562,10 +2564,7 @@ def stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SB_BUCKET = (
-    "cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) "
-    "AS ubigint) AS bigint) % 100"
-)
+_SB_BUCKET = SPLIT_BUCKET_SQL  # the shared split contract
 
 ORACLES["stupid_backoff"] = f"""
 WITH toks AS (
@@ -2655,12 +2654,7 @@ def vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate argument as bpe_vocab's merge table.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
-        ).cast("long")
-        % 100
-    )
+    bucket = split_bucket()
     words = docs.select(
         bucket.alias("__b"),
         F.explode(

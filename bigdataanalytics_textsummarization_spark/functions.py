@@ -300,3 +300,27 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0).cast("double"),
         lambda acc, x: acc + x,
     )
+
+
+def split_bucket() -> Column:
+    """doc_id -> deterministic bucket 0..99: THE train/valid/test split
+    contract (first md5 byte mod 100; < 80 train, < 90 valid, else
+    test).  Single-sourced on purpose — train_test_split,
+    contamination_check, stupid_backoff, vocab_kl_drift, and the
+    curation chain must all agree on which documents are 'train', so a
+    change to the salt, prefix width, or modulus edited here reaches
+    every operator (and its paired oracle via SPLIT_BUCKET_SQL) at
+    once."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+        ).cast("long")
+        % 100
+    )
+
+
+# the same expression for DuckDB oracles (ubigint hop: no conv() there)
+SPLIT_BUCKET_SQL = (
+    "cast(cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 2)) "
+    "AS ubigint) AS bigint) % 100"
+)

@@ -1074,9 +1074,13 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
 
     def row(name: str, viol) -> DataFrame:
+        # coalesce: a conditional SUM over an EMPTY table is NULL in Spark
+        # (an empty landing zone is a plausible admission-gate input), while
+        # the oracle's count(*) FILTER is 0 — the verdict must be 0/true
         return viol.select(
             F.lit(name).alias("check_name"),
-            F.col("violations").cast("long").alias("violations"),
+            F.coalesce(F.col("violations").cast("long"), F.lit(0).cast("long"))
+            .alias("violations"),
         )
 
     checks = [

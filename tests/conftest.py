@@ -66,3 +66,25 @@ def assert_parity(spark, oracle, qfn, sql, sf_dir=SF_DIR):
                 f"column {c}: first mismatch at row {int((~same).argmax())}: "
                 f"{g[~same].head(3).tolist()} != {w[~same].head(3).tolist()}"
             )
+
+
+def write_docs(tmp_path_factory, name: str, texts: list[str]) -> str:
+    """Write a documents.parquet fixture with the real table shape."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp(name)
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s1"] * len(texts),
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(d / "documents.parquet"),
+    )
+    return str(d)

@@ -17,30 +17,12 @@ from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
     bm25_search,
     char_entropy,
 )
-from tests.conftest import SF_DIR
-
-
-def _write_docs(tmp_path_factory, name: str, texts: list[str]) -> str:
-    d = tmp_path_factory.mktemp(name)
-    docs = pd.DataFrame(
-        {
-            "doc_id": pd.array(range(len(texts)), dtype="int64"),
-            "text": texts,
-            "lang": ["en"] * len(texts),
-            "source": ["s1"] * len(texts),
-        }
-    )
-    docs["n_chars"] = docs["text"].str.len().astype("int64")
-    pq.write_table(
-        pa.Table.from_pandas(docs, preserve_index=False),
-        d / "documents.parquet",
-    )
-    return str(d)
+from tests.conftest import SF_DIR, write_docs
 
 
 @pytest.fixture(scope="module")
 def bm25_dir(tmp_path_factory):
-    return _write_docs(
+    return write_docs(
         tmp_path_factory,
         "bm25",
         [
@@ -100,7 +82,7 @@ def test_bm25_rank_is_dense_per_query(spark, bm25_dir):
 
 @pytest.fixture(scope="module")
 def entropy_dir(tmp_path_factory):
-    return _write_docs(
+    return write_docs(
         tmp_path_factory,
         "entropy",
         ["aaaa", "abab", "abcd", ""],
@@ -136,7 +118,7 @@ def test_typo_pairs_complete_vs_bruteforce(spark, tmp_path_factory):
         "window join filter totally unrelated words",
         "windows joins",
     ]
-    d = _write_docs(tmp_path_factory, "typos", texts)
+    d = write_docs(tmp_path_factory, "typos", texts)
 
     def lev(a: str, b: str) -> int:
         prev = list(range(len(b) + 1))
@@ -300,7 +282,7 @@ def test_vocab_kl_drift_zero_for_identical_distributions(spark, tmp_path_factory
     # same text everywhere -> train and held word distributions identical
     ids = list(range(60))
     assert any(bucket(i) < 80 for i in ids) and any(bucket(i) >= 80 for i in ids)
-    d = _write_docs(tmp_path_factory, "kl0", ["alpha beta beta gamma"] * len(ids))
+    d = write_docs(tmp_path_factory, "kl0", ["alpha beta beta gamma"] * len(ids))
     out = vocab_kl_drift(spark, d).toPandas()
     assert len(out) == 1
     row = out.iloc[0]
@@ -336,7 +318,7 @@ def test_tfidf_doc_topk_closed_form(spark, tmp_path_factory):
         "common common common apple",  # 2: shares only 'common' (idf>0 here)
         "apple banana cherry",         # 3
     ]
-    d = _write_docs(tmp_path_factory, "tfidf_sim", texts)
+    d = write_docs(tmp_path_factory, "tfidf_sim", texts)
     out = tfidf_doc_topk(spark, d).toPandas()
 
     # python reference
@@ -382,3 +364,47 @@ def test_tfidf_doc_topk_closed_form(spark, tmp_path_factory):
     # the rare-term pair ranks first for both of its members
     assert out[out.query_doc == 0].iloc[0].similar_doc == 1
     assert out[out.query_doc == 1].iloc[0].similar_doc == 0
+
+
+def test_dq_checks_zero_not_null_on_empty_table(spark, tmp_path_factory):
+    """A conditional SUM over an empty table is NULL in Spark; the gate
+    must still report 0 violations / ok=true (empty landing zone)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdataanalytics_textsummarization_spark.relational_ext import dq_checks
+
+    d = tmp_path_factory.mktemp("dq_empty")
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(schema.empty_table(), str(d / "events.parquet"))
+    for t in ("documents", "orders", "lineitem", "customer"):
+        os.symlink(f"{SF_DIR}/{t}.parquet", str(d / f"{t}.parquet"))
+    out = dq_checks(spark, str(d)).toPandas().set_index("check_name")
+    for name in ("events.ts is not null", "events.value is non-negative"):
+        assert out.loc[name, "violations"] == 0
+        assert out.loc[name, "ok"] == True  # noqa: E712 — NULL would fail
+
+
+def test_bpe_encode_emits_zero_row_for_wordless_doc(spark, tmp_path_factory):
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        bpe_encode,
+    )
+
+    d = write_docs(tmp_path_factory, "bpe_zero", ["hello world", "123 456 !!"])
+    out = bpe_encode(spark, d).toPandas().set_index("doc_id").sort_index()
+    assert len(out) == 2  # the wordless doc does NOT vanish
+    assert out.loc[1, "words"] == 0
+    assert out.loc[1, "bpe_tokens"] == 0
+    assert out.loc[1, "alpha_chars"] == 0
+    assert out.loc[0, "words"] == 2

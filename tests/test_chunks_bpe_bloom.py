@@ -27,25 +27,7 @@ from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
 from bigdataanalytics_textsummarization_spark.relational_ext import (
     bloom_semijoin,
 )
-from tests.conftest import SF_DIR
-
-
-def _write_docs(tmp_path_factory, name: str, texts: list[str]) -> str:
-    d = tmp_path_factory.mktemp(name)
-    docs = pd.DataFrame(
-        {
-            "doc_id": pd.array(range(len(texts)), dtype="int64"),
-            "text": texts,
-            "lang": ["en"] * len(texts),
-            "source": ["s1"] * len(texts),
-        }
-    )
-    docs["n_chars"] = docs["text"].str.len().astype("int64")
-    pq.write_table(
-        pa.Table.from_pandas(docs, preserve_index=False),
-        d / "documents.parquet",
-    )
-    return str(d)
+from tests.conftest import SF_DIR, write_docs
 
 
 # ---------------------------------------------------------------------------
@@ -58,7 +40,7 @@ def chunk_dir(tmp_path_factory):
     long_doc = " ".join(f"t{i}" for i in range(150))  # 150 tokens -> 3 chunks
     short_doc = "a b c"  # 3 tokens -> 1 chunk
     exact_doc = " ".join(f"x{i}" for i in range(CHUNK_TOKENS))  # boundary
-    return _write_docs(tmp_path_factory, "chunks", [long_doc, short_doc, exact_doc])
+    return write_docs(tmp_path_factory, "chunks", [long_doc, short_doc, exact_doc])
 
 
 def test_doc_chunks_starts_and_tail(spark, chunk_dir):
@@ -146,7 +128,7 @@ _BPE_TEXTS = [
 
 @pytest.fixture(scope="module")
 def bpe_corpus_dir(tmp_path_factory):
-    return _write_docs(tmp_path_factory, "bpe", _BPE_TEXTS)
+    return write_docs(tmp_path_factory, "bpe", _BPE_TEXTS)
 
 
 def test_bpe_vocab_matches_python_reference(spark, bpe_corpus_dir):
