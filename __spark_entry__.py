@@ -128,6 +128,7 @@ _PRIORITY = [
     "vocab_kl_drift",
     "tfidf_doc_topk",
     "knn_accuracy",
+    "incremental_agg",
 ]
 
 

@@ -292,3 +292,56 @@ QUERIES = {
     "partition_rewrite_plan": partition_rewrite_plan,
     "snapshot_drift": snapshot_drift,
 }
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (partial-state merge == full recompute)
+# ---------------------------------------------------------------------------
+
+DELTA_MOD = 10  # event_id % 10 == 0 plays the arriving batch
+
+
+def incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the standing hourly
+    aggregate (events already ingested) absorbs an arriving batch by
+    MERGING PARTIAL STATES — re-aggregating (count, integer-cent sum)
+    partials on the group key — and the gate certifies the merged view
+    equals a FULL recompute, because the oracle IS the full recompute
+    over all events.  This is the invariant that lets a 100 TB view
+    update in O(delta): commutative-monoid state (counts, cent sums)
+    merges associatively, so history is never re-scanned; only the
+    delta's partials shuffle.  (``stream_materialize`` is the streaming
+    face of the same idea; this is the batch-refresh face with a
+    value-level equality certificate.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+
+    state = partials(ev.filter(F.col("event_id") % DELTA_MOD != 0))
+    delta = partials(ev.filter(F.col("event_id") % DELTA_MOD == 0))
+    return (
+        state.unionByName(delta)
+        .groupBy("hour", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            (F.sum("cents") / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+
+
+# the oracle is the FULL recompute — equality IS the maintenance invariant
+ORACLES["incremental_agg"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       cast(count(*) AS bigint) AS n_events,
+       (sum(cast(round(value * 100) AS bigint)) / 100.0) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+QUERIES["incremental_agg"] = incremental_agg

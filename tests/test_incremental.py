@@ -154,3 +154,43 @@ def test_cohort_retention_matrix_invariants(spark):
             assert r.retention == 1.0
         else:
             assert 0.0 < r.retention <= 1.0
+
+
+def test_incremental_agg_merge_is_associative(spark):
+    """The maintenance invariant beyond the oracle's merge==full check:
+    ANY partition of the input into partial states merges to the same
+    view (commutative monoid), here a 3-way split vs the 2-way one."""
+    from pyspark.sql import functions as F
+
+    from bigdataanalytics_textsummarization_spark.extensions.snapshot import (
+        incremental_agg,
+    )
+    from bigdataanalytics_textsummarization_spark.io import load_table
+    from tests.conftest import SF_DIR, normalize
+
+    ev = load_table(spark, SF_DIR, "events")
+
+    def partials(df):
+        return df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        ).agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+
+    three_way = None
+    for r in range(3):
+        p = partials(ev.filter(F.col("event_id") % 3 == r))
+        three_way = p if three_way is None else three_way.unionByName(p)
+    merged3 = (
+        three_way.groupBy("hour", "event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            (F.sum("cents") / F.lit(100.0)).alias("sum_value"),
+        )
+        .toPandas()
+    )
+    merged2 = incremental_agg(spark, SF_DIR).toPandas()
+    g, w = normalize(merged3), normalize(merged2)
+    assert g.shape == w.shape
+    assert g.equals(w)
