@@ -129,6 +129,7 @@ _PRIORITY = [
     "tfidf_doc_topk",
     "knn_accuracy",
     "incremental_agg",
+    "zorder_stats",
 ]
 
 

@@ -1162,6 +1162,108 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_BITS = 16  # bits per dimension (sized to the testdata key domains;
+# at larger domains widen — the construction is identical per bit)
+Z_BUCKET_SHIFT = 2 * Z_BITS - 6  # top 6 z-bits -> 64 clustering buckets
+
+
+def _morton(x, y):
+    """Bit-interleaved (Morton / Z-order) key of two Z_BITS-wide ints —
+    a 2*Z_BITS-term integer expression that constant-folds in codegen."""
+    out = None
+    for i in range(Z_BITS):
+        tx = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        out = tx + ty if out is None else out + tx + ty
+    return out
+
+
+def zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit: interleave the bits of
+    (l_partkey, l_suppkey), cut the keyspace into 64 z-buckets, and
+    report each bucket's row count and min/max of BOTH dimensions — the
+    file-skipping statistics a lakehouse keeps per data file after an
+    OPTIMIZE ZORDER rewrite.  Z-clustering's point is visible directly
+    in the output: every bucket bounds every dimension (a linear sort
+    bounds only its leading column), so a range predicate on EITHER key
+    prunes buckets by min/max.  The engine writes this physically via
+    ``io.compact_parquet``'s range clustering; this query is the
+    engine-portable key computation plus the audit, value-gated because
+    bit interleaving is exact integer arithmetic in both engines.
+
+    Scale shape: the z-key is a row-local integer expression folded into
+    the scan; the audit is one groupBy over 64 buckets (map-side combine
+    collapses to O(buckets) per partition).  At write time the same key
+    feeds ``repartitionByRange`` — no extra shuffle beyond the sort the
+    rewrite needs anyway.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("p"),
+        F.col("l_suppkey").cast("long").alias("s"),
+    )
+    # range-normalize each dimension into the full Z_BITS width first
+    # (standard Z-order practice — otherwise small key domains leave the
+    # high interleaved bits all zero and every row lands in one bucket);
+    # integer `div` keeps the scaling exact in both engines
+    maxes = li.agg(
+        F.max("p").alias("max_p"), F.max("s").alias("max_s")
+    )
+    scaled = li.crossJoin(F.broadcast(maxes)).select(
+        "p",
+        "s",
+        F.expr(f"(p * {2 ** Z_BITS}) div (max_p + 1)").alias("pn"),
+        F.expr(f"(s * {2 ** Z_BITS}) div (max_s + 1)").alias("sn"),
+    )
+    z = _morton(F.col("pn"), F.col("sn"))
+    return (
+        scaled.withColumn(
+            "bucket", F.shiftright(z, Z_BUCKET_SHIFT).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("p").alias("min_partkey"),
+            F.max("p").alias("max_partkey"),
+            F.min("s").alias("min_suppkey"),
+            F.max("s").alias("max_suppkey"),
+        )
+    )
+
+
+def _morton_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(({x} >> {i}) & 1) * {2 ** (2 * i)}")
+        terms.append(f"(({y} >> {i}) & 1) * {2 ** (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+ORACLES["zorder_stats"] = f"""
+WITH base AS (
+  SELECT cast(l_partkey AS bigint) AS p, cast(l_suppkey AS bigint) AS s
+  FROM lineitem
+),
+maxes AS (SELECT max(p) AS max_p, max(s) AS max_s FROM base),
+scaled AS (
+  SELECT p, s,
+         (p * {2 ** Z_BITS}) // (max_p + 1) AS pn,
+         (s * {2 ** Z_BITS}) // (max_s + 1) AS sn
+  FROM base CROSS JOIN maxes
+),
+keyed AS (
+  SELECT p, s,
+         ({_morton_sql("pn", "sn")}) >> {Z_BUCKET_SHIFT} AS bucket
+  FROM scaled
+)
+SELECT cast(bucket AS bigint) AS bucket,
+       cast(count(*) AS bigint) AS n_rows,
+       min(p) AS min_partkey, max(p) AS max_partkey,
+       min(s) AS min_suppkey, max(s) AS max_suppkey
+FROM keyed GROUP BY bucket
+"""
+QUERIES["zorder_stats"] = zorder_stats
+
+
 ORACLES["dq_checks"] = """
 WITH raw(check_name, violations) AS (
   SELECT 'documents.doc_id is unique',

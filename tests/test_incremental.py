@@ -194,3 +194,21 @@ def test_incremental_agg_merge_is_associative(spark):
     g, w = normalize(merged3), normalize(merged2)
     assert g.shape == w.shape
     assert g.equals(w)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The point of Z-clustering vs a linear sort: every bucket carries a
+    tight min/max on BOTH keys (top-6 interleaved bits = 3 bits per
+    dimension -> each bucket spans <= 1/8 of each normalized domain)."""
+    from bigdataanalytics_textsummarization_spark.relational_ext import (
+        zorder_stats,
+    )
+    from tests.conftest import SF_DIR
+
+    out = zorder_stats(spark, SF_DIR).toPandas()
+    assert len(out) > 1  # normalization must spread small domains
+    p_dom = out.max_partkey.max() - out.min_partkey.min() + 1
+    s_dom = out.max_suppkey.max() - out.min_suppkey.min() + 1
+    # +1 slack: integer scaling rounds bucket edges onto key boundaries
+    assert ((out.max_partkey - out.min_partkey) <= p_dom / 8 + 1).all()
+    assert ((out.max_suppkey - out.min_suppkey) <= s_dom / 8 + 1).all()
