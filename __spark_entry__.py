@@ -130,6 +130,8 @@ _PRIORITY = [
     "knn_accuracy",
     "incremental_agg",
     "zorder_stats",
+    "dedup_containment",
+    "graph_khop",
 ]
 
 

@@ -813,3 +813,71 @@ QUERIES = {
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_pairs": simhash_near_pairs,
 }
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8  # fraction of the contained doc's shingles
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED near-dup detection by shingle containment
+    C(A -> B) = |A∩B| / |A|: a short document living entirely inside a
+    longer one scores containment ~1 while its Jaccard can be tiny
+    (|A∪B| is dominated by B) — the quote/excerpt/boilerplate-wrapper
+    case every symmetric dedup pass misses.  Output rows are directed:
+    ``contained_doc``'s shingles are ``containment``-covered by
+    ``container_doc``.
+
+    Scale shape is ``dedup_ngram_jaccard``'s: candidates from the
+    shared-shingle equi-join (never all-pairs), one intersection count
+    per candidate pair, sizes joined back.  Same blocking, different
+    normalizer — which is the point: the candidate machinery is shared
+    and only the acceptance rule changes.
+    """
+    sh = _shingles_dup(spark, sf_dir).select("doc_id", "g").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("contained_doc"), "g")
+    b = sh.select(F.col("doc_id").alias("container_doc"), "g")
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("contained_doc") != F.col("container_doc"))
+        .groupBy("contained_doc", "container_doc")
+        .agg(F.count("*").alias("isect"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("contained_doc"), F.col("n").alias("n_a")
+    )
+    return (
+        pairs.join(na, "contained_doc")
+        .withColumn("c_raw", F.col("isect") / F.col("n_a"))
+        .filter(F.col("c_raw") >= CONTAINMENT_THRESHOLD)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.col("isect").cast("long").alias("isect"),
+            F.col("n_a").cast("long").alias("n_contained"),
+            r6(F.col("c_raw")).alias("containment"),
+        )
+    )
+
+
+ORACLES["dedup_containment"] = f"""
+WITH {SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+         count(*) AS isect
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT contained_doc, container_doc, isect,
+       cast(na.n AS bigint) AS n_contained,
+       round(isect * 1.0 / na.n, 6) AS containment
+FROM pairs
+JOIN sizes na ON na.doc_id = contained_doc
+WHERE isect * 1.0 / na.n >= {CONTAINMENT_THRESHOLD}
+"""
+QUERIES["dedup_containment"] = dedup_containment

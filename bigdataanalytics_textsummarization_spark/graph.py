@@ -225,3 +225,82 @@ QUERIES = {
     "similarity_edges": similarity_edges,
     "graph_triangles": graph_triangles,
 }
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS reach (graph traversal)
+# ---------------------------------------------------------------------------
+
+K_HOPS = 3  # BFS radius from each per-source seed
+
+
+def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-hop BFS: for each source's similarity graph, every
+    sentence within ``K_HOPS`` of the seed (the minimum sentence id that
+    has an edge) with its hop distance — the traversal family
+    (neighborhood expansion / impact radius) next to ranking (pagerank),
+    clustering (dedup CC), and counting (triangles).
+
+    Scale shape: K unrolled frontier-join iterations, each one equi-join
+    of the CURRENT frontier against the edge table (shuffle keyed on the
+    vertex) plus a LEFT ANTI against the visited set, so a vertex is
+    expanded exactly once — frontiers shrink as the reachable set
+    saturates, and nothing is ever all-pairs.  The same loop shape as
+    ``pagerank.ranks_from`` (fixed iterations, ``localCheckpoint``-cut
+    lineage); the oracle is a bounded recursive CTE taking min(hop).
+    """
+    # materialize the edge table ONCE (pagerank's static-weights pattern):
+    # the seed aggregate + K frontier joins would otherwise each re-run
+    # the tokenize + self-join plan that builds it
+    edges = (
+        edges_raw(spark, sf_dir)
+        .select(
+            F.col("source").alias("e_source"),
+            F.col("src").alias("e_src"),
+            F.col("dst").alias("e_dst"),
+        )
+        .localCheckpoint()
+    )
+    seeds = (
+        edges.groupBy(F.col("e_source").alias("source"))
+        .agg(F.min("e_src").alias("sentence_id"))
+        .withColumn("hop", F.lit(0).cast("long"))
+    )
+    reach = seeds.localCheckpoint()
+    frontier = reach
+    for h in range(1, K_HOPS + 1):
+        nxt = (
+            frontier.join(
+                edges,
+                (F.col("source") == F.col("e_source"))
+                & (F.col("sentence_id") == F.col("e_src")),
+            )
+            .select(
+                F.col("e_source").alias("source"),
+                F.col("e_dst").alias("sentence_id"),
+            )
+            .distinct()
+            .join(reach, ["source", "sentence_id"], "left_anti")
+            .withColumn("hop", F.lit(h).cast("long"))
+            .localCheckpoint()
+        )
+        reach = reach.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return reach
+
+
+ORACLES["graph_khop"] = f"""
+WITH RECURSIVE {SENTENCES_CTE}, {TR_SENT_CTE}, {TOKENS_TR_CTE}, {EDGES_CTE},
+seeds AS (SELECT source, min(src) AS sentence_id FROM edges GROUP BY source),
+walk(source, sentence_id, hop) AS (
+  SELECT source, sentence_id, 0 FROM seeds
+  UNION
+  SELECT e.source, e.dst, w.hop + 1
+  FROM walk w
+  JOIN edges e ON e.source = w.source AND e.src = w.sentence_id
+  WHERE w.hop < {K_HOPS}
+)
+SELECT source, sentence_id, cast(min(hop) AS bigint) AS hop
+FROM walk GROUP BY source, sentence_id
+"""
+QUERIES["graph_khop"] = graph_khop

@@ -212,3 +212,54 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     # +1 slack: integer scaling rounds bucket edges onto key boundaries
     assert ((out.max_partkey - out.min_partkey) <= p_dom / 8 + 1).all()
     assert ((out.max_suppkey - out.min_suppkey) <= s_dom / 8 + 1).all()
+
+
+def test_dedup_containment_is_asymmetric(spark, tmp_path_factory):
+    """An excerpt contained in a longer doc scores containment ~1 in the
+    excerpt->container direction only — the case symmetric Jaccard
+    misses."""
+    from bigdataanalytics_textsummarization_spark.extensions.dedup import (
+        dedup_containment,
+    )
+    from tests.conftest import write_docs
+
+    excerpt = "alpha bravo charlie delta echo foxtrot"
+    filler = " ".join(f"w{i}" for i in range(40))
+    d = write_docs(
+        tmp_path_factory,
+        "containment",
+        [excerpt, excerpt + " " + filler, "unrelated words only here"],
+    )
+    out = dedup_containment(spark, str(d)).toPandas()
+    fwd = out[(out.contained_doc == 0) & (out.container_doc == 1)]
+    assert len(fwd) == 1 and fwd.iloc[0].containment == 1.0
+    # the long doc is NOT contained in the excerpt
+    assert len(out[(out.contained_doc == 1) & (out.container_doc == 0)]) == 0
+    assert 2 not in set(out.contained_doc) | set(out.container_doc)
+
+
+def test_graph_khop_bfs_semantics(spark):
+    """Hop distances are genuine BFS: one seed per source at hop 0 (the
+    min edge-bearing sentence id), every hop-1 vertex is a direct
+    neighbor of the seed, and all hops are within the radius."""
+    from bigdataanalytics_textsummarization_spark.graph import (
+        K_HOPS,
+        graph_khop,
+        similarity_edges,
+    )
+    from tests.conftest import SF_DIR
+
+    reach = graph_khop(spark, SF_DIR).toPandas()
+    edges = similarity_edges(spark, SF_DIR).toPandas()
+    assert reach.hop.between(0, K_HOPS).all()
+    assert not reach.duplicated(["source", "sentence_id"]).any()
+    seeds = reach[reach.hop == 0]
+    assert len(seeds) == seeds.source.nunique()
+    for _, seed in seeds.iterrows():
+        src_edges = edges[edges.source == seed.source]
+        assert seed.sentence_id == src_edges.src.min()
+        nbrs = set(src_edges[src_edges.src == seed.sentence_id].dst)
+        hop1 = set(
+            reach[(reach.source == seed.source) & (reach.hop == 1)].sentence_id
+        )
+        assert hop1 == nbrs - {seed.sentence_id}
