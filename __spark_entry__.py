@@ -132,6 +132,7 @@ _PRIORITY = [
     "zorder_stats",
     "dedup_containment",
     "graph_khop",
+    "weighted_sample",
 ]
 
 

@@ -220,6 +220,56 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WRS_K = 200  # weighted-sample size (without replacement)
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement by the Efraimidis-Spirakis
+    A-Res scheme: each document draws key = ln(u)/w (u uniform, w its
+    weight — here ``n_chars``) and the k largest keys are the sample;
+    the classic distributed one-pass algorithm (a length-weighted epoch
+    favors long documents without ever materializing per-copy
+    expansion).
+
+    Reproducibility: u is not an RNG draw but an md5-derived uniform in
+    (0, 1) keyed by doc_id — two runs, two engines, or a re-run on grown
+    data give the SAME keys for the same documents (the engine's salted-
+    hash convention, which is what makes the sample value-gateable at
+    all).  Scale shape: key assignment is a zero-shuffle projection and
+    the top-k is a distributed TakeOrdered (sort+limit), never a global
+    window over the corpus; the rank window runs on the k survivors
+    only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":wrs"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1) / F.lit(float(2**48 + 1))  # in (0, 1): ln() stays finite
+    keyed = (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            (F.log(u) / F.col("n_chars")).alias("key"),
+        )
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(WRS_K)
+    )
+    w = Window.orderBy(F.desc("key"), "doc_id")
+    return keyed.select(
+        "doc_id",
+        "weight",
+        F.row_number().over(w).cast("long").alias("rk"),
+        r6(F.col("key")).alias("key"),
+    )
+
+
 N_SHARDS = 8
 
 
@@ -438,3 +488,22 @@ QUERIES = {
     "shard_shuffle": shard_shuffle,
     "mixture_sample": mixture_sample,
 }
+
+
+ORACLES["weighted_sample"] = f"""
+WITH keyed AS (
+  SELECT doc_id, cast(n_chars AS bigint) AS weight,
+         ln((cast(cast(concat('0x',
+               substr(md5(cast(doc_id AS varchar) || ':wrs'), 1, 12))
+               AS ubigint) AS bigint) + 1) / {float(2**48 + 1)})
+           / n_chars AS key
+  FROM documents WHERE n_chars > 0
+)
+SELECT * FROM (
+  SELECT doc_id, weight,
+         cast(row_number() OVER (ORDER BY key DESC, doc_id) AS bigint) AS rk,
+         round(key, 6) AS key
+  FROM keyed
+) WHERE rk <= {WRS_K}
+"""
+QUERIES["weighted_sample"] = weighted_sample

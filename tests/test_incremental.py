@@ -263,3 +263,33 @@ def test_graph_khop_bfs_semantics(spark):
             reach[(reach.source == seed.source) & (reach.hop == 1)].sentence_id
         )
         assert hop1 == nbrs - {seed.sentence_id}
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """A-Res keys recomputed in plain Python give the identical sample
+    and ranking (the md5-derived uniform makes the draw reproducible)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from bigdataanalytics_textsummarization_spark.extensions.curation import (
+        WRS_K,
+        weighted_sample,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    rows = []
+    for _, r in docs[docs.n_chars > 0].iterrows():
+        h = int(
+            hashlib.md5(f"{r.doc_id}:wrs".encode()).hexdigest()[:12], 16
+        )
+        u = (h + 1) / float(2**48 + 1)
+        rows.append((int(r.doc_id), int(r.n_chars), math.log(u) / r.n_chars))
+    rows.sort(key=lambda t: (-t[2], t[0]))
+    want = [(d, w) for d, w, _ in rows[:WRS_K]]
+    got = weighted_sample(spark, SF_DIR).toPandas().sort_values("rk")
+    assert [(int(d), int(w)) for d, w in zip(got.doc_id, got.weight)] == want
+    # weighting bites: the sample's mean length exceeds the corpus mean
+    assert got.weight.mean() > docs[docs.n_chars > 0].n_chars.mean()
