@@ -133,6 +133,8 @@ _PRIORITY = [
     "dedup_containment",
     "graph_khop",
     "weighted_sample",
+    "rfm_segments",
+    "basket_lift",
 ]
 
 

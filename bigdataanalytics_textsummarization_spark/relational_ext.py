@@ -1162,6 +1162,181 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_COOC = 3  # minimum pair co-occurrence (support count) to report
+
+
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order line items: part
+    pairs co-ordered at least ``MIN_COOC`` times, with support,
+    confidence (a -> b) and lift — the classic co-occurrence analysis
+    (and, pointed at token/doc co-occurrence, the same query is PMI
+    mining).
+
+    Scale shape: the pair generation is a self-equi-join on the ORDER
+    key, so the blow-up is items-per-order squared (a small constant,
+    ~4² here), never catalog²; item supports re-aggregate the same
+    distinct (order, part) projection, and the order-count scalar rides
+    a 1-row broadcast.  lift = (s_ab * N) / (s_a * s_b) is integer
+    products with ONE exact division — double parity by construction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = items.select("okey").distinct().agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    supp = items.groupBy("part").agg(F.count("*").cast("long").alias("s"))
+    a = items.select("okey", F.col("part").alias("part_a"))
+    b = items.select("okey", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("s_ab"))
+        .filter(F.col("s_ab") >= MIN_COOC)
+    )
+    sa = supp.select(F.col("part").alias("part_a"), F.col("s").alias("s_a"))
+    sb = supp.select(F.col("part").alias("part_b"), F.col("s").alias("s_b"))
+    # support table is catalog-sized: no broadcast hint — AQE broadcasts
+    # it at test scale and shuffles it if the catalog outgrows the limit
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "s_ab",
+            "s_a",
+            "s_b",
+            r6(F.col("s_ab") / F.col("s_a")).alias("confidence"),
+            r6(
+                (F.col("s_ab") * F.col("n_orders"))
+                / (F.col("s_a") * F.col("s_b"))
+            ).alias("lift"),
+        )
+    )
+
+
+ORACLES["basket_lift"] = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+),
+n_orders AS (
+  SELECT cast(count(DISTINCT okey) AS bigint) AS n_orders FROM items
+),
+supp AS (
+  SELECT part, cast(count(*) AS bigint) AS s FROM items GROUP BY part
+),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b,
+         cast(count(*) AS bigint) AS s_ab
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY 1, 2
+  HAVING count(*) >= {MIN_COOC}
+)
+SELECT part_a, part_b, s_ab, sa.s AS s_a, sb.s AS s_b,
+       round(s_ab * 1.0 / sa.s, 6) AS confidence,
+       round((s_ab * n_orders) * 1.0 / (sa.s * sb.s), 6) AS lift
+FROM pairs
+JOIN supp sa ON sa.part = part_a
+JOIN supp sb ON sb.part = part_b
+CROSS JOIN n_orders
+"""
+QUERIES["basket_lift"] = basket_lift
+
+
+RFM_BUCKETS = 5  # quintile scores
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic BI scoring: per customer,
+    Recency (days since last order, relative to the corpus-wide latest
+    order date), Frequency (order count) and Monetary (total spend),
+    each quintile-scored 1..5 with 5 best.
+
+    Scores use the INTEGER construction 1 + (rank-1)*B div n over a
+    fully-ordered rank (metric, then custkey) instead of ``ntile`` —
+    ntile's remainder distribution is engine-specific trivia, while
+    rank arithmetic is exact integer parity by definition.  Scale shape:
+    one orders aggregate (shuffle on custkey), a 1-row max-date
+    broadcast, then three rank windows over the customer-cardinality
+    aggregate — never over raw orders.  The global rank sort is the
+    exactness price; at 100 TB (hundreds of millions of customers) the
+    production variant scores against approx-percentile boundaries
+    (the quantile_sketch machinery) instead of exact ranks — same
+    output contract, sketch-certified cutpoints.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    latest = orders.agg(F.max("o_orderdate").alias("latest"))
+    base = per.crossJoin(F.broadcast(latest)).select(
+        "custkey",
+        F.datediff("latest", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        (F.col("cents") / F.lit(100.0)).alias("monetary"),
+        "cents",
+    )
+    n = Window.partitionBy()
+    # rank ascending on "goodness": low recency good, high freq/spend good
+    def score(order_cols):
+        w = Window.orderBy(*order_cols)
+        rk = F.row_number().over(w) - 1
+        return (
+            F.lit(1) + (rk * RFM_BUCKETS) / F.count("*").over(n)
+        ).cast("long")
+
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        score([F.desc("recency_days"), F.asc("custkey")]).alias("r_score"),
+        score([F.asc("frequency"), F.asc("custkey")]).alias("f_score"),
+        score([F.asc("cents"), F.asc("custkey")]).alias("m_score"),
+    )
+
+
+ORACLES["rfm_segments"] = f"""
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_order,
+         cast(count(*) AS bigint) AS frequency,
+         cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+latest AS (SELECT max(o_orderdate) AS latest FROM orders),
+base AS (
+  SELECT custkey,
+         cast(date_diff('day', last_order, latest) AS bigint)
+           AS recency_days,
+         frequency, cents
+  FROM per CROSS JOIN latest
+)
+SELECT custkey, recency_days, frequency,
+       round(cents / 100.0, 2) AS monetary,
+       cast(1 + ((row_number() OVER (ORDER BY recency_days DESC, custkey)
+                  - 1) * {RFM_BUCKETS}) // (count(*) OVER ()) AS bigint)
+         AS r_score,
+       cast(1 + ((row_number() OVER (ORDER BY frequency ASC, custkey)
+                  - 1) * {RFM_BUCKETS}) // (count(*) OVER ()) AS bigint)
+         AS f_score,
+       cast(1 + ((row_number() OVER (ORDER BY cents ASC, custkey)
+                  - 1) * {RFM_BUCKETS}) // (count(*) OVER ()) AS bigint)
+         AS m_score
+FROM base
+"""
+QUERIES["rfm_segments"] = rfm_segments
+
+
 Z_BITS = 16  # bits per dimension (sized to the testdata key domains;
 # at larger domains widen — the construction is identical per bit)
 Z_BUCKET_SHIFT = 2 * Z_BITS - 6  # top 6 z-bits -> 64 clustering buckets

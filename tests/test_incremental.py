@@ -293,3 +293,56 @@ def test_weighted_sample_matches_python_reference(spark):
     assert [(int(d), int(w)) for d, w in zip(got.doc_id, got.weight)] == want
     # weighting bites: the sample's mean length exceeds the corpus mean
     assert got.weight.mean() > docs[docs.n_chars > 0].n_chars.mean()
+
+
+def test_rfm_scores_partition_customers_evenly(spark):
+    from bigdataanalytics_textsummarization_spark.relational_ext import (
+        RFM_BUCKETS,
+        rfm_segments,
+    )
+    from tests.conftest import SF_DIR
+
+    out = rfm_segments(spark, SF_DIR).toPandas()
+    n = len(out)
+    for col in ("r_score", "f_score", "m_score"):
+        assert out[col].between(1, RFM_BUCKETS).all()
+        sizes = out[col].value_counts()
+        assert set(sizes.index) == set(range(1, RFM_BUCKETS + 1))
+        assert sizes.max() - sizes.min() <= 1  # even rank partition
+    # the biggest spender is in the top monetary bucket
+    assert out.loc[out.monetary.idxmax(), "m_score"] == RFM_BUCKETS
+    # most-recent / most-frequent likewise score best
+    assert out.loc[out.recency_days.idxmin(), "r_score"] == RFM_BUCKETS
+    assert out.loc[out.frequency.idxmax(), "f_score"] == RFM_BUCKETS
+
+
+def test_basket_lift_closed_form(spark, tmp_path_factory):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdataanalytics_textsummarization_spark.relational_ext import (
+        basket_lift,
+    )
+
+    d = tmp_path_factory.mktemp("basket")
+    # parts 1+2 co-ordered in 3 of 6 orders; part 3 floats around
+    rows = [
+        (1, 1), (1, 2),
+        (2, 1), (2, 2), (2, 3),
+        (3, 1), (3, 2),
+        (4, 3),
+        (5, 1),
+        (6, 2), (6, 3),
+    ]
+    li = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"]).astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(li, preserve_index=False),
+        str(d / "lineitem.parquet"),
+    )
+    out = basket_lift(spark, str(d)).toPandas()
+    assert len(out) == 1  # only (1,2) reaches MIN_COOC
+    r = out.iloc[0]
+    assert (r.part_a, r.part_b, r.s_ab, r.s_a, r.s_b) == (1, 2, 3, 4, 4)
+    assert r.confidence == 0.75  # 3/4
+    assert r.lift == 1.125  # 3*6 / (4*4)
