@@ -338,18 +338,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shared_shingle_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    a_name: str,
+    b_name: str,
+    *,
+    symmetric: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared-shingle candidate blocking used by every exact near-dup
+    variant: distinct per-doc shingles, equi-join on the shingle key
+    (never all-pairs), one intersection count per candidate pair.
+
+    Returns ``(pairs, sizes)``: ``pairs`` has ``(a_name, b_name,
+    isect)`` — undirected ``a < b`` pairs when ``symmetric``, both
+    directions otherwise — and ``sizes`` has ``(doc_id, n)`` distinct
+    shingle counts for the acceptance-rule normalizer.  Consumers
+    differ ONLY in that rule (Jaccard vs containment), so blocking
+    changes (SHINGLE_K, pruning, skew handling) land in one place.
+    """
+    sh = _shingles_dup(spark, sf_dir).select("doc_id", "g").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias(a_name), "g")
+    b = sh.select(F.col("doc_id").alias(b_name), "g")
+    cond = (
+        F.col(a_name) < F.col(b_name)
+        if symmetric
+        else F.col(a_name) != F.col(b_name)
+    )
+    pairs = (
+        a.join(b, "g")
+        .filter(cond)
+        .groupBy(a_name, b_name)
+        .agg(F.count("*").alias("isect"))
+    )
+    return pairs, sizes
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard near-dup pairs (threshold 0.2), blocked on
     shared shingles.  Baseline validator for the LSH path."""
-    sh = _shingles_dup(spark, sf_dir).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "g")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "g")
-    pairs = (
-        a.join(b, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("isect"))
+    pairs, sizes = _shared_shingle_pairs(
+        spark, sf_dir, "doc_a", "doc_b", symmetric=True
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
@@ -837,15 +867,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalizer — which is the point: the candidate machinery is shared
     and only the acceptance rule changes.
     """
-    sh = _shingles_dup(spark, sf_dir).select("doc_id", "g").distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("contained_doc"), "g")
-    b = sh.select(F.col("doc_id").alias("container_doc"), "g")
-    pairs = (
-        a.join(b, "g")
-        .filter(F.col("contained_doc") != F.col("container_doc"))
-        .groupBy("contained_doc", "container_doc")
-        .agg(F.count("*").alias("isect"))
+    pairs, sizes = _shared_shingle_pairs(
+        spark, sf_dir, "contained_doc", "container_doc", symmetric=False
     )
     na = sizes.select(
         F.col("doc_id").alias("contained_doc"), F.col("n").alias("n_a")

@@ -309,11 +309,12 @@ def test_rfm_scores_partition_customers_evenly(spark):
         sizes = out[col].value_counts()
         assert set(sizes.index) == set(range(1, RFM_BUCKETS + 1))
         assert sizes.max() - sizes.min() <= 1  # even rank partition
-    # the biggest spender is in the top monetary bucket
-    assert out.loc[out.monetary.idxmax(), "m_score"] == RFM_BUCKETS
-    # most-recent / most-frequent likewise score best
-    assert out.loc[out.recency_days.idxmin(), "r_score"] == RFM_BUCKETS
-    assert out.loc[out.frequency.idxmax(), "f_score"] == RFM_BUCKETS
+    # the best customer on each metric lands in the top bucket; ties on
+    # the metric break by custkey, so assert on the max over the tie
+    # block rather than a single idxmin/idxmax-chosen row
+    assert out.loc[out.monetary == out.monetary.max(), "m_score"].max() == RFM_BUCKETS
+    assert out.loc[out.recency_days == out.recency_days.min(), "r_score"].max() == RFM_BUCKETS
+    assert out.loc[out.frequency == out.frequency.max(), "f_score"].max() == RFM_BUCKETS
 
 
 def test_basket_lift_closed_form(spark, tmp_path_factory):
