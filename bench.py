@@ -6,9 +6,12 @@ without driver-side collect overhead) and prints exactly ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3); "queries" holds
-the per-query MEDIAN and "spread" the [min, max], so single-rep scheduler
-noise (measured +/-25% on this box) stops reading as regression.
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) after ONE
+untimed warm-up rep (first execution pays plan compile + worker-side
+imports — e.g. ARPACK for the SVD queries — which is startup cost, not
+query cost); "queries" holds the per-query MEDIAN of the timed reps and
+"spread" the [min, max], so single-rep scheduler noise (measured +/-25%
+on this box) stops reading as regression.
 
 Defaults: /root/testdata/sf0.1 on local[$SPARK_GRAFT_CPUS or 32].
 """
@@ -93,6 +96,8 @@ def main() -> None:
         fn = queries.get(name)
         if fn is None:
             continue
+        # untimed warm-up: plan compile + lazy worker imports for THIS query
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         runs = []
         for _ in range(reps):
             df = fn(spark, sf_dir)
