@@ -135,6 +135,7 @@ _PRIORITY = [
     "weighted_sample",
     "rfm_segments",
     "basket_lift",
+    "ann_pq_recall",
 ]
 
 

@@ -1038,3 +1038,260 @@ SELECT p.query_id, p.true_label, s.n_neighbors, s.n_same_label,
 FROM picked p JOIN same s USING (query_id)
 """
 QUERIES["knn_accuracy"] = knn_accuracy
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: learned per-subspace codebooks + ADC search
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces; 64-dim embeddings -> 8 dims per subspace
+PQ_K = 256  # codes per subspace (FAISS default): 8 bytes per vector
+PQ_ITERS = 20  # fixed Lloyd iteration count — no early-exit drift
+PQ_SEED = 11
+PQ_REFINE = 8 * TOP_K  # ADC shortlist size fed to the exact re-rank
+PQ_RECALL_FLOOR = 0.7  # gate for ann_pq_recall (measured 1.0/0.86 at sf0.01/0.1)
+
+_PQ_TRAIN_SCHEMA = "m long, code long, center array<double>, n2 double"
+
+
+def _pq_subvectors(vecs: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): the PQ_M contiguous slices of every vector.
+
+    Slice bounds are size expressions, so no driver-side dimension
+    lookup; a dimension not divisible by PQ_M puts the remainder in the
+    last subspace.  Row count is vectors x PQ_M — map-side only.
+    """
+    sd = (F.size("e") / F.lit(PQ_M)).cast("int")
+    slices = F.array(
+        *[
+            F.slice(
+                "e",
+                F.lit(m) * sd + F.lit(1),
+                sd if m < PQ_M - 1 else F.size("e") - sd * (PQ_M - 1),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return vecs.select(
+        "vec_id", F.posexplode(slices).alias("m", "sub")
+    ).select("vec_id", F.col("m").cast("long").alias("m"), "sub")
+
+
+def _pq_train_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Seeded k-means (k-means++ init + fixed Lloyd count) over ONE
+    subspace's slices.  Rows are sorted by vec_id before seeding, so the
+    codebook is identical under any input partitioning — which is what
+    lets partition-invariance tests pin the whole PQ path."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id")
+    X = np.array(pdf["sub"].tolist(), dtype=np.float64)
+    m = int(pdf["m"].iloc[0])
+    k = max(1, min(PQ_K, len(X)))
+    rng = np.random.RandomState(PQ_SEED * 1000 + m)
+    C = [X[int(rng.randint(len(X)))]]
+    # incremental k-means++: maintain the min-distance array and refresh
+    # it against the newest center only — O(k n d), not O(k^2 n d)
+    d2 = ((X - C[0]) ** 2).sum(-1)
+    for _ in range(1, k):
+        tot = float(d2.sum())
+        if tot <= 0.0:
+            C.append(X[int(rng.randint(len(X)))])
+            continue
+        idx = int(np.searchsorted(np.cumsum(d2) / tot, float(rng.rand())))
+        c = X[min(idx, len(X) - 1)]
+        C.append(c)
+        d2 = np.minimum(d2, ((X - c) ** 2).sum(-1))
+    C = np.asarray(C)
+    for _ in range(PQ_ITERS):
+        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
+        for j in range(k):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+            # empty cluster: keep the old center (deterministic)
+    return pd.DataFrame(
+        {
+            "m": m,
+            "code": range(k),
+            "center": [list(c) for c in C],
+            "n2": [float(c @ c) for c in C],
+        }
+    )
+
+
+def _pq_codebooks(spark: SparkSession, subs: DataFrame) -> DataFrame:
+    """Train all PQ_M codebooks in ONE grouped-applyInPandas stage (each
+    group = one subspace's slices), then pin the PQ_M x PQ_K result as a
+    literal frame so downstream joins broadcast it without re-running
+    training — the IVF centroid-table convention (bounded collect).
+
+    At 100 TB, train on a corpus sample (FAISS practice); encoding below
+    stays full-corpus and map-side either way.
+    """
+    cb = subs.groupBy("m").applyInPandas(_pq_train_kernel, _PQ_TRAIN_SCHEMA)
+    return spark.createDataFrame(cb.collect(), cb.schema)
+
+
+def _pq_codes(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Encode every vector: nearest codebook entry per subspace.
+
+    Broadcast join against the PQ_M x PQ_K codebook plus a map-side-
+    combined min_by — vectors x PQ_M x PQ_K intermediate rows, no
+    shuffle beyond the (vec_id, m) partial aggregate."""
+    d2 = F.aggregate(
+        F.zip_with("sub", "center", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        subs.join(F.broadcast(cb), "m")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with asymmetric distance (FAISS PQ/ADC).
+
+    The third quantization design next to per-dimension SQ
+    (``ann_sq_topk``, 8 bits/dim) and the IVF coarse quantizer: LEARNED
+    per-subspace codebooks compress each vector to PQ_M codes (32 bits
+    total here, 16x smaller than the uint8 SQ store), and search scores
+    exact float queries against code lookup tables.  Because subspaces
+    are disjoint, sum_m dot(q_m, c_m) IS dot(q, reconstruction) and
+    sum_m |c_m|^2 IS |reconstruction|^2 — so ADC here computes the exact
+    cosine between the query and the reconstructed corpus vector, and
+    ranking error comes only from quantization, never from the search.
+
+    Search is two-stage, the production PQ deployment shape: ADC ranks
+    the COMPRESSED store into a PQ_REFINE shortlist, then an exact
+    re-rank (FAISS IndexRefineFlat) rescores only shortlisted candidates
+    against the original floats — returned cosines are exact, recall
+    loss is confined to true neighbors the ADC shortlist missed.
+
+    Scale shape: codebook is PQ_M x PQ_K rows (broadcast everywhere);
+    encoding is map-side; search joins the code table (vectors x PQ_M
+    rows) against a broadcast LUT of queries x PQ_M x PQ_K partial dots,
+    one partial-aggregated shuffle on (query_id, vec_id); the refine
+    join touches full vectors for queries x PQ_REFINE rows only.
+    Per-subspace folds are order-fixed (sorted by m) so scores are
+    partition-stable.
+
+    Rows-only driver check (learned codebooks are not SQL-replicable);
+    ``ann_pq_recall`` closes the loop in the value gate, and recall +
+    reconstruction quality are pinned in tests/test_ann_recall.py.
+    """
+    emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    subs = _pq_subvectors(emb)
+    cb = _pq_codebooks(spark, subs)
+    codes = _pq_codes(subs, cb)
+    q = emb.filter(F.col("vec_id") < N_QUERIES)
+    lut = (
+        _pq_subvectors(q)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "code",
+            dot(F.col("sub"), F.col("center")).alias("qdot"),
+            "n2",
+        )
+    )
+    ofold = lambda vcol: F.aggregate(  # noqa: E731 — order-fixed sum over m
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", F.col(vcol)))),
+            lambda s: s[vcol],
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(ofold("qdot").alias("adot"), ofold("n2").alias("rn2"))
+        .join(
+            F.broadcast(
+                q.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("nrm").alias("qn"),
+                )
+            ),
+            "query_id",
+        )
+        .withColumn(
+            "sim_raw",
+            F.col("adot")
+            / F.greatest(
+                F.col("qn") * F.sqrt("rn2"), F.lit(1.0e-300)
+            ),
+        )
+    )
+    adc_w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("vec_id")
+    )
+    shortlist = (
+        scored.withColumn("pr", F.row_number().over(adc_w))
+        .filter(F.col("pr") <= PQ_REFINE)
+        .select("query_id", "vec_id")
+        .join(
+            q.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("e").alias("qe"),
+                F.col("nrm").alias("qn"),
+            ),
+            "query_id",
+        )
+    )
+    # refine (FAISS IndexRefineFlat): exact re-rank of the PQ_REFINE
+    # shortlist against the original floats — queries x PQ_REFINE rows,
+    # broadcast into the corpus join, so the full-precision store is
+    # touched only for shortlisted candidates
+    refined = (
+        F.broadcast(shortlist)
+        .join(emb.select("vec_id", "e", "nrm"), "vec_id")
+        .withColumn(
+            "sim_raw",
+            dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("vec_id")
+    )
+    return (
+        refined.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "rk",
+            F.col("vec_id").alias("neighbor_id"),
+            r6(F.col("sim_raw")).alias("cosine"),
+        )
+    )
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the PQ/ADC index against brute-force truth —
+    the ann_ivf_recall determinate-fact pattern: one row, constant
+    oracle, flips red the moment quantization recall drifts below
+    PQ_RECALL_FLOOR."""
+    truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = ann_pq_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return truth.join(pq, ["query_id", "neighbor_id"], "left").agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        (F.sum("hit") / F.count(F.lit(1)) >= PQ_RECALL_FLOOR).alias(
+            "recall_ok"
+        ),
+    )
+
+
+QUERIES["ann_pq_topk"] = ann_pq_topk  # rows-only: learned codebooks
+QUERIES["ann_pq_recall"] = ann_pq_recall
+ORACLES["ann_pq_recall"] = (
+    f"SELECT cast({N_QUERIES} AS bigint) AS n_queries, true AS recall_ok"
+)
