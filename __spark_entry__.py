@@ -136,6 +136,7 @@ _PRIORITY = [
     "rfm_segments",
     "basket_lift",
     "ann_pq_recall",
+    "contrastive_pairs",
 ]
 
 

@@ -904,3 +904,119 @@ JOIN sizes na ON na.doc_id = contained_doc
 WHERE isect * 1.0 / na.n >= {CONTAINMENT_THRESHOLD}
 """
 QUERIES["dedup_containment"] = dedup_containment
+
+
+# ---------------------------------------------------------------------------
+# Contrastive training-pair export
+# ---------------------------------------------------------------------------
+
+CONTRASTIVE_POS_J = 0.5  # exact Jaccard floor for a positive pair
+CONTRASTIVE_BUCKETS = 64  # hash buckets for the negative pairing
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training pairs for a similarity/embedding model, mined from the
+    dedup machinery itself: POSITIVES are LSH near-dup pairs with exact
+    Jaccard >= {CONTRASTIVE_POS_J}; NEGATIVES pair hash-adjacent
+    documents that share NO LSH band (blocked-candidate anti-join), so
+    they are near-dup-free by the same evidence the dedup pass trusts.
+
+    Negative pairing is scale-safe: documents are hashed into
+    {CONTRASTIVE_BUCKETS} buckets and consecutive docs in each bucket's
+    md5 order are paired — the rank window is per-bucket, never a global
+    sequence, and yields ~one negative per document in one shuffle.
+    Pairs are emitted unbalanced with a ``kind`` tag; downstream
+    samplers (mixture_sample / weighted_sample) own the class ratio.
+    """
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    pos = lsh.filter(F.col("jaccard") >= CONTRASTIVE_POS_J).select(
+        "doc_a",
+        "doc_b",
+        F.lit(1).cast("long").alias("label"),
+        F.lit("near_dup").alias("kind"),
+    )
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cp")))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("long"),
+        F.lit(CONTRASTIVE_BUCKETS),
+    )
+    perm = load_table(spark, sf_dir, "documents").select(
+        "doc_id", h.alias("h"), bucket.alias("b")
+    )
+    w = Window.partitionBy("b").orderBy("h", "doc_id")
+    ranked = perm.withColumn("rn", F.row_number().over(w))
+    nxt = ranked.select(
+        "b", (F.col("rn") - 1).alias("rn"), F.col("doc_id").alias("nid")
+    )
+    negcand = ranked.join(nxt, ["b", "rn"]).select(
+        F.least("doc_id", "nid").alias("doc_a"),
+        F.greatest("doc_id", "nid").alias("doc_b"),
+    )
+    neg = negcand.join(
+        lsh.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.lit(0).cast("long").alias("label"),
+        F.lit("random").alias("kind"),
+    )
+    return pos.unionByName(neg)
+
+
+ORACLES["contrastive_pairs"] = f"""
+WITH {SHINGLES_CTE}, {MINHASH_CTE},
+bands AS (
+  SELECT doc_id, cast(floor(seed / {N_HASHES // N_BANDS}) AS bigint) AS band,
+         string_agg(cast(minhash AS varchar), '|' ORDER BY seed) AS band_sig
+  FROM mh GROUP BY doc_id, 2
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+pos AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN (
+    SELECT c2.doc_a, c2.doc_b, count(*) AS isect
+    FROM cand c2
+    JOIN grams ga ON ga.doc_id = c2.doc_a
+    JOIN grams gb ON gb.doc_id = c2.doc_b AND gb.g = ga.g
+    GROUP BY 1, 2
+  ) i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+  WHERE round(i.isect * 1.0 / (na.n + nb.n - i.isect), 6)
+        >= {CONTRASTIVE_POS_J}
+),
+perm AS (
+  SELECT doc_id, md5(cast(doc_id AS varchar) || ':cp') AS h,
+         cast(cast(concat('0x',
+              substr(md5(cast(doc_id AS varchar) || ':cp'), 1, 4))
+              AS ubigint) AS bigint) % {CONTRASTIVE_BUCKETS} AS b
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, b,
+         row_number() OVER (PARTITION BY b ORDER BY h, doc_id) AS rn
+  FROM perm
+),
+negcand AS (
+  SELECT least(a.doc_id, c.doc_id) AS doc_a,
+         greatest(a.doc_id, c.doc_id) AS doc_b
+  FROM ranked a JOIN ranked c ON c.b = a.b AND c.rn = a.rn + 1
+),
+neg AS (
+  SELECT n.doc_a, n.doc_b FROM negcand n
+  WHERE NOT EXISTS (SELECT 1 FROM cand c
+                    WHERE c.doc_a = n.doc_a AND c.doc_b = n.doc_b)
+)
+SELECT doc_a, doc_b, cast(1 AS bigint) AS label, 'near_dup' AS kind FROM pos
+UNION ALL
+SELECT doc_a, doc_b, cast(0 AS bigint) AS label, 'random' AS kind FROM neg
+"""
+QUERIES["contrastive_pairs"] = contrastive_pairs

@@ -347,3 +347,38 @@ def test_basket_lift_closed_form(spark, tmp_path_factory):
     assert (r.part_a, r.part_b, r.s_ab, r.s_a, r.s_b) == (1, 2, 3, 4, 4)
     assert r.confidence == 0.75  # 3/4
     assert r.lift == 1.125  # 3*6 / (4*4)
+
+
+def test_contrastive_pairs_semantics(spark):
+    from bigdataanalytics_textsummarization_spark.extensions.dedup import (
+        CONTRASTIVE_POS_J,
+        contrastive_pairs,
+        dedup_minhash_lsh,
+    )
+    from tests.conftest import SF_DIR
+
+    out = contrastive_pairs(spark, SF_DIR).toPandas()
+    lsh = dedup_minhash_lsh(spark, SF_DIR).toPandas()
+
+    # both classes present, labels consistent with kinds
+    assert set(out["kind"]) == {"near_dup", "random"}
+    assert (out.loc[out["kind"] == "near_dup", "label"] == 1).all()
+    assert (out.loc[out["kind"] == "random", "label"] == 0).all()
+
+    # positives are exactly the LSH pairs at/above the Jaccard floor
+    pos = out[out["label"] == 1][["doc_a", "doc_b"]].sort_values(
+        ["doc_a", "doc_b"]
+    )
+    want = lsh[lsh["jaccard"] >= CONTRASTIVE_POS_J][
+        ["doc_a", "doc_b"]
+    ].sort_values(["doc_a", "doc_b"])
+    assert pos.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    # no negative is an LSH candidate (the anti-join holds), pairs are
+    # oriented doc_a < doc_b, and no pair appears twice
+    neg = out[out["label"] == 0]
+    cand = set(map(tuple, lsh[["doc_a", "doc_b"]].itertuples(index=False)))
+    assert not (set(map(tuple, neg[["doc_a", "doc_b"]]
+                        .itertuples(index=False))) & cand)
+    assert (out["doc_a"] < out["doc_b"]).all()
+    assert not out.duplicated(["doc_a", "doc_b"]).any()
