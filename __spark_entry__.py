@@ -137,6 +137,7 @@ _PRIORITY = [
     "basket_lift",
     "ann_pq_recall",
     "contrastive_pairs",
+    "centroid_eval",
 ]
 
 

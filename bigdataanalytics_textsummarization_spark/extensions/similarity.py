@@ -1295,3 +1295,145 @@ QUERIES["ann_pq_recall"] = ann_pq_recall
 ORACLES["ann_pq_recall"] = (
     f"SELECT cast({N_QUERIES} AS bigint) AS n_queries, true AS recall_ok"
 )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid evaluation of the embedding space
+# ---------------------------------------------------------------------------
+
+
+def centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label prototype diagnostics: class centroid, nearest-centroid
+    classification accuracy, and intra-class cohesion.
+
+    The second intrinsic embedding-store eval next to ``knn_accuracy``:
+    where kNN votes over exact neighbors, this scores every vector
+    against the 10 class PROTOTYPES (Rocchio / nearest-class-mean) —
+    the diagnostic that separates "classes form tight clusters" from
+    "classes are merely locally consistent".
+
+    Exactly value-gated: centroids are per-(label, dim) means whose sums
+    fold over vec_id-sorted arrays (the order-fixed float convention),
+    cosines reuse the ordered-dot contract, so scores are bit-identical
+    across engines and the argmax cannot split.  Scale shape: one
+    explode to (label, dim) partials, centroid table is labels x dims
+    rows (broadcast), scoring is vectors x labels with a 10-row window.
+    """
+    emb = _embeddings(spark, sf_dir)
+    dims = emb.select("vec_id", "label", F.posexplode("e").alias("dim", "v"))
+    ofold = lambda vcol, kcol: F.aggregate(  # noqa: E731 — order-fixed sum
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(kcol, F.col(vcol)))),
+            lambda s: s[vcol],
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    cdim = dims.groupBy("label", "dim").agg(
+        (ofold("v", "vec_id") / F.count("*")).alias("c")
+    )
+    cent = (
+        cdim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("ce")
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            "ce",
+            F.greatest(_norm(F.col("ce")), F.lit(1.0e-300)).alias("cn"),
+        )
+    )
+    v = emb.select(
+        "vec_id",
+        "label",
+        "e",
+        F.greatest(_norm(F.col("e")), F.lit(1.0e-300)).alias("nrm"),
+    )
+    cos = v.crossJoin(F.broadcast(cent)).withColumn(
+        "cos", dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cn"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("clabel"))
+    pred = (
+        cos.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", F.col("clabel").alias("pred_label"))
+    )
+    own = cos.filter(F.col("label") == F.col("clabel")).select(
+        "vec_id", "label", F.col("cos").alias("own_cos")
+    )
+    return (
+        own.join(pred, "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+            r6(ofold("own_cos", "vec_id") / F.count("*")).alias(
+                "mean_intra_cos"
+            ),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_members",
+            "n_correct",
+            "mean_intra_cos",
+        )
+    )
+
+
+ORACLES["centroid_eval"] = """
+WITH emb AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> cast(x AS double)) AS e
+  FROM embeddings
+),
+dims AS (
+  SELECT vec_id, label,
+         unnest(range(len(e))) AS dim, unnest(e) AS v
+  FROM emb
+),
+cdim AS (
+  SELECT label, dim,
+         list_aggregate(list(v ORDER BY vec_id), 'sum') / count(*) AS c
+  FROM dims GROUP BY label, dim
+),
+cent AS (
+  SELECT label AS clabel, list(c ORDER BY dim) AS ce,
+         greatest(sqrt(list_dot_product(list(c ORDER BY dim),
+                                        list(c ORDER BY dim))),
+                  1e-300) AS cn
+  FROM cdim GROUP BY label
+),
+cos AS (
+  SELECT v.vec_id, v.label, c.clabel,
+         list_dot_product(v.e, c.ce)
+           / (greatest(sqrt(list_dot_product(v.e, v.e)), 1e-300) * c.cn)
+           AS cos
+  FROM emb v CROSS JOIN cent c
+),
+pred AS (
+  SELECT vec_id, clabel AS pred_label FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY cos DESC, clabel ASC) AS r
+    FROM cos
+  ) WHERE r = 1
+),
+own AS (
+  SELECT vec_id, label, cos AS own_cos FROM cos WHERE label = clabel
+)
+SELECT cast(o.label AS bigint) AS label,
+       cast(count(*) AS bigint) AS n_members,
+       cast(sum(CASE WHEN p.pred_label = o.label THEN 1 ELSE 0 END)
+            AS bigint) AS n_correct,
+       round(list_aggregate(list(o.own_cos ORDER BY o.vec_id), 'sum')
+             / count(*), 6) AS mean_intra_cos
+FROM own o JOIN pred p USING (vec_id)
+GROUP BY o.label
+"""
+QUERIES["centroid_eval"] = centroid_eval

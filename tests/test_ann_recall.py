@@ -209,3 +209,48 @@ def test_pq_deterministic_under_repartition(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a.equals(b)
+
+
+def test_centroid_eval_semantics(spark):
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        _embeddings,
+        centroid_eval,
+    )
+
+    out = centroid_eval(spark, SF_DIR).toPandas()
+    emb = _embeddings(spark, SF_DIR).toPandas()
+
+    # one row per label, member counts reconcile with the table
+    want = emb.groupby("label")["vec_id"].count()
+    assert len(out) == len(want)
+    got = out.set_index("label")["n_members"]
+    assert all(int(got[lbl]) == int(n) for lbl, n in want.items())
+
+    # accuracy and cohesion live in their domains
+    assert (out["n_correct"] <= out["n_members"]).all()
+    assert (out["n_correct"] >= 0).all()
+    assert out["mean_intra_cos"].between(-1.0, 1.0).all()
+
+    # numpy cross-check: per-label centroid accuracy must agree
+    import numpy as np
+
+    X = np.stack(emb["e"].to_numpy())
+    labels = emb["label"].to_numpy()
+    cents = {
+        lbl: X[labels == lbl].mean(axis=0) for lbl in sorted(set(labels))
+    }
+    C = np.stack([cents[lbl] for lbl in sorted(cents)])
+    keys = np.array(sorted(cents))
+    sims = (X @ C.T) / np.maximum(
+        np.outer(
+            np.linalg.norm(X, axis=1), np.linalg.norm(C, axis=1)
+        ),
+        1e-300,
+    )
+    pred = keys[sims.argmax(axis=1)]
+    for lbl in keys:
+        n_correct = int(((labels == lbl) & (pred == labels)).sum())
+        assert int(got.index.isin([lbl]).any())
+        assert (
+            int(out.set_index("label").loc[lbl, "n_correct"]) == n_correct
+        ), f"label {lbl}"
