@@ -138,6 +138,7 @@ _PRIORITY = [
     "ann_pq_recall",
     "contrastive_pairs",
     "centroid_eval",
+    "key_skew_profile",
 ]
 
 

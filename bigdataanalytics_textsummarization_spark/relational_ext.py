@@ -1476,3 +1476,104 @@ WITH raw(check_name, violations) AS (
 SELECT check_name, violations, violations = 0 AS ok FROM raw
 """
 QUERIES["dq_checks"] = dq_checks
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew profiling
+# ---------------------------------------------------------------------------
+
+# (relation, key column) pairs every big join/agg in this engine shuffles on
+SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+SKEW_HEAVY_X = 10  # a key is heavy when freq > SKEW_HEAVY_X * average
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew audit of the engine's shuffle keys — the measurement behind
+    every salting/AQE-skew-join decision: per (relation, key), row and
+    key cardinalities, the hottest key and its frequency, how many keys
+    exceed {SKEW_HEAVY_X}x the average, and a skew verdict.
+
+    All comparisons are integer cross-multiplications
+    (freq * n_keys > X * n_rows), never rounded rationals — the
+    classifier_score lesson — so the profile is exactly value-gated.
+    Scale shape per key: one count-by-key shuffle (map-side combined)
+    plus a single-row aggregate; relations never join each other.
+    """
+    outs = []
+    for rel, key in SKEW_KEYS:
+        freq = (
+            load_table(spark, sf_dir, rel)
+            .filter(F.col(key).isNotNull())
+            .groupBy(F.col(key).cast("long").alias("k"))
+            .agg(F.count("*").cast("long").alias("freq"))
+        )
+        prof = freq.agg(
+            F.sum("freq").cast("long").alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("freq").cast("long").alias("max_freq"),
+        )
+        top = freq.join(F.broadcast(prof), F.col("freq") == F.col("max_freq")).agg(
+            F.min("k").cast("long").alias("top_key")
+        )
+        heavy = (
+            freq.crossJoin(F.broadcast(prof))
+            .filter(
+                F.col("freq") * F.col("n_keys")
+                > F.lit(SKEW_HEAVY_X) * F.col("n_rows")
+            )
+            .agg(F.count("*").cast("long").alias("heavy_keys"))
+        )
+        outs.append(
+            prof.crossJoin(top)
+            .crossJoin(heavy)
+            .select(
+                F.lit(rel).alias("rel"),
+                F.lit(key).alias("key_col"),
+                "n_rows",
+                "n_keys",
+                "max_freq",
+                "top_key",
+                "heavy_keys",
+                (
+                    F.col("max_freq") * F.col("n_keys")
+                    > F.lit(SKEW_HEAVY_X) * F.col("n_rows")
+                ).alias("skewed"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+ORACLES["key_skew_profile"] = f"""
+WITH profiles AS (
+  {" UNION ALL ".join(
+      f'''
+  SELECT '{rel}' AS rel, '{key}' AS key_col,
+         cast(sum(freq) AS bigint) AS n_rows,
+         cast(count(*) AS bigint) AS n_keys,
+         cast(max(freq) AS bigint) AS max_freq,
+         cast(min(k) FILTER (freq = (SELECT max(f2.freq) FROM (
+             SELECT count(*) AS freq FROM {rel}
+             WHERE {key} IS NOT NULL GROUP BY {key}) f2))
+           AS bigint) AS top_key,
+         cast(count(*) FILTER (freq * (SELECT count(DISTINCT {key})
+                                       FROM {rel} WHERE {key} IS NOT NULL)
+                      > {SKEW_HEAVY_X} * (SELECT count(*) FROM {rel}
+                                          WHERE {key} IS NOT NULL))
+           AS bigint) AS heavy_keys
+  FROM (SELECT cast({key} AS bigint) AS k, count(*) AS freq
+        FROM {rel} WHERE {key} IS NOT NULL GROUP BY {key})
+''' for rel, key in SKEW_KEYS)}
+)
+SELECT rel, key_col, n_rows, n_keys, max_freq, top_key, heavy_keys,
+       max_freq * n_keys > {SKEW_HEAVY_X} * n_rows AS skewed
+FROM profiles
+"""
+QUERIES["key_skew_profile"] = key_skew_profile

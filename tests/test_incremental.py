@@ -382,3 +382,33 @@ def test_contrastive_pairs_semantics(spark):
                         .itertuples(index=False))) & cand)
     assert (out["doc_a"] < out["doc_b"]).all()
     assert not out.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_key_skew_profile_semantics(spark):
+    from bigdataanalytics_textsummarization_spark.io import load_table
+    from bigdataanalytics_textsummarization_spark.relational_ext import (
+        SKEW_KEYS,
+        key_skew_profile,
+    )
+    from tests.conftest import SF_DIR
+
+    out = key_skew_profile(spark, SF_DIR).toPandas()
+    assert len(out) == len(SKEW_KEYS)
+    for rel, key in SKEW_KEYS:
+        row = out[(out.rel == rel) & (out.key_col == key)].iloc[0]
+        pdf = load_table(spark, SF_DIR, rel).select(key).toPandas()
+        freqs = pdf[key].dropna().value_counts()
+        assert int(row.n_rows) == int(freqs.sum())
+        assert int(row.n_keys) == len(freqs)
+        assert int(row.max_freq) == int(freqs.max())
+        # top_key is the smallest key at the max frequency
+        tied = freqs[freqs == freqs.max()].index
+        assert int(row.top_key) == int(min(tied))
+        # heavy-key count and verdict from exact integer arithmetic
+        heavy = int(
+            (freqs * len(freqs) > 10 * int(freqs.sum())).sum()
+        )
+        assert int(row.heavy_keys) == heavy
+        assert bool(row.skewed) == (
+            int(freqs.max()) * len(freqs) > 10 * int(freqs.sum())
+        )
