@@ -139,6 +139,7 @@ _PRIORITY = [
     "contrastive_pairs",
     "centroid_eval",
     "key_skew_profile",
+    "pmi_edges",
 ]
 
 

@@ -2918,3 +2918,104 @@ FROM sims
 QUALIFY rk <= {DOC_SIM_TOPK}
 """
 QUERIES["tfidf_doc_topk"] = tfidf_doc_topk
+
+
+# ---------------------------------------------------------------------------
+# Word-association mining: document-level co-occurrence PMI
+# ---------------------------------------------------------------------------
+
+PMI_TOP_WORDS = 50  # vocabulary slice the pair join is blocked to
+PMI_MIN_PAIR = 5  # minimum co-occurring documents for an edge
+
+
+def pmi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between words over document-level
+    co-occurrence — the association-mining complement to ``bigram_lm``
+    (adjacency) and ``similarity_edges`` (document graph): which words
+    appear in the SAME documents far more often than independence
+    predicts.
+
+    pmi(a, b) = ln(n_docs * c_ab / (c_a * c_b)) over presence counts.
+    The log of an integer rational is irrational, so r6 rounding is
+    cross-engine safe (the repo's float-parity convention).
+
+    Scale shape: the pair self-join is blocked to the PMI_TOP_WORDS
+    highest-df words (broadcast list), bounding per-document pair
+    fan-out at top_words^2/2 regardless of corpus size; counts are
+    map-side-combined groupBys.  Widening the vocabulary slice at 100 TB
+    means raising one constant — the plan shape is unchanged.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ", -1)).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]{3,}$"))
+        .distinct()
+    )
+    dfreq = toks.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    top_w = Window.orderBy(F.desc("c"), F.asc("w"))
+    top = (
+        dfreq.withColumn("rk", F.row_number().over(top_w))
+        .filter(F.col("rk") <= PMI_TOP_WORDS)
+        .select("w", "c")
+    )
+    hits = toks.join(F.broadcast(top), "w")
+    a = hits.select("doc_id", F.col("w").alias("w_a"), F.col("c").alias("c_a"))
+    b = hits.select("doc_id", F.col("w").alias("w_b"), F.col("c").alias("c_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("w_a") < F.col("w_b"))
+        .groupBy("w_a", "w_b", "c_a", "c_b")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_PAIR)
+    )
+    n_docs = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            "w_a",
+            "w_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            # doubles BEFORE the products (identical op order in the
+            # oracle): int64 c_a*c_b would overflow at web-corpus counts
+            r6(
+                F.log(
+                    (F.col("n_docs").cast("double") * F.col("c_ab"))
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                )
+            ).alias("pmi"),
+        )
+    )
+
+
+ORACLES["pmi_edges"] = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[a-z]{{3,}}$')
+),
+dfreq AS (SELECT w, cast(count(*) AS bigint) AS c FROM toks GROUP BY w),
+top AS (
+  SELECT w, c FROM (
+    SELECT w, c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk
+    FROM dfreq
+  ) WHERE rk <= {PMI_TOP_WORDS}
+),
+hits AS (SELECT t.doc_id, t.w, p.c FROM toks t JOIN top p ON p.w = t.w),
+pairs AS (
+  SELECT a.w AS w_a, b.w AS w_b, a.c AS c_a, b.c AS c_b,
+         cast(count(*) AS bigint) AS c_ab
+  FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) >= {PMI_MIN_PAIR}
+)
+SELECT w_a, w_b, c_ab, c_a, c_b,
+       round(ln((cast((SELECT count(*) FROM documents) AS double) * c_ab)
+                / (cast(c_a AS double) * c_b)), 6) AS pmi
+FROM pairs
+"""
+QUERIES["pmi_edges"] = pmi_edges

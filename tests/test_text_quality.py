@@ -156,3 +156,29 @@ def test_pack_sequences_invariants(spark):
             grp["end_pack"] - grp["start_pack"]
             <= grp["n_tokens"] // PACK_CTX + 1
         ).all()
+
+
+def test_pmi_edges_semantics(spark):
+    import math
+
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        PMI_MIN_PAIR,
+        PMI_TOP_WORDS,
+        pmi_edges,
+    )
+    from bigdataanalytics_textsummarization_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    out = pmi_edges(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    # edges are oriented, support floor holds, vocabulary is bounded
+    assert (out.w_a < out.w_b).all()
+    assert (out.c_ab >= PMI_MIN_PAIR).all()
+    assert len(set(out.w_a) | set(out.w_b)) <= PMI_TOP_WORDS
+    # co-occurrence can never exceed either marginal
+    assert (out.c_ab <= out[["c_a", "c_b"]].min(axis=1)).all()
+    # pmi recomputes from the counts it ships
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    for r in out.itertuples():
+        want = math.log((float(n_docs) * r.c_ab) / (float(r.c_a) * r.c_b))
+        assert abs(r.pmi - round(want, 6)) < 1e-9
