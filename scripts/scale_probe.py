@@ -53,6 +53,11 @@ PROBE = [
     "bm25_search",
     "char_entropy",
     "bpe_encode",
+    # round-3d: LSH-derived pair export (adversarial: every doc has 9
+    # twins, so the positive set explodes exactly like dedup's candidate
+    # pairs) and the blocked-vocabulary PMI join
+    "contrastive_pairs",
+    "pmi_edges",
 ]
 
 
