@@ -1120,17 +1120,30 @@ def _pq_train_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _pq_codebooks(spark: SparkSession, subs: DataFrame) -> DataFrame:
+_PQ_CB_CACHE: dict[str, list] = {}
+
+
+def _pq_codebooks(
+    spark: SparkSession, subs: DataFrame, cache_key: str | None = None
+) -> DataFrame:
     """Train all PQ_M codebooks in ONE grouped-applyInPandas stage (each
     group = one subspace's slices), then pin the PQ_M x PQ_K result as a
     literal frame so downstream joins broadcast it without re-running
     training — the IVF centroid-table convention (bounded collect).
+    Session-memoized per sf_dir (the bpe-merge convention) so the gate's
+    ann_pq_topk and ann_pq_recall rows train once, not twice.
 
     At 100 TB, train on a corpus sample (FAISS practice); encoding below
     stays full-corpus and map-side either way.
     """
-    cb = subs.groupBy("m").applyInPandas(_pq_train_kernel, _PQ_TRAIN_SCHEMA)
-    return spark.createDataFrame(cb.collect(), cb.schema)
+    schema = _PQ_TRAIN_SCHEMA
+    if cache_key is not None and cache_key in _PQ_CB_CACHE:
+        return spark.createDataFrame(_PQ_CB_CACHE[cache_key], schema)
+    cb = subs.groupBy("m").applyInPandas(_pq_train_kernel, schema)
+    rows = cb.collect()
+    if cache_key is not None:
+        _PQ_CB_CACHE[cache_key] = rows
+    return spark.createDataFrame(rows, cb.schema)
 
 
 def _pq_codes(subs: DataFrame, cb: DataFrame) -> DataFrame:
@@ -1185,7 +1198,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
     subs = _pq_subvectors(emb)
-    cb = _pq_codebooks(spark, subs)
+    cb = _pq_codebooks(spark, subs, cache_key=sf_dir)
     codes = _pq_codes(subs, cb)
     q = emb.filter(F.col("vec_id") < N_QUERIES)
     lut = (

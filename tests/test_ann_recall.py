@@ -188,9 +188,11 @@ def test_pq_deterministic_under_repartition(spark):
     across input layouts (the grouped-kernel row order is the only
     partition-dependent input)."""
     from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        _PQ_CB_CACHE,
         ann_pq_topk,
     )
 
+    _PQ_CB_CACHE.clear()  # force a real training run
     a = (
         ann_pq_topk(spark, SF_DIR)
         .toPandas()
@@ -200,6 +202,7 @@ def test_pq_deterministic_under_repartition(spark):
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "1")
+        _PQ_CB_CACHE.clear()  # retrain under the serialized layout too
         b = (
             ann_pq_topk(spark, SF_DIR)
             .toPandas()
