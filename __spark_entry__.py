@@ -140,6 +140,7 @@ _PRIORITY = [
     "centroid_eval",
     "key_skew_profile",
     "pmi_edges",
+    "event_transitions",
 ]
 
 

@@ -531,3 +531,66 @@ QUERIES = {
     "user_sessions": user_sessions,
     "view_click_pairs": view_click_pairs,
 }
+
+
+# ---------------------------------------------------------------------------
+# User-journey transition graph
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition graph of user journeys: for every
+    consecutive event pair in a user's timeline, count (from_type,
+    to_type) and emit the transition log-probability — the behavioral
+    model behind funnel analysis (``event_funnel`` asks "did the ordered
+    steps happen"; this asks "what does the crowd actually do next").
+
+    Parity design: counts are integers; ``log_prob = ln(n_trans /
+    n_from)`` is the log of an integer rational — irrational, so r6 is
+    cross-engine safe (the repo's float convention).  Scale shape: one
+    user-keyed window pass (the sessionization shuffle), then a
+    type-pair groupBy map-side-combined into a #types^2-bounded table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(order).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = steps.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n_trans")
+    )
+    outdeg = steps.groupBy("from_type").agg(
+        F.count("*").cast("long").alias("n_from")
+    )
+    return trans.join(outdeg, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        "n_from",
+        r6(
+            F.log(F.col("n_trans").cast("double") / F.col("n_from"))
+        ).alias("log_prob"),
+    )
+
+
+ORACLES["event_transitions"] = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, cast(count(*) AS bigint) AS n_trans
+  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+outdeg AS (
+  SELECT from_type, cast(count(*) AS bigint) AS n_from
+  FROM steps WHERE to_type IS NOT NULL GROUP BY 1
+)
+SELECT t.from_type, t.to_type, t.n_trans, o.n_from,
+       round(ln(cast(t.n_trans AS double) / o.n_from), 6) AS log_prob
+FROM trans t JOIN outdeg o USING (from_type)
+"""
+QUERIES["event_transitions"] = event_transitions

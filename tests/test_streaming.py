@@ -408,3 +408,30 @@ def test_doc_chunks_stream_matches_batch(spark):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape, f"{g.shape} != {w.shape}"
     assert g.equals(w)
+
+
+def test_event_transitions_semantics(spark):
+    import math
+
+    from bigdataanalytics_textsummarization_spark.io import load_table
+    from bigdataanalytics_textsummarization_spark.streaming.events import (
+        event_transitions,
+    )
+    from tests.conftest import SF_DIR
+
+    out = event_transitions(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    # out-degree reconciles: sum of transitions per from_type == n_from,
+    # and n_from is constant within a from_type
+    g = out.groupby("from_type")
+    assert (g["n_trans"].sum() == g["n_from"].first()).all()
+    # total transitions = total events minus one per multi-event user
+    ev = load_table(spark, SF_DIR, "events").toPandas()
+    per_user = ev.groupby("user_id")["event_id"].count()
+    want_total = int((per_user - 1).clip(lower=0).sum())
+    assert int(out["n_trans"].sum()) == want_total
+    # log_prob recomputes from the shipped counts
+    for r in out.itertuples():
+        assert abs(
+            r.log_prob - round(math.log(float(r.n_trans) / r.n_from), 6)
+        ) < 1e-9
