@@ -66,63 +66,13 @@ _MODULES = [
 ]
 
 # Individual queries that MUST land inside the driver's 50-query budget
-# window this round, ahead of their module's position: fixed-since-last-row,
-# never-certified, or newly value-gated.
+# window this round, ahead of their module's position: never-certified
+# (rounds 1-3 certified 133 other queries; their green rows stand),
+# fixed-since-last-row, or new this round.
 _PRIORITY = [
-    "q12_late_shipments",
-    "q21_waiting_suppliers",
-    "distinct_sketch",
-    "minhash_lsh_mllib",
-    "minhash_lsh_mllib_recall",
-    "tfidf_topk_mllib",
-    "curation_pipeline",
-    "pack_sequences",
-    # new this round
-    "doc_perplexity",
-    "ppl_ingest",
-    "substring_dedup",
-    "source_mixture",
-    "semantic_dedup",
-    "embedding_rp",
-    "gopher_rules",
-    "contamination_check",
-    "event_funnel",
-    "table_profile",
-    "ann_ivf_recall",
-    "snapshot_diff",
-    "partition_rewrite_plan",
-    "snapshot_drift",
-    "shard_shuffle",
-    "classifier_score",
-    "clf_ingest",
-    "heavy_hitters_sketch",
-    "line_dedup",
-    "length_outliers",
-    "ngram_novelty",
-    "audio_resample",
-    "graph_triangles",
-    "cohort_retention",
-    "timeseries_fill",
-    "event_anomalies",
-    "quantile_sketch",
-    "mixture_sample",
-    "text_normalize",
-    "doc_chunks",
-    "bloom_semijoin",
-    "embedding_quantize",
-    "bpe_vocab",
-    "bm25_search",
-    "char_entropy",
-    "bpe_encode",
-    "ann_sq_topk",
-    "typo_pairs",
-    # rows-only in r1/r2, golden-gated this round
-    "lsa_concepts",
-    "lsa_summary",
-    "lsa_concepts_distributed",
-    "compression_ratio",
-    # position 51+: first in line for the NEXT round's budget window
-    # (this round's 50 slots are all never-certified or fixed-since-row)
+    # 18 queries staged at position 51+ last round (verified green by
+    # scripts/driver_sim.py at sf0.01 in r3, per VERDICT.md) — first in
+    # line for their first driver rows
     "stupid_backoff",
     "dq_checks",
     "vocab_kl_drift",
@@ -141,6 +91,14 @@ _PRIORITY = [
     "key_skew_profile",
     "pmi_edges",
     "event_transitions",
+    # new in round 4 (added below as they land)
+    "ann_ivfpq_recall",
+    "salted_join",
+    "salted_heavy_agg",
+    "multimodal_decode",
+    # round-3 greens whose implementation changed this round (integer-div
+    # parity fix per ADVICE.md) — re-certify
+    "doc_chunks",
 ]
 
 

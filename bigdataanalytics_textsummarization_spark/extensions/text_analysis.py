@@ -1756,15 +1756,16 @@ def doc_chunks_from(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split("text", " ", -1).alias("toks")
     ).withColumn("n", F.size("toks").cast("long"))
+    # genuine INTEGER division (Spark SQL `div`), mirroring the oracle's
+    # `//` floor division exactly rather than relying on double-division
+    # truncation coinciding with floor for non-negative operands
     n_chunks = F.when(
         F.col("n") <= CHUNK_TOKENS, F.lit(1).cast("long")
     ).otherwise(
-        (F.col("n") - CHUNK_TOKENS + CHUNK_STRIDE - 1)
-        .cast("long")
-        / CHUNK_STRIDE
-        + 1
-    ).cast(
-        "long"
+        F.expr(
+            f"((n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)"
+            f" div {CHUNK_STRIDE}) + 1"
+        ).cast("long")
     )
     chunked = toks.withColumn(
         "chunk_id", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))

@@ -214,9 +214,14 @@ def minhash_lsh_mllib_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = minhash_lsh_mllib(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(1).alias("hit")
     )
+    # coalesce: zero hits must read as recall 0.0 (concrete false), not a
+    # NULL verdict from summing an all-NULL column
     return truth.join(found, ["doc_a", "doc_b"], "left").agg(
         F.count(F.lit(1)).cast("long").alias("n_truth_pairs"),
-        (F.sum("hit") / F.count(F.lit(1)) >= LSH_RECALL_FLOOR).alias("recall_ok"),
+        (
+            F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))
+            >= LSH_RECALL_FLOOR
+        ).alias("recall_ok"),
     )
 
 
@@ -281,6 +286,9 @@ SELECT cast(count(*) AS bigint) AS n_truth_pairs, true AS recall_ok FROM truth
 
 QUERIES = {
     "tfidf_topk_mllib": tfidf_topk_mllib,
-    "minhash_lsh_mllib": minhash_lsh_mllib,
+    # minhash_lsh_mllib stays exported (tests + the recall companion call
+    # it) but is NOT registered: a no-oracle registry entry burns one of
+    # the driver's 50 budget slots to record err:"no_oracle" every round.
+    # Its value gate IS minhash_lsh_mllib_recall.
     "minhash_lsh_mllib_recall": minhash_lsh_mllib_recall,
 }

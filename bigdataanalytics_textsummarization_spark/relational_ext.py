@@ -1286,21 +1286,29 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = Window.partitionBy()
     # rank ascending on "goodness": low recency good, high freq/spend good
-    def score(order_cols):
+    # quintile scores via genuine INTEGER division (Spark SQL `div`,
+    # bigint in / bigint out), matching the oracle's `//` exactly — not
+    # double division + cast truncation, which only coincides with floor
+    # for non-negative sub-2^53 operands
+    scored = base.withColumn("_n", F.count("*").over(n).cast("long"))
+    for name, order_cols in [
+        ("r_score", [F.desc("recency_days"), F.asc("custkey")]),
+        ("f_score", [F.asc("frequency"), F.asc("custkey")]),
+        ("m_score", [F.asc("cents"), F.asc("custkey")]),
+    ]:
         w = Window.orderBy(*order_cols)
-        rk = F.row_number().over(w) - 1
-        return (
-            F.lit(1) + (rk * RFM_BUCKETS) / F.count("*").over(n)
-        ).cast("long")
-
-    return base.select(
+        scored = scored.withColumn(
+            f"_{name}_num",
+            ((F.row_number().over(w) - 1) * RFM_BUCKETS).cast("long"),
+        ).withColumn(name, F.expr(f"1 + (_{name}_num div _n)").cast("long"))
+    return scored.select(
         "custkey",
         "recency_days",
         "frequency",
         F.round("monetary", 2).alias("monetary"),
-        score([F.desc("recency_days"), F.asc("custkey")]).alias("r_score"),
-        score([F.asc("frequency"), F.asc("custkey")]).alias("f_score"),
-        score([F.asc("cents"), F.asc("custkey")]).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
 
 
