@@ -214,6 +214,124 @@ def test_pq_deterministic_under_repartition(spark):
     assert a.equals(b)
 
 
+def test_ivfpq_recall_and_refined_exactness(spark):
+    """The composed index must clear its gate floor, return exact cosines
+    (refine rescores original floats), and honor the TOP_K shape."""
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        IVFPQ_RECALL_FLOOR,
+        TOP_K,
+        ann_ivfpq_recall,
+        ann_ivfpq_topk,
+    )
+
+    brute = ann_cosine_topk(spark, SF_DIR).toPandas()
+    got = ann_ivfpq_topk(spark, SF_DIR).toPandas()
+
+    truth = brute.groupby("query_id")["neighbor_id"].apply(set)
+    g = got.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(t & g.get(qid, set())) / len(t) for qid, t in truth.items()
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    # measured 0.68 at sf0.01, 0.70 at sf0.1 (seeded quantizers at both
+    # levels make this deterministic per fixture)
+    assert avg_recall >= IVFPQ_RECALL_FLOOR, f"avg recall {avg_recall:.2f}"
+
+    merged = got.merge(
+        brute, on=["query_id", "neighbor_id"], suffixes=("_p", "_t")
+    )
+    assert len(merged) > 0
+    assert (merged["cosine_p"] - merged["cosine_t"]).abs().max() < 1e-9
+
+    for _, grp in got.groupby("query_id"):
+        assert sorted(grp["rk"]) == list(range(1, len(grp) + 1))
+        assert len(grp) <= TOP_K
+    assert (got["query_id"] != got["neighbor_id"]).all()
+
+    row = ann_ivfpq_recall(spark, SF_DIR).toPandas().iloc[0]
+    assert int(row["n_queries"]) == len(truth)
+    assert bool(row["recall_ok"])
+
+
+def test_ivfpq_on_disk_codes_prune_partitions(spark, tmp_path):
+    """The inverted file of PQ codes written partitionBy(cell) + the
+    broadcast probe join must plan dynamic partition pruning — unprobed
+    cell directories are never read, and what IS read is codes, not
+    floats — and return the same neighbors as the in-memory path."""
+    from pyspark.sql import functions as F
+
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        N_QUERIES,
+        _embeddings,
+        _norm,
+        ann_ivfpq_search_indexed,
+        ann_ivfpq_topk,
+        build_ivfpq_index,
+    )
+
+    idx = str(tmp_path / "ivfpq")
+    nprobe_eff = build_ivfpq_index(spark, SF_DIR, idx)
+    queries = (
+        _embeddings(spark, SF_DIR)
+        .withColumn("nrm", _norm(F.col("e")))
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "e", "nrm")
+    )
+    res = ann_ivfpq_search_indexed(spark, idx, queries, nprobe_eff)
+
+    plan = res._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in plan.lower(), "no DPP on the code scan"
+    # the probed scan reads the code table, whose schema is codes — the
+    # float store appears only behind the refine join
+    codes_scans = [
+        seg for seg in plan.split("Scan parquet")[1:] if "/codes" in seg[:400]
+    ]
+    assert codes_scans, "code-table scan missing from the plan"
+
+    got = res.toPandas().sort_values(["query_id", "rk"]).reset_index(drop=True)
+    want = (
+        ann_ivfpq_topk(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["query_id", "rk"])
+        .reset_index(drop=True)
+    )
+    assert got[["query_id", "rk", "neighbor_id"]].equals(
+        want[["query_id", "rk", "neighbor_id"]]
+    )
+
+
+def test_ivfpq_recall_at_gate_scale(spark):
+    """Composed-index recall at 10x the unit-test scale (sf0.1)."""
+    import os
+
+    import pytest
+
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        IVFPQ_RECALL_FLOOR,
+        ann_ivfpq_topk,
+    )
+
+    sf_dir = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("sf0.1 testdata not present")
+
+    brute = ann_cosine_topk(spark, sf_dir).toPandas()
+    got = ann_ivfpq_topk(spark, sf_dir).toPandas()
+    truth = brute.groupby("query_id")["neighbor_id"].apply(set)
+    g = got.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(t & g.get(qid, set())) / len(t) for qid, t in truth.items()
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= IVFPQ_RECALL_FLOOR, (
+        f"avg recall {avg_recall:.2f} at sf0.1"
+    )
+
+
 def test_centroid_eval_semantics(spark):
     from bigdataanalytics_textsummarization_spark.extensions.similarity import (
         _embeddings,
