@@ -1585,3 +1585,103 @@ SELECT rel, key_col, n_rows, n_keys, max_freq, top_key, heavy_keys,
 FROM profiles
 """
 QUERIES["key_skew_profile"] = key_skew_profile
+
+
+# ---------------------------------------------------------------------------
+# Skew remedy: salted join + salted heavy-key aggregate (the fix for what
+# key_skew_profile measures)
+# ---------------------------------------------------------------------------
+
+N_JOIN_SALTS = 8
+N_AGG_SALTS = 16
+
+
+def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join remedy, demonstrated on the engine's canonical
+    few-hot-keys shape: events.event_type has ~5 values over the whole
+    fact table, so an unsalted shuffle join can use at most 5 reducers
+    no matter the cluster size — the pathological case
+    ``key_skew_profile`` exists to catch.  :func:`skew.salted_join`
+    scatters each hot key across {N_JOIN_SALTS} deterministic sub-keys
+    (salt = hash of the big-side row) and replicates the small side per
+    salt, so the shuffle key becomes (event_type, __salt) and the hot
+    key's rows spread over {N_JOIN_SALTS}x more reducers.  The join is
+    pinned to the shuffled path (``shuffle_hash`` hint) because salting
+    a broadcast join would be a no-op — this is the 100 TB shape where
+    the dim is too big to broadcast.
+
+    The oracle is the PLAIN unsalted join: result equivalence IS the
+    gate (salting changes the shuffle distribution, never the result).
+    The (event_type, __salt) exchange and the per-key salt spread are
+    pinned in tests/test_plans.py.
+    """
+    from .skew import salted_join as salted
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("type_events"))
+    )
+    joined = salted(
+        ev, dim.hint("shuffle_hash"), on="event_type", n_salts=N_JOIN_SALTS
+    )
+    return joined.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "event_type",
+        F.col("user_id").cast("long").alias("user_id"),
+        "type_events",
+    )
+
+
+ORACLES["salted_join"] = """
+WITH dim AS (
+  SELECT event_type, cast(count(*) AS bigint) AS type_events
+  FROM events GROUP BY event_type
+)
+SELECT cast(e.event_id AS bigint) AS event_id, e.event_type,
+       cast(e.user_id AS bigint) AS user_id, d.type_events
+FROM events e JOIN dim d USING (event_type)
+"""
+QUERIES["salted_join"] = salted_join
+
+
+def salted_heavy_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key AGGREGATE remedy: exact per-type event and distinct-user
+    counts via two-stage salted aggregation.
+
+    ``count(*)`` alone needs no salting (Spark's partial aggregate
+    combines map-side), but ``count(DISTINCT user_id)`` over a hot key
+    is the shape that melts one reducer: the distinct set of the hottest
+    key must be materialized in a single task.  The remedy salts by a
+    function OF THE DISTINCT COLUMN — salt = hash(user_id) %
+    {N_AGG_SALTS} — so each distinct user lands in exactly one
+    (event_type, salt) group and per-salt distinct counts are additive:
+    stage 1 aggregates (event_type, salt) partials across
+    {N_AGG_SALTS}x more reducers, stage 2 sums {N_AGG_SALTS} tiny rows
+    per key.  Result is exactly the direct aggregate (the oracle).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    salted = ev.withColumn(
+        "salt", F.pmod(F.hash(F.col("user_id")), F.lit(N_AGG_SALTS))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").cast("long").alias("pn"),
+        F.countDistinct("user_id").cast("long").alias("pu"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n_events"),
+        F.sum("pu").cast("long").alias("n_users"),
+    )
+
+
+ORACLES["salted_heavy_agg"] = """
+SELECT event_type, cast(count(*) AS bigint) AS n_events,
+       cast(count(DISTINCT user_id) AS bigint) AS n_users
+FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+"""
+QUERIES["salted_heavy_agg"] = salted_heavy_agg
