@@ -9,9 +9,10 @@ without driver-side collect overhead) and prints exactly ONE JSON line:
 Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3) after ONE
 untimed warm-up rep (first execution pays plan compile + worker-side
 imports — e.g. ARPACK for the SVD queries — which is startup cost, not
-query cost); "queries" holds the per-query MEDIAN of the timed reps and
-"spread" the [min, max], so single-rep scheduler noise (measured +/-25%
-on this box) stops reading as regression.
+query cost); "queries" holds the per-query MEDIAN of the timed reps,
+"spread" the [min, max], and "cold" the recorded warm-up rep, so
+single-rep scheduler noise (measured +/-25% on this box) stops reading
+as regression and first-execution cost is separable from drift.
 
 Defaults: /root/testdata/sf0.1 on local[$SPARK_GRAFT_CPUS or 32].
 """
@@ -51,7 +52,11 @@ HEADLINE = [
     "rouge_n",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "ann_cosine_topk",
+    # gemm-vectorized Arrow kernel (one numpy matmul per batch) — the plan
+    # you'd run at 100x; the interpreted-fold JVM variant `ann_cosine_topk`
+    # (same oracle row) went bimodal [0.8s, 10.3s] in round 4's bench and
+    # is no longer bench-worthy as the headline brute-force entry
+    "ann_cosine_topk_arrow",
     "quality_score",
 ]
 
@@ -92,12 +97,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
             continue
-        # untimed warm-up: plan compile + lazy worker imports for THIS query
+        # warm-up rep: plan compile + lazy worker imports for THIS query.
+        # Untimed for the median, but RECORDED as "cold" so round-over-round
+        # comparisons can tell first-execution cost from steady-state drift
+        # without a manual re-run.
+        t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
         runs = []
         for _ in range(reps):
             df = fn(spark, sf_dir)
@@ -117,6 +128,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "cold": cold,
                 "reps": reps,
                 "sf": sf,
             }

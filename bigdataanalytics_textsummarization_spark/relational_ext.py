@@ -1299,7 +1299,10 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.orderBy(*order_cols)
         scored = scored.withColumn(
             f"_{name}_num",
-            ((F.row_number().over(w) - 1) * RFM_BUCKETS).cast("long"),
+            # cast BEFORE the multiply: row_number is 32-bit int, so the
+            # int*int product would wrap past ~2^31/RFM_BUCKETS (~429M)
+            # customers — the cast-after form only looked safe at gate SF
+            ((F.row_number().over(w) - 1).cast("long") * RFM_BUCKETS),
         ).withColumn(name, F.expr(f"1 + (_{name}_num div _n)").cast("long"))
     return scored.select(
         "custkey",
@@ -1613,7 +1616,7 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the PLAIN unsalted join: result equivalence IS the
     gate (salting changes the shuffle distribution, never the result).
     The (event_type, __salt) exchange and the per-key salt spread are
-    pinned in tests/test_plans.py.
+    pinned in tests/test_sketches.py (salted-join plan assertions).
     """
     from .skew import salted_join as salted
 
