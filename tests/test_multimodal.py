@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: the GENUINE PPM decode path (r4 VERDICT
+task #3) plus parity for the Arrow-batched binary pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdataanalytics_textsummarization_spark.extensions import multimodal as mm
+from tests.conftest import SF_DIR, assert_parity
+
+
+def _ppm(w: int, h: int, raster: bytes, maxval: int = 255) -> bytes:
+    return f"P6\n{w} {h}\n{maxval}\n".encode() + raster
+
+
+def test_decode_ppm_parses_header_and_sums_channels():
+    # 2x1 image: pixels (1,2,3) and (10, 0x0A, 30) — second pixel's G byte
+    # IS the header delimiter 0x0A, so maxsplit discipline is load-bearing
+    raster = bytes([1, 2, 3, 10, 0x0A, 30])
+    w, h, n_px, sr, sg, sb = mm.decode_ppm(_ppm(2, 1, raster))
+    assert (w, h, n_px) == (2, 1, 2)
+    assert (sr, sg, sb) == (1 + 10, 2 + 0x0A, 3 + 30)
+
+
+def test_decode_ppm_rejects_corruption():
+    with pytest.raises(ValueError, match="magic"):
+        mm.decode_ppm(b"P5\n1 1\n255\n" + bytes(3))
+    with pytest.raises(ValueError, match="maxval"):
+        mm.decode_ppm(_ppm(1, 1, bytes(3), maxval=65535))
+    with pytest.raises(ValueError, match="raster"):
+        mm.decode_ppm(_ppm(2, 2, bytes(3)))  # 3 bytes for a 2x2x3 raster
+    with pytest.raises(NotImplementedError):
+        mm.decode_ppm(None)
+
+
+def test_synth_ppm_payloads_are_valid_ppm(spark):
+    rows = mm.synth_ppm(spark, SF_DIR).limit(20).collect()
+    assert rows
+    for r in rows:
+        w, h, n_px, *_ = mm.decode_ppm(bytes(r["payload"]))
+        assert 1 <= w <= 2 and 1 <= h <= 2 and n_px == w * h
+
+
+def test_multimodal_decode_oracle_parity(spark, oracle):
+    assert_parity(
+        spark,
+        oracle,
+        mm.multimodal_decode,
+        mm.ORACLES["multimodal_decode"],
+    )
+
+
+def test_multimodal_features_oracle_parity(spark, oracle):
+    assert_parity(
+        spark,
+        oracle,
+        mm.multimodal_features,
+        mm.ORACLES["multimodal_features"],
+    )
