@@ -10,10 +10,12 @@ Scale architecture: the reference materializes the dense matrix on the
 driver (code:130-137) — its scalability cliff.  Here each *corpus*
 (source) is an independent small problem, so the engine distributes across
 corpora with ``applyInPandas``: one Arrow batch per source, numpy SVD
-inside the worker, relational rows out.  For a single giant corpus the
-drop-in alternative is MLlib's distributed ``RowMatrix.computeSVD``; the
-per-corpus grouped path is the right shape for the reference's workload
-(many products x small matrices).
+inside the worker, relational rows out.  A source whose (vocab x
+sentences) matrix would not fit one worker is SIZE-DISPATCHED
+(``lsa_concepts_auto``) to MLlib's distributed ``computeSVD`` instead, so
+one grown corpus cannot reintroduce the reference's cliff; the per-corpus
+grouped path stays the plan for the common many-products-x-small-matrices
+workload.
 
 Determinism: singular vectors are sign-fixed (largest-|component| entry
 made positive) and ties in top-n selection break by id, so results are
@@ -128,16 +130,68 @@ def lsa_concepts_from(tfidf: DataFrame) -> DataFrame:
 
 
 def lsa_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source LSA concept extraction (sentences + keywords, M1+M2)."""
-    return lsa_concepts_from(_tfidf_long(spark, sf_dir))
+    """Per-source LSA concept extraction (sentences + keywords, M1+M2).
+
+    Size-dispatched (:func:`lsa_concepts_auto`): sources whose matrix
+    exceeds ``MAX_LOCAL_CELLS`` take the distributed SVD instead of the
+    per-source applyInPandas — at gate scale every source is small, so the
+    golden row exercises the dispatcher's common path.
+    """
+    return lsa_concepts_auto(spark, sf_dir)
 
 
-def lsa_concepts_distributed(
-    spark: SparkSession, sf_dir: str, k: int = K_CONCEPTS
+def lsa_concepts_auto_from(
+    spark: SparkSession, tfidf: DataFrame, max_cells: int
 ) -> DataFrame:
-    """Distributed SVD path for ONE giant corpus (the shape applyInPandas
-    can't hold): sentence x term TF-IDF as an MLlib IndexedRowMatrix,
-    factored with ``computeSVD(computeU=True)``.
+    """Dispatch core of :func:`lsa_concepts_auto` over any long-form
+    TF-IDF frame (test seam: a filtered frame + tiny ``max_cells`` forces
+    the distributed route without 20 full SVDs)."""
+    tfidf = tfidf.persist()
+    stats = (
+        tfidf.groupBy("source")
+        .agg(
+            F.countDistinct("sentence_id").alias("n_sent"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .collect()
+    )  # bounded: one row per corpus
+    big = sorted(
+        r["source"] for r in stats if r["n_sent"] * r["n_words"] > max_cells
+    )
+    parts: list[DataFrame] = []
+    if len(big) < len(stats):
+        small = (
+            tfidf if not big else tfidf.filter(~F.col("source").isin(big))
+        )
+        parts.append(lsa_concepts_from(small))
+    for src in big:
+        parts.append(
+            _distributed_concepts(
+                spark,
+                tfidf.filter(F.col("source") == src),
+                k=K_CONCEPTS,
+                source=src,
+                kinds=("sentence", "keyword"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _distributed_concepts(
+    spark: SparkSession,
+    tfidf: DataFrame,
+    k: int = K_CONCEPTS,
+    source: str | None = None,
+    kinds: tuple[str, ...] = ("sentence",),
+    n_parts_hint: int | None = None,
+) -> DataFrame:
+    """Distributed-SVD concept extraction over ONE corpus's long-form
+    (sentence_id, word, tfidf) frame — the shape ``applyInPandas`` can't
+    hold: sentence x term TF-IDF as an MLlib IndexedRowMatrix, factored
+    with ``computeSVD(computeU=True)``.
 
     Orientation is what makes this scale: rows = SENTENCES (unbounded,
     stays a distributed factor U), cols = vocabulary (bounded, the only
@@ -146,36 +200,20 @@ def lsa_concepts_distributed(
     per-concept sign fix and top-n selection are window queries over the
     distributed U rows.  (The transposed layout would hand back V =
     #sentences x k as a LOCAL matrix — the reference's driver cliff in
-    disguise.)
+    disguise.)  Keyword rows, when requested, come from the LOCAL factor V
+    (vocabulary x k — bounded by design) with the SAME per-concept signs
+    as the sentence rows, matching the numpy path's joint flip.
 
-    Output: (concept, kind, rk, item, weight) over the whole documents
-    table treated as one corpus; identical semantics to the numpy path
-    (sign: largest-|weight| sentence positive; ties by sentence_id).
-    Rows-only driver check (SVD is not SQL-expressible); numpy cross-check
-    in tests/test_lsa.py.
+    ``source`` tags every output row (dispatch mode); ``None`` keeps the
+    whole-corpus (concept, kind, rk, item, weight) shape.
     """
     from pyspark.mllib.linalg import Vectors
     from pyspark.mllib.linalg.distributed import IndexedRow, IndexedRowMatrix
     from pyspark.sql.window import Window
 
-    toks = tokens_lsa(spark, sf_dir)
-    sent = lsa_sentences(spark, sf_dir)
-    n_sent = sent.count()  # sentence_id unique by construction
-    tf = toks.groupBy("sentence_id", "word").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("word").agg(F.count("*").alias("df"))
-    tfidf = (
-        tf.join(df, "word")
-        .select(
-            "sentence_id",
-            "word",
-            (F.col("tf") * F.log10(F.lit(float(n_sent)) / F.col("df"))).alias(
-                "tfidf"
-            ),
-        )
-        # consumed by three separate jobs below (sentence index, word index,
-        # matrix entries) — cache so tokenization+joins run once, not thrice
-        .persist()
-    )
+    # consumed by several jobs below (sentence index, word index, matrix
+    # entries) — cache so upstream tokenization+joins run once, not thrice
+    tfidf = tfidf.select("sentence_id", "word", "tfidf").persist()
     # dense integer coordinates, built distributedly (sorted for stability)
     sent_ix = (
         tfidf.select("sentence_id")
@@ -205,7 +243,8 @@ def lsa_concepts_distributed(
     # dominates the actual math.  ~20k rows per partition amortizes task
     # launch; on a real corpus the count grows with the data and the same
     # expression yields hundreds of partitions.
-    n_parts = max(1, n_sent // 20_000 + 1)
+    n_rows = sent_ix.count()
+    n_parts = n_parts_hint or max(1, n_rows // 20_000 + 1)
     rows = (
         entries.rdd.map(lambda r: (r["sidx"], (r["widx"], r["tfidf"])))
         .groupByKey(numPartitions=n_parts)
@@ -218,7 +257,7 @@ def lsa_concepts_distributed(
         # this cache each SVD iteration replays tokenize->join->groupByKey
         .cache()
     )
-    k_eff = min(k, n_sent, n_words)
+    k_eff = min(k, n_rows, n_words)
     svd = IndexedRowMatrix(rows).computeSVD(k_eff, computeU=True)
     # U rows (distributed): sentence weights per concept
     u_long = (
@@ -249,7 +288,7 @@ def lsa_concepts_distributed(
     w_top = Window.partitionBy("concept").orderBy(
         F.desc("weight"), F.asc("sentence_id")
     )
-    return (
+    out = (
         signed.join(sent_ix, "sidx")
         .withColumn("rk", F.row_number().over(w_top).cast("long"))
         .filter(F.col("rk") <= N_PER_CONCEPT)
@@ -261,6 +300,106 @@ def lsa_concepts_distributed(
             F.round("weight", 6).alias("weight"),
         )
     )
+    if "keyword" in kinds:
+        # V is LOCAL by MLlib design (vocabulary x k — the bounded factor);
+        # re-distribute it as a tiny frame, apply the SAME signs as the
+        # sentence rows (joint flip, matching _extract_concepts), top-n by
+        # (weight desc, word asc).
+        v = svd.V.toArray()  # n_words x k_eff
+        vpdf = pd.DataFrame(
+            {
+                "widx": np.repeat(
+                    np.arange(v.shape[0], dtype="int64"), k_eff
+                ),
+                "concept": np.tile(
+                    np.arange(k_eff, dtype="int64"), v.shape[0]
+                ),
+                "weight": v.reshape(-1),
+            }
+        )
+        w_kw = Window.partitionBy("concept").orderBy(
+            F.desc("weight"), F.asc("word")
+        )
+        kw = (
+            spark.createDataFrame(vpdf)
+            .join(F.broadcast(signs), "concept")
+            .join(F.broadcast(word_ix), "widx")
+            .select(
+                "concept",
+                "word",
+                (F.col("weight") * F.col("sgn")).alias("weight"),
+            )
+            .withColumn("rk", F.row_number().over(w_kw).cast("long"))
+            .filter(F.col("rk") <= N_PER_CONCEPT)
+            .select(
+                F.col("concept").cast("long").alias("concept"),
+                F.lit("keyword").alias("kind"),
+                "rk",
+                F.col("word").alias("item"),
+                F.round("weight", 6).alias("weight"),
+            )
+        )
+        out = out.unionByName(kw)
+    if source is not None:
+        out = out.select(F.lit(source).alias("source"), "*")
+    return out
+
+
+def lsa_concepts_distributed(
+    spark: SparkSession, sf_dir: str, k: int = K_CONCEPTS
+) -> DataFrame:
+    """Distributed SVD path over the whole documents table as ONE corpus.
+
+    Thin wrapper over :func:`_distributed_concepts` (which the size
+    dispatcher :func:`lsa_concepts_auto` reuses per oversized source);
+    output (concept, kind, rk, item, weight), sentence rows only —
+    identical semantics to the numpy path (sign: largest-|weight| sentence
+    positive; ties by sentence_id).  Golden-parquet value gate; numpy
+    cross-check in tests/test_lsa.py.
+    """
+    toks = tokens_lsa(spark, sf_dir)
+    sent = lsa_sentences(spark, sf_dir)
+    n_sent = sent.count()  # sentence_id unique by construction
+    tf = toks.groupBy("sentence_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    tfidf = tf.join(df, "word").select(
+        "sentence_id",
+        "word",
+        (F.col("tf") * F.log10(F.lit(float(n_sent)) / F.col("df"))).alias(
+            "tfidf"
+        ),
+    )
+    return _distributed_concepts(
+        spark, tfidf, k=k, n_parts_hint=max(1, n_sent // 20_000 + 1)
+    )
+
+
+# Per-source matrices above this cell count (vocab x sentences) leave the
+# applyInPandas path: a dense float64 matrix of 4M cells is 32 MB inside
+# one Python worker — comfortably held; 100x that is the OOM cliff the
+# reference hits at code:134-142.  Oversized sources route to the
+# distributed MLlib SVD instead, so ONE grown corpus can no longer take
+# down a worker while the many-small-corpora common case keeps the cheap
+# one-Arrow-batch-per-source plan.
+MAX_LOCAL_CELLS = 4_000_000
+
+
+def lsa_concepts_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    max_cells: int = MAX_LOCAL_CELLS,
+) -> DataFrame:
+    """Size-dispatched per-source LSA: applyInPandas for sources whose
+    (vocab x sentences) matrix fits a worker, distributed MLlib SVD for
+    any source above ``max_cells``.
+
+    The size probe is one aggregate over the tfidf frame (one row per
+    source — bounded driver materialization, like the corpus counts the
+    reference's loop takes per product).  Dispatch is all-or-nothing per
+    source, so both paths keep their exact single-path semantics and the
+    union is deterministic.
+    """
+    return lsa_concepts_auto_from(spark, _tfidf_long(spark, sf_dir), max_cells)
 
 
 def lsa_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

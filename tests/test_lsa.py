@@ -112,3 +112,77 @@ def test_summary_joins_back_to_real_sentences(spark):
     sent = sentences(spark, SF_DIR).toPandas().set_index("sentence_id")["sentence"]
     for _, r in out.head(20).iterrows():
         assert sent.loc[r["sentence_id"]] == r["sentence"]
+
+
+def test_size_dispatch_routes_big_sources_distributed(spark):
+    """lsa_concepts_auto with a tiny threshold must route a source through
+    the distributed SVD and produce the SAME concepts (both kinds) as the
+    applyInPandas path for that source — the anti-OOM dispatch contract."""
+    from pyspark.sql import functions as F
+
+    from bigdataanalytics_textsummarization_spark.lsa import (
+        _tfidf_long,
+        lsa_concepts_auto_from,
+        lsa_concepts_from,
+    )
+
+    tfidf = _tfidf_long(spark, SF_DIR)
+    srcs = sorted(
+        r["source"]
+        for r in tfidf.select("source").distinct().limit(2).collect()
+    )
+    sub = tfidf.filter(F.col("source").isin(srcs)).persist()
+
+    local = lsa_concepts_from(sub).toPandas()
+    # max_cells=1: every source is "too big" -> all-distributed route
+    dispatched = lsa_concepts_auto_from(spark, sub, max_cells=1).toPandas()
+
+    assert set(dispatched["source"]) == set(srcs)
+    assert set(dispatched["kind"]) == {"sentence", "keyword"}
+    key = ["source", "concept", "kind", "rk"]
+    a = local.sort_values(key).reset_index(drop=True)
+    b = dispatched.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
+    assert list(a["item"]) == list(b["item"])
+    np.testing.assert_allclose(
+        a["weight"].to_numpy(), b["weight"].to_numpy(), atol=2e-6
+    )
+
+
+def test_size_dispatch_mixed_split(spark):
+    """A threshold between two sources' sizes sends exactly one of them
+    distributed; the union still covers both with full shape."""
+    from pyspark.sql import functions as F
+
+    from bigdataanalytics_textsummarization_spark.lsa import (
+        _tfidf_long,
+        lsa_concepts_auto_from,
+        lsa_concepts_from,
+    )
+
+    tfidf = _tfidf_long(spark, SF_DIR)
+    sizes = (
+        tfidf.groupBy("source")
+        .agg(
+            (
+                F.countDistinct("sentence_id") * F.countDistinct("word")
+            ).alias("cells")
+        )
+        .orderBy("cells")
+        .collect()
+    )
+    lo, hi = sizes[0], sizes[-1]
+    assert lo["cells"] < hi["cells"], "need two differently-sized sources"
+    sub = tfidf.filter(
+        F.col("source").isin([lo["source"], hi["source"]])
+    ).persist()
+    cut = (lo["cells"] + hi["cells"]) // 2
+    mixed = lsa_concepts_auto_from(spark, sub, max_cells=cut).toPandas()
+    local = lsa_concepts_from(sub).toPandas()
+    key = ["source", "concept", "kind", "rk"]
+    a = local.sort_values(key).reset_index(drop=True)
+    b = mixed.sort_values(key).reset_index(drop=True)
+    assert list(a["item"]) == list(b["item"])
+    np.testing.assert_allclose(
+        a["weight"].to_numpy(), b["weight"].to_numpy(), atol=2e-6
+    )
