@@ -323,6 +323,75 @@ def stream_materialize(
     q.awaitTermination()
 
 
+_TRANS_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+_TRANS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("from_type", T.StringType()),
+        T.StructField("to_type", T.StringType()),
+    ]
+)
+
+
+def _emit_transitions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful consecutive-pair emitter: state = the user's last event,
+    so pairs bridge micro-batch boundaries."""
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    types = list(batch["event_type"])
+    prev_type = state.get[2] if state.exists else None
+    froms, tos = [], []
+    for t in types:
+        if prev_type is not None:
+            froms.append(prev_type)
+            tos.append(t)
+        prev_type = t
+    last = batch.iloc[-1]
+    state.update(
+        (int(last["ts"].value // 1000), int(last["event_id"]), str(last["event_type"]))
+    )
+    if froms:
+        yield pd.DataFrame(
+            {"user_id": key[0], "from_type": froms, "to_type": tos}
+        )
+
+
+def transitions_pairs_stream(events: DataFrame) -> DataFrame:
+    """Stream-legal twin of the pair step inside ``event_transitions``:
+    per-user consecutive (from_type, to_type) pairs via
+    ``applyInPandasWithState`` (append mode — raw pairs, not aggregates,
+    so the sink sees each transition exactly once).  The state store keeps
+    only the user's LAST event; the pair emitted at a micro-batch boundary
+    bridges through it.  Counting the pairs reproduces the batch
+    transition counts exactly (proof: test_streaming.py).  Per-user order
+    within a micro-batch is established by an explicit (ts, event_id)
+    sort; as with the sibling stateful ops, cross-batch order relies on
+    the source delivering in-order per key (true for availableNow file
+    replay; a production deploy adds a watermark-bounded reorder buffer).
+    """
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _emit_transitions,
+            outputStructType=_TRANS_OUT,
+            stateStructType=_TRANS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

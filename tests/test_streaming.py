@@ -435,3 +435,40 @@ def test_event_transitions_semantics(spark):
         assert abs(
             r.log_prob - round(math.log(float(r.n_trans) / r.n_from), 6)
         ) < 1e-9
+
+
+def test_event_transitions_stream_matches_batch(spark):
+    """Stream==batch proof for the transition counts (r4 VERDICT task #6):
+    counting the append-mode pair stream reproduces event_transitions'
+    n_trans/n_from table exactly."""
+    from bigdataanalytics_textsummarization_spark.streaming.events import (
+        event_transitions,
+        read_events_stream,
+        transitions_pairs_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    pairs = se.run_stream_to_memory(
+        spark,
+        transitions_pairs_stream(read_events_stream(spark, SF_DIR)),
+        "transitions_pairs_stream",
+        output_mode="append",
+    ).toPandas()
+    got = (
+        pairs.groupby(["from_type", "to_type"])
+        .size()
+        .rename("n_trans")
+        .reset_index()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        event_transitions(spark, SF_DIR)
+        .toPandas()[["from_type", "to_type", "n_trans"]]
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    assert got.shape == want.shape
+    assert got["from_type"].equals(want["from_type"])
+    assert got["to_type"].equals(want["to_type"])
+    assert (got["n_trans"].astype("int64") == want["n_trans"].astype("int64")).all()
