@@ -507,3 +507,56 @@ SELECT * FROM (
 ) WHERE rk <= {WRS_K}
 """
 QUERIES["weighted_sample"] = weighted_sample
+
+
+# ---------------------------------------------------------------------------
+# Per-domain admission caps (Common-Crawl per-host cap shape)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 10  # max docs admitted per (source, lang) domain
+
+
+def domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain admission cap: keep at most DOMAIN_CAP documents per
+    (source, lang) domain, chosen by a deterministic md5 lottery — the
+    per-host cap a web-corpus build applies so no single domain dominates
+    the training mix (source/lang stand in for the crawl host key).
+
+    The lottery key is md5(doc_id), so admission is reproducible across
+    engines and runs, uniform within a domain, and independent of row
+    order — which is also what makes it value-gateable.  Output is the
+    admitted docs with their lottery rank.  Distinct from
+    ``stratified_sample`` (per-stratum RATES — proportions preserved) and
+    ``mixture_sample`` (target mix): a cap is a hard per-domain CEILING,
+    leaving small domains untouched while truncating heavy ones.
+
+    Scale note: rank-within-domain is one shuffle on the domain key.  A
+    hot domain serializes its own ranking window; at crawl scale the
+    two-phase variant (per-salt partial top-CAP, then merge — the exact
+    top-k decomposition, since a domain's global top-CAP is contained in
+    the union of its per-salt top-CAPs) bounds any reducer at CAP x
+    N_SALTS rows.  At the gate the single-window form IS the plan
+    AQE-free Spark picks.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+    )
+
+
+ORACLES["domain_caps"] = f"""
+SELECT doc_id, source, lang, rk FROM (
+  SELECT doc_id, source, lang,
+         cast(row_number() OVER (
+             PARTITION BY source, lang
+             ORDER BY md5(cast(doc_id AS varchar)), doc_id
+         ) AS bigint) AS rk
+  FROM documents
+) WHERE rk <= {DOMAIN_CAP}
+"""
+QUERIES["domain_caps"] = domain_caps

@@ -1020,3 +1020,92 @@ UNION ALL
 SELECT doc_a, doc_b, cast(0 AS bigint) AS label, 'random' AS kind FROM neg
 """
 QUERIES["contrastive_pairs"] = contrastive_pairs
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram overlap gate)
+# ---------------------------------------------------------------------------
+
+DECON_MOD = 17  # pseudo-benchmark membership: doc_id % DECON_MOD == 0
+DECON_MIN_SHARED = 5  # shared distinct shingles at/above this => flagged
+
+
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination gate: flag training documents sharing
+    >= DECON_MIN_SHARED distinct word-3-gram shingles with any benchmark
+    document — the n-gram-overlap decontamination pass an LLM data
+    pipeline runs before training so eval suites stay held out.  The
+    "benchmark" here is a deterministic slice (doc_id % DECON_MOD == 0)
+    standing in for the real eval corpora; swap the membership predicate
+    and nothing else changes.
+
+    Complements (does not duplicate) ``text_analysis.contamination_check``:
+    that one scores each EVAL document by the fraction of its grams found
+    anywhere in train ("how burned is this eval doc"); this one walks the
+    other direction and ATTRIBUTES — for each offending TRAINING doc,
+    which single benchmark doc it overlaps worst ("what do I delete, and
+    which benchmark did it compromise").
+
+    Output: one row per contaminated training doc with its WORST overlap
+    (max shared shingles; ties to the smallest bench_id) plus the doc's
+    own shingle count — all integers, fully value-gated.
+
+    Scale shape: the same shared-shingle equi-join discipline as the
+    dedup family — candidates come from the shingle key join against the
+    (much smaller) benchmark shingle set, never doc x doc; the benchmark
+    side of a real deployment broadcasts.
+    """
+    sh = _shingles_dup(spark, sf_dir).select("doc_id", "g").distinct()
+    bench = sh.filter(F.col("doc_id") % DECON_MOD == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    train = sh.filter(F.col("doc_id") % DECON_MOD != 0)
+    sizes = train.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    shared = (
+        train.join(bench, "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_shared"), F.asc("bench_id")
+    )
+    return (
+        shared.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(sizes, "doc_id")
+        .select("doc_id", "bench_id", "n_shared", "n_shingles")
+    )
+
+
+ORACLES["benchmark_decontam"] = f"""
+WITH {SHINGLES_CTE},
+bench AS (
+  SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % {DECON_MOD} = 0
+),
+train AS (
+  SELECT doc_id, g FROM grams WHERE doc_id % {DECON_MOD} <> 0
+),
+sizes AS (
+  SELECT doc_id, cast(count(*) AS bigint) AS n_shingles
+  FROM train GROUP BY doc_id
+),
+shared AS (
+  SELECT t.doc_id, b.bench_id, cast(count(*) AS bigint) AS n_shared
+  FROM train t JOIN bench b USING (g)
+  GROUP BY t.doc_id, b.bench_id
+  HAVING count(*) >= {DECON_MIN_SHARED}
+),
+best AS (
+  SELECT doc_id, bench_id, n_shared,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_shared DESC, bench_id) AS rn
+  FROM shared
+)
+SELECT b.doc_id, b.bench_id, b.n_shared, s.n_shingles
+FROM best b JOIN sizes s USING (doc_id)
+WHERE rn = 1
+"""
+QUERIES["benchmark_decontam"] = benchmark_decontam

@@ -324,3 +324,62 @@ def test_line_dedup_keep_first_semantics(spark):
         # a doc's non-duplicated sentences are always kept
         assert r.n_kept >= r.n_sents - r.n_dup
         assert r.keep_frac == r.n_kept / r.n_sents
+
+
+def test_benchmark_decontam_planted_overlap(spark, tmp_path_factory):
+    """A training doc embedding a benchmark doc's text must be flagged and
+    attributed to THAT benchmark doc; clean docs must not appear."""
+    from bigdataanalytics_textsummarization_spark.extensions.dedup import (
+        DECON_MIN_SHARED,
+        DECON_MOD,
+        benchmark_decontam,
+    )
+    from tests.conftest import write_docs
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = []
+    for i in range(2 * DECON_MOD):
+        if i == 0:
+            texts.append(bench_text)  # doc 0: benchmark member (0 % 17 == 0)
+        elif i == 1:
+            # contaminated train doc: carries the benchmark text verbatim
+            texts.append("intro words here " + bench_text + " outro words")
+        else:
+            texts.append(f"clean document number {i} with its own unique words w{i} x{i} y{i} z{i} q{i} r{i}")
+    d = write_docs(tmp_path_factory, "decontam", texts)
+    out = benchmark_decontam(spark, d).toPandas()
+    assert set(out["doc_id"]) == {1}
+    row = out.iloc[0]
+    assert row["bench_id"] == 0
+    # benchmark doc has 10 words -> 8 shingles, all shared
+    assert row["n_shared"] == 8 >= DECON_MIN_SHARED
+    assert row["n_shingles"] > row["n_shared"]  # train doc is longer
+
+
+def test_domain_caps_ceiling_and_determinism(spark):
+    from bigdataanalytics_textsummarization_spark.extensions.curation import (
+        DOMAIN_CAP,
+        domain_caps,
+    )
+    from bigdataanalytics_textsummarization_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    out = domain_caps(spark, SF_DIR).toPandas()
+    per = out.groupby(["source", "lang"]).size()
+    assert (per <= DOMAIN_CAP).all()
+    # domains under the cap are admitted whole; domains over it hit it
+    totals = (
+        load_table(spark, SF_DIR, "documents")
+        .groupBy("source", "lang")
+        .count()
+        .toPandas()
+        .set_index(["source", "lang"])["count"]
+    )
+    for dom, n_kept in per.items():
+        assert n_kept == min(int(totals.loc[dom]), DOMAIN_CAP)
+    # the lottery is deterministic across runs
+    again = domain_caps(spark, SF_DIR).toPandas()
+    key = ["source", "lang", "rk"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
