@@ -43,62 +43,62 @@ from bigdataanalytics_textsummarization_spark.streaming import (  # noqa: E402
 )
 
 # Ordered so a budget-capped driver reaches everything that still needs a
-# fresh row: rounds 1+2 certified dedup/similarity/curation/text_analysis/
-# rouge/streaming/text/graph/pagerank/relational, so those rotate to the
-# back (their green rows stand, as r1's TPC-H rows stood through r2).
+# fresh row.  Round-5 rotation: every query has had a green row in some
+# round (r4 VERDICT), so the window now REFRESHES the oldest standing
+# rows (r1/r2: text, graph, pagerank, relational, rouge, dedup) while
+# recently-certified modules rotate to the back.
 _MODULES = [
-    tpch,  # q12 + q21 fixed since their r1 rows; rest refreshes r1 greens
-    relational_ext,  # distinct_sketch gained a real oracle after its r1 row
-    mllib_variants,  # never inside any round's budget window
-    lsa,  # golden-parquet oracles new this round
-    similarity,  # ann_ivf_recall new this round
-    curation,  # curation_pipeline red in r2 (oracle HUGEINT, fixed)
-    text_analysis,  # pack_sequences red in r2 (oracle HUGEINT, fixed)
-    snapshot,  # new this round
-    multimodal,
-    rouge,
+    text,  # r2 rows, never refreshed
+    graph,  # r1 rows ("graph family" refresh per r4 VERDICT task 8)
+    pagerank,  # r1 rows (textrank_*)
+    relational,  # r1/r2 rows
+    rouge,  # r2 rows
+    dedup,  # r2 rows
     streaming_events,
-    dedup,
-    text,
-    graph,
-    pagerank,
-    relational,
+    multimodal,
+    curation,
+    snapshot,
+    mllib_variants,
+    similarity,
+    lsa,
+    text_analysis,
+    relational_ext,
+    tpch,  # refreshed in r4 (was first in line)
 ]
 
 # Individual queries that MUST land inside the driver's 50-query budget
-# window this round, ahead of their module's position: never-certified
-# (rounds 1-3 certified 133 other queries; their green rows stand),
-# fixed-since-last-row, or new this round.
+# window this round, ahead of their module's position: new this round or
+# changed-since-last-green (as now mechanically enforced by
+# scripts/check_recert.py — it diffs each query's cross-module AST
+# closure against the tree its last green artifact was committed on).
 _PRIORITY = [
-    # 18 queries staged at position 51+ last round (verified green by
-    # scripts/driver_sim.py at sf0.01 in r3, per VERDICT.md) — first in
-    # line for their first driver rows
-    "stupid_backoff",
-    "dq_checks",
-    "vocab_kl_drift",
-    "tfidf_doc_topk",
-    "knn_accuracy",
-    "incremental_agg",
-    "zorder_stats",
-    "dedup_containment",
-    "graph_khop",
-    "weighted_sample",
-    "rfm_segments",
-    "basket_lift",
-    "ann_pq_recall",
-    "contrastive_pairs",
-    "centroid_eval",
-    "key_skew_profile",
-    "pmi_edges",
-    "event_transitions",
-    # new in round 4 (added below as they land)
-    "ann_ivfpq_recall",
-    "salted_join",
-    "salted_heavy_agg",
+    # new this round: genuine PPM payload + real format-parsing decode
     "multimodal_decode",
-    # round-3 greens whose implementation changed this round (integer-div
-    # parity fix per ADVICE.md) — re-certify
-    "doc_chunks",
+    # new this round: train/eval n-gram decontamination gate + per-domain
+    # admission caps (Common-Crawl per-host cap shape)
+    "benchmark_decontam",
+    "domain_caps",
+    # changed this round: size-dispatched LSA (applyInPandas vs MLlib SVD
+    # routed per-source by matrix cells) — golden oracles unchanged
+    "lsa_concepts",
+    "lsa_summary",
+    "lsa_concepts_distributed",
+    # changed this round: quintile numerator now casts to long BEFORE the
+    # multiply (ADVICE.md 32-bit wrap past ~429M customers)
+    "rfm_segments",
+    # changed in r4 AFTER their last green rows (recall-verdict coalesce
+    # fix) — the drift the judge caught by hand and check_recert.py now
+    # catches mechanically
+    "ann_ivf_recall",
+    "minhash_lsh_mllib_recall",
+    # flagged by check_recert.py: closure drifted since their r1/r2 rows
+    # (shared-helper changes in later rounds); re-certify
+    "dedup_ngram_jaccard",
+    "train_test_split",
+    "similarity_edges",
+    "textrank_ranks",
+    "textrank_top5",
+    "top_keywords",
 ]
 
 
