@@ -58,6 +58,15 @@ PROBE = [
     # pairs) and the blocked-vocabulary PMI join
     "contrastive_pairs",
     "pmi_edges",
+    # round-5: decontam is adversarial under replication (every benchmark
+    # doc's 9 twins land in train sharing ALL shingles), domain_caps pits
+    # the rank window against 10x-hot domains, salted ops stress the
+    # replicated events table, the PPM decode should be flat-linear
+    "benchmark_decontam",
+    "domain_caps",
+    "salted_join",
+    "salted_heavy_agg",
+    "multimodal_decode",
 ]
 
 

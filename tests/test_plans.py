@@ -343,3 +343,29 @@ def test_bm25_broadcasts_query_relation(spark):
     plan = _plan(spark, "bm25_search")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_domain_caps_single_domain_shuffle(spark):
+    """The cap is ONE shuffle on the domain key feeding the rank window —
+    no join, no extra exchange of the corpus."""
+    plan = _plan(spark, "domain_caps")
+    assert plan.count("hashpartitioning(source") == 1
+    assert "Join" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_benchmark_decontam_blocks_on_shingle_key(spark):
+    """Candidates come from the shared-shingle equi-join — never a
+    pairwise document stage."""
+    plan = _plan(spark, "benchmark_decontam")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_decode_is_map_only(spark):
+    """Synthesis folds into the scan projection and the decode is a
+    partition-preserving mapInPandas: zero shuffles of any kind."""
+    plan = _plan(spark, "multimodal_decode")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
