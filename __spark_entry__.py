@@ -78,6 +78,10 @@ _PRIORITY = [
     # admission caps (Common-Crawl per-host cap shape)
     "benchmark_decontam",
     "domain_caps",
+    # new this round: covariance (SQL-gated) + PCA projection
+    # (golden-gated) for the embedding store
+    "embedding_cov",
+    "embedding_pca",
     # changed this round: size-dispatched LSA (applyInPandas vs MLlib SVD
     # routed per-source by matrix cells) — golden oracles unchanged
     "lsa_concepts",

@@ -1647,3 +1647,189 @@ FROM own o JOIN pred p USING (vec_id)
 GROUP BY o.label
 """
 QUERIES["centroid_eval"] = centroid_eval
+
+
+# ---------------------------------------------------------------------------
+# Covariance / PCA: the decorrelation-whitening stats of an embedding store
+# ---------------------------------------------------------------------------
+
+PCA_K = 8  # principal components kept by embedding_pca
+
+
+def embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population covariance of the embedding store (upper triangle:
+    i <= j) — the statistic behind whitening, OPQ-style rotation before
+    product quantization, and drift monitoring of an embedding column.
+
+    Parity design: every sum is an ORDER-FIXED fold over vec_id-sorted
+    contributions (the repo's float convention), and the final expression
+    tree  s_ij/n - (s_i/n)*(s_j/n)  is written identically in both
+    engines, so covariances are bit-identical before r6.
+
+    Scale shape: one posexplode to (vec_id, dim, x), a vec_id equi-join
+    bounded to dims^2/2 pairs per vector, then a groupBy keyed on the
+    BOUNDED (i, j) domain — dims^2 groups regardless of corpus size.  At
+    100 TB the order-fixed collect_list per (i,j) group holds O(rows)
+    entries; the production variant samples or switches to per-partition
+    Gramian partials (documented trade: bit-determinism for one fewer
+    pass) — the bounded-group shape is identical either way.
+    """
+    emb = _embeddings(spark, sf_dir).select("vec_id", "e")
+    n = float(emb.count())  # scalar; embedded as the same literal both sides
+    x = emb.select("vec_id", F.posexplode("e").alias("i", "xi"))
+
+    def fold(col):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", col.alias("x")))),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = x.select("vec_id", "i", F.col("xi").alias("xa"))
+    b = x.select("vec_id", F.col("i").alias("j"), F.col("xi").alias("xb"))
+    sp = (
+        a.join(b, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .select("vec_id", "i", "j", (F.col("xa") * F.col("xb")).alias("p"))
+        .groupBy("i", "j")
+        .agg(fold(F.col("p")).alias("sp"))
+    )
+    si = x.groupBy("i").agg(fold(F.col("xi")).alias("s"))
+    sj = si.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    return (
+        sp.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            r6(
+                F.col("sp") / F.lit(n)
+                - (F.col("s") / F.lit(n)) * (F.col("sj") / F.lit(n))
+            ).alias("cov"),
+        )
+    )
+
+
+def embedding_pca(
+    spark: SparkSession, sf_dir: str, k: int = PCA_K
+) -> DataFrame:
+    """PCA projection of the embedding store onto its top-k principal
+    components — decorrelation before quantization (the OPQ idea) and the
+    classic dimensionality-reduction companion to random projection
+    (``embedding_rp``: oblivious; this: data-adapted).
+
+    The covariance matrix is dims x dims — BOUNDED — so collecting it and
+    eigendecomposing on the driver is the distributed-correct split
+    (exactly the PQ-codebook / centroid pattern): nothing O(rows) ever
+    leaves the executors.  Projection ships the k eigenvectors back as
+    literals; each coordinate is a fold over the vector's fixed-order
+    dims, so output is deterministic.  Eigenvectors are sign-fixed
+    (largest-|component| positive, first index on ties) and ordered by
+    eigenvalue desc with index tie-break.  Eigendecomposition itself is
+    not SQL-expressible -> golden-parquet value gate (same contract as
+    the LSA/BPE goldens) + algebraic property tests.
+    """
+    import numpy as np
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "e")
+    n = float(emb.count())
+    x = emb.select("vec_id", F.posexplode("e").alias("i", "xi"))
+    # full (not triangular) second moments: dims^2 bounded rows
+    a = x.select("vec_id", "i", F.col("xi").alias("xa"))
+    b = x.select("vec_id", F.col("i").alias("j"), F.col("xi").alias("xb"))
+    mom = (
+        a.join(b, "vec_id")
+        .select("i", "j", (F.col("xa") * F.col("xb")).alias("p"))
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("sp"))
+        .collect()
+    )  # bounded: dims^2 rows (the covariance matrix itself)
+    means_rows = x.groupBy("i").agg(F.sum("xi").alias("s")).collect()
+    dims = len(means_rows)
+    mu = np.zeros(dims)
+    for r in means_rows:
+        mu[r["i"]] = r["s"] / n
+    cov = np.zeros((dims, dims))
+    for r in mom:
+        cov[r["i"], r["j"]] = r["sp"] / n
+    cov -= np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = sorted(range(dims), key=lambda c: (-float(evals[c]), c))[:k]
+    comps = []
+    for c in order:
+        v = evecs[:, c].copy()
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(w) for w in v])
+    centered = emb.select(
+        "vec_id",
+        F.zip_with(
+            "e",
+            F.array(*[F.lit(float(m)) for m in mu]),
+            lambda xi, m: xi - m,
+        ).alias("c"),
+    )
+    proj = centered.select(
+        "vec_id",
+        *[
+            r6(dot(F.col("c"), F.array(*[F.lit(w) for w in v]))).alias(
+                f"pc{ci}"
+            )
+            for ci, v in enumerate(comps)
+        ],
+    )
+    return proj.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"pc{ci}") for ci in range(len(comps))])).alias(
+            "pc", "coord"
+        ),
+    ).select("vec_id", F.col("pc").cast("long").alias("pc"), "coord")
+
+
+ORACLES["embedding_cov"] = """
+WITH x AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding, v -> cast(v AS double))) AS xi,
+         unnest(range(len(embedding))) AS i
+  FROM embeddings
+),
+n AS (SELECT cast(count(*) AS double) AS n FROM embeddings),
+sp AS (
+  SELECT a.i, b.i AS j,
+         list_aggregate(list(a.xi * b.xi ORDER BY a.vec_id), 'sum') AS sp
+  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY a.i, b.i
+),
+si AS (
+  SELECT i, list_aggregate(list(xi ORDER BY vec_id), 'sum') AS s
+  FROM x GROUP BY i
+)
+SELECT cast(sp.i AS bigint) AS i, cast(sp.j AS bigint) AS j,
+       round(sp.sp / n.n - (a.s / n.n) * (b.s / n.n), 6) AS cov
+FROM sp, n
+JOIN si a ON a.i = sp.i
+JOIN si b ON b.i = sp.j
+"""
+QUERIES["embedding_cov"] = embedding_cov
+QUERIES["embedding_pca"] = embedding_pca
+
+# Eigendecomposition is not SQL, but the output is deterministic
+# (sign-fixed eigenvectors, eigenvalue-desc order, r6 coords — same LAPACK
+# build reproduces the parquet), so the value gate reads a committed
+# golden snapshot at the driver's gate scale (scripts/make_golden.py).
+import os as _os
+
+_GOLDEN_DIR = _os.path.join(
+    _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    ),
+    "tests",
+    "golden",
+    "sf0.01",
+)
+ORACLES["embedding_pca"] = (
+    f"SELECT * FROM '{_os.path.join(_GOLDEN_DIR, 'embedding_pca.parquet')}'"
+)

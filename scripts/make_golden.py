@@ -33,6 +33,7 @@ GOLDEN_QUERIES = [
     "compression_ratio",  # zlib bytes: deterministic for a fixed zlib build
     "bpe_vocab",  # deterministic merge argmax (count desc, pair lexicographic)
     "bpe_encode",  # integer-exact application of the deterministic merges
+    "embedding_pca",  # sign-fixed eigh of the bounded covariance (LAPACK-deterministic)
 ]
 
 

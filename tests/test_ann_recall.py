@@ -375,3 +375,68 @@ def test_centroid_eval_semantics(spark):
         assert (
             int(out.set_index("label").loc[lbl, "n_correct"]) == n_correct
         ), f"label {lbl}"
+
+
+def test_embedding_cov_is_valid_covariance(spark, oracle):
+    """Diagonal entries are variances (non-negative); the upper triangle
+    is complete for the embedding dimensionality."""
+    import numpy as np
+
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        embedding_cov,
+    )
+    from tests.conftest import SF_DIR
+
+    cov = embedding_cov(spark, SF_DIR).toPandas()
+    dims = int(cov["j"].max()) + 1
+    assert len(cov) == dims * (dims + 1) // 2
+    diag = cov[cov["i"] == cov["j"]]["cov"].to_numpy()
+    assert (diag >= -1e-9).all()
+    # Cauchy-Schwarz: |cov_ij| <= sqrt(var_i var_j) (+ rounding slack)
+    var = {
+        int(r["i"]): float(r["cov"])
+        for _, r in cov[cov["i"] == cov["j"]].iterrows()
+    }
+    for _, r in cov.iterrows():
+        bound = (max(var[int(r["i"])], 0.0) * max(var[int(r["j"])], 0.0)) ** 0.5
+        assert abs(float(r["cov"])) <= bound + 1e-5
+
+
+def test_embedding_pca_matches_numpy_and_orders_variance(spark):
+    """The distributed-stats + driver-eigh split must reproduce a plain
+    numpy PCA (same sign/ordering conventions); projected variance is
+    non-increasing in pc and each pc is mean-centered."""
+    import numpy as np
+
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        PCA_K,
+        _embeddings,
+        embedding_pca,
+    )
+    from tests.conftest import SF_DIR
+
+    got = embedding_pca(spark, SF_DIR).toPandas()
+    rows = _embeddings(spark, SF_DIR).select("vec_id", "e").collect()
+    ids = [r["vec_id"] for r in rows]
+    X = np.array([r["e"] for r in rows])
+    mu = X.mean(axis=0)
+    C = np.cov(X, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh((C + C.T) / 2.0)
+    order = sorted(range(X.shape[1]), key=lambda c: (-float(evals[c]), c))[
+        :PCA_K
+    ]
+    want = {}
+    for pc, c in enumerate(order):
+        v = evecs[:, c].copy()
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        for vid, x in zip(ids, X):
+            want[(vid, pc)] = round(float((x - mu) @ v), 6)
+    assert len(got) == len(ids) * PCA_K
+    for r in got.itertuples():
+        assert abs(r.coord - want[(r.vec_id, r.pc)]) <= 2e-5, (r.vec_id, r.pc)
+    # variance ordering
+    var_by_pc = got.groupby("pc")["coord"].var().to_numpy()
+    assert (np.diff(var_by_pc) <= 1e-6).all()
+    means = got.groupby("pc")["coord"].mean().to_numpy()
+    assert (np.abs(means) < 1e-3).all()
