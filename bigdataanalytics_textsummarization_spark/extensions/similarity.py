@@ -1833,3 +1833,70 @@ _GOLDEN_DIR = _os.path.join(
 ORACLES["embedding_pca"] = (
     f"SELECT * FROM '{_os.path.join(_GOLDEN_DIR, 'embedding_pca.parquet')}'"
 )
+
+
+def embedding_cov_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path covariance: per-Arrow-batch Gramian partials.
+
+    The value-gated :func:`embedding_cov` buys bit-determinism with an
+    order-fixed collect_list per (i, j) group — O(rows) array state per
+    group, fine at gate scale, wrong at 100 TB.  This variant is the
+    production shape: each Arrow batch computes its LOCAL Gramian
+    (X^T X, dims x dims) and dim sums in one numpy pass, emits them in
+    long form, and a single bounded groupBy((i, j)) sums the partials —
+    shuffle volume is #batches x dims^2 regardless of corpus size, and no
+    state anywhere exceeds dims^2.  Cost: float addition order follows
+    partitioning, so results match :func:`embedding_cov` to ~1e-9 instead
+    of bit-exactly (equality pinned in tests/test_ann_recall.py); not
+    value-gate-registered for exactly that reason.
+    """
+    import numpy as np
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "e")
+    n = float(emb.count())
+    part_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("sp", T.DoubleType()),
+            T.StructField("si", T.DoubleType()),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            X = np.stack(pdf["e"].to_numpy())  # B x dims
+            g = X.T @ X  # dims x dims local Gramian
+            s = X.sum(axis=0)
+            d = X.shape[1]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "sp": g[iu, ju],
+                    # carry the dim sum on the diagonal rows only (i == j)
+                    "si": np.where(iu == ju, s[iu], 0.0),
+                }
+            )
+
+    parts = emb.mapInPandas(partials, schema=part_schema)
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("sp").alias("sp"), F.sum("si").alias("si")
+    )
+    means = agg.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), (F.col("si") / F.lit(n)).alias("m")
+    )
+    ma = means.select(F.col("d").alias("i"), F.col("m").alias("mi"))
+    mb = means.select(F.col("d").alias("j"), F.col("m").alias("mj"))
+    return (
+        agg.join(F.broadcast(ma), "i")
+        .join(F.broadcast(mb), "j")
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            r6(
+                F.col("sp") / F.lit(n) - F.col("mi") * F.col("mj")
+            ).alias("cov"),
+        )
+    )

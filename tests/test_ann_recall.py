@@ -440,3 +440,25 @@ def test_embedding_pca_matches_numpy_and_orders_variance(spark):
     assert (np.diff(var_by_pc) <= 1e-6).all()
     means = got.groupby("pc")["coord"].mean().to_numpy()
     assert (np.abs(means) < 1e-3).all()
+
+
+def test_embedding_cov_gram_matches_exact(spark):
+    """The Gramian-partial scale path must agree with the order-fixed
+    value-gated covariance to float tolerance, under any partitioning."""
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        embedding_cov,
+        embedding_cov_gram,
+    )
+    from tests.conftest import SF_DIR
+
+    key = ["i", "j"]
+    exact = embedding_cov(spark, SF_DIR).toPandas().sort_values(key)
+    gram = embedding_cov_gram(spark, SF_DIR).toPandas().sort_values(key)
+    assert exact[key].reset_index(drop=True).equals(
+        gram[key].reset_index(drop=True)
+    )
+    import numpy as np
+
+    np.testing.assert_allclose(
+        exact["cov"].to_numpy(), gram["cov"].to_numpy(), atol=2e-6
+    )
