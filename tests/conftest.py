@@ -77,12 +77,17 @@ def write_docs(tmp_path_factory, name: str, texts: list[str]) -> str:
     docs = pd.DataFrame(
         {
             "doc_id": pd.array(range(len(texts)), dtype="int64"),
-            "text": texts,
-            "lang": ["en"] * len(texts),
-            "source": ["s1"] * len(texts),
+            # explicit string dtype: an EMPTY texts list would otherwise
+            # infer float64 and write a DOUBLE parquet column
+            "text": pd.array(texts, dtype="string"),
+            "lang": pd.array(["en"] * len(texts), dtype="string"),
+            "source": pd.array(["s1"] * len(texts), dtype="string"),
         }
     )
-    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    # astype("string") first: .str on an empty object column raises
+    docs["n_chars"] = (
+        docs["text"].astype("string").str.len().fillna(0).astype("int64")
+    )
     pq.write_table(
         pa.Table.from_pandas(docs, preserve_index=False),
         str(d / "documents.parquet"),

@@ -100,3 +100,86 @@ def test_rouge_kernel_equals_relational_on_edge_cases(spark, tmp_path):
     want = normalize(R.rouge_n_relational(spark, sf).toPandas())
     assert got.shape == want.shape and len(got) == len(texts) // 2
     pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+
+
+def test_round5_ops_on_empty_docs(spark, tmp_path_factory):
+    """Empty document corpus must yield empty (not crashed) results for
+    the round-5 curation/dedup additions."""
+    from bigdataanalytics_textsummarization_spark.extensions.curation import (
+        domain_caps,
+    )
+    from bigdataanalytics_textsummarization_spark.extensions.dedup import (
+        benchmark_decontam,
+    )
+    from bigdataanalytics_textsummarization_spark.extensions.multimodal import (
+        multimodal_decode,
+    )
+    from tests.conftest import write_docs
+
+    d = write_docs(tmp_path_factory, "r5_empty", [])
+    assert benchmark_decontam(spark, d).count() == 0
+    assert domain_caps(spark, d).count() == 0
+    assert multimodal_decode(spark, d).count() == 0
+
+
+def test_decontam_all_bench_or_all_train(spark, tmp_path_factory):
+    """A corpus where every doc is benchmark (or none is) has no train x
+    bench pairs — empty output, no crash."""
+    from bigdataanalytics_textsummarization_spark.extensions.dedup import (
+        DECON_MOD,
+        benchmark_decontam,
+    )
+    from tests.conftest import write_docs
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # doc_ids all multiples of DECON_MOD -> all benchmark, train empty
+    d = tmp_path_factory.mktemp("r5_allbench")
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(
+                [i * DECON_MOD for i in range(4)], dtype="int64"
+            ),
+            "text": ["alpha beta gamma delta epsilon zeta"] * 4,
+            "lang": ["en"] * 4,
+            "source": ["s1"] * 4,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        str(d / "documents.parquet"),
+    )
+    assert benchmark_decontam(spark, str(d)).count() == 0
+
+
+def test_embedding_pca_single_vector(spark, tmp_path_factory):
+    """One-vector store: covariance is all zeros, PCA must still return
+    k coords per vector (all zero after centering), not crash."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        embedding_cov,
+        embedding_pca,
+    )
+
+    d = tmp_path_factory.mktemp("r5_onevec")
+    emb = pd.DataFrame(
+        {
+            "vec_id": pd.array([0], dtype="int64"),
+            "embedding": [[1.0, 2.0, 3.0, 4.0]],
+            "label": pd.array([0], dtype="int32"),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(emb, preserve_index=False),
+        str(d / "embeddings.parquet"),
+    )
+    cov = embedding_cov(spark, str(d)).toPandas()
+    assert (cov["cov"].abs() < 1e-12).all()
+    pca = embedding_pca(spark, str(d)).toPandas()
+    assert len(pca) > 0
+    assert (pca["coord"].abs() < 1e-9).all()
