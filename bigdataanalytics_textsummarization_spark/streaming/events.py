@@ -392,6 +392,107 @@ def transitions_pairs_stream(events: DataFrame) -> DataFrame:
     )
 
 
+_FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("view_us", T.LongType()),
+        T.StructField("click_us", T.LongType()),
+        T.StructField("purchase_us", T.LongType()),
+    ]
+)
+_FUNNEL_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("view_ts", T.TimestampType()),
+        T.StructField("click_ts", T.TimestampType()),
+        T.StructField("purchase_ts", T.TimestampType()),
+        T.StructField("steps", T.LongType()),
+        T.StructField("converted", T.BooleanType()),
+    ]
+)
+
+
+def _advance_funnel(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """First-touch funnel state machine: scanning in-order, the first
+    view is THE earliest view, the first later click is the earliest
+    click after it, likewise the purchase — so the streaming fixpoint
+    equals the batch three-stage min-aggregation chain."""
+    # deferred: relational_ext imports this module (cycle at import time)
+    from ..relational_ext import FUNNEL_WINDOW_MIN
+
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    view_us, click_us, purchase_us = (
+        state.get if state.exists else (None, None, None)
+    )
+    batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+    for r in batch.itertuples():
+        ts_us = int(r.ts.value // 1000)
+        if r.event_type == "view" and view_us is None:
+            view_us = ts_us
+        elif (
+            r.event_type == "click"
+            and view_us is not None
+            and click_us is None
+            and ts_us > view_us
+        ):
+            click_us = ts_us
+        elif (
+            r.event_type == "purchase"
+            and click_us is not None
+            and purchase_us is None
+            and ts_us > click_us
+        ):
+            purchase_us = ts_us
+    state.update((view_us, click_us, purchase_us))
+    if view_us is None:
+        return  # batch semantics: only users with >= 1 view appear
+    steps = 1 + (click_us is not None) + (purchase_us is not None)
+    converted = purchase_us is not None and (
+        purchase_us <= view_us + FUNNEL_WINDOW_MIN * 60 * 1_000_000
+    )
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "view_ts": [pd.Timestamp(view_us * 1000)],
+            "click_ts": [
+                pd.Timestamp(click_us * 1000) if click_us is not None else None
+            ],
+            "purchase_ts": [
+                pd.Timestamp(purchase_us * 1000)
+                if purchase_us is not None
+                else None
+            ],
+            "steps": [steps],
+            "converted": [converted],
+        }
+    )
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Stream-legal twin of ``relational_ext.event_funnel``: per-user
+    first-touch funnel state advanced by ``applyInPandasWithState``
+    (update mode — each micro-batch re-emits a touched user's current
+    funnel row; the LAST row per user is the fixpoint and equals the
+    batch query's row, proof in test_streaming.py).  State is three
+    timestamps per user — O(active users), independent of history; the
+    one shuffle is on user_id, the same key the batch chain reuses across
+    its three stages."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _advance_funnel,
+            outputStructType=_FUNNEL_OUT,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, sdf: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

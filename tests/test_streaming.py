@@ -472,3 +472,48 @@ def test_event_transitions_stream_matches_batch(spark):
     assert got["from_type"].equals(want["from_type"])
     assert got["to_type"].equals(want["to_type"])
     assert (got["n_trans"].astype("int64") == want["n_trans"].astype("int64")).all()
+
+
+def test_event_funnel_stream_matches_batch(spark):
+    """Stream==batch proof for the first-touch funnel: the last emitted
+    row per user from the stateful stream equals relational_ext's
+    three-stage min-aggregation chain."""
+    import pandas as pd
+
+    from bigdataanalytics_textsummarization_spark.relational_ext import (
+        event_funnel,
+    )
+    from bigdataanalytics_textsummarization_spark.streaming.events import (
+        funnel_stream,
+        read_events_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    emitted = se.run_stream_to_memory(
+        spark,
+        funnel_stream(read_events_stream(spark, SF_DIR)),
+        "funnel_stream_sink",
+        output_mode="update",
+    ).toPandas()
+    # fixpoint = the most-advanced row per user (steps is monotone and
+    # timestamps never change once set)
+    got = (
+        emitted.sort_values(["user_id", "steps"], kind="mergesort")
+        .groupby("user_id")
+        .tail(1)
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        event_funnel(spark, SF_DIR)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for col in ("user_id", "steps", "converted"):
+        assert got[col].tolist() == want[col].tolist(), col
+    for col in ("view_ts", "click_ts", "purchase_ts"):
+        g = pd.to_datetime(got[col])
+        w = pd.to_datetime(want[col])
+        assert ((g == w) | (g.isna() & w.isna())).all(), col
