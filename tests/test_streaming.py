@@ -517,3 +517,66 @@ def test_event_funnel_stream_matches_batch(spark):
         g = pd.to_datetime(got[col])
         w = pd.to_datetime(want[col])
         assert ((g == w) | (g.isna() & w.isna())).all(), col
+
+
+def test_hourly_counts_accept_late_data_within_watermark(spark, tmp_path):
+    """Out-of-order arrival proof: the LATER half of the events arrives in
+    micro-batch 1 and the EARLIER half (all 'late' w.r.t. batch 1's max
+    ts) in micro-batch 2; with a watermark wider than the disorder the
+    windowed aggregate must still equal the batch truth — window state
+    stays open for late rows instead of dropping them."""
+    import os
+    import time
+
+    ev = load_table(spark, SF_DIR, "events").toPandas().sort_values("ts")
+    # micros, not pandas-default nanos: the session may carry the
+    # legacy nanosAsLong reader flag, which would surface ns ts as LONG
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    half = len(ev) // 2
+    early, late_arriving_first = ev.iloc[:half], ev.iloc[half:]
+    src = tmp_path / "events_src"
+    src.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f1 = str(src / "part1.parquet")  # later events, arrives first
+    f2 = str(src / "part2.parquet")  # earlier events, arrives second
+    pq.write_table(
+        pa.Table.from_pandas(late_arriving_first, preserve_index=False), f1
+    )
+    pq.write_table(pa.Table.from_pandas(early, preserve_index=False), f2)
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))  # strictly older mtime -> batch 1
+    os.utime(f2, (now, now))
+
+    schema = spark.read.parquet(str(src)).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp_ltz"))
+    )
+    got = se.run_stream_to_memory(
+        spark,
+        se.hourly_counts_stream(sdf, watermark="1000 hours"),
+        "hourly_late_stream",
+    ).toPandas()
+
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(sum2dp(F.col("value")), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+    )
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape
+    assert g.equals(w)
