@@ -82,6 +82,9 @@ _PRIORITY = [
     # (golden-gated) for the embedding store
     "embedding_cov",
     "embedding_pca",
+    # new this round: IVF recall-vs-nprobe tuning curve (determinate facts:
+    # monotone by theorem, exhaustive row identically brute force)
+    "ann_recall_sweep",
     # changed this round: size-dispatched LSA (applyInPandas vs MLlib SVD
     # routed per-source by matrix cells) — golden oracles unchanged
     "lsa_concepts",

@@ -1900,3 +1900,88 @@ def embedding_cov_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF tuning curve: recall vs nprobe as determinate facts
+# ---------------------------------------------------------------------------
+
+SWEEP_NPROBES = [1, 2, 4]  # + one exhaustive row (nprobe = #cells)
+
+
+def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} vs nprobe tuning curve for the IVF index — the
+    artifact an operator reads to pick the scan-fraction/recall trade
+    before deploying a 100 TB vector store.
+
+    Every emitted column is a DETERMINATE fact despite the learned
+    quantizer, which is what makes a tuning sweep value-gateable at all:
+
+    - ``monotone_ok``: candidates(nprobe) ⊆ candidates(nprobe') for
+      nprobe < nprobe' and ranking is by TRUE cosine, so captured true
+      neighbors can only grow — monotone recall is a THEOREM of the
+      index, not a measurement, and holds for any k-means outcome.
+    - ``exhaustive_exact`` (last row, nprobe = #cells): probing every
+      cell IS brute force, so recall is exactly 1.0 — the identity that
+      anchors the curve's right edge.
+
+    The quantizer trains ONCE (one ``_ivf_fit``); each sweep point is
+    just a different probe width over the same cell-assigned corpus, as
+    in production tuning.
+    """
+    corpus, centers, _ = _ivf_fit(spark, sf_dir)
+    n_cells = centers.count()  # bounded: the coarse codebook
+    q = corpus.filter(F.col("vec_id") < N_QUERIES)
+    truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # nprobe = 0 is the exhaustive row's scale-independent label (the
+    # actual cell count k_eff varies with corpus size, so the raw value
+    # would not be a determinate fact)
+    sweep = sorted({min(p, n_cells) for p in SWEEP_NPROBES}) + [0]
+    out = None
+    for label in sweep:
+        nprobe = n_cells if label == 0 else label
+        res = _ivf_search(corpus, centers, q, nprobe).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        r = truth.join(res, ["query_id", "neighbor_id"], "left").agg(
+            F.lit(label).cast("long").alias("nprobe"),
+            F.lit(nprobe == n_cells).alias("is_exhaustive"),
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            (F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))).alias(
+                "recall"
+            ),
+        )
+        out = r if out is None else out.unionByName(r)
+    # order the monotonicity check by EFFECTIVE probe width (0 = all)
+    w = Window.orderBy(F.when(F.col("nprobe") == 0, F.lit(1 << 30)).otherwise(F.col("nprobe")))
+    return (
+        out.withColumn("prev", F.lag("recall").over(w))
+        .select(
+            "nprobe",
+            "n_queries",
+            (
+                F.col("recall") >= F.coalesce(F.col("prev"), F.lit(0.0))
+            ).alias("monotone_ok"),
+            F.when(~F.col("is_exhaustive"), F.lit(True))
+            .otherwise(F.col("recall") >= 1.0)
+            .alias("exhaustive_exact"),
+        )
+    )
+
+
+def _sweep_oracle() -> str:
+    # rows: the constant SWEEP_NPROBES (clamped only below IVF gate
+    # scales, where the corpus always yields >= max(SWEEP_NPROBES)
+    # cells) plus the exhaustive row labeled nprobe = 0
+    rows = sorted(set(SWEEP_NPROBES)) + [0]
+    selects = [
+        f"SELECT cast({p} AS bigint) AS nprobe,"
+        f" cast({N_QUERIES} AS bigint) AS n_queries,"
+        " true AS monotone_ok, true AS exhaustive_exact"
+        for p in rows
+    ]
+    return " UNION ALL ".join(selects)
+
+
+ORACLES["ann_recall_sweep"] = _sweep_oracle()
+QUERIES["ann_recall_sweep"] = ann_recall_sweep

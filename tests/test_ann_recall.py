@@ -462,3 +462,33 @@ def test_embedding_cov_gram_matches_exact(spark):
     np.testing.assert_allclose(
         exact["cov"].to_numpy(), gram["cov"].to_numpy(), atol=2e-6
     )
+
+
+def test_recall_sweep_facts_and_real_curve(spark):
+    """The registered sweep's determinate facts hold, and the underlying
+    recall curve is genuinely increasing on this corpus (not just
+    vacuously monotone)."""
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        N_QUERIES,
+        _ivf_fit,
+        _ivf_search,
+        ann_recall_sweep,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    out = ann_recall_sweep(spark, SF_DIR).toPandas()
+    assert out["monotone_ok"].all()
+    assert out["exhaustive_exact"].all()
+    assert 0 in set(out["nprobe"])  # the exhaustive anchor row
+
+    # exhaustive probe IS brute force: identical neighbor sets
+    corpus, centers, _ = _ivf_fit(spark, SF_DIR)
+    q = corpus.filter(F.col("vec_id") < N_QUERIES)
+    full = _ivf_search(corpus, centers, q, centers.count()).toPandas()
+    brute = ann_cosine_topk(spark, SF_DIR).toPandas()
+    key = ["query_id", "rk"]
+    assert (
+        full.sort_values(key)["neighbor_id"].tolist()
+        == brute.sort_values(key)["neighbor_id"].tolist()
+    )
