@@ -1,17 +1,23 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decoded via Arrow-batched pandas iterators (mapInPandas).
 
-The container has no image/audio codecs, so the *decode* itself is a
-clearly-marked deterministic stand-in (see :func:`decode_payload`): it
-treats the first bytes of the payload as "pixel features".  Everything
-around it — the binary column schema, partition-preserving mapInPandas with
-an explicit output schema, Arrow batch transfer, metadata extraction — is
-the real production plumbing: swap ``decode_payload`` for PIL/ffmpeg and
-nothing else changes.
+Two decode tiers:
 
-Because the fake decode is a pure function of the md5 of the text, the
-DuckDB oracle can replicate the feature values exactly, so even the UDF
-path gets a full value-level correctness check (rare for UDF code).
+- A GENUINE image path: :func:`synth_ppm` builds valid binary P6 PPM
+  files (PPM is codec-free, so a complete encoder/decoder needs no
+  library) and :func:`decode_ppm` runs a real format parse — magic,
+  dimensions, maxval, raster validation — behind :func:`multimodal_decode`
+  (table column) and :func:`decode_ppm_files` (binaryFile directory
+  ingest).
+- Codec-dependent shapes (JPEG resize, video frame sampling, audio
+  resample) whose *decoders* aren't in this container: the payload is a
+  clearly-marked md5 stand-in (:func:`decode_payload`), while the
+  Spark-side plumbing — binary schema, partition-preserving mapInPandas,
+  declared output schema, 1-row-in/k-rows-out fan-out — is the real
+  production part; swap in PIL/ffmpeg/soxr and nothing else changes.
+
+Both tiers are pure functions of the input, so the DuckDB oracle
+replicates every value exactly — full value-level gates for UDF code.
 """
 
 from __future__ import annotations
@@ -390,3 +396,35 @@ QUERIES = {
     "frame_sample": frame_sample,
     "audio_resample": audio_resample,
 }
+
+
+_FILE_DECODE_SCHEMA = T.StructType(
+    [T.StructField("path", T.StringType())]
+    + _DECODE_SCHEMA.fields[1:]  # width/height/n_px/sum_r/sum_g/sum_b
+)
+
+
+def decode_ppm_files(spark: SparkSession, media_dir: str) -> DataFrame:
+    """Decode a DIRECTORY of real PPM files (binaryFile source) — the
+    ingest-edge composition: parallel file listing -> binary rows ->
+    the same Arrow-batched real parser as :func:`multimodal_decode`.
+    One row per file keyed by path; corrupt files fail loudly (a
+    production deploy wraps decode_ppm with a quarantine column, the
+    ``read_reviews_tsv`` bad-record pattern)."""
+    from ..io import read_binary_dir
+
+    files = read_binary_dir(spark, media_dir, glob="*.ppm")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (str(p), *decode_ppm(bytes(payload)))
+                for p, payload in zip(pdf["path"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FILE_DECODE_SCHEMA.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        decode, schema=_FILE_DECODE_SCHEMA
+    )

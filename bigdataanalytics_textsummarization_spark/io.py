@@ -272,3 +272,26 @@ def read_reviews_tsv(
         "product_id",
         F.regexp_extract(F.input_file_name(), r"([^/]+)\.txt$", 1),
     )
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Directory of opaque media files as a DataFrame — Spark's built-in
+    ``binaryFile`` source: one row per file with (path, modificationTime,
+    length, content: binary).
+
+    This is the ingest edge of a multimodal pipeline at 100 TB: the
+    format lists files in parallel, never materializes more than a
+    partition's worth of blobs, and pairs with Arrow-batched decoders
+    (``extensions.multimodal.decode_ppm_files``).  For very large blobs,
+    ``spark.sql.files.maxPartitionBytes`` bounds per-task bytes the same
+    way it does for parquet scans.  (Avro, by contrast, is an EXTERNAL
+    Spark module not deployed in this environment — attempting
+    ``format("avro")`` raises the standard Spark guidance error, so no
+    wrapper is provided.)
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path).select("path", "length", "content")

@@ -57,3 +57,32 @@ def test_multimodal_features_oracle_parity(spark, oracle):
         mm.multimodal_features,
         mm.ORACLES["multimodal_features"],
     )
+
+
+def test_decode_ppm_files_from_binary_source(spark, tmp_path):
+    """binaryFile-source ingest of real .ppm files on disk decodes to the
+    same stats as a local parse — the multimodal ingest edge end-to-end."""
+    import os
+
+    media = tmp_path / "media"
+    media.mkdir()
+    rasters = {
+        "a.ppm": (2, 1, bytes([1, 2, 3, 10, 20, 30])),
+        "b.ppm": (1, 2, bytes([5, 5, 5, 250, 0, 125])),
+        "c.ppm": (1, 1, bytes([0, 0x0A, 255])),  # newline byte in raster
+    }
+    for name, (w, h, raster) in rasters.items():
+        (media / name).write_bytes(
+            f"P6\n{w} {h}\n255\n".encode() + raster
+        )
+    (media / "ignored.txt").write_bytes(b"not an image")  # glob-filtered
+
+    out = mm.decode_ppm_files(spark, str(media)).toPandas()
+    assert len(out) == 3
+    for r in out.itertuples():
+        name = os.path.basename(r.path)
+        w, h, raster = rasters[name]
+        assert (r.width, r.height, r.n_px) == (w, h, w * h)
+        assert r.sum_r == sum(raster[i * 3] for i in range(w * h))
+        assert r.sum_g == sum(raster[i * 3 + 1] for i in range(w * h))
+        assert r.sum_b == sum(raster[i * 3 + 2] for i in range(w * h))
