@@ -85,6 +85,8 @@ _PRIORITY = [
     # new this round: IVF recall-vs-nprobe tuning curve (determinate facts:
     # monotone by theorem, exhaustive row identically brute force)
     "ann_recall_sweep",
+    # new this round: per-language subwords-per-word under the learned BPE
+    "tokenizer_fertility",
     # changed this round: size-dispatched LSA (applyInPandas vs MLlib SVD
     # routed per-source by matrix cells) — golden oracles unchanged
     "lsa_concepts",

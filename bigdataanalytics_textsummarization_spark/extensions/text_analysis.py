@@ -3020,3 +3020,50 @@ SELECT w_a, w_b, c_ab, c_a, c_b,
 FROM pairs
 """
 QUERIES["pmi_edges"] = pmi_edges
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility — subwords per word under the
+    learned BPE merges — THE statistic a tokenizer eval reports before a
+    vocabulary ships (high-fertility languages pay more compute per word
+    and hit context limits sooner).
+
+    Composition: the per-doc ``bpe_encode`` accounting (merge list
+    session-memoized, so this never re-runs the learning loop) joined to
+    the documents' language, reduced to one row per language.  Fertility
+    is a rational of integers, so per the repo's float convention it
+    ships QUANTIZED by integer arithmetic (milli-units, genuine integer
+    div) instead of a rounded double — exact in both engines.  The
+    oracle aggregates the committed bpe_encode golden joined to the
+    documents view, so the gate checks the join+reduction over certified
+    per-doc facts.
+    """
+    enc = bpe_encode(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        enc.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("words").cast("long").alias("total_words"),
+            F.sum("bpe_tokens").cast("long").alias("total_subwords"),
+        )
+        .withColumn(
+            "fertility_milli",
+            F.expr("(1000 * total_subwords) div total_words").cast("long"),
+        )
+    )
+
+
+ORACLES["tokenizer_fertility"] = f"""
+SELECT d.lang,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(g.words) AS bigint) AS total_words,
+       cast(sum(g.bpe_tokens) AS bigint) AS total_subwords,
+       cast((1000 * cast(sum(g.bpe_tokens) AS bigint))
+            // cast(sum(g.words) AS bigint) AS bigint) AS fertility_milli
+FROM '{os.path.join(_GOLDEN_DIR, "bpe_encode.parquet")}' g
+JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+QUERIES["tokenizer_fertility"] = tokenizer_fertility

@@ -275,3 +275,31 @@ def test_knn_accuracy_perfect_on_separable_clusters(spark, tmp_path_factory):
     assert (out.n_same_label == TOP_K).all()
     assert out.correct.all()
     assert (out.pred_label == out.true_label).all()
+
+
+def test_tokenizer_fertility_consistency(spark):
+    """Fertility aggregates reconcile with the per-doc encode accounting,
+    and every language's fertility is >= 1.0 (a word is at least one
+    subword)."""
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        bpe_encode,
+        tokenizer_fertility,
+    )
+    from bigdataanalytics_textsummarization_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    fert = tokenizer_fertility(spark, SF_DIR).toPandas()
+    assert (fert["fertility_milli"] >= 1000).all()
+    enc = bpe_encode(spark, SF_DIR).toPandas()
+    langs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang")
+        .toPandas()
+    )
+    merged = enc.merge(langs, on="doc_id")
+    for r in fert.itertuples():
+        grp = merged[merged["lang"] == r.lang]
+        assert r.n_docs == len(grp)
+        assert r.total_words == grp["words"].sum()
+        assert r.total_subwords == grp["bpe_tokens"].sum()
+        assert r.fertility_milli == (1000 * r.total_subwords) // r.total_words
