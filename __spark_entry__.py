@@ -87,6 +87,9 @@ _PRIORITY = [
     "ann_recall_sweep",
     # new this round: per-language subwords-per-word under the learned BPE
     "tokenizer_fertility",
+    # new this round: NN-Descent kNN graph (golden) + its recall gate
+    "knn_graph_descent",
+    "knn_graph_recall",
     # changed this round: size-dispatched LSA (applyInPandas vs MLlib SVD
     # routed per-source by matrix cells) — golden oracles unchanged
     "lsa_concepts",

@@ -1985,3 +1985,193 @@ def _sweep_oracle() -> str:
 
 ORACLES["ann_recall_sweep"] = _sweep_oracle()
 QUERIES["ann_recall_sweep"] = ann_recall_sweep
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph construction: NN-Descent (Dong et al., WWW 2011)
+# ---------------------------------------------------------------------------
+
+KNN_GRAPH_K = 10
+KNN_GRAPH_RECALL_FLOOR = 0.5  # pinned tighter in pytest at gate scales
+
+
+def knn_graph_descent(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_GRAPH_K,
+    iters: int | None = None,
+) -> DataFrame:
+    """All-vectors approximate kNN graph by NN-Descent — the join-
+    expressible construction behind graph ANN indexes (HNSW's neighbor
+    lists, kNN-graph clustering, label propagation over similarity):
+    start from an arbitrary neighbor guess and repeat "a neighbor of my
+    neighbor is probably my neighbor", keeping the best k per vector.
+
+    Spark-first shape: each refinement round is ONE graph self-join
+    (neighbors ∪ reverse-neighbors composed with itself), a cosine
+    scoring join against the (broadcastable-or-bucketed) embedding table,
+    and a per-vector top-k window — O(n·k²) candidate pairs per round vs
+    the O(n²) brute graph, the whole point at 100 TB.  Convergence in
+    ``iters`` rounds is the paper's empirical result; the recall
+    companion measures it against brute truth.
+
+    Rounds default to ceil(log_k n) + 1 — the paper's empirical
+    iteration growth — so a bigger store gets the extra hops it needs
+    (measured here: 4 rounds -> 0.87 recall at 500 vectors, 5 -> 0.58 at
+    2000).  Corpus caveat: the synthetic embeddings are near-uniform
+    random (cosines top out ~0.5), the known worst case for NN-Descent —
+    "my neighbor's neighbor" carries little signal without local
+    structure, so these recalls are the floor of the method, not its
+    typical (clustered-data) 0.9+.
+
+    Fully DETERMINISTIC by construction (md5-keyed init, JVM cosine
+    folds, ties by neighbor id), so unlike the trained-quantizer family
+    this approximate index carries a GOLDEN value gate, not just a
+    recall floor.
+    """
+    import math
+
+    emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    n = emb.count()
+    if iters is None:
+        iters = max(
+            3, math.ceil(math.log(max(n, 2)) / math.log(max(k, 2))) + 1
+        )
+    # deterministic PSEUDO-RANDOM init: md5-keyed neighbor draws.  The
+    # init must be diverse — an arithmetic-stride start is circulant, so
+    # neighbor-of-neighbor offsets collide into a tiny candidate pool
+    # (measured: 40/500 candidates, recall stuck at 0.20); hash draws
+    # restore the paper's random-init diversity while staying
+    # reproducible and engine-portable.
+    edges = (
+        emb.select("vec_id")
+        .select(
+            F.col("vec_id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+        )
+        .select(
+            "src",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "-",
+                                F.col("src").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(n)
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    src_emb = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("se"),
+        F.col("nrm").alias("sn"),
+    )
+    dst_emb = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("e").alias("de"),
+        F.col("nrm").alias("dn"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
+    scored = None
+    for _ in range(iters):
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        b = edges.union(rev).distinct()
+        nn = (
+            b.alias("x")
+            .join(b.alias("y"), F.col("x.dst") == F.col("y.src"))
+            .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+        )
+        cand = (
+            b.union(nn).filter(F.col("src") != F.col("dst")).distinct()
+        )
+        scored = (
+            cand.join(src_emb, "src")
+            .join(dst_emb, "dst")
+            .withColumn(
+                "cos_raw",
+                dot(F.col("se"), F.col("de")) / (F.col("sn") * F.col("dn")),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+        )
+        # iterative plan: cut lineage like the pagerank loop, else round
+        # r replays rounds 1..r-1
+        edges = scored.select("src", "dst").localCheckpoint()
+    return scored.select(
+        F.col("src").alias("vec_id"),
+        F.col("rk").cast("long").alias("rk"),
+        F.col("dst").alias("neighbor_id"),
+        r6(F.col("cos_raw")).alias("cosine"),
+    )
+
+
+def _brute_knn_graph(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Exact kNN graph (truth for the recall companion): the O(n²) join
+    the descent exists to avoid — affordable at gate scale only."""
+    emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    a = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("se"),
+        F.col("nrm").alias("sn"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("e").alias("de"),
+        F.col("nrm").alias("dn"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
+    return (
+        a.join(b, F.col("src") != F.col("dst"))
+        .withColumn(
+            "cos_raw",
+            dot(F.col("se"), F.col("de")) / (F.col("sn") * F.col("dn")),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("src", "dst")
+    )
+
+
+def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Determinate-fact gate for the descent graph: average per-vector
+    recall of the exact kNN graph must clear the floor."""
+    approx = knn_graph_descent(spark, sf_dir).select(
+        F.col("vec_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        F.lit(1).alias("hit"),
+    )
+    truth = _brute_knn_graph(spark, sf_dir, KNN_GRAPH_K)
+    return truth.join(approx, ["src", "dst"], "left").agg(
+        F.countDistinct("src").cast("long").alias("n_vectors"),
+        (
+            F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))
+            >= KNN_GRAPH_RECALL_FLOOR
+        ).alias("recall_ok"),
+    )
+
+
+ORACLES["knn_graph_recall"] = (
+    "SELECT cast((SELECT count(*) FROM embeddings) AS bigint) AS n_vectors, "
+    "true AS recall_ok"
+)
+# the descent is deterministic end-to-end, so unlike the trained
+# quantizers it carries a full golden value gate (make_golden.py)
+ORACLES["knn_graph_descent"] = (
+    f"SELECT * FROM '{_os.path.join(_GOLDEN_DIR, 'knn_graph_descent.parquet')}'"
+)
+QUERIES["knn_graph_descent"] = knn_graph_descent
+QUERIES["knn_graph_recall"] = knn_graph_recall

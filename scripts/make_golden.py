@@ -34,6 +34,7 @@ GOLDEN_QUERIES = [
     "bpe_vocab",  # deterministic merge argmax (count desc, pair lexicographic)
     "bpe_encode",  # integer-exact application of the deterministic merges
     "embedding_pca",  # sign-fixed eigh of the bounded covariance (LAPACK-deterministic)
+    "knn_graph_descent",  # md5-keyed init + JVM folds + id tie-breaks: deterministic
 ]
 
 

@@ -492,3 +492,32 @@ def test_recall_sweep_facts_and_real_curve(spark):
         full.sort_values(key)["neighbor_id"].tolist()
         == brute.sort_values(key)["neighbor_id"].tolist()
     )
+
+
+def test_knn_graph_descent_recall_and_determinism(spark):
+    """NN-Descent kNN graph: recall >= 0.8 at unit-test scale (measured
+    0.86; random-embedding worst case documented in the docstring),
+    byte-identical across runs, correct shape."""
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        KNN_GRAPH_K,
+        _brute_knn_graph,
+        knn_graph_descent,
+    )
+    from tests.conftest import SF_DIR
+
+    ap = knn_graph_descent(spark, SF_DIR).toPandas()
+    # shape: k ranked rows per vector, no self-edges
+    assert (ap.groupby("vec_id")["rk"].count() == KNN_GRAPH_K).all()
+    assert (ap["vec_id"] != ap["neighbor_id"]).all()
+
+    tr = _brute_knn_graph(spark, SF_DIR, KNN_GRAPH_K).toPandas()
+    t = tr.groupby("src")["dst"].apply(set)
+    g = ap.groupby("vec_id")["neighbor_id"].apply(set)
+    rec = sum(len(t[s] & g.get(s, set())) / len(t[s]) for s in t.index) / len(t)
+    assert rec >= 0.8, f"recall {rec:.3f}"
+
+    again = knn_graph_descent(spark, SF_DIR).toPandas()
+    key = ["vec_id", "rk"]
+    assert ap.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
