@@ -90,6 +90,8 @@ _PRIORITY = [
     # new this round: NN-Descent kNN graph (golden) + its recall gate
     "knn_graph_descent",
     "knn_graph_recall",
+    # new this round: label-propagation communities (unrolled-CTE oracle)
+    "graph_lpa",
     # changed this round: size-dispatched LSA (applyInPandas vs MLlib SVD
     # routed per-source by matrix cells) — golden oracles unchanged
     "lsa_concepts",

@@ -304,3 +304,90 @@ SELECT source, sentence_id, cast(min(hop) AS bigint) AS hop
 FROM walk GROUP BY source, sentence_id
 """
 QUERIES["graph_khop"] = graph_khop
+
+
+LPA_ITERS = 3
+
+
+def graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over each source's similarity graph
+    (synchronous LPA, Raghavan et al. 2007) — the community-detection
+    family next to ranking (pagerank), clustering (dedup CC), counting
+    (triangles), and traversal (graph_khop).  In a curation pipeline this
+    is how near-topic sentence/document groups emerge from the similarity
+    graph without choosing k.
+
+    Determinism (what makes it value-gateable): synchronous updates
+    (round r votes read ONLY round r-1 labels), vote ties broken by
+    smallest label, fixed LPA_ITERS rounds.  Scale shape: each round is
+    one edge->label equi-join (shuffle keyed on the vertex), a
+    (vertex, label) count aggregate, and a per-vertex argmax window —
+    O(edges) per round, the pagerank loop's cost profile, with
+    ``localCheckpoint`` cutting the iterative lineage.  The oracle
+    unrolls the same rounds as CTEs (the textrank_ranks pattern).
+    """
+    edges = (
+        edges_raw(spark, sf_dir)
+        .select("source", "src", "dst")
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select("source", F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source", "src").orderBy(
+        F.desc("c"), F.asc("label")
+    )
+    for _ in range(LPA_ITERS):
+        nbr = labels.select(
+            F.col("source").alias("l_source"),
+            F.col("v").alias("l_v"),
+            "label",
+        )
+        votes = (
+            edges.join(
+                nbr,
+                (F.col("source") == F.col("l_source"))
+                & (F.col("dst") == F.col("l_v")),
+            )
+            .groupBy("source", "src", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("source", F.col("src").alias("v"), "label")
+            .localCheckpoint()
+        )
+    return labels.select(
+        "source", F.col("v").alias("sentence_id"), "label"
+    )
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return f"""
+v{cur} AS (
+  SELECT e.source, e.src, l.label, count(*) AS c
+  FROM edges e
+  JOIN l{prev} l ON l.source = e.source AND l.v = e.dst
+  GROUP BY e.source, e.src, l.label
+),
+l{cur} AS (
+  SELECT source, src AS v, label FROM (
+    SELECT *, row_number() OVER (PARTITION BY source, src
+                                 ORDER BY c DESC, label) AS rn
+    FROM v{cur}
+  ) WHERE rn = 1
+)"""
+
+
+ORACLES["graph_lpa"] = f"""
+{EDGES_PREAMBLE},
+l0 AS (SELECT DISTINCT source, src AS v, src AS label FROM edges),
+{",".join(_lpa_round_sql(str(i), str(i + 1)) for i in range(LPA_ITERS))}
+SELECT source, v AS sentence_id, label FROM l{LPA_ITERS}
+"""
+QUERIES["graph_lpa"] = graph_lpa

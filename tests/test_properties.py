@@ -405,3 +405,46 @@ def test_bm25_invariants(texts):
         grp = grp.sort_values("rk")
         assert list(grp.rk) == list(range(1, len(grp) + 1))
         assert (grp.score.diff().dropna() <= 1e-12).all()
+
+
+def test_graph_lpa_matches_plain_python(spark):
+    """Synchronous LPA with smallest-label tie-breaks must agree with a
+    from-scratch Python simulation of the same rounds on the same edges,
+    and be deterministic across runs."""
+    from collections import Counter, defaultdict
+
+    from bigdataanalytics_textsummarization_spark.graph import (
+        LPA_ITERS,
+        edges_raw,
+        graph_lpa,
+    )
+    from tests.conftest import SF_DIR
+
+    got = graph_lpa(spark, SF_DIR).toPandas()
+    edges = (
+        edges_raw(spark, SF_DIR).select("source", "src", "dst").toPandas()
+    )
+    adj = defaultdict(list)
+    for r in edges.itertuples():
+        adj[(r.source, r.src)].append(r.dst)
+    labels = {k: k[1] for k in adj}
+    for _ in range(LPA_ITERS):
+        nxt = {}
+        for (source, v), nbrs in adj.items():
+            votes = Counter(labels[(source, d)] for d in nbrs)
+            # tie-break: highest count, then SMALLEST label
+            top = max(votes.values())
+            cand = sorted(lbl for lbl, c in votes.items() if c == top)
+            nxt[(source, v)] = cand[0]
+        labels = nxt
+    assert len(got) == len(labels)
+    for r in got.itertuples():
+        assert labels[(r.source, r.sentence_id)] == r.label, (
+            r.source,
+            r.sentence_id,
+        )
+    again = graph_lpa(spark, SF_DIR).toPandas()
+    key = ["source", "sentence_id"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
