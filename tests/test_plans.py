@@ -369,3 +369,49 @@ def test_multimodal_decode_is_map_only(spark):
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """PLANS.md leans on 'AQE skew-split handles hot keys' for the
+    un-salted join posture — prove AQE actually fires: a 75%-hot-key
+    shuffle join under test-scale thresholds must execute with
+    ShuffledHashJoin(skew=true) reading a skew-split AQEShuffleRead."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(200_000).select(
+            F.when(F.col("id") < 150_000, F.lit(0))
+            .otherwise(F.col("id") % 8)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        j = big.join(dim.hint("shuffle_hash"), "k")
+        assert len(j.collect()) == 200_000  # result unchanged by the split
+        plan = str(j._jdf.queryExecution().executedPlan())
+        assert "skew=true" in plan, "AQE skew-join did not fire"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
