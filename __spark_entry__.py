@@ -92,6 +92,8 @@ _PRIORITY = [
     "knn_graph_recall",
     # new this round: label-propagation communities (unrolled-CTE oracle)
     "graph_lpa",
+    # new this round: row-level MERGE INTO (merge == target is the gate)
+    "merge_upsert",
     # changed this round: size-dispatched LSA (applyInPandas vs MLlib SVD
     # routed per-source by matrix cells) — golden oracles unchanged
     "lsa_concepts",

@@ -345,3 +345,43 @@ FROM events
 GROUP BY 1, 2
 """
 QUERIES["incremental_agg"] = incremental_agg
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE INTO (the Delta/Iceberg upsert contract) as plain
+    DataFrame ops: WHEN MATCHED AND changed THEN UPDATE, WHEN NOT MATCHED
+    THEN INSERT, WHEN MATCHED AND gone from source THEN DELETE.
+
+    Applies :func:`snapshot_diff`'s delta to the OLD snapshot; the oracle
+    is the NEW snapshot computed directly — so merge == target IS the
+    certified invariant, the row-level sibling of ``incremental_agg``'s
+    merge == full-recompute.  This is the operator that lets a 100 TB
+    table absorb a CDC feed in O(delta): one LEFT ANTI on the (bounded)
+    touched-key set + a union — the base table shuffles once on the key
+    and untouched rows never rewrite (``partition_rewrite_plan`` says
+    which files do).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    old = _old_snapshot(docs)
+    delta = _diff(docs)
+    upserts = delta.filter(
+        F.col("change").isin("added", "changed")
+    ).select("doc_id", "source", F.col("new_hash").alias("row_hash"))
+    touched = delta.select("doc_id")
+    return (
+        old.join(touched, "doc_id", "left_anti")
+        .unionByName(upserts)
+    )
+
+
+# merge == target: the oracle IS the new snapshot, derived independently
+ORACLES["merge_upsert"] = f"""
+SELECT doc_id, source,
+       md5(CASE WHEN doc_id % {REV_MOD} = 0 THEN text || ' rev2'
+            ELSE text END) AS row_hash
+FROM documents
+WHERE doc_id % {NEW_DROP_MOD} <> {NEW_DROP_REM}
+"""
+QUERIES["merge_upsert"] = merge_upsert

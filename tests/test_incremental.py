@@ -412,3 +412,29 @@ def test_key_skew_profile_semantics(spark):
         assert bool(row.skewed) == (
             int(freqs.max()) * len(freqs) > 10 * int(freqs.sum())
         )
+
+
+def test_merge_upsert_clause_coverage(spark):
+    """Every MERGE clause must actually fire on the fixture split (insert,
+    update, delete all non-empty) and the merged table must equal the
+    independently-derived target exactly."""
+    from bigdataanalytics_textsummarization_spark.extensions.snapshot import (
+        _new_snapshot,
+        merge_upsert,
+        snapshot_diff,
+    )
+    from bigdataanalytics_textsummarization_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    delta = snapshot_diff(spark, SF_DIR).toPandas()
+    kinds = delta["change"].value_counts()
+    assert kinds.get("added", 0) > 0
+    assert kinds.get("changed", 0) > 0
+    assert kinds.get("removed", 0) > 0
+
+    merged = merge_upsert(spark, SF_DIR).toPandas().sort_values("doc_id")
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    target = _new_snapshot(docs).toPandas().sort_values("doc_id")
+    assert merged.reset_index(drop=True).equals(target.reset_index(drop=True))
