@@ -111,9 +111,14 @@ def main() -> None:
         cold[name] = round(time.perf_counter() - t0, 3)
         runs = []
         for _ in range(reps):
-            df = fn(spark, sf_dir)
+            # the timer wraps CONSTRUCTION + execution (round 5 fix):
+            # queries that eagerly compute at build time — localCheckpoint
+            # iteration (textrank_top5), the LSA dispatch size probe, the
+            # arrow ANN's bounded query collect — were under-reported by
+            # the old build-then-time shape; expect a one-time step-up vs
+            # rounds <= 4 for exactly those entries
             t0 = time.perf_counter()
-            df.write.mode("overwrite").format("noop").save()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
