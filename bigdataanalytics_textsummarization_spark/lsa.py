@@ -140,13 +140,9 @@ def lsa_concepts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsa_concepts_auto(spark, sf_dir)
 
 
-def lsa_concepts_auto_from(
-    spark: SparkSession, tfidf: DataFrame, max_cells: int
-) -> DataFrame:
-    """Dispatch core of :func:`lsa_concepts_auto` over any long-form
-    TF-IDF frame (test seam: a filtered frame + tiny ``max_cells`` forces
-    the distributed route without 20 full SVDs)."""
-    tfidf = tfidf.persist()
+def _oversized_sources(tfidf: DataFrame, max_cells: int) -> tuple[list[str], int]:
+    """(sources whose dense matrix exceeds max_cells, total source count)
+    — one bounded aggregate (a row per corpus)."""
     stats = (
         tfidf.groupBy("source")
         .agg(
@@ -154,12 +150,29 @@ def lsa_concepts_auto_from(
             F.countDistinct("word").alias("n_words"),
         )
         .collect()
-    )  # bounded: one row per corpus
+    )
     big = sorted(
         r["source"] for r in stats if r["n_sent"] * r["n_words"] > max_cells
     )
+    return big, len(stats)
+
+
+def lsa_concepts_auto_from(
+    spark: SparkSession,
+    tfidf: DataFrame,
+    max_cells: int,
+    routing: tuple[list[str], int] | None = None,
+) -> DataFrame:
+    """Dispatch core of :func:`lsa_concepts_auto` over any long-form
+    TF-IDF frame (test seam: a filtered frame + tiny ``max_cells`` forces
+    the distributed route without 20 full SVDs).  ``routing`` injects a
+    precomputed (big sources, n_sources) decision."""
+    tfidf = tfidf.persist()
+    big, n_sources = (
+        routing if routing is not None else _oversized_sources(tfidf, max_cells)
+    )
     parts: list[DataFrame] = []
-    if len(big) < len(stats):
+    if len(big) < n_sources:
         small = (
             tfidf if not big else tfidf.filter(~F.col("source").isin(big))
         )
@@ -383,6 +396,10 @@ def lsa_concepts_distributed(
 # one-Arrow-batch-per-source plan.
 MAX_LOCAL_CELLS = 4_000_000
 
+# (sf_dir, max_cells) -> (oversized sources, total source count): dataset
+# property, memoized like the PQ codebooks
+_DISPATCH_CACHE: dict[tuple[str, int], tuple[list[str], int]] = {}
+
 
 def lsa_concepts_auto(
     spark: SparkSession,
@@ -397,9 +414,19 @@ def lsa_concepts_auto(
     source — bounded driver materialization, like the corpus counts the
     reference's loop takes per product).  Dispatch is all-or-nothing per
     source, so both paths keep their exact single-path semantics and the
-    union is deterministic.
+    union is deterministic.  The routing decision is MEMOIZED per
+    (sf_dir, max_cells) — it is a property of the dataset (computed at
+    ANALYZE/write time in production), not of the query call, so
+    repeated calls skip the probe (the PQ-codebook memo pattern; ~1 s
+    per call at sf0.1).
     """
-    return lsa_concepts_auto_from(spark, _tfidf_long(spark, sf_dir), max_cells)
+    tfidf = _tfidf_long(spark, sf_dir)
+    key = (sf_dir, max_cells)
+    if key not in _DISPATCH_CACHE:
+        _DISPATCH_CACHE[key] = _oversized_sources(tfidf.persist(), max_cells)
+    return lsa_concepts_auto_from(
+        spark, tfidf, max_cells, routing=_DISPATCH_CACHE[key]
+    )
 
 
 def lsa_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
