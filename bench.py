@@ -2,7 +2,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Runs each headline query end-to-end (noop sink forces full execution
-without driver-side collect overhead) and prints exactly ONE JSON line:
+without driver-side collect overhead) and prints exactly ONE JSON line.
+Since round 5 the per-rep timer wraps CONSTRUCTION + execution — "ask
+the engine this query, get the result" — because checkpoint-eager
+queries (textrank's iteration loop) and eager-build queries (LSA
+dispatch, the arrow ANN's bounded collect) do real work at build time;
+the old build-then-time shape reported textrank_top5 at 0.12 s when the
+honest figure was ~3 s.  Totals before r5 under-count by exactly that
+construction share.
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
