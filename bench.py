@@ -105,6 +105,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
+    construct: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
@@ -117,18 +118,27 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         cold[name] = round(time.perf_counter() - t0, 3)
         runs = []
+        builds = []
         for _ in range(reps):
             # the timer wraps CONSTRUCTION + execution (round 5 fix):
             # queries that eagerly compute at build time — localCheckpoint
             # iteration (textrank_top5), the LSA dispatch size probe, the
             # arrow ANN's bounded query collect — were under-reported by
             # the old build-then-time shape; expect a one-time step-up vs
-            # rounds <= 4 for exactly those entries
+            # rounds <= 4 for exactly those entries.  "construct" records
+            # the build share so the step-up decomposes.
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            t2 = time.perf_counter()
+            builds.append(t1 - t0)
+            runs.append(t2 - t0)
+        order = sorted(range(len(runs)), key=lambda i: runs[i])
+        mid = order[len(runs) // 2]
+        timings[name] = round(runs[mid], 3)
+        construct[name] = round(builds[mid], 3)
         runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 3)
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     total = round(sum(timings.values()), 3)
@@ -141,6 +151,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "cold": cold,
+                "construct": construct,
                 "reps": reps,
                 "sf": sf,
             }
