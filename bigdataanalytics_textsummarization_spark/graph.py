@@ -360,8 +360,12 @@ def graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             votes.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("source", F.col("src").alias("v"), "label")
-            .localCheckpoint()
         )
+    # labels is LINEAR (each round's table feeds exactly the next round's
+    # vote join), so the fixed-round chain runs as one un-cut plan — the
+    # pagerank round-5 insight; only the EDGE table, re-read every round,
+    # stays checkpointed.  Checkpoint every ~10 rounds before raising
+    # LPA_ITERS past the analyzer's comfort.
     return labels.select(
         "source", F.col("v").alias("sentence_id"), "label"
     )
