@@ -295,3 +295,69 @@ def read_binary_dir(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path).select("path", "length", "content")
+
+
+def read_tar_shards(
+    spark: SparkSession, path: str, glob: str = "*.tar"
+) -> DataFrame:
+    """WebDataset-style tar-shard ingest: a directory of ``.tar`` files —
+    the de-facto LLM training-data layout (one shard = one tar, one
+    sample = same-stem members like ``000123.txt`` / ``000123.json``) —
+    exploded to one row per member: (shard, member, stem, suffix,
+    n_bytes, content: binary).
+
+    Spark-first shape: shards parallelize through the built-in
+    ``binaryFile`` source (one task can hold one shard — the same unit
+    WebDataset's own loaders use), and the tar parse is Python's stdlib
+    ``tarfile`` over an in-memory buffer inside Arrow-batched
+    ``mapInPandas`` — sequential within a shard (tar has no random
+    index; that's inherent to the format), embarrassingly parallel
+    across shards, zero shuffle.  Pair with ``decode_ppm_files``-style
+    decoders downstream for the binary members.
+    """
+    import io as _io
+    import posixpath
+    import tarfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    files = read_binary_dir(spark, path, glob=glob)
+    schema = T.StructType(
+        [
+            T.StructField("shard", T.StringType()),
+            T.StructField("member", T.StringType()),
+            T.StructField("stem", T.StringType()),
+            T.StructField("suffix", T.StringType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def explode_tar(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for shard_path, blob in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=_io.BytesIO(bytes(blob))) as tf:
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        payload = tf.extractfile(m).read()
+                        base = posixpath.basename(m.name)
+                        stem, dot, suffix = base.partition(".")
+                        rows.append(
+                            (
+                                str(shard_path),
+                                m.name,
+                                stem,
+                                suffix if dot else "",
+                                len(payload),
+                                payload,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return files.mapInPandas(explode_tar, schema=schema)

@@ -237,3 +237,45 @@ def test_bucketed_snapshot_diff_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS snap_old_b")
         spark.sql("DROP TABLE IF EXISTS snap_new_b")
+
+
+def test_tar_shard_ingest_webdataset_layout(spark, tmp_path):
+    """WebDataset-style shards: N tar files, same-stem .txt/.cls members;
+    read_tar_shards explodes every member with correct stems/suffixes and
+    byte-exact payloads, and samples regroup by (shard, stem)."""
+    import tarfile
+
+    from bigdataanalytics_textsummarization_spark.io import read_tar_shards
+
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    want = {}
+    for s in range(3):
+        p = shards / f"shard-{s:04d}.tar"
+        with tarfile.open(p, "w") as tf:
+            for i in range(4):
+                stem = f"{s:02d}{i:04d}"
+                for suffix, payload in (
+                    ("txt", f"document {s}/{i} text".encode()),
+                    ("cls", str(i % 2).encode()),
+                ):
+                    data = payload
+                    info = tarfile.TarInfo(name=f"{stem}.{suffix}")
+                    info.size = len(data)
+                    import io as _io
+
+                    tf.addfile(info, _io.BytesIO(data))
+                    want[(f"shard-{s:04d}.tar", stem, suffix)] = data
+    (shards / "ignore.bin").write_bytes(b"not a shard")  # glob-filtered
+
+    out = read_tar_shards(spark, str(shards)).toPandas()
+    assert len(out) == len(want) == 24
+    import os
+
+    for r in out.itertuples():
+        key = (os.path.basename(r.shard), r.stem, r.suffix)
+        assert bytes(r.content) == want[key]
+        assert r.n_bytes == len(want[key])
+    # WebDataset sample grouping: every (shard, stem) carries both parts
+    grouped = out.groupby(["shard", "stem"])["suffix"].apply(set)
+    assert all(s == {"txt", "cls"} for s in grouped)
