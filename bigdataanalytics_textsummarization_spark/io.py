@@ -361,3 +361,67 @@ def read_tar_shards(
             )
 
     return files.mapInPandas(explode_tar, schema=schema)
+
+
+def build_tar_shards(
+    df: DataFrame, n_shards: int = 8
+) -> DataFrame:
+    """Distributed WebDataset-shard BUILD: pack (stem, suffix, content)
+    sample rows into deterministic in-memory tar archives, one row per
+    shard: (shard, n_members, n_bytes, tar: binary).
+
+    Sharding is a stable md5 hash of the stem (samples with the same stem
+    land in the same shard — the WebDataset grouping invariant), packing
+    is one ``applyInPandas`` per shard group, and archives are
+    byte-deterministic (members sorted by (stem, suffix), zeroed mtime
+    and ownership) so a rebuild reproduces shards bit-for-bit.  The
+    engine builds; persisting the blobs is the caller's sink (a
+    foreachPartition upload in production) — keeping the build pure
+    keeps retries idempotent.
+    """
+    import io as _io
+    import tarfile
+    from collections.abc import Iterator  # noqa: F401
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("n_members", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("tar", T.BinaryType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["stem", "suffix"], kind="mergesort")
+        buf = _io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for r in pdf.itertuples():
+                payload = bytes(r.content)
+                info = tarfile.TarInfo(name=f"{r.stem}.{r.suffix}")
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.uname = info.gname = ""
+                tf.addfile(info, _io.BytesIO(payload))
+        blob = buf.getvalue()
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_members": [len(pdf)],
+                "n_bytes": [len(blob)],
+                "tar": [blob],
+            }
+        )
+
+    sharded = df.withColumn(
+        "shard",
+        (
+            F.conv(F.substring(F.md5("stem"), 1, 12), 16, 10).cast("long")
+            % n_shards
+        ),
+    )
+    return sharded.groupBy("shard").applyInPandas(pack, schema=schema)

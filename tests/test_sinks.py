@@ -279,3 +279,43 @@ def test_tar_shard_ingest_webdataset_layout(spark, tmp_path):
     # WebDataset sample grouping: every (shard, stem) carries both parts
     grouped = out.groupby(["shard", "stem"])["suffix"].apply(set)
     assert all(s == {"txt", "cls"} for s in grouped)
+
+
+def test_build_tar_shards_roundtrip_and_determinism(spark, tmp_path):
+    """Distributed shard build: same-stem samples co-shard, archives are
+    byte-deterministic across runs, and writing then re-reading through
+    read_tar_shards reproduces every payload exactly."""
+    import pandas as pd
+
+    from bigdataanalytics_textsummarization_spark.io import (
+        build_tar_shards,
+        read_tar_shards,
+    )
+
+    rows = []
+    for i in range(40):
+        stem = f"{i:06d}"
+        rows.append((stem, "txt", f"text {i}".encode()))
+        rows.append((stem, "cls", str(i % 3).encode()))
+    samples = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["stem", "suffix", "content"])
+    )
+    shards = build_tar_shards(samples, n_shards=4).toPandas()
+    assert shards["n_members"].sum() == 80
+    again = build_tar_shards(samples, n_shards=4).toPandas()
+    a = shards.sort_values("shard").reset_index(drop=True)
+    b = again.sort_values("shard").reset_index(drop=True)
+    assert [bytes(x) for x in a["tar"]] == [bytes(x) for x in b["tar"]]
+
+    out_dir = tmp_path / "out_shards"
+    out_dir.mkdir()
+    for r in shards.itertuples():  # the caller's sink
+        (out_dir / f"shard-{r.shard:04d}.tar").write_bytes(bytes(r.tar))
+    back = read_tar_shards(spark, str(out_dir)).toPandas()
+    assert len(back) == 80
+    want = {(s, x): c for s, x, c in rows}
+    for r in back.itertuples():
+        assert bytes(r.content) == want[(r.stem, r.suffix)]
+    # same-stem members always co-shard
+    per_stem = back.groupby("stem")["shard"].nunique()
+    assert (per_stem == 1).all()
