@@ -343,7 +343,7 @@ lshp AS (
   FROM isect i
   JOIN sizes na ON na.doc_id = i.doc_a
   JOIN sizes nb ON nb.doc_id = i.doc_b
-  WHERE round(i.isect * 1.0 / (na.n + nb.n - i.isect), 6)
+  WHERE (round(i.isect * 1.0 / (na.n + nb.n - i.isect), 6) + 0.0)
         >= {CLUSTER_MIN_JACCARD}
 ),
 edges AS (
@@ -376,9 +376,9 @@ per_doc AS (
 ),
 keep_q AS (
   SELECT doc_id FROM per_doc
-  WHERE round(0.4 * least(n_words / 50.0, 1.0)
+  WHERE (round(0.4 * least(n_words / 50.0, 1.0)
               + 0.3 * (1.0 - abs(swr - 0.4))
-              + 0.3 * least(awl / 8.0, 1.0), 6) >= {QUALITY_MIN}
+              + 0.3 * least(awl / 8.0, 1.0), 6) + 0.0) >= {QUALITY_MIN}
 ),
 lex(cand_lang, w) AS (VALUES {_LEX_VALUES}),
 lscores AS (
@@ -473,8 +473,8 @@ shared AS (
   FROM per
 )
 SELECT source, n_docs,
-       round(p, 6) AS p_raw,
-       round(pa / (SELECT sum(pa) FROM shared), 6) AS p_mix,
+       (round(p, 6) + 0.0) AS p_raw,
+       (round(pa / (SELECT sum(pa) FROM shared), 6) + 0.0) AS p_mix,
        cast(round(pa / (SELECT sum(pa) FROM shared) * {MIX_BUDGET})
             AS bigint) AS quota
 FROM shared
@@ -502,7 +502,7 @@ WITH keyed AS (
 SELECT * FROM (
   SELECT doc_id, weight,
          cast(row_number() OVER (ORDER BY key DESC, doc_id) AS bigint) AS rk,
-         round(key, 6) AS key
+         (round(key, 6) + 0.0) AS key
   FROM keyed
 ) WHERE rk <= {WRS_K}
 """

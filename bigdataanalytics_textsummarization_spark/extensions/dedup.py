@@ -665,8 +665,8 @@ cand AS (
 ),
 est AS (
   SELECT c.doc_a, c.doc_b, c.n_shared_bands,
-         round(sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
-               / {float(N_HASHES)}, 6) AS est_jaccard
+         (round(sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+               / {float(N_HASHES)}, 6) + 0.0) AS est_jaccard
   FROM cand c
   JOIN mh ma ON ma.doc_id = c.doc_a
   JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
@@ -681,7 +681,7 @@ isect AS (
   GROUP BY e.doc_a, e.doc_b
 )
 SELECT e.doc_a, e.doc_b, e.n_shared_bands, e.est_jaccard,
-       round(i.isect * 1.0 / (na.n + nb.n - i.isect), 6) AS jaccard
+       (round(i.isect * 1.0 / (na.n + nb.n - i.isect), 6) + 0.0) AS jaccard
 FROM est e
 JOIN isect i ON e.doc_a = i.doc_a AND e.doc_b = i.doc_b
 JOIN sizes na ON na.doc_id = e.doc_a
@@ -714,7 +714,7 @@ lshp AS (
   FROM isect i
   JOIN sizes na ON na.doc_id = i.doc_a
   JOIN sizes nb ON nb.doc_id = i.doc_b
-  WHERE round(i.isect * 1.0 / (na.n + nb.n - i.isect), 6)
+  WHERE (round(i.isect * 1.0 / (na.n + nb.n - i.isect), 6) + 0.0)
         >= {CLUSTER_MIN_JACCARD}
 ),
 edges AS (
@@ -739,7 +739,7 @@ pairs AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b, isect,
-       round(isect * 1.0 / (na.n + nb.n - isect), 6) AS jaccard
+       (round(isect * 1.0 / (na.n + nb.n - isect), 6) + 0.0) AS jaccard
 FROM pairs
 JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
@@ -820,8 +820,8 @@ pairs AS (
 cand AS (SELECT DISTINCT new_doc_id, corpus_doc_id FROM pairs),
 agree AS (
   SELECT c.new_doc_id, c.corpus_doc_id,
-         round(sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
-               / {float(N_HASHES)}, 6) AS est_jaccard
+         (round(sum(CASE WHEN ma.minhash = mb.minhash THEN 1 ELSE 0 END)
+               / {float(N_HASHES)}, 6) + 0.0) AS est_jaccard
   FROM cand c
   JOIN mh ma ON ma.doc_id = c.new_doc_id
   JOIN mh mb ON mb.doc_id = c.corpus_doc_id AND mb.seed = ma.seed
@@ -898,7 +898,7 @@ pairs AS (
 )
 SELECT contained_doc, container_doc, isect,
        cast(na.n AS bigint) AS n_contained,
-       round(isect * 1.0 / na.n, 6) AS containment
+       (round(isect * 1.0 / na.n, 6) + 0.0) AS containment
 FROM pairs
 JOIN sizes na ON na.doc_id = contained_doc
 WHERE isect * 1.0 / na.n >= {CONTAINMENT_THRESHOLD}
@@ -990,7 +990,7 @@ pos AS (
   ) i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
   JOIN sizes na ON na.doc_id = c.doc_a
   JOIN sizes nb ON nb.doc_id = c.doc_b
-  WHERE round(i.isect * 1.0 / (na.n + nb.n - i.isect), 6)
+  WHERE (round(i.isect * 1.0 / (na.n + nb.n - i.isect), 6) + 0.0)
         >= {CONTRASTIVE_POS_J}
 ),
 perm AS (

@@ -98,7 +98,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for i in range(N_FEATURES):
                 # round(x, 6) here must match the oracle's rounding contract
-                out[f"f{i}"] = feats.map(lambda v, i=i: round(v[i], 6))
+                out[f"f{i}"] = feats.map(lambda v, i=i: (round(v[i], 6) + 0.0))
             yield out
 
     return media.select("doc_id", "payload").mapInPandas(
@@ -137,7 +137,7 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                             for r in (0, 1)
                             for c in (0, 1)
                         ]
-                        quads.append(round(sum(vals) / 4.0 / 255.0, 6))
+                        quads.append((round(sum(vals) / 4.0 / 255.0, 6) + 0.0))
                 rows.append((int(did), 2, 2, *quads))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _RESIZE_SCHEMA.fields]
@@ -209,7 +209,7 @@ def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         i * AUDIO_DECIMATE : (i + 1) * AUDIO_DECIMATE
                     ]
                     rows.append(
-                        (int(did), i, round(sum(pair) / AUDIO_DECIMATE / 255.0, 6))
+                        (int(did), i, (round(sum(pair) / AUDIO_DECIMATE / 255.0, 6) + 0.0))
                     )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _AUDIO_SCHEMA.fields]
@@ -327,8 +327,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _byte_expr(i: int) -> str:
     # i-th byte of md5(text) as double/255, rounded like the pandas side.
     return (
-        f"round(cast(cast(concat('0x', substr(md5(text), {2 * i + 1}, 2)) "
-        f"AS ubigint) AS double) / 255.0, 6) AS f{i}"
+        f"(round(cast(cast(concat('0x', substr(md5(text), {2 * i + 1}, 2)) "
+        f"AS ubigint) AS double) / 255.0, 6) + 0.0) AS f{i}"
     )
 
 
@@ -346,10 +346,10 @@ WITH px AS (
   FROM (SELECT doc_id, text, unnest(range(16)) AS i FROM documents)
 )
 SELECT doc_id, cast(2 AS bigint) AS out_w, cast(2 AS bigint) AS out_h,
-       round(sum(CASE WHEN i // 4 < 2 AND i % 4 < 2 THEN b END) / 4.0 / 255.0, 6) AS px0,
-       round(sum(CASE WHEN i // 4 < 2 AND i % 4 >= 2 THEN b END) / 4.0 / 255.0, 6) AS px1,
-       round(sum(CASE WHEN i // 4 >= 2 AND i % 4 < 2 THEN b END) / 4.0 / 255.0, 6) AS px2,
-       round(sum(CASE WHEN i // 4 >= 2 AND i % 4 >= 2 THEN b END) / 4.0 / 255.0, 6) AS px3
+       (round(sum(CASE WHEN i // 4 < 2 AND i % 4 < 2 THEN b END) / 4.0 / 255.0, 6) + 0.0) AS px0,
+       (round(sum(CASE WHEN i // 4 < 2 AND i % 4 >= 2 THEN b END) / 4.0 / 255.0, 6) + 0.0) AS px1,
+       (round(sum(CASE WHEN i // 4 >= 2 AND i % 4 < 2 THEN b END) / 4.0 / 255.0, 6) + 0.0) AS px2,
+       (round(sum(CASE WHEN i // 4 >= 2 AND i % 4 >= 2 THEN b END) / 4.0 / 255.0, 6) + 0.0) AS px3
 FROM px GROUP BY doc_id
 """,
     "frame_sample": """
@@ -364,7 +364,7 @@ WITH px AS (
   FROM (SELECT doc_id, text, unnest(range(16)) AS i FROM documents)
 )
 SELECT doc_id, cast(i // 2 AS bigint) AS idx,
-       round(sum(b) / 2.0 / 255.0, 6) AS sample
+       (round(sum(b) / 2.0 / 255.0, 6) + 0.0) AS sample
 FROM px GROUP BY doc_id, i // 2
 """,
     # mirrors the PPM construction: dims from md5 bytes 12/13, raster =

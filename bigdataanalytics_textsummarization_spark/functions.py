@@ -17,8 +17,36 @@ Spark SQL and DuckDB (the correctness oracle):
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Pinned-DataFrame registry: every persist()/cache() in the package has an
+# OWNER (ADVICE r6 unpersist audit).  pin() persists and registers; a
+# long-running session (the 165-query driver sweep, a notebook) calls
+# release_pins() between queries so executor storage cannot accumulate
+# across unrelated plans.  One-shot drivers (bench.py reps, a spark-submit
+# job) may skip the release — process exit reclaims — which is the
+# documented ownership for those paths.
+# ---------------------------------------------------------------------------
+
+_PINS: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist() with an owner: registered for release_pins()."""
+    df = df.persist()
+    _PINS.append(df)
+    return df
+
+
+def release_pins() -> int:
+    """Unpersist every registered pin (blocking=False); returns the count."""
+    n = 0
+    while _PINS:
+        _PINS.pop().unpersist()
+        n += 1
+    return n
 
 # NLTK English stopword list (public corpus, nltk.corpus.stopwords.words
 # ('english')).  The reference loads this at BigdataProjectCode.py:36.
@@ -263,13 +291,23 @@ def lemma_wordnet_sql(expr: str) -> str:
 
 
 def r6(col: Column) -> Column:
-    """Round a double to 6 dp — the cross-engine float-compare contract."""
-    return F.round(col.cast("double"), 6)
+    """Round a double to 6 dp — the cross-engine float-compare contract.
+
+    Float-parity convention #4 (COVERAGE.md): the ``+ 0.0`` normalizes
+    IEEE negative zero.  A tiny negative that rounds to zero keeps its
+    sign bit in DuckDB (``round(-1e-9, 6)`` -> -0.0) but not in Spark
+    (-> +0.0); the values compare equal yet hash differently under the
+    driver's typed value-hash (the exact embedding_cov red row of rounds
+    5-6).  ``x + 0.0`` maps -0.0 -> +0.0 and is the identity on every
+    other double (incl. NULL/NaN/inf), so both engines add the same
+    guard: here and as ``round(expr, 6) + 0.0`` in every DuckDB oracle.
+    """
+    return F.round(col.cast("double"), 6) + F.lit(0.0)
 
 
 def r2(col: Column) -> Column:
-    """Round money-scale aggregates to 2 dp."""
-    return F.round(col.cast("double"), 2)
+    """Round money-scale aggregates to 2 dp (same -0.0 guard as r6)."""
+    return F.round(col.cast("double"), 2) + F.lit(0.0)
 
 
 def sum2dp(col: Column) -> Column:

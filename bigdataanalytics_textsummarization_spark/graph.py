@@ -185,7 +185,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "similarity_edges": f"""
 {EDGES_PREAMBLE}
-SELECT source, src, dst, isect, round(weight, 6) AS weight FROM edges
+SELECT source, src, dst, isect, (round(weight, 6) + 0.0) AS weight FROM edges
 """,
     "graph_triangles": f"""
 {EDGES_PREAMBLE},

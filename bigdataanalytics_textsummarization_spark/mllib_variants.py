@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions import STOPWORDS, STOPWORDS_SQL
+from .functions import STOPWORDS, STOPWORDS_SQL, r6
 from .io import load_table
 
 TOP_K = 3
@@ -89,7 +89,7 @@ def tfidf_topk_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         long.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
-        .select("doc_id", "rk", "word", F.round("score", 6).alias("score"))
+        .select("doc_id", "rk", "word", r6(F.col("score")).alias("score"))
     )
 
 
@@ -140,7 +140,7 @@ def minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
+            r6(1.0 - F.col("jaccard_dist")).alias("jaccard"),
         )
     )
 
@@ -245,7 +245,7 @@ tf AS (
   GROUP BY doc_id, t
 ),
 df AS (SELECT word, cast(count(*) AS bigint) AS df FROM tf GROUP BY word)
-SELECT doc_id, rk, word, round(score, 6) AS score
+SELECT doc_id, rk, word, (round(score, 6) + 0.0) AS score
 FROM (
   SELECT doc_id, word,
          tf * ln((m + 1.0) / (df + 1.0)) AS score,

@@ -239,13 +239,13 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       (round(sum(l_quantity), 2) + 0.0) AS sum_qty,
+       (round(sum(l_extendedprice), 2) + 0.0) AS sum_base_price,
+       (round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0) AS sum_disc_price,
+       (round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) + 0.0) AS sum_charge,
+       (round(avg(l_quantity), 6) + 0.0) AS avg_qty,
+       (round(avg(l_extendedprice), 6) + 0.0) AS avg_price,
+       (round(avg(l_discount), 6) + 0.0) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -254,7 +254,7 @@ GROUP BY l_returnflag, l_linestatus
     "q3_shipping_priority": """
 WITH joined AS (
   SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+         (round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0) AS revenue
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
@@ -271,7 +271,7 @@ FROM (
 """,
     "q5_local_supplier_volume": """
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       (round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -285,7 +285,7 @@ GROUP BY n.n_name
 """,
     "top_customers_per_nation": """
 WITH spend AS (
-  SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend
+  SELECT o_custkey, (round(sum(o_totalprice), 2) + 0.0) AS total_spend
   FROM orders GROUP BY o_custkey
 )
 SELECT n_name, rk, c_custkey, c_name, total_spend
@@ -309,7 +309,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """,
     "sales_rollup": """
 SELECT r.r_name, n.n_name,
-       round(sum(o.o_totalprice), 2) AS total_sales,
+       (round(sum(o.o_totalprice), 2) + 0.0) AS total_sales,
        count(*) AS n_orders
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -329,13 +329,13 @@ SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM o_keys EXCEPT SELEC
     "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
-       round(sum(cast(round(value * 100) AS bigint)) / 100.0, 2) AS sum_value,
+       (round(sum(cast(round(value * 100) AS bigint)) / 100.0, 2) + 0.0) AS sum_value,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1, 2
 """,
     "events_json_stats": """
 SELECT event_type,
-       round(avg(cast(json_extract_string(props, '$.k') AS bigint)), 6) AS avg_k,
+       (round(avg(cast(json_extract_string(props, '$.k') AS bigint)), 6) + 0.0) AS avg_k,
        max(cast(json_extract_string(props, '$.k') AS bigint)) AS max_k,
        count(*) AS n
 FROM events GROUP BY event_type

@@ -293,7 +293,7 @@ def rich_customers_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c.c_custkey, c.c_name, n.n_name,
-               round(c.c_acctbal, 2) AS acctbal
+               (round(c.c_acctbal, 2) + 0.0) AS acctbal
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         WHERE c.c_acctbal > (
           SELECT avg(c2.c_acctbal) FROM customer c2
@@ -382,7 +382,7 @@ def sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority, o_orderstatus,
                cast(grouping_id(o_orderpriority, o_orderstatus) AS bigint)
                  AS gid,
-               round(sum(o_totalprice), 2) AS total_sales,
+               (round(sum(o_totalprice), 2) + 0.0) AS total_sales,
                count(*) AS n_orders
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
@@ -697,8 +697,8 @@ cells AS (
   GROUP BY 1, 2
 )
 SELECT cohort_week, week_offset, n_users,
-       round(n_users * 1.0 / max(CASE WHEN week_offset = 0 THEN n_users END)
-             OVER (PARTITION BY cohort_week), 6) AS retention
+       (round(n_users * 1.0 / max(CASE WHEN week_offset = 0 THEN n_users END)
+             OVER (PARTITION BY cohort_week), 6) + 0.0) AS retention
 FROM cells
 """,
     "table_profile": "\nUNION ALL\n".join(
@@ -750,20 +750,20 @@ GROUP BY event_type
     "sales_grouping_sets": """
 SELECT o_orderpriority, o_orderstatus,
        cast(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS bigint) AS gid,
-       round(sum(o_totalprice), 2) AS total_sales,
+       (round(sum(o_totalprice), 2) + 0.0) AS total_sales,
        count(*) AS n_orders
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """,
     "sales_cube": """
 SELECT o_orderpriority, o_orderstatus,
-       round(sum(o_totalprice), 2) AS total_sales,
+       (round(sum(o_totalprice), 2) + 0.0) AS total_sales,
        count(*) AS n_orders
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """,
     "q6_forecast_revenue": """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT (round(sum(l_extendedprice * l_discount), 2) + 0.0) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -773,7 +773,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     "q10_returned_items": """
 WITH agg AS (
   SELECT c_custkey, c_name, c_acctbal, n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         (round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0) AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -790,29 +790,29 @@ ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """,
     "q14_promo_revenue": """
-SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+SELECT (round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
                               THEN l_extendedprice * (1 - l_discount)
                               ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+             / sum(l_extendedprice * (1 - l_discount)), 6) + 0.0) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
   AND l_shipdate < TIMESTAMP '1996-04-01'
 """,
     "q18_large_orders": """
 WITH big AS (
-  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  SELECT l_orderkey, (round(sum(l_quantity), 2) + 0.0) AS total_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING sum(l_quantity) > 250
 )
 SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-       round(o_totalprice, 2) AS o_totalprice, total_qty
+       (round(o_totalprice, 2) + 0.0) AS o_totalprice, total_qty
 FROM big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """,
     "asof_click_attribution": """
 SELECT e.event_id, e.user_id, e.ts AS error_ts,
-       c.event_id AS click_id, round(c.value, 6) AS click_value
+       c.event_id AS click_id, (round(c.value, 6) + 0.0) AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'error') e
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON e.user_id = c.user_id AND e.ts >= c.ts
@@ -824,16 +824,16 @@ SELECT event_id,
 FROM events
 """,
     "user_value_moving_avg": """
-SELECT event_id, user_id, round(value, 6) AS value,
-       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mavg3,
-       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta,
-       round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING), 6) AS running_max
+SELECT event_id, user_id, (round(value, 6) + 0.0) AS value,
+       (round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) + 0.0) AS mavg3,
+       (round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) + 0.0) AS delta,
+       (round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) + 0.0) AS running_max
 FROM events
 """,
     "rich_customers_sql": """
-SELECT c.c_custkey, c.c_name, n.n_name, round(c.c_acctbal, 2) AS acctbal
+SELECT c.c_custkey, c.c_name, n.n_name, (round(c.c_acctbal, 2) + 0.0) AS acctbal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE c.c_acctbal > (
   SELECT avg(c2.c_acctbal) FROM customer c2
@@ -842,32 +842,32 @@ WHERE c.c_acctbal > (
 """,
     "price_percentiles": """
 SELECT p_brand,
-       round(quantile_cont(p_retailprice, 0.25), 6) AS p25,
-       round(quantile_cont(p_retailprice, 0.5), 6) AS p50,
-       round(quantile_cont(p_retailprice, 0.75), 6) AS p75,
+       (round(quantile_cont(p_retailprice, 0.25), 6) + 0.0) AS p25,
+       (round(quantile_cont(p_retailprice, 0.5), 6) + 0.0) AS p50,
+       (round(quantile_cont(p_retailprice, 0.75), 6) + 0.0) AS p75,
        count(*) AS n_parts
 FROM part GROUP BY p_brand
 """,
     "lineitem_stats": """
 SELECT l_returnflag,
-       round(stddev_samp(l_quantity), 6) AS sd_qty,
-       round(stddev_samp(l_extendedprice), 6) AS sd_price,
-       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-       round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price,
+       (round(stddev_samp(l_quantity), 6) + 0.0) AS sd_qty,
+       (round(stddev_samp(l_extendedprice), 6) + 0.0) AS sd_price,
+       (round(corr(l_quantity, l_extendedprice), 6) + 0.0) AS corr_qty_price,
+       (round(covar_samp(l_quantity, l_extendedprice), 6) + 0.0) AS covar_qty_price,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
 """,
     "sales_pivot": """
 SELECT cast(year(l_shipdate) AS bigint) AS ship_year,
-       round(sum(CASE WHEN l_returnflag = 'A'
+       (round(sum(CASE WHEN l_returnflag = 'A'
                  THEN cast(round(l_extendedprice * (1 - l_discount) * 10000)
-                      AS bigint) END) / 10000.0, 2) AS revenue_A,
-       round(sum(CASE WHEN l_returnflag = 'N'
+                      AS bigint) END) / 10000.0, 2) + 0.0) AS revenue_A,
+       (round(sum(CASE WHEN l_returnflag = 'N'
                  THEN cast(round(l_extendedprice * (1 - l_discount) * 10000)
-                      AS bigint) END) / 10000.0, 2) AS revenue_N,
-       round(sum(CASE WHEN l_returnflag = 'R'
+                      AS bigint) END) / 10000.0, 2) + 0.0) AS revenue_N,
+       (round(sum(CASE WHEN l_returnflag = 'R'
                  THEN cast(round(l_extendedprice * (1 - l_discount) * 10000)
-                      AS bigint) END) / 10000.0, 2) AS revenue_R
+                      AS bigint) END) / 10000.0, 2) + 0.0) AS revenue_R
 FROM lineitem GROUP BY 1
 """,
 }
@@ -1237,8 +1237,8 @@ pairs AS (
   HAVING count(*) >= {MIN_COOC}
 )
 SELECT part_a, part_b, s_ab, sa.s AS s_a, sb.s AS s_b,
-       round(s_ab * 1.0 / sa.s, 6) AS confidence,
-       round((s_ab * n_orders) * 1.0 / (sa.s * sb.s), 6) AS lift
+       (round(s_ab * 1.0 / sa.s, 6) + 0.0) AS confidence,
+       (round((s_ab * n_orders) * 1.0 / (sa.s * sb.s), 6) + 0.0) AS lift
 FROM pairs
 JOIN supp sa ON sa.part = part_a
 JOIN supp sb ON sb.part = part_b
@@ -1333,7 +1333,7 @@ base AS (
   FROM per CROSS JOIN latest
 )
 SELECT custkey, recency_days, frequency,
-       round(cents / 100.0, 2) AS monetary,
+       (round(cents / 100.0, 2) + 0.0) AS monetary,
        cast(1 + ((row_number() OVER (ORDER BY recency_days DESC, custkey)
                   - 1) * {RFM_BUCKETS}) // (count(*) OVER ()) AS bigint)
          AS r_score,

@@ -218,7 +218,7 @@ def rouge_n_from(pairs: DataFrame, stemmed: bool = False) -> DataFrame:
                     p = m / len(ga) if ga else 0.0
                     r = m / len(gb) if gb else 0.0
                     f = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
-                    row += [m, round(p, 6), round(r, 6), round(f, 6)]
+                    row += [m, (round(p, 6) + 0.0), (round(r, 6) + 0.0), (round(f, 6) + 0.0)]
                 rows.append(tuple(row))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
 
@@ -398,7 +398,7 @@ def rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r = l / len(b) if b else 0.0
                 f = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
                 rows.append(
-                    (int(pid), int(l), round(p, 6), round(r, 6), round(f, 6))
+                    (int(pid), int(l), (round(p, 6) + 0.0), (round(r, 6) + 0.0), (round(f, 6) + 0.0))
                 )
             yield pd.DataFrame(
                 rows, columns=["pair_id", "lcs", "rougeL_p", "rougeL_r", "rougeL_f"]
@@ -454,15 +454,15 @@ s{n} AS (
 ),
 r{n}_out AS (
   SELECT pair_id, cast(m AS bigint) AS match{n},
-         round(CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END, 6) AS rouge{n}_p,
-         round(CASE WHEN rt > 0 THEN m * 1.0 / rt ELSE 0 END, 6) AS rouge{n}_r,
-         round(CASE WHEN (CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END)
+         (round(CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END, 6) + 0.0) AS rouge{n}_p,
+         (round(CASE WHEN rt > 0 THEN m * 1.0 / rt ELSE 0 END, 6) + 0.0) AS rouge{n}_r,
+         (round(CASE WHEN (CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END)
                        + (CASE WHEN rt > 0 THEN m * 1.0 / rt ELSE 0 END) > 0
                THEN 2 * (CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END)
                       * (CASE WHEN rt > 0 THEN m * 1.0 / rt ELSE 0 END)
                     / ((CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END)
                        + (CASE WHEN rt > 0 THEN m * 1.0 / rt ELSE 0 END))
-               ELSE 0 END, 6) AS rouge{n}_f
+               ELSE 0 END, 6) + 0.0) AS rouge{n}_f
   FROM s{n}
 )
 """
@@ -643,15 +643,15 @@ lcs_out AS (
   LEFT JOIN dp f ON f.pair_id = t.pair_id AND f.d = t.m + t.n
 )
 SELECT pair_id, cast(lcs AS bigint) AS lcs,
-       round(CASE WHEN m > 0 THEN lcs * 1.0 / m ELSE 0 END, 6) AS rougeL_p,
-       round(CASE WHEN n > 0 THEN lcs * 1.0 / n ELSE 0 END, 6) AS rougeL_r,
-       round(CASE WHEN (CASE WHEN m > 0 THEN lcs * 1.0 / m ELSE 0 END)
+       (round(CASE WHEN m > 0 THEN lcs * 1.0 / m ELSE 0 END, 6) + 0.0) AS rougeL_p,
+       (round(CASE WHEN n > 0 THEN lcs * 1.0 / n ELSE 0 END, 6) + 0.0) AS rougeL_r,
+       (round(CASE WHEN (CASE WHEN m > 0 THEN lcs * 1.0 / m ELSE 0 END)
                      + (CASE WHEN n > 0 THEN lcs * 1.0 / n ELSE 0 END) > 0
              THEN 2 * (CASE WHEN m > 0 THEN lcs * 1.0 / m ELSE 0 END)
                     * (CASE WHEN n > 0 THEN lcs * 1.0 / n ELSE 0 END)
                   / ((CASE WHEN m > 0 THEN lcs * 1.0 / m ELSE 0 END)
                      + (CASE WHEN n > 0 THEN lcs * 1.0 / n ELSE 0 END))
-             ELSE 0 END, 6) AS rougeL_f
+             ELSE 0 END, 6) + 0.0) AS rougeL_f
 FROM lcs_out
 """
 

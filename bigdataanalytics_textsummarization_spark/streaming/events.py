@@ -138,7 +138,7 @@ def _update_running_totals(
         total += float(pdf["value"].sum())
     state.update((n, total))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value": [(round(total, 6) + 0.0)]}
     )
 
 
@@ -637,7 +637,7 @@ ORACLES: dict[str, str] = {
     "events_by_segment": """
 SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
        count(*) AS n_events,
-       round(sum(cast(round(e.value * 100) AS bigint)) / 100.0, 6) AS sum_value
+       (round(sum(cast(round(e.value * 100) AS bigint)) / 100.0, 6) + 0.0) AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
 """,
@@ -677,7 +677,7 @@ numbered AS (
 )
 SELECT user_id, session_no,
        min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round((sum(cast(round(value * 100) AS bigint)) / 100.0), 6) AS sum_value
+       count(*) AS n_events, (round((sum(cast(round(value * 100) AS bigint)) / 100.0), 6) + 0.0) AS sum_value
 FROM numbered GROUP BY user_id, session_no
 """,
     "view_click_pairs": """
@@ -760,7 +760,7 @@ outdeg AS (
   FROM steps WHERE to_type IS NOT NULL GROUP BY 1
 )
 SELECT t.from_type, t.to_type, t.n_trans, o.n_from,
-       round(ln(cast(t.n_trans AS double) / o.n_from), 6) AS log_prob
+       (round(ln(cast(t.n_trans AS double) / o.n_from), 6) + 0.0) AS log_prob
 FROM trans t JOIN outdeg o USING (from_type)
 """
 QUERIES["event_transitions"] = event_transitions

@@ -441,7 +441,7 @@ ORACLES: dict[str, str] = {
     "q2_min_cost_supplier": """
 WITH offer AS (
   SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
-         round(min(l.l_extendedprice), 2) AS min_price
+         (round(min(l.l_extendedprice), 2) + 0.0) AS min_price
   FROM lineitem l
   JOIN part p ON l.l_partkey = p.p_partkey
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -457,7 +457,7 @@ WHERE min_price = best
     "q7_volume_shipping": """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        cast(year(l.l_shipdate) AS bigint) AS l_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       (round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -489,14 +489,14 @@ WITH vol AS (
     AND o.o_orderdate < TIMESTAMP '1998-01-01'
 )
 SELECT o_year,
-       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 6) AS mkt_share
+       (round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) + 0.0) AS mkt_share
 FROM vol GROUP BY o_year
 """,
     "q9_product_profit": """
 SELECT n.n_name AS nation, cast(year(o.o_orderdate) AS bigint) AS o_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)
-                 - 0.5 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+       (round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.5 * p.p_retailprice * l.l_quantity), 2) + 0.0) AS sum_profit
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -513,7 +513,7 @@ WITH national AS (
   JOIN nation n ON s.s_nationkey = n.n_nationkey
   WHERE n.n_name = 'NATION_5'
 )
-SELECT l_partkey, round(sum(val), 2) AS value
+SELECT l_partkey, (round(sum(val), 2) + 0.0) AS value
 FROM national
 GROUP BY l_partkey
 HAVING sum(val) > (SELECT sum(val) * 0.0002 FROM national)
@@ -543,7 +543,7 @@ SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
     "q15_top_supplier": """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         (round(sum(l_extendedprice * (1 - l_discount)), 2) + 0.0) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -568,11 +568,11 @@ WITH j AS (
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
   WHERE p.p_brand = 'Brand#3'
 )
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT (round(sum(l_extendedprice) / 7.0, 2) + 0.0) AS avg_yearly
 FROM j WHERE l_quantity < 0.2 * avg_qty
 """,
     "q19_discounted_revenue": """
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT (round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0.0) AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
        AND l.l_quantity BETWEEN 1 AND 11)
@@ -625,7 +625,7 @@ FROM (
     "q22_global_sales_opportunity": """
 SELECT cast(c.c_nationkey AS bigint) AS cntrycode,
        count(*) AS numcust,
-       round(sum(c.c_acctbal), 2) AS totacctbal
+       (round(sum(c.c_acctbal), 2) + 0.0) AS totacctbal
 FROM customer c
 WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o

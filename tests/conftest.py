@@ -56,10 +56,21 @@ def assert_parity(spark, oracle, qfn, sql, sf_dir=SF_DIR):
     for c in got.columns:
         g, w = got[c], want[c]
         if g.dtype.kind == "f" or w.dtype.kind == "f":
-            pd.testing.assert_series_equal(
-                g.astype(float), w.astype(float), check_names=False,
-                rtol=0, atol=1e-9, check_index=False, obj=f"column {c}",
+            # Bit-exact, like the driver's typed value-hash: a tolerance
+            # compare cannot catch the -0.0/+0.0 class that shipped
+            # embedding_cov red in rounds 5-6 (float-parity convention #4).
+            import numpy as np
+
+            gb = g.astype("float64").to_numpy().view("int64")
+            wb = w.astype("float64").to_numpy().view("int64")
+            same = gb == wb
+            assert same.all(), (
+                f"column {c}: first float bit-mismatch at row "
+                f"{int((~same).argmax())}: "
+                f"{g[~same].head(3).tolist()} != {w[~same].head(3).tolist()}"
             )
+            neg_zero = np.array([-0.0]).view("int64")[0]
+            assert not (gb == neg_zero).any(), f"column {c} emits -0.0"
         else:
             same = (g.astype(str).values == w.astype(str).values)
             assert same.all(), (
