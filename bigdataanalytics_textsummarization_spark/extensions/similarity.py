@@ -595,7 +595,7 @@ pairs AS (
          list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS sim_raw
   FROM q JOIN embn c ON c.vec_id <> q.query_id
 )
-SELECT query_id, rk, vec_id AS neighbor_id, round(sim_raw, 6) AS cosine
+SELECT query_id, rk, vec_id AS neighbor_id, (round(sim_raw, 6) + 0.0) AS cosine
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY sim_raw DESC, vec_id ASC) AS rk
@@ -625,7 +625,7 @@ pairs AS (
          list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS sim_raw
   FROM q JOIN embn c ON c.bucket = q.qbucket AND c.vec_id <> q.query_id
 )
-SELECT query_id, rk, vec_id AS neighbor_id, bucket, round(sim_raw, 6) AS cosine
+SELECT query_id, rk, vec_id AS neighbor_id, bucket, (round(sim_raw, 6) + 0.0) AS cosine
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY sim_raw DESC, vec_id ASC) AS rk
@@ -635,7 +635,7 @@ FROM (
     "embedding_near_dups": f"""
 WITH {_EMB_CTE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+       (round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) + 0.0) AS cosine
 FROM embn a
 JOIN embn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= {NEAR_DUP_THRESHOLD}
@@ -666,9 +666,9 @@ WITH {_EMB_CTE},
 proj AS (
   SELECT vec_id, unnest(list_value(
     {", ".join(
-        "struct_pack(j := " + str(j) + ", v := round(list_dot_product(e, ["
+        "struct_pack(j := " + str(j) + ", v := (round(list_dot_product(e, ["
         + ", ".join(str(_RP_SIGNS_64[i][j]) for i in range(64))
-        + "]) / sqrt(" + str(RP_DIMS) + ".0), 6))"
+        + "]) / sqrt(" + str(RP_DIMS) + ".0), 6) + 0.0))"
         for j in range(RP_DIMS)
     )}
   )) AS u
@@ -806,9 +806,9 @@ coded AS (
 )
 SELECT vec_id, label,
        string_agg(cast(code AS varchar), ',' ORDER BY dim) AS code_sig,
-       round(max(CASE WHEN dmax = dmin THEN 0.0
+       (round(max(CASE WHEN dmax = dmin THEN 0.0
                       ELSE abs(v - (dmin + (code + 0.5) * (dmax - dmin)
-                                    / {float(SQ_LEVELS + 1)})) END), 6)
+                                    / {float(SQ_LEVELS + 1)})) END), 6) + 0.0)
          AS max_abs_err
 FROM coded
 GROUP BY vec_id, label
@@ -931,7 +931,7 @@ pairs AS (
          list_dot_product(qn.qe, c.re) / (qn.qn * c.rn) AS sim_raw
   FROM qn JOIN corpus c ON c.vec_id <> qn.query_id
 )
-SELECT query_id, rk, vec_id AS neighbor_id, round(sim_raw, 6) AS cosine
+SELECT query_id, rk, vec_id AS neighbor_id, (round(sim_raw, 6) + 0.0) AS cosine
 FROM (
   SELECT *, cast(row_number() OVER (PARTITION BY query_id
                                ORDER BY sim_raw DESC, vec_id ASC) AS bigint)
@@ -1641,8 +1641,8 @@ SELECT cast(o.label AS bigint) AS label,
        cast(count(*) AS bigint) AS n_members,
        cast(sum(CASE WHEN p.pred_label = o.label THEN 1 ELSE 0 END)
             AS bigint) AS n_correct,
-       round(list_aggregate(list(o.own_cos ORDER BY o.vec_id), 'sum')
-             / count(*), 6) AS mean_intra_cos
+       (round(list_aggregate(list(o.own_cos ORDER BY o.vec_id), 'sum')
+             / count(*), 6) + 0.0) AS mean_intra_cos
 FROM own o JOIN pred p USING (vec_id)
 GROUP BY o.label
 """
@@ -1808,7 +1808,7 @@ si AS (
   FROM x GROUP BY i
 )
 SELECT cast(sp.i AS bigint) AS i, cast(sp.j AS bigint) AS j,
-       round(sp.sp / n.n - (a.s / n.n) * (b.s / n.n), 6) AS cov
+       (round(sp.sp / n.n - (a.s / n.n) * (b.s / n.n), 6) + 0.0) AS cov
 FROM sp, n
 JOIN si a ON a.i = sp.i
 JOIN si b ON b.i = sp.j
@@ -1931,12 +1931,22 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus, centers, _ = _ivf_fit(spark, sf_dir)
     n_cells = centers.count()  # bounded: the coarse codebook
+    if n_cells < max(SWEEP_NPROBES):
+        # LOUD failure (ADVICE r6): clamping nprobe labels on an
+        # under-celled corpus silently shrank the result below the fixed
+        # len(SWEEP_NPROBES)+1-row oracle — a rows_match red the operator
+        # would have to diagnose from a count.  The sweep is meaningless
+        # when the index cannot even be probed at its widest setting.
+        raise ValueError(
+            f"ann_recall_sweep: IVF index has {n_cells} cells < max "
+            f"nprobe {max(SWEEP_NPROBES)}; corpus too small to sweep"
+        )
     q = corpus.filter(F.col("vec_id") < N_QUERIES)
     truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     # nprobe = 0 is the exhaustive row's scale-independent label (the
     # actual cell count k_eff varies with corpus size, so the raw value
     # would not be a determinate fact)
-    sweep = sorted({min(p, n_cells) for p in SWEEP_NPROBES}) + [0]
+    sweep = sorted(set(SWEEP_NPROBES)) + [0]
     out = None
     for label in sweep:
         nprobe = n_cells if label == 0 else label
@@ -2157,9 +2167,17 @@ def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = _brute_knn_graph(spark, sf_dir, KNN_GRAPH_K)
     return truth.join(approx, ["src", "dst"], "left").agg(
         F.countDistinct("src").cast("long").alias("n_vectors"),
-        (
-            F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))
-            >= KNN_GRAPH_RECALL_FLOOR
+        # try_divide + coalesce: on a degenerate 0/1-vector corpus the
+        # truth graph has no edges, so 0/0 must yield NULL (ANSI mode
+        # would throw) and the verdict column must still be a clean
+        # boolean — recall over an empty ground truth is vacuously
+        # satisfied (ADVICE r6)
+        F.coalesce(
+            F.try_divide(
+                F.coalesce(F.sum("hit"), F.lit(0)), F.count(F.lit(1))
+            )
+            >= KNN_GRAPH_RECALL_FLOOR,
+            F.lit(True),
         ).alias("recall_ok"),
     )
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import SPLIT_BUCKET_SQL, STOPWORDS, STOPWORDS_SQL, r6, split_bucket
+from ..functions import SPLIT_BUCKET_SQL, STOPWORDS, STOPWORDS_SQL, pin, r6, split_bucket
 from ..io import load_table
 
 # Small marker lexicons per language (public stopword cores).  The synthetic
@@ -553,8 +553,8 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_bigrams(docs)
         .groupBy("doc_id", "w1", "w2")
         .agg(F.count("*").alias("m"))
-        .persist()
     )
+    doc_pair = pin(doc_pair)
     pair = doc_pair.groupBy("w1", "w2").agg(F.sum("m").alias("c12"))
     uni = pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = uni.agg(F.count("*").cast("double").alias("V"))
@@ -724,8 +724,9 @@ def ppl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _doc_bigrams(docs.filter(F.col("doc_id") % PPL_INGEST_MOD != 0))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
-        .persist()  # consumed twice: context counts + the scoring join
     )
+    # consumed twice: context counts + the scoring join
+    corpus_pair = pin(corpus_pair)
     corpus_uni = corpus_pair.groupBy("w1").agg(F.sum("c12").alias("c1"))
     return ppl_ingest_score(new_docs, corpus_pair, corpus_uni)
 
@@ -1328,7 +1329,7 @@ SELECT doc_id, n_feats,
        (CASE WHEN s >= 0 THEN (2000 * s + n_feats) // (2 * n_feats)
              ELSE -((2000 * -s + n_feats) // (2 * n_feats)) END)
          / 1000000.0 AS logit,
-       round(1.0 / (1.0 + exp(-(s / (1000.0 * n_feats)))), 6) AS prob,
+       (round(1.0 / (1.0 + exp(-(s / (1000.0 * n_feats)))), 6) + 0.0) AS prob,
        s >= 0 AS keep
 FROM per
 """,
@@ -1351,7 +1352,7 @@ SELECT doc_id, n_feats,
        (CASE WHEN s >= 0 THEN (2000 * s + n_feats) // (2 * n_feats)
              ELSE -((2000 * -s + n_feats) // (2 * n_feats)) END)
          / 1000000.0 AS logit,
-       round(1.0 / (1.0 + exp(-(s / (1000.0 * n_feats)))), 6) AS prob
+       (round(1.0 / (1.0 + exp(-(s / (1000.0 * n_feats)))), 6) + 0.0) AS prob
 FROM per
 """,
     "gopher_rules": f"""
@@ -1361,16 +1362,16 @@ WITH base AS (
 staged AS (
   SELECT doc_id,
          cast(len(w) AS bigint) AS n_words,
-         round(list_sum(list_transform(w, x -> cast(len(x) AS double)))
-               / len(w), 6) AS avg_word_len,
+         (round(list_sum(list_transform(w, x -> cast(len(x) AS double)))
+               / len(w), 6) + 0.0) AS avg_word_len,
          cast(len(list_distinct(list_filter(w, x -> x IN {{STOP}}))) AS bigint)
            AS stopword_hits,
-         round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
-               * 1.0 / len(w), 6) AS alpha_frac,
-         CASE WHEN len(w) >= 2 THEN round(
+         (round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+               * 1.0 / len(w), 6) + 0.0) AS alpha_frac,
+         CASE WHEN len(w) >= 2 THEN (round(
            1.0 - len(list_distinct(list_transform(range(1, len(w)),
                      i -> w[i] || ' ' || w[i+1])))
-               * 1.0 / (len(w) - 1), 6)
+               * 1.0 / (len(w) - 1), 6) + 0.0)
          ELSE 0.0 END AS dup_bigram_frac
   FROM base
 )
@@ -1408,10 +1409,10 @@ uni AS MATERIALIZED (
 vocab AS (SELECT cast(count(*) AS double) AS V FROM uni)
 SELECT doc_id,
        cast(sum(m) AS bigint) AS n_bigrams,
-       round(sum(m * -log2((c12 + {PPL_SMOOTH_K}) / (c1 + {PPL_SMOOTH_K} * V)))
-             / sum(m), 6) AS h,
-       round(pow(2.0, sum(m * -log2((c12 + {PPL_SMOOTH_K}) / (c1 + {PPL_SMOOTH_K} * V)))
-                      / sum(m)), 6) AS ppl
+       (round(sum(m * -log2((c12 + {PPL_SMOOTH_K}) / (c1 + {PPL_SMOOTH_K} * V)))
+             / sum(m), 6) + 0.0) AS h,
+       (round(pow(2.0, sum(m * -log2((c12 + {PPL_SMOOTH_K}) / (c1 + {PPL_SMOOTH_K} * V)))
+                      / sum(m)), 6) + 0.0) AS ppl
 FROM doc_pair
 JOIN pair USING (w1, w2)
 JOIN uni USING (w1)
@@ -1449,7 +1450,7 @@ SELECT d.doc_id, d.split, d.n_tokens,
        coalesce(h.n_grams, cast(0 AS bigint)) AS n_grams,
        coalesce(h.contam_grams, cast(0 AS bigint)) AS contam_grams,
        CASE WHEN coalesce(h.n_grams, 0) > 0
-            THEN round(h.contam_grams * 1.0 / h.n_grams, 6)
+            THEN (round(h.contam_grams * 1.0 / h.n_grams, 6) + 0.0)
             ELSE 0.0 END AS contam_frac
 FROM tagged d LEFT JOIN hits h USING (doc_id)
 WHERE d.split <> 'train'
@@ -1477,14 +1478,14 @@ new_bg AS (
 )
 SELECT doc_id,
        cast(sum(m) AS bigint) AS n_bigrams,
-       round(cast(sum(CASE WHEN p.c12 IS NULL THEN m ELSE 0 END) AS double)
-             / sum(m), 6) AS oov_frac,
-       round(sum(m * -log2((coalesce(p.c12, 0) + {PPL_SMOOTH_K})
+       (round(cast(sum(CASE WHEN p.c12 IS NULL THEN m ELSE 0 END) AS double)
+             / sum(m), 6) + 0.0) AS oov_frac,
+       (round(sum(m * -log2((coalesce(p.c12, 0) + {PPL_SMOOTH_K})
                            / (coalesce(u.c1, 0) + {PPL_SMOOTH_K} * V)))
-             / sum(m), 6) AS h,
-       round(pow(2.0, sum(m * -log2((coalesce(p.c12, 0) + {PPL_SMOOTH_K})
+             / sum(m), 6) + 0.0) AS h,
+       (round(pow(2.0, sum(m * -log2((coalesce(p.c12, 0) + {PPL_SMOOTH_K})
                                     / (coalesce(u.c1, 0) + {PPL_SMOOTH_K} * V)))
-                      / sum(m)), 6) AS ppl
+                      / sum(m)), 6) + 0.0) AS ppl
 FROM new_bg n
 LEFT JOIN pair p USING (w1, w2)
 LEFT JOIN uni u USING (w1)
@@ -1515,7 +1516,7 @@ covc AS (
 )
 SELECT t.doc_id, t.n_tokens,
        coalesce(c.covered, cast(0 AS bigint)) AS covered,
-       round(coalesce(c.covered, 0) * 1.0 / t.n_tokens, 6) AS dup_frac
+       (round(coalesce(c.covered, 0) * 1.0 / t.n_tokens, 6) + 0.0) AS dup_frac
 FROM toks t LEFT JOIN covc c USING (doc_id)
 """,
     "pack_sequences": f"""
@@ -1551,14 +1552,14 @@ staged AS (
 )
 SELECT doc_id,
   cast(len(w) AS bigint) AS n_tokens,
-  round(CASE WHEN len(w) > 0
-        THEN 1.0 - len(list_distinct(w)) * 1.0 / len(w) ELSE 0 END, 6)
+  (round(CASE WHEN len(w) > 0
+        THEN 1.0 - len(list_distinct(w)) * 1.0 / len(w) ELSE 0 END, 6) + 0.0)
     AS dup_unigram_frac,
-  round(CASE WHEN len(g2) > 0
-        THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) ELSE 0 END, 6)
+  (round(CASE WHEN len(g2) > 0
+        THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2) ELSE 0 END, 6) + 0.0)
     AS dup_bigram_frac,
-  round(CASE WHEN len(g3) > 0
-        THEN 1.0 - len(list_distinct(g3)) * 1.0 / len(g3) ELSE 0 END, 6)
+  (round(CASE WHEN len(g3) > 0
+        THEN 1.0 - len(list_distinct(g3)) * 1.0 / len(g3) ELSE 0 END, 6) + 0.0)
     AS dup_trigram_frac
 FROM staged
 """,
@@ -1606,7 +1607,7 @@ bg AS (
 pair AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
 uni AS (SELECT w1, sum(c12) AS c1 FROM pair GROUP BY w1)
 SELECT p.w1, p.w2, cast(p.c12 AS bigint) AS n,
-       round(p.c12 * 1.0 / u.c1, 6) AS p_cond
+       (round(p.c12 * 1.0 / u.c1, 6) + 0.0) AS p_cond
 FROM pair p JOIN uni u ON p.w1 = u.w1
 """,
     "train_test_split": f"""
@@ -1652,11 +1653,11 @@ per_doc AS (
   FROM toks GROUP BY doc_id
 )
 SELECT d.doc_id, p.n_words, d.n_chars,
-       round(p.awl, 6) AS avg_word_len,
-       round(p.swr, 6) AS stopword_ratio,
-       round(0.4 * least(p.n_words / 50.0, 1.0)
+       (round(p.awl, 6) + 0.0) AS avg_word_len,
+       (round(p.swr, 6) + 0.0) AS stopword_ratio,
+       (round(0.4 * least(p.n_words / 50.0, 1.0)
              + 0.3 * (1.0 - abs(p.swr - 0.4))
-             + 0.3 * least(p.awl / 8.0, 1.0), 6) AS quality
+             + 0.3 * least(p.awl / 8.0, 1.0), 6) + 0.0) AS quality
 FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
 """,
     "token_count": """
@@ -2191,7 +2192,7 @@ SELECT query_id,
        cast(row_number() OVER (PARTITION BY query_id
                                ORDER BY score DESC, doc_id ASC) AS bigint)
          AS rk,
-       doc_id, round(score, 6) AS score
+       doc_id, (round(score, 6) + 0.0) AS score
 FROM scored
 QUALIFY rk <= {BM25_TOPK}
 """
@@ -2286,7 +2287,7 @@ per_doc AS (
 )
 SELECT d.doc_id, cast(len(d.text) AS bigint) AS n_chars,
        coalesce(p.distinct_chars, 0) AS distinct_chars,
-       round(coalesce(p.h, 0.0), 6) AS entropy_bits
+       (round(coalesce(p.h, 0.0), 6) + 0.0) AS entropy_bits
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 QUERIES["char_entropy"] = char_entropy
@@ -2618,8 +2619,8 @@ scored AS (
   CROSS JOIN total tt
 )
 SELECT doc_id, cast(count(*) AS bigint) AS n_trigrams,
-       round(list_aggregate(list(log10(s) ORDER BY pos), 'sum')
-             / count(*), 6) AS avg_log10_score,
+       (round(list_aggregate(list(log10(s) ORDER BY pos), 'sum')
+             / count(*), 6) + 0.0) AS avg_log10_score,
        cast(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS bigint)
          AS n_tri_hits,
        cast(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS bigint)
@@ -2746,8 +2747,8 @@ contrib AS (
   FROM with_p
 )
 SELECT n_tr, n_he, v,
-       round(list_aggregate(list(kl_w ORDER BY w), 'sum'), 6) AS kl_bits,
-       round(list_aggregate(list(js_w ORDER BY w), 'sum'), 6) AS js_bits
+       (round(list_aggregate(list(kl_w ORDER BY w), 'sum'), 6) + 0.0) AS kl_bits,
+       (round(list_aggregate(list(js_w ORDER BY w), 'sum'), 6) + 0.0) AS js_bits
 FROM contrib
 GROUP BY n_tr, n_he, v
 """
@@ -2914,7 +2915,7 @@ sims AS (
 SELECT qid AS query_doc,
        cast(row_number() OVER (PARTITION BY qid
                                ORDER BY sim DESC, cid ASC) AS bigint) AS rk,
-       cid AS similar_doc, round(sim, 6) AS cosine
+       cid AS similar_doc, (round(sim, 6) + 0.0) AS cosine
 FROM sims
 QUALIFY rk <= {DOC_SIM_TOPK}
 """
@@ -3015,8 +3016,8 @@ pairs AS (
   HAVING count(*) >= {PMI_MIN_PAIR}
 )
 SELECT w_a, w_b, c_ab, c_a, c_b,
-       round(ln((cast((SELECT count(*) FROM documents) AS double) * c_ab)
-                / (cast(c_a AS double) * c_b)), 6) AS pmi
+       (round(ln((cast((SELECT count(*) FROM documents) AS double) * c_ab)
+                / (cast(c_a AS double) * c_b)), 6) + 0.0) AS pmi
 FROM pairs
 """
 QUERIES["pmi_edges"] = pmi_edges

@@ -346,12 +346,17 @@ def read_tar_shards(
                         payload = tf.extractfile(m).read()
                         base = posixpath.basename(m.name)
                         stem, dot, suffix = base.partition(".")
+                        if dot and not suffix:
+                            # trailing-dot name ("foo."): keep the dot in
+                            # the stem so (stem, suffix) -> name stays a
+                            # byte-exact round trip with build_tar_shards
+                            stem, suffix = base, ""
                         rows.append(
                             (
                                 str(shard_path),
                                 m.name,
                                 stem,
-                                suffix if dot else "",
+                                suffix,
                                 len(payload),
                                 payload,
                             )
@@ -401,7 +406,10 @@ def build_tar_shards(
         with tarfile.open(fileobj=buf, mode="w") as tf:
             for r in pdf.itertuples():
                 payload = bytes(r.content)
-                info = tarfile.TarInfo(name=f"{r.stem}.{r.suffix}")
+                # extension-less members round-trip as their bare stem —
+                # unconditional "{stem}.{suffix}" minted a trailing dot
+                name = f"{r.stem}.{r.suffix}" if r.suffix else r.stem
+                info = tarfile.TarInfo(name=name)
                 info.size = len(payload)
                 info.mtime = 0
                 info.uid = info.gid = 0

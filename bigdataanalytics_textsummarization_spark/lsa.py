@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .functions import pin, r6
 from .text import lsa_sentences, sentences, tokens_lsa
 
 K_CONCEPTS = 5
@@ -109,7 +110,9 @@ def _extract_concepts(pdf: pd.DataFrame) -> pd.DataFrame:
             )[: min(N_PER_CONCEPT, len(vec))]
             for rk, i in enumerate(order, start=1):
                 rows.append(
-                    (source, c, kind, rk, ids[i], round(float(vec[i]), 6))
+                    # + 0.0 = float-parity convention #4 (-0.0 -> +0.0),
+                    # matching r6()'s Spark-side guard
+                    (source, c, kind, rk, ids[i], round(float(vec[i]), 6) + 0.0)
                 )
     return pd.DataFrame(
         rows, columns=["source", "concept", "kind", "rk", "item", "weight"]
@@ -167,7 +170,7 @@ def lsa_concepts_auto_from(
     TF-IDF frame (test seam: a filtered frame + tiny ``max_cells`` forces
     the distributed route without 20 full SVDs).  ``routing`` injects a
     precomputed (big sources, n_sources) decision."""
-    tfidf = tfidf.persist()
+    tfidf = pin(tfidf)
     big, n_sources = (
         routing if routing is not None else _oversized_sources(tfidf, max_cells)
     )
@@ -226,7 +229,7 @@ def _distributed_concepts(
 
     # consumed by several jobs below (sentence index, word index, matrix
     # entries) — cache so upstream tokenization+joins run once, not thrice
-    tfidf = tfidf.select("sentence_id", "word", "tfidf").persist()
+    tfidf = pin(tfidf.select("sentence_id", "word", "tfidf"))
     # dense integer coordinates, built distributedly (sorted for stability)
     sent_ix = (
         tfidf.select("sentence_id")
@@ -266,10 +269,11 @@ def _distributed_concepts(
                 kv[0], Vectors.sparse(n_words, sorted(kv[1]))
             )
         )
-        # ARPACK re-traverses the row RDD on every Lanczos multiply; without
-        # this cache each SVD iteration replays tokenize->join->groupByKey
-        .cache()
     )
+    # ARPACK re-traverses the row RDD on every Lanczos multiply; without
+    # this cache each SVD iteration replays tokenize->join->groupByKey.
+    # pin() registers it for release_pins() (RDDs persist/unpersist too).
+    rows = pin(rows)
     k_eff = min(k, n_rows, n_words)
     svd = IndexedRowMatrix(rows).computeSVD(k_eff, computeU=True)
     # U rows (distributed): sentence weights per concept
@@ -310,7 +314,7 @@ def _distributed_concepts(
             F.lit("sentence").alias("kind"),
             "rk",
             F.col("sentence_id").alias("item"),
-            F.round("weight", 6).alias("weight"),
+            r6(F.col("weight")).alias("weight"),
         )
     )
     if "keyword" in kinds:
@@ -349,7 +353,7 @@ def _distributed_concepts(
                 F.lit("keyword").alias("kind"),
                 "rk",
                 F.col("word").alias("item"),
-                F.round("weight", 6).alias("weight"),
+                r6(F.col("weight")).alias("weight"),
             )
         )
         out = out.unionByName(kw)
@@ -396,9 +400,29 @@ def lsa_concepts_distributed(
 # one-Arrow-batch-per-source plan.
 MAX_LOCAL_CELLS = 4_000_000
 
-# (sf_dir, max_cells) -> (oversized sources, total source count): dataset
-# property, memoized like the PQ codebooks
-_DISPATCH_CACHE: dict[tuple[str, int], tuple[list[str], int]] = {}
+# (sf_dir, max_cells, dataset signature) -> (oversized sources, total
+# source count): dataset property, memoized like the PQ codebooks.  The
+# signature (documents file paths + sizes + mtimes) INVALIDATES the memo
+# when the underlying dataset is rewritten — without it a grown corpus
+# kept its stale small-matrix routing, which is the exact worker-OOM
+# cliff the dispatcher exists to avoid (ADVICE r6).
+_DISPATCH_CACHE: dict[tuple, tuple[list[str], int]] = {}
+
+
+def _dataset_signature(sf_dir: str) -> tuple:
+    """Cheap change-detection key for the documents table: (relpath,
+    size, mtime) per file — one os.stat walk, no data read."""
+    root = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(root):
+        st = os.stat(root)
+        return ((os.path.basename(root), st.st_size, int(st.st_mtime_ns)),)
+    sig = []
+    for dirpath, _, names in sorted(os.walk(root)):
+        for n in sorted(names):
+            p = os.path.join(dirpath, n)
+            st = os.stat(p)
+            sig.append((os.path.relpath(p, root), st.st_size, int(st.st_mtime_ns)))
+    return tuple(sig)
 
 
 def lsa_concepts_auto(
@@ -415,15 +439,19 @@ def lsa_concepts_auto(
     reference's loop takes per product).  Dispatch is all-or-nothing per
     source, so both paths keep their exact single-path semantics and the
     union is deterministic.  The routing decision is MEMOIZED per
-    (sf_dir, max_cells) — it is a property of the dataset (computed at
-    ANALYZE/write time in production), not of the query call, so
-    repeated calls skip the probe (the PQ-codebook memo pattern; ~1 s
-    per call at sf0.1).
+    (sf_dir, max_cells, dataset signature) — it is a property of the
+    dataset (computed at ANALYZE/write time in production), not of the
+    query call, so repeated calls skip the probe (~1 s per call at
+    sf0.1) while a rewritten dataset re-probes (stale entries for the
+    same (sf_dir, max_cells) are evicted, so the memo stays bounded).
+    The probe's tfidf persist is pin()-owned (release_pins()).
     """
     tfidf = _tfidf_long(spark, sf_dir)
-    key = (sf_dir, max_cells)
+    key = (sf_dir, max_cells, _dataset_signature(sf_dir))
     if key not in _DISPATCH_CACHE:
-        _DISPATCH_CACHE[key] = _oversized_sources(tfidf.persist(), max_cells)
+        for k in [k for k in _DISPATCH_CACHE if k[:2] == key[:2]]:
+            del _DISPATCH_CACHE[k]
+        _DISPATCH_CACHE[key] = _oversized_sources(pin(tfidf), max_cells)
     return lsa_concepts_auto_from(
         spark, tfidf, max_cells, routing=_DISPATCH_CACHE[key]
     )

@@ -33,6 +33,7 @@ from .functions import (
     lemma_sql,
     lemma_wordnet,
     lemma_wordnet_sql,
+    pin,
     r6,
 )
 from .io import load_table
@@ -189,9 +190,9 @@ def term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan at sf0.1).  The persist pins the diamond to a single
     # tokenization at the cost of caching one row per (sentence, word) —
     # the same trade a 100 TB run wants, spilling via MEMORY_AND_DISK.
-    tf = toks.groupBy("source", "sentence_id", "word").agg(
+    tf = pin(toks.groupBy("source", "sentence_id", "word").agg(
         F.count("*").cast("long").alias("tf")
-    ).persist()
+    ))
     df = tf.groupBy("source", "word").agg(
         F.count("*").cast("long").alias("df")
     )
@@ -267,9 +268,9 @@ def top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted for the same reason as term_stats' tf: the stacked
     # aggregations in each branch collapse differently, exchange reuse
     # never fires, and without the pin the tokenization runs per branch.
-    base = toks.groupBy("source", "doc_id", "sentence_id", "word").agg(
+    base = pin(toks.groupBy("source", "doc_id", "sentence_id", "word").agg(
         F.count("*").alias("cnt")
-    ).persist()
+    ))
     df = base.groupBy("source", "word").agg(F.count("*").alias("df"))
     tf_doc = base.groupBy("source", "doc_id", "word").agg(
         F.sum("cnt").alias("tf")
@@ -369,8 +370,8 @@ tf AS (SELECT source, sentence_id, word, count(*) AS tf
 df AS (SELECT source, word, count(DISTINCT sentence_id) AS df
        FROM tok GROUP BY source, word)
 SELECT tf.source, tf.sentence_id, tf.word, tf.tf, df.df,
-       round(log10(n.n_sentences / df.df), 6) AS idf,
-       round(tf.tf * log10(n.n_sentences / df.df), 6) AS tfidf
+       (round(log10(n.n_sentences / df.df), 6) + 0.0) AS idf,
+       (round(tf.tf * log10(n.n_sentences / df.df), 6) + 0.0) AS tfidf
 FROM tf JOIN df ON tf.source = df.source AND tf.word = df.word
 JOIN n ON tf.source = n.source
 """,
@@ -409,7 +410,7 @@ ranked AS (
                             ORDER BY score_raw DESC, word ASC) AS rk
   FROM scored
 )
-SELECT doc_id, rk, word, round(score_raw, 6) AS score
+SELECT doc_id, rk, word, (round(score_raw, 6) + 0.0) AS score
 FROM ranked WHERE rk <= 3
 """,
 }

@@ -232,7 +232,13 @@ def last_green_commits() -> dict[str, str]:
     )
     for path in arts:
         rel = os.path.basename(path)
-        commit = _git("log", "-1", "--format=%H", "--", rel).strip()
+        # Baseline against the commit that INTRODUCED the round artifact
+        # (oldest --diff-filter=A hit), not the newest commit touching it:
+        # a post-hoc refresh of an artifact file must not silently
+        # re-baseline its queries to a tree they were never re-run on
+        # (ADVICE r6 — commit 955acfd did exactly that).
+        adds = _git("log", "--diff-filter=A", "--format=%H", "--", rel).split()
+        commit = adds[-1] if adds else ""
         if not commit:
             continue  # uncommitted artifact
         with open(path) as f:

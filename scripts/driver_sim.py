@@ -14,6 +14,7 @@ sys.path.insert(0, ".")
 
 import __spark_entry__ as e  # noqa: E402
 
+from bigdataanalytics_textsummarization_spark.functions import release_pins  # noqa: E402
 from bigdataanalytics_textsummarization_spark.io import TABLES  # noqa: E402
 from bigdataanalytics_textsummarization_spark.session import get_session  # noqa: E402
 
@@ -41,11 +42,13 @@ def main() -> int:
         )
         if name not in osql or golden_off_scale:
             n = qs[name](spark, sf_dir).count()
+            release_pins()  # pins are per-query; 165 queries in one session
             times[name] = time.monotonic() - t0
             kind = "golden@sf0.01, rows-only here" if golden_off_scale else "rows-only"
             print(f"{name}: {kind}, {n} rows  [{times[name]:.2f}s]")
             continue
         g = qs[name](spark, sf_dir).toPandas()
+        release_pins()  # pins are per-query; 165 queries in one session
         w = con.sql(osql[name]).df()
         g = g.reindex(sorted(g.columns), axis=1)
         w = w.reindex(sorted(w.columns), axis=1)
@@ -69,12 +72,32 @@ def main() -> int:
                 dtype_bad.append(f"{c}: spark={g[c].dtype} oracle={w[c].dtype}")
                 ok = False
             if g[c].dtype.kind == "f" or w[c].dtype.kind == "f":
-                if g[c].astype(float).sub(w[c].astype(float)).abs().max() >= 1e-9:
+                # The real driver hashes TYPED values, so floats must be
+                # BIT-identical — a tolerance compare structurally cannot
+                # catch the -0.0/+0.0 class (embedding_cov shipped red in
+                # r5 AND r6 while this sim said 165/165 green).  Compare
+                # the raw float64 bit patterns; NaNs must be bit-equal too.
+                import numpy as np
+
+                gb = g[c].astype("float64").to_numpy().view("int64")
+                wb = w[c].astype("float64").to_numpy().view("int64")
+                if not (gb == wb).all():
                     ok = False
+                    bad = int((gb != wb).argmax())
+                    dtype_bad.append(
+                        f"{c}: first bit-mismatch row {bad}: "
+                        f"spark={g[c].iloc[bad]!r} oracle={w[c].iloc[bad]!r}"
+                    )
+                # convention #4 guard: neither engine may emit -0.0
+                NEG_ZERO = np.array([-0.0]).view("int64")[0]
+                for side, bits in (("spark", gb), ("oracle", wb)):
+                    if (bits == NEG_ZERO).any():
+                        ok = False
+                        dtype_bad.append(f"{c}: {side} emits -0.0")
             elif not (g[c].astype(str).values == w[c].astype(str).values).all():
                 ok = False
         times[name] = time.monotonic() - t0
-        verdict = "MATCH" if ok else ("DTYPE MISMATCH " + "; ".join(dtype_bad) if dtype_bad else "VALUE MISMATCH")
+        verdict = "MATCH" if ok else ("MISMATCH " + "; ".join(dtype_bad) if dtype_bad else "VALUE MISMATCH")
         print(f"{name}: {verdict} {len(g)} rows  [{times[name]:.2f}s]")
         if not ok:
             failed.append(name)
