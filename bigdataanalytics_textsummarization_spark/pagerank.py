@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions import r6
+from .functions import pin, r6
 from .graph import EDGES_PREAMBLE, edges_raw
 from .text import sentences
 
@@ -56,8 +56,24 @@ def ranks_from(
             "dst",
             (F.col("weight") / F.col("out_w")).alias("contrib_w"),
         )
-        .cache()
     )
+    # pin + LAZY localCheckpoint (r7, VERDICT task 5): the loop below
+    # references ew in every iteration, and Spark analyzes EAGERLY per
+    # DataFrame op, so each of the loop's ~3*iterations ops re-walked the
+    # fat tokenize+self-join subtree — plan CONSTRUCTION was 2.0s of
+    # textrank_top5's 3.4s wall (r6 bench).  A lazy localCheckpoint plans
+    # ew once (toRdd) and hands the loop a LogicalRDD LEAF: analysis per
+    # iteration touches a 3-node tree, execution stays ONE action (the
+    # checkpoint RDD materializes inside it, through the pin's cache), and
+    # ranks are BIT-identical (verified at sf0.01).  Measured at sf0.1,
+    # warm medians: construct 2.14s -> ~1.3s, exec 0.81s -> ~1.3s
+    # (checkpoint copy), total 2.94s -> ~2.6s; the residual construct is
+    # building the edges tree itself (0.74s), which belongs to the edge
+    # queries, not the loop.  Alternative REJECTED after measurement: a
+    # one-shot 5-CTE spark.sql unroll constructs in 0.78s but executes in
+    # 3.3-4.4s (cache reuse lost) and is not bit-identical (1e-16 fold
+    # drift) — wrong trade on both axes.
+    ew = pin(ew).localCheckpoint(eager=False)
     # Rank state carries renamed columns (r_source, r_id) so the
     # per-iteration join against ew — which the state descends from — is
     # never ambiguous to the analyzer.
@@ -68,7 +84,7 @@ def ranks_from(
         .distinct()
         .withColumn("rank", F.lit(INIT_RANK).cast("double"))
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = ew.join(
             ranks,
             (F.col("source") == F.col("r_source"))
@@ -84,13 +100,17 @@ def ranks_from(
         # Lineage policy (driver loop, SURVEY §2.10 I1): with fixed
         # iterations the rank chain is LINEAR — iteration i feeds exactly
         # iteration i+1 — so ONE action executes every stage exactly
-        # once and there is no recompute to cut; per-iteration
+        # once and there is no recompute to cut; per-iteration EAGER
         # checkpoints only serialized the loop into driver-blocking jobs
         # (measured: 5 eager checkpoints 4.6s, none 2.4s at sf0.1,
-        # identical results).  A periodic lazy checkpoint still bounds
-        # analyzer depth on LONG runs; the tol path keeps an eager
-        # checkpoint because its per-iteration delta collect is a second
-        # action over new_ranks.
+        # identical results).  With ew a LogicalRDD leaf (above), each
+        # iteration's analysis is shallow; a periodic LAZY checkpoint of
+        # the rank state still bounds analyzer depth on LONG runs (never
+        # fires at the reference's 5 iterations).  The tol path keeps an
+        # eager checkpoint because its per-iteration delta collect is a
+        # second action over new_ranks.
+        if tol is None and (i + 1) % 10 == 0 and i + 1 < iterations:
+            new_ranks = new_ranks.localCheckpoint(eager=False)
         if tol is not None:
             new_ranks = new_ranks.localCheckpoint()
             delta = (
@@ -181,7 +201,7 @@ ORACLES: dict[str, str] = {
     "textrank_ranks": f"""
 {EDGES_PREAMBLE},
 {_ranks_cte(N_ITERATIONS)}
-SELECT source, sentence_id, round(rnk, 6) AS rank FROM r{N_ITERATIONS}
+SELECT source, sentence_id, (round(rnk, 6) + 0.0) AS rank FROM r{N_ITERATIONS}
 """,
     "textrank_top5": f"""
 {EDGES_PREAMBLE},
@@ -192,7 +212,7 @@ ranked AS (
                             ORDER BY rnk DESC, sentence_id ASC) AS rk
   FROM r{N_ITERATIONS}
 )
-SELECT r.source, r.rk, r.sentence_id, round(r.rnk, 6) AS rank, s.sentence
+SELECT r.source, r.rk, r.sentence_id, (round(r.rnk, 6) + 0.0) AS rank, s.sentence
 FROM ranked r JOIN sent s ON r.sentence_id = s.sentence_id
 WHERE r.rk <= 5
 """,
