@@ -71,7 +71,79 @@ _MODULES = [
 # changed-since-last-green (as now mechanically enforced by
 # scripts/check_recert.py — it diffs each query's cross-module AST
 # closure against the tree its last green artifact was committed on).
-_PRIORITY = [
+#
+# Round-7 rotation (VERDICT r6 task 3): r6 burned all 50 slots
+# re-certifying r5's exact window, so this round the window is rebuilt
+# as (a) the queries whose BEHAVIOR changed this round — the -0.0
+# convention fix (embedding_cov, red in r5+r6), the pagerank lazy
+# checkpoint (textrank_*), the LSA dispatch-memo fix (lsa_summary), the
+# recall-gate loud-fail/coalesce fixes (ann_recall_sweep,
+# knn_graph_recall) — then (b) every query whose last green row is
+# OLDEST: the single r1 row (sales_pivot), all 27 r2-era rows, and the
+# alphabetically-first r3-era rows up to the 50 budget.  44 of 50 names
+# are disjoint from r6's window.  (The +0.0 oracle sweep technically
+# touched all 165 closures; value-wise it is the identity everywhere
+# except -0.0, verified by scripts/driver_sim.py's bit-exact 165/165
+# sweep at sf0.01 — so re-certification is prioritized by staleness,
+# not by that mechanical diff.)
+_PRIORITY_R7 = [
+    # (a) behavior changed this round
+    "embedding_cov",
+    "textrank_ranks",
+    "textrank_top5",
+    "lsa_summary",
+    "ann_recall_sweep",
+    "knn_graph_recall",
+    # (b) oldest standing rows: r1
+    "sales_pivot",
+    # r2-era rows (last green: CORRECTNESS_r02)
+    "ann_bucketed_topk",
+    "ann_cosine_topk",
+    "ann_cosine_topk_arrow",
+    "bigram_lm",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "doc_fingerprint",
+    "doc_repetition",
+    "embedding_near_dups",
+    "events_by_segment",
+    "events_dedup",
+    "events_sliding",
+    "frame_sample",
+    "image_resize",
+    "lang_id",
+    "minhash_signatures",
+    "multimodal_features",
+    "near_dup_ingest",
+    "pii_scrub",
+    "quality_score",
+    "simhash_fingerprints",
+    "simhash_near_pairs",
+    "stratified_sample",
+    "token_count",
+    "topk_ngrams",
+    "user_sessions",
+    "view_click_pairs",
+    # r3-era rows (alphabetical; the rest of r3 rotates to round 8)
+    "ann_sq_topk",
+    "audio_resample",
+    "bloom_semijoin",
+    "bm25_search",
+    "bpe_encode",
+    "bpe_vocab",
+    "char_entropy",
+    "classifier_score",
+    "clf_ingest",
+    "cohort_retention",
+    "compression_ratio",
+    "contamination_check",
+    "curation_pipeline",
+    "doc_perplexity",
+    "embedding_quantize",
+    "embedding_rp",
+]
+
+_PRIORITY_R6 = [
     # new this round: genuine PPM payload + real format-parsing decode
     "multimodal_decode",
     # new this round: train/eval n-gram decontamination gate + per-domain
@@ -116,6 +188,81 @@ _PRIORITY = [
     "textrank_top5",
     "top_keywords",
 ]
+
+# Staged overflow (r7): the +0.0 -0.0-guard sweep mechanically changed
+# these queries' closures too, but the 50-slot driver budget is already
+# spent on the rotation window above.  They are STAGED here — behind the
+# window, age-ordered — so check_recert sees them queued and rounds 8+
+# rotate them in.  Interim evidence they did not regress: the bit-exact
+# 165/165 driver_sim sweep at sf0.01 after the sweep (the +0.0 guard is
+# the identity on every value except -0.0 by IEEE-754).
+_PRIORITY_R7_OVERFLOW = [
+    "gopher_rules",
+    "mixture_sample",
+    "ppl_ingest",
+    "source_mixture",
+    "substring_dedup",
+    "tfidf_topk_mllib",
+    "ann_ivfpq_recall",
+    "ann_pq_recall",
+    "asof_click_attribution",
+    "basket_lift",
+    "centroid_eval",
+    "contrastive_pairs",
+    "dedup_containment",
+    "event_transitions",
+    "events_in_sessions",
+    "knn_accuracy",
+    "lineitem_stats",
+    "pmi_edges",
+    "price_percentiles",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rich_customers_sql",
+    "sales_cube",
+    "sales_grouping_sets",
+    "stupid_backoff",
+    "tfidf_doc_topk",
+    "user_value_moving_avg",
+    "vocab_kl_drift",
+    "weighted_sample",
+    "ann_ivf_recall",
+    "dedup_ngram_jaccard",
+    "embedding_pca",
+    "events_hourly",
+    "events_json_stats",
+    "knn_graph_descent",
+    "lsa_concepts",
+    "lsa_concepts_distributed",
+    "minhash_lsh_mllib_recall",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "rouge_l",
+    "rouge_n",
+    "rouge_n_relational",
+    "rouge_n_stemmed",
+    "rouge_sweep",
+    "rouge_sweep_stemmed",
+    "sales_rollup",
+    "similarity_edges",
+    "term_stats",
+    "top_customers_per_nation",
+    "top_keywords",
+]
+
+_PRIORITY = _PRIORITY_R7 + _PRIORITY_R7_OVERFLOW
 
 
 def entry(spark: SparkSession) -> DataFrame:
