@@ -166,6 +166,10 @@ def main() -> None:
         spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
 
     total = round(sum(timings.values()), 3)
+    # execution-only total (value - construction share): the figure
+    # comparable to the pre-r5 anchor in BENCH.json, emitted so no
+    # reader has to reconstruct the subtraction
+    exec_total = round(total - sum(construct.values()), 3)
     print(
         json.dumps(
             {
@@ -176,6 +180,7 @@ def main() -> None:
                 "spread": spread,
                 "cold": cold,
                 "construct": construct,
+                "exec_total": exec_total,
                 "control": control,
                 "control_spread": control_spread,
                 "reps": reps,
