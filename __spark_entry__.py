@@ -87,7 +87,10 @@ _MODULES = [
 # sweep at sf0.01 — so re-certification is prioritized by staleness,
 # not by that mechanical diff.)
 _PRIORITY_R7 = [
-    # (a) behavior changed this round
+    # (a) new this round: real RIFF/PCM WAV decode (stdlib wave parser),
+    # the audio twin of multimodal_decode's PPM path
+    "wav_decode",
+    # behavior changed this round
     "embedding_cov",
     "textrank_ranks",
     "textrank_top5",
@@ -139,7 +142,6 @@ _PRIORITY_R7 = [
     "contamination_check",
     "curation_pipeline",
     "doc_perplexity",
-    "embedding_quantize",
     "embedding_rp",
 ]
 
@@ -197,6 +199,7 @@ _PRIORITY_R6 = [
 # 165/165 driver_sim sweep at sf0.01 after the sweep (the +0.0 guard is
 # the identity on every value except -0.0 by IEEE-754).
 _PRIORITY_R7_OVERFLOW = [
+    "embedding_quantize",  # displaced from the window by wav_decode
     "gopher_rules",
     "mixture_sample",
     "ppl_ingest",

@@ -428,3 +428,146 @@ def decode_ppm_files(spark: SparkSession, media_dir: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         decode, schema=_FILE_DECODE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Real WAV (RIFF / 8-bit PCM) decode — the audio twin of the PPM image path
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+
+def synth_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GENUINE WAV payloads, one per document: 8-bit mono
+    PCM at 8 kHz whose sample count ((md5 byte 14 % 4 + 1) * 2 — 2, 4, 6
+    or 8) and sample bytes (md5 bytes 0..n-1) derive from the text, so
+    the DuckDB oracle can reproduce every field from ``md5(text)``.
+
+    Like :func:`synth_ppm`, the payload is a VALID media file — stdlib
+    ``wave.open`` (or any WAV reader) decodes it unchanged: RIFF header
+    with correct little-endian chunk sizes, canonical 16-byte fmt chunk
+    (PCM, 1 channel, 8000 Hz, 8 bits), then the data chunk.  Construction
+    is pure Catalyst (concat/unhex of hex slices) — no Python on the
+    synth side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.md5("text")
+    meta = docs.select(
+        "doc_id",
+        hx.alias("hx"),
+        (
+            (F.conv(F.substring(hx, 29, 2), 16, 10).cast("int") % 4 + 1) * 2
+        ).alias("n"),
+    )
+
+    def le32_small(col):
+        # little-endian uint32 for values < 256 (max here is n+36 = 44):
+        # the value byte then three NULs
+        return F.unhex(F.concat(F.lpad(F.hex(col), 2, "0"), F.lit("000000")))
+
+    header = F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        le32_small(F.col("n") + 36),  # RIFF chunk size = 36 + data bytes
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        # fmt chunk: size 16, PCM (1), mono (1), 8000 Hz, 8000 B/s,
+        # block align 1, 8 bits — all little-endian
+        F.unhex(F.lit("10000000" "0100" "0100" "401F0000" "401F0000" "0100" "0800")),
+        F.encode(F.lit("data"), "UTF-8"),
+        le32_small(F.col("n")),
+    )
+    data = F.unhex(F.expr("substring(hx, 1, n * 2)"))
+    return meta.select("doc_id", F.concat(header, data).alias("payload"))
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """REAL decode of a WAV payload via the stdlib ``wave`` parser:
+    returns (sample_rate, n_channels, bits, n_samples, sum_amp, max_amp).
+
+    Not a stand-in: ``wave`` walks the RIFF chunk structure and rejects
+    bad magics/fmt codes; this wrapper additionally validates that the
+    data chunk really holds n_frames * block_align bytes (truncation
+    fails loudly) and aggregates actual amplitudes.  Integer-only
+    outputs — zero float surface for the value gate.
+    """
+    if payload is None:
+        raise NotImplementedError(
+            "real media decode not available in this container"
+        )
+    import io as _io
+    import wave
+
+    with wave.open(_io.BytesIO(bytes(payload))) as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        n = w.getnframes()
+        frames = w.readframes(n)
+    if width != 1:
+        raise ValueError(f"unsupported sample width {width} (8-bit PCM only)")
+    if len(frames) != n * nch * width:
+        raise ValueError(
+            f"corrupt data chunk: {len(frames)} bytes for {n} frames x "
+            f"{nch} ch x {width} B"
+        )
+    return rate, nch, width * 8, n, sum(frames), max(frames, default=0)
+
+
+_WAV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("bits", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("max_amp", T.LongType()),
+    ]
+)
+
+
+def wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode genuine WAV payloads via mapInPandas (Arrow batches) — the
+    audio counterpart of :func:`multimodal_decode`, same plumbing: binary
+    column in, declared schema out, partition-preserving, one Arrow touch
+    per payload, all-integer outputs.  At 100 TB this is the shape of any
+    audio-metadata extraction pass: embarrassingly parallel over
+    payload rows, no shuffle until a downstream aggregate."""
+    media = synth_wav(spark, sf_dir)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(did), *decode_wav(payload))
+                for did, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _WAV_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(decode, schema=_WAV_SCHEMA)
+
+
+# mirrors the WAV construction: n from md5 byte 14, samples = first n
+# md5 bytes; every output field is an integer fact of md5(text)
+ORACLES["wav_decode"] = """
+WITH meta AS (
+  SELECT doc_id, md5(text) AS hx,
+         cast((cast(concat('0x', substr(md5(text), 29, 2)) AS ubigint) % 4 + 1) * 2
+              AS bigint) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, n,
+         cast(cast(concat('0x', substr(hx, 2 * i + 1, 2)) AS ubigint) AS bigint) AS b
+  FROM (SELECT doc_id, hx, n, unnest(range(8)) AS i FROM meta)
+  WHERE i < n
+)
+SELECT doc_id,
+       cast(8000 AS bigint) AS sample_rate,
+       cast(1 AS bigint) AS n_channels,
+       cast(8 AS bigint) AS bits,
+       n AS n_samples,
+       cast(sum(b) AS bigint) AS sum_amp,
+       cast(max(b) AS bigint) AS max_amp
+FROM s GROUP BY doc_id, n
+"""
+QUERIES["wav_decode"] = wav_decode
