@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
+from bigdataanalytics_textsummarization_spark.functions import release_pins  # noqa: E402
 from bigdataanalytics_textsummarization_spark.session import get_session  # noqa: E402
 
 BASE_SF = "/root/testdata/sf0.1"
@@ -131,6 +132,10 @@ def main() -> None:
         base = time_query(spark, fn, BASE_SF)
         big = time_query(spark, fn, big_dir)
         print(f"{name:24} {base:8.2f} {big:8.2f} {big / base:7.1f}x")
+        # pins are per-query: without the release, ~20 probed queries x
+        # (sf0.1 + 10x) cached aggregates accumulate in one executor JVM
+        # and memory pressure bleeds into the LATE queries' walls
+        release_pins()
     spark.stop()
 
 
