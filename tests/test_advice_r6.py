@@ -177,3 +177,24 @@ def test_recert_baseline_is_the_artifact_add_commit():
     )
     allowed = {add_commit(os.path.basename(p)) for p in arts} - {""}
     assert set(greens.values()) <= allowed
+
+
+def test_pin_registry_releases_storage(spark):
+    """pin() persists and registers; release_pins() unpersists everything
+    it owns — the ownership contract behind every cache in the package."""
+    from pyspark.sql import functions as F
+
+    from bigdataanalytics_textsummarization_spark.functions import (
+        _PINS,
+        pin,
+        release_pins,
+    )
+
+    release_pins()  # start clean
+    df = pin(spark.range(1000).select((F.col("id") % 7).alias("k")))
+    assert df.count() == 1000  # materialize the cache
+    assert df.storageLevel.useMemory
+    assert len(_PINS) == 1
+    n = release_pins()
+    assert n == 1 and not _PINS
+    assert not df.storageLevel.useMemory  # unpersisted
