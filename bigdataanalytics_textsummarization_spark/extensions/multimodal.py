@@ -571,3 +571,35 @@ SELECT doc_id,
 FROM s GROUP BY doc_id, n
 """
 QUERIES["wav_decode"] = wav_decode
+
+
+_WAV_FILE_SCHEMA = T.StructType(
+    [T.StructField("path", T.StringType())]
+    + _WAV_SCHEMA.fields[1:]  # sample_rate/n_channels/bits/n_samples/sums
+)
+
+
+def decode_wav_files(spark: SparkSession, media_dir: str) -> DataFrame:
+    """Decode a DIRECTORY of real WAV files (binaryFile source) — the
+    audio ingest edge, mirroring :func:`decode_ppm_files`: parallel file
+    listing -> binary rows -> the same stdlib-``wave`` parser in
+    Arrow-batched mapInPandas.  One row per file keyed by path; corrupt
+    files fail loudly (a production deploy wraps decode_wav with a
+    quarantine column, the ``read_reviews_tsv`` bad-record pattern)."""
+    from ..io import read_binary_dir
+
+    files = read_binary_dir(spark, media_dir, glob="*.wav")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (str(p), *decode_wav(bytes(payload)))
+                for p, payload in zip(pdf["path"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _WAV_FILE_SCHEMA.fields]
+            )
+
+    return files.select("path", "content").mapInPandas(
+        decode, schema=_WAV_FILE_SCHEMA
+    )

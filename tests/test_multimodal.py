@@ -161,3 +161,35 @@ def test_wav_decode_oracle_parity(spark, oracle):
     from tests.conftest import assert_parity
 
     assert_parity(spark, oracle, wav_decode, ORACLES["wav_decode"])
+
+
+def test_decode_wav_files_from_binary_source(spark, tmp_path):
+    """Directory of real .wav files through binaryFile + the stdlib wave
+    parser; glob-filtered junk is never read."""
+    import io
+    import wave as wave_mod
+
+    from bigdataanalytics_textsummarization_spark.extensions.multimodal import (
+        decode_wav_files,
+    )
+
+    samples = {"a.wav": [1, 2, 3, 4], "b.wav": [250, 251], "c.wav": [0, 128, 255, 64, 32, 16]}
+    for name, vals in samples.items():
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(bytes(vals))
+        (tmp_path / name).write_bytes(buf.getvalue())
+    (tmp_path / "junk.txt").write_bytes(b"not audio")
+
+    out = decode_wav_files(spark, str(tmp_path)).toPandas()
+    assert len(out) == 3
+    by_name = {r.path.rsplit("/", 1)[-1]: r for r in out.itertuples()}
+    for name, vals in samples.items():
+        r = by_name[name]
+        assert (r.sample_rate, r.n_channels, r.bits) == (8000, 1, 8)
+        assert r.n_samples == len(vals)
+        assert r.sum_amp == sum(vals)
+        assert r.max_amp == max(vals)
