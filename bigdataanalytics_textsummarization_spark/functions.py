@@ -30,21 +30,66 @@ from pyspark.sql import functions as F
 # documented ownership for those paths.
 # ---------------------------------------------------------------------------
 
+# Thread-ownership contract: the registry is a plain module global, owned
+# by the SINGLE thread that builds and releases queries (the driver loop,
+# bench.py, pytest).  That is the documented contract — the driver harness
+# is single-threaded by design — and it is asserted by the contract test
+# (tests/test_advice_r7.py::test_pin_registry_single_thread_contract).
+# Concurrent query builders would need their own SparkSession anyway
+# (.sql conf isolation), at which point a per-session registry is the
+# right shape; not needed for any in-repo path.
 _PINS: list[DataFrame] = []
+_CHECKPOINTS: list[DataFrame] = []
 
 
 def pin(df: DataFrame) -> DataFrame:
-    """persist() with an owner: registered for release_pins()."""
+    """persist() with an owner: registered for release_pins().
+
+    Idempotent: pinning a frame already in the registry is a no-op (the
+    LSA dispatch probe pins tfidf, then passes the same frame into
+    lsa_concepts_auto_from which pins its argument — ADVICE r7)."""
+    if any(df is p for p in _PINS):
+        return df
     df = df.persist()
     _PINS.append(df)
     return df
 
 
+def pin_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """``localCheckpoint`` with an owner (ADVICE r7 / VERDICT r7 task 3).
+
+    ``df.localCheckpoint(eager=False)`` persists its internal RDD's blocks
+    OUTSIDE any DataFrame cache — without an owner they are reclaimed only
+    when Python GC + ContextCleaner get to the derived frame, so a long
+    multi-query session accumulates untracked rank/edge checkpoint blocks.
+    This registers the checkpointed frame; release_pins() unpersists the
+    underlying checkpoint RDD explicitly (reaching it through the plan's
+    LogicalRDD leaf)."""
+    cp = df.localCheckpoint(eager=eager)
+    _CHECKPOINTS.append(cp)
+    return cp
+
+
+def _unpersist_checkpoint(cp: DataFrame) -> None:
+    """Unpersist the block-manager storage behind a localCheckpoint'ed
+    frame.  The checkpointed plan is a single LogicalRDD leaf whose
+    ``rdd`` field is the persisted internal RDD; falls back to GC +
+    ContextCleaner ownership if the plan shape ever differs."""
+    try:
+        cp._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def release_pins() -> int:
-    """Unpersist every registered pin (blocking=False); returns the count."""
+    """Unpersist every registered pin and checkpoint (blocking=False);
+    returns the count released."""
     n = 0
     while _PINS:
         _PINS.pop().unpersist()
+        n += 1
+    while _CHECKPOINTS:
+        _unpersist_checkpoint(_CHECKPOINTS.pop())
         n += 1
     return n
 

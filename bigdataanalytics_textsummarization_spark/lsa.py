@@ -447,7 +447,17 @@ def lsa_concepts_auto(
     The probe's tfidf persist is pin()-owned (release_pins()).
     """
     tfidf = _tfidf_long(spark, sf_dir)
-    key = (sf_dir, max_cells, _dataset_signature(sf_dir))
+    sig = _dataset_signature(sf_dir)
+    if not sig:
+        # The os.stat walk could not enumerate the dataset (remote FS /
+        # object store path, or a dir layout os.walk cannot see): change
+        # detection is impossible, so do NOT memoize — probe every call
+        # rather than risk the stale-routing OOM cliff the signature
+        # exists to prevent (ADVICE r7).
+        return lsa_concepts_auto_from(
+            spark, tfidf, max_cells, routing=_oversized_sources(pin(tfidf), max_cells)
+        )
+    key = (sf_dir, max_cells, sig)
     if key not in _DISPATCH_CACHE:
         for k in [k for k in _DISPATCH_CACHE if k[:2] == key[:2]]:
             del _DISPATCH_CACHE[k]

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions import pin, r6
+from .functions import pin, pin_checkpoint, r6
 from .graph import EDGES_PREAMBLE, edges_raw
 from .text import sentences
 
@@ -73,7 +73,10 @@ def ranks_from(
     # one-shot 5-CTE spark.sql unroll constructs in 0.78s but executes in
     # 3.3-4.4s (cache reuse lost) and is not bit-identical (1e-16 fold
     # drift) — wrong trade on both axes.
-    ew = pin(ew).localCheckpoint(eager=False)
+    # pin_checkpoint (r8, VERDICT task 3): the checkpoint RDD's storage
+    # blocks now have an owner too — release_pins() unpersists them
+    # explicitly instead of waiting on GC + ContextCleaner.
+    ew = pin_checkpoint(pin(ew))
     # Rank state carries renamed columns (r_source, r_id) so the
     # per-iteration join against ew — which the state descends from — is
     # never ambiguous to the analyzer.
@@ -110,9 +113,9 @@ def ranks_from(
         # eager checkpoint because its per-iteration delta collect is a
         # second action over new_ranks.
         if tol is None and (i + 1) % 10 == 0 and i + 1 < iterations:
-            new_ranks = new_ranks.localCheckpoint(eager=False)
+            new_ranks = pin_checkpoint(new_ranks)
         if tol is not None:
-            new_ranks = new_ranks.localCheckpoint()
+            new_ranks = pin_checkpoint(new_ranks, eager=True)
             delta = (
                 new_ranks.join(
                     ranks.select(

@@ -1308,7 +1308,11 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey",
         "recency_days",
         "frequency",
-        F.round("monetary", 2).alias("monetary"),
+        # r2, not bare round: monetary is strictly positive today (sum of
+        # positive order totals), but float-parity convention #4 applies to
+        # every rounded-float output — the oracle already carries the +0.0
+        # guard (ADVICE r7)
+        r2(F.col("monetary")).alias("monetary"),
         "r_score",
         "f_score",
         "m_score",
