@@ -86,6 +86,72 @@ _MODULES = [
 # except -0.0, verified by scripts/driver_sim.py's bit-exact 165/165
 # sweep at sf0.01 — so re-certification is prioritized by staleness,
 # not by that mechanical diff.)
+# Round-8 window (VERDICT r7 task 1): 50 slots = (a) the four queries NEW
+# this round, (b) every query whose closure changed this round (the
+# leaf()/session_memo construct-time work in text/graph/pagerank — values
+# verified bit-exact vs the pre-leaf plans by driver_sim at sf0.01 AND
+# sf0.1 — plus rfm_segments' r2 routing), then (c) the staged
+# _PRIORITY_R7_OVERFLOW queue OLDEST-FIRST (r3-era names first, exactly
+# the order the r7 verdict prescribed) up to the budget.  48/50 names are
+# disjoint from the r7 window (only textrank_ranks/textrank_top5 repeat —
+# their closures changed again).  Stragglers remain staged for r9 via the
+# overflow list below.
+_PRIORITY_R8 = [
+    # (a) new this round
+    "embedding_cov_gram_check",  # 100 TB Gramian covariance, driver-gated
+    "ppm_files_decode",  # file-system ingest edges (real files on disk)
+    "wav_files_decode",
+    "tar_shards_roundtrip",
+    # (b) closure changed this round (scripts/check_recert.py list)
+    "sentences",
+    "tokens_lsa",
+    "tokens_textrank",
+    "tokens_wordnet",
+    "tf_map",
+    "vocabulary",
+    "term_stats",
+    "top_keywords",
+    "similarity_edges",
+    "graph_triangles",
+    "graph_khop",
+    "graph_lpa",
+    "textrank_ranks",
+    "textrank_top5",
+    "rfm_segments",
+    # (c) staged overflow, oldest-first (r3-era)
+    "embedding_quantize",
+    "gopher_rules",
+    "mixture_sample",
+    "ppl_ingest",
+    "source_mixture",
+    "substring_dedup",
+    "tfidf_topk_mllib",
+    "ann_ivfpq_recall",
+    "ann_pq_recall",
+    "asof_click_attribution",
+    "basket_lift",
+    "centroid_eval",
+    "contrastive_pairs",
+    "dedup_containment",
+    "event_transitions",
+    "events_in_sessions",
+    "knn_accuracy",
+    "lineitem_stats",
+    "pmi_edges",
+    "price_percentiles",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+]
+
 _PRIORITY_R7 = [
     # (a) new this round: real RIFF/PCM WAV decode (stdlib wave parser),
     # the audio twin of multimodal_decode's PPM path
@@ -265,7 +331,10 @@ _PRIORITY_R7_OVERFLOW = [
     "top_keywords",
 ]
 
-_PRIORITY = _PRIORITY_R7 + _PRIORITY_R7_OVERFLOW
+# r8 window first (the driver's 50-slot budget reads front-to-back, dict
+# insertion dedupes repeats), then the r7 lists so every still-staged name
+# stays queued for r9.
+_PRIORITY = _PRIORITY_R8 + _PRIORITY_R7 + _PRIORITY_R7_OVERFLOW
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -603,3 +603,155 @@ def decode_wav_files(spark: SparkSession, media_dir: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         decode, schema=_WAV_FILE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-gated file-system ingest edges (VERDICT r7 task 6)
+#
+# decode_ppm_files / decode_wav_files / read_tar_shards had byte-exact
+# pytest coverage but no registry entry — their fixtures (real files on
+# disk) live outside the parquet oracle's reach.  These queries close
+# that: each synthesizes its media directory under the system temp dir at
+# query-build time (the build_ivf_index on-disk pattern), deterministically
+# from the documents table (same md5-derived payloads as the in-memory
+# synth_* twins), then runs the REAL file-ingest path and re-keys rows by
+# doc_id so the ordinary documents-table oracles value-gate the output.
+# ---------------------------------------------------------------------------
+
+FILE_CAP = 1000  # fixture bound: files written per kind (driver-side write)
+
+
+def _ensure_media_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Write the on-disk media fixture for one ingest edge, once.
+
+    Deterministic: payloads are the pure-Catalyst synth_* expressions over
+    documents (doc_id < FILE_CAP bounds the driver-side file write — this
+    is FIXTURE provisioning, not the measured ingest path).  The directory
+    is keyed by a content signature of documents.parquet (path + mtime +
+    size) so a regenerated corpus gets a fresh fixture; the build is
+    staged in a temp sibling and atomically renamed, so concurrent callers
+    settle on one complete directory."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    sig = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_media", sig, kind
+    )
+    if os.path.isdir(root):
+        return root
+    stage = root + f".stage-{os.getpid()}"
+    os.makedirs(stage, exist_ok=True)
+    capped = F.col("doc_id") < FILE_CAP
+    if kind == "ppm":
+        for r in synth_ppm(spark, sf_dir).filter(capped).collect():
+            with open(os.path.join(stage, f"{r['doc_id']}.ppm"), "wb") as fh:
+                fh.write(bytes(r["payload"]))
+    elif kind == "wav":
+        for r in synth_wav(spark, sf_dir).filter(capped).collect():
+            with open(os.path.join(stage, f"{r['doc_id']}.wav"), "wb") as fh:
+                fh.write(bytes(r["payload"]))
+    elif kind == "tar":
+        from ..io import build_tar_shards
+
+        samples = (
+            load_table(spark, sf_dir, "documents")
+            .filter(capped)
+            .select(
+                F.col("doc_id").cast("string").alias("stem"),
+                F.lit("txt").alias("suffix"),
+                F.encode("text", "UTF-8").alias("content"),
+            )
+        )
+        for r in build_tar_shards(samples, n_shards=8).collect():
+            name = f"shard-{int(r['shard']):05d}.tar"
+            with open(os.path.join(stage, name), "wb") as fh:
+                fh.write(bytes(r["tar"]))
+    else:  # pragma: no cover
+        raise ValueError(f"unknown media kind {kind!r}")
+    try:
+        os.rename(stage, root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # raced: other build won
+    return root
+
+
+def ppm_files_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-system twin of :func:`multimodal_decode`: real .ppm files on
+    disk -> binaryFile scan -> the same real P6 parser -> rows re-keyed
+    by doc_id (from the filename) so the multimodal_decode oracle
+    value-gates the full listing+decode edge."""
+    media = _ensure_media_dir(spark, sf_dir, "ppm")
+    return decode_ppm_files(spark, media).select(
+        F.regexp_extract("path", r"(\d+)\.ppm$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "width",
+        "height",
+        "n_px",
+        "sum_r",
+        "sum_g",
+        "sum_b",
+    )
+
+
+def wav_files_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-system twin of :func:`wav_decode`: real .wav files on disk ->
+    binaryFile scan -> the same stdlib ``wave`` parser -> rows re-keyed
+    by doc_id so the wav_decode oracle value-gates the edge."""
+    media = _ensure_media_dir(spark, sf_dir, "wav")
+    return decode_wav_files(spark, media).select(
+        F.regexp_extract("path", r"(\d+)\.wav$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        "bits",
+        "n_samples",
+        "sum_amp",
+        "max_amp",
+    )
+
+
+def tar_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard round-trip as a value-gated query: documents ->
+    build_tar_shards (deterministic archives) -> real .tar files on disk
+    -> read_tar_shards (binaryFile + stdlib tarfile) -> one row per
+    member with its byte length and content md5.  The oracle recomputes
+    both directly from the documents table, so equality certifies the
+    pack/unpack pair is byte-exact end-to-end through the file system."""
+    from ..io import read_tar_shards
+
+    media = _ensure_media_dir(spark, sf_dir, "tar")
+    return read_tar_shards(spark, media).select(
+        "stem",
+        "suffix",
+        "n_bytes",
+        F.md5("content").alias("content_md5"),
+    )
+
+
+# same md5-closed-form oracles as the in-memory twins, bounded to the
+# fixture cap
+ORACLES["ppm_files_decode"] = ORACLES["multimodal_decode"].replace(
+    "FROM documents", f"FROM documents WHERE doc_id < {FILE_CAP}", 1
+)
+ORACLES["wav_files_decode"] = ORACLES["wav_decode"].replace(
+    "FROM documents", f"FROM documents WHERE doc_id < {FILE_CAP}", 1
+)
+ORACLES["tar_shards_roundtrip"] = f"""
+SELECT cast(doc_id AS varchar) AS stem,
+       'txt' AS suffix,
+       cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents WHERE doc_id < {FILE_CAP}
+"""
+QUERIES["ppm_files_decode"] = ppm_files_decode
+QUERIES["wav_files_decode"] = wav_files_decode
+QUERIES["tar_shards_roundtrip"] = tar_shards_roundtrip

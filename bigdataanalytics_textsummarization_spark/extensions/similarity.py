@@ -1902,6 +1902,59 @@ def embedding_cov_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_cov_gram_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gate for the 100 TB covariance path (VERDICT r7 task 4):
+    certify :func:`embedding_cov_gram` (Gramian partials, the shape you'd
+    actually run at scale) against the bit-deterministic
+    :func:`embedding_cov` with DETERMINATE facts — the ``incremental_agg``
+    merge-==-full pattern:
+
+    - ``n_cells``: cells in the full-outer join of both triangles; equals
+      dims*(dims+1)/2 (the oracle's closed form) iff neither path drops
+      or duplicates a cell;
+    - ``cells_match``: every cell present on BOTH sides;
+    - ``within_tol``: max |Δ| of the r6-rounded covariances <= 1e-6 + eps.
+      Both paths round raw values agreeing to ~1e-9, so rounded values
+      are equal except at an exact 5e-7 rounding boundary, where they
+      differ by one 1e-6 step — anything larger means the Gramian-partial
+      algebra is wrong, not the fold order.
+    """
+    exact = embedding_cov(spark, sf_dir).select(
+        "i", "j", F.col("cov").alias("c_exact")
+    )
+    gram = embedding_cov_gram(spark, sf_dir).select(
+        "i", "j", F.col("cov").alias("c_gram")
+    )
+    j = exact.join(gram, ["i", "j"], "full_outer")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            F.sum(
+                F.when(
+                    F.col("c_exact").isNull() | F.col("c_gram").isNull(), 1
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("cells_match"),
+        F.coalesce(
+            F.max(F.abs(F.col("c_exact") - F.col("c_gram")))
+            <= F.lit(1.000001e-6),
+            F.lit(False),
+        ).alias("within_tol"),
+    )
+
+
+# the oracle is the CLOSED FORM of the facts: a correct Gramian path
+# yields exactly the upper-triangle cell count and both booleans true
+ORACLES["embedding_cov_gram_check"] = """
+SELECT cast(d * (d + 1) // 2 AS bigint) AS n_cells,
+       TRUE AS cells_match,
+       TRUE AS within_tol
+FROM (SELECT max(len(embedding)) AS d FROM embeddings)
+"""
+QUERIES["embedding_cov_gram_check"] = embedding_cov_gram_check
+
+
 # ---------------------------------------------------------------------------
 # IVF tuning curve: recall vs nprobe as determinate facts
 # ---------------------------------------------------------------------------

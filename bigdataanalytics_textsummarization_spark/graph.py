@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions import r6
+from .functions import leaf, r6, session_memo
 from .text import (
     SENTENCES_CTE,
     TOKENS_TR_CTE,
@@ -103,9 +103,16 @@ def edges_from(toks: DataFrame) -> DataFrame:
     )
 
 
+@session_memo
 def edges_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edge table over the synthetic documents corpus."""
-    return edges_from(tokens_textrank(spark, sf_dir))
+    """Edge table over the synthetic documents corpus.
+
+    The token stream is collapsed to a LogicalRDD leaf first: edges_from
+    composes ~10 ops over it (dist twice via the self-join, ntok twice via
+    the n_src/n_dst joins), so without the leaf each op's eager analysis
+    re-walks the whole tokenize tree — plan construction dominated the
+    similarity/textrank family's wall time (VERDICT r7 task 5)."""
+    return edges_from(leaf(tokens_textrank(spark, sf_dir)))
 
 
 def similarity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

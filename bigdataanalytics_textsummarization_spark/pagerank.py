@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions import pin, pin_checkpoint, r6
+from .functions import leaf, pin_checkpoint, r6, session_memo
 from .graph import EDGES_PREAMBLE, edges_raw
 from .text import sentences
 
@@ -76,7 +76,7 @@ def ranks_from(
     # pin_checkpoint (r8, VERDICT task 3): the checkpoint RDD's storage
     # blocks now have an owner too — release_pins() unpersists them
     # explicitly instead of waiting on GC + ContextCleaner.
-    ew = pin_checkpoint(pin(ew))
+    ew = leaf(ew)
     # Rank state carries renamed columns (r_source, r_id) so the
     # per-iteration join against ew — which the state descends from — is
     # never ambiguous to the analyzer.
@@ -141,6 +141,7 @@ def ranks_from(
     )
 
 
+@session_memo
 def _ranks_raw(
     spark: SparkSession, sf_dir: str, iterations: int = N_ITERATIONS
 ) -> DataFrame:

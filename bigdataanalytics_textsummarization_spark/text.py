@@ -27,13 +27,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions import (
+    session_memo,
     STOPWORDS,
     STOPWORDS_SQL,
     lemma_light,
     lemma_sql,
     lemma_wordnet,
     lemma_wordnet_sql,
-    pin,
+    leaf,
     r6,
 )
 from .io import load_table
@@ -68,6 +69,7 @@ def sentences_from(
     )
 
 
+@session_memo
 def sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 over the synthetic documents table (doc_id cast long for parity)."""
     docs = load_table(spark, sf_dir, "documents").select(
@@ -145,20 +147,24 @@ def tokens_textrank_from(sent: DataFrame, lemma=lemma_light) -> DataFrame:
     return _tokenize(sent, 10, 30, 4, lemma=lemma)
 
 
+@session_memo
 def lsa_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsa_sentences_from(sentences(spark, sf_dir))
 
 
+@session_memo
 def tokens_lsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSA-mode token stream, long form (sentence_id, word)."""
     return tokens_lsa_from(sentences(spark, sf_dir))
 
 
+@session_memo
 def tokens_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TextRank-mode token stream: band filter 10<words<30, raw len > 3."""
     return tokens_textrank_from(sentences(spark, sf_dir))
 
 
+@session_memo
 def tokens_wordnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSA-mode token stream under the WordNet-parity lemmatizer (F6) —
     the reference's WordNetLemmatizer semantics (code:51/68): irregular
@@ -190,7 +196,10 @@ def term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan at sf0.1).  The persist pins the diamond to a single
     # tokenization at the cost of caching one row per (sentence, word) —
     # the same trade a 100 TB run wants, spilling via MEMORY_AND_DISK.
-    tf = pin(toks.groupBy("source", "sentence_id", "word").agg(
+    # leaf(), not bare pin (r8): the df branch + two joins each re-analyze
+    # the tokenize tree eagerly; the lazy-checkpoint leaf cuts that to one
+    # walk (VERDICT r7 task 5).
+    tf = leaf(toks.groupBy("source", "sentence_id", "word").agg(
         F.count("*").cast("long").alias("tf")
     ))
     df = tf.groupBy("source", "word").agg(
@@ -268,7 +277,8 @@ def top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persisted for the same reason as term_stats' tf: the stacked
     # aggregations in each branch collapse differently, exchange reuse
     # never fires, and without the pin the tokenization runs per branch.
-    base = pin(toks.groupBy("source", "doc_id", "sentence_id", "word").agg(
+    # leaf(), not bare pin (r8): same construct-time cut as term_stats.
+    base = leaf(toks.groupBy("source", "doc_id", "sentence_id", "word").agg(
         F.count("*").alias("cnt")
     ))
     df = base.groupBy("source", "word").agg(F.count("*").alias("df"))
