@@ -73,9 +73,14 @@ def ranks_from(
     # one-shot 5-CTE spark.sql unroll constructs in 0.78s but executes in
     # 3.3-4.4s (cache reuse lost) and is not bit-identical (1e-16 fold
     # drift) — wrong trade on both axes.
-    # pin_checkpoint (r8, VERDICT task 3): the checkpoint RDD's storage
-    # blocks now have an owner too — release_pins() unpersists them
-    # explicitly instead of waiting on GC + ContextCleaner.
+    # leaf() (r8): same pin + lazy-checkpoint shape, now (a) OWNED — the
+    # checkpoint RDD's storage is released by release_pins(), not GC +
+    # ContextCleaner (VERDICT r7 task 3) — and (b) MEMOIZED per plan
+    # semantics, so repeated builds in one session (textrank_ranks +
+    # textrank_top5, bench reps) share ONE materialized ew instead of
+    # re-copying blocks per build (VERDICT r7 task 5; with AQE even a
+    # lazy checkpoint materializes its shuffle stages at build time, so
+    # an unshared leaf re-pays that work on every construction).
     ew = leaf(ew)
     # Rank state carries renamed columns (r_source, r_id) so the
     # per-iteration join against ew — which the state descends from — is
