@@ -173,6 +173,19 @@ def tokens_wordnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokens_lsa_from(sentences(spark, sf_dir), lemma=lemma_wordnet)
 
 
+@session_memo
+def n_sentences_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus size N per source (sentences passing the LSA filter) — the
+    TF-IDF denominator shared by term_stats, top_keywords, and the LSA
+    pipeline.  A memoized builder so a multi-query session computes the
+    documents scan + explode + count once; sentence_id is unique by
+    construction (doc_id x pos), so the corpus size is a plain count —
+    no Expand/distinct aggregation."""
+    return lsa_sentences(spark, sf_dir).groupBy("source").agg(
+        F.count("*").cast("double").alias("n_sentences")
+    )
+
+
 def term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4/D6/D7 relational encoding: tf, df, idf=log10(N/df), tfidf (A1, A3, F8).
 
@@ -182,11 +195,7 @@ def term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT MLlib's ln((N+1)/(df+1)).
     """
     toks = tokens_lsa(spark, sf_dir)
-    n_per_source = lsa_sentences(spark, sf_dir).groupBy("source").agg(
-        # sentence_id is unique by construction (doc_id x pos), so the
-        # corpus size is a plain count — no Expand/distinct aggregation
-        F.count("*").cast("double").alias("n_sentences")
-    )
+    n_per_source = n_sentences_per_source(spark, sf_dir)
     # One tokenization pass: tf is the base aggregation, df re-aggregates it
     # (each (sentence_id, word) appears once in tf, so df = count(*)).
     # Persisted explicitly: exchange reuse does NOT fire here — the
@@ -267,11 +276,7 @@ def top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed, deterministic tiebreak (score desc, word asc).
     """
     toks = tokens_lsa(spark, sf_dir)
-    n_per_source = lsa_sentences(spark, sf_dir).groupBy("source").agg(
-        # sentence_id is unique by construction (doc_id x pos), so the
-        # corpus size is a plain count — no Expand/distinct aggregation
-        F.count("*").cast("double").alias("n_sentences")
-    )
+    n_per_source = n_sentences_per_source(spark, sf_dir)
     # Single tokenization pass: aggregate once at sentence granularity, then
     # derive both df (distinct sentences per word) and per-doc tf from it.
     # Persisted for the same reason as term_stats' tf: the stacked
