@@ -331,10 +331,18 @@ _PRIORITY_R7_OVERFLOW = [
     "top_keywords",
 ]
 
+# Staged for the r9 window (behind the r8 budget): new-this-round queries
+# that did not displace the verdict-prescribed oldest-first rotation.
+_PRIORITY_R8_STAGED = [
+    "jsonl_roundtrip",  # JSONL ingest edge, pytest + full oracle ready
+]
+
 # r8 window first (the driver's 50-slot budget reads front-to-back, dict
-# insertion dedupes repeats), then the r7 lists so every still-staged name
-# stays queued for r9.
-_PRIORITY = _PRIORITY_R8 + _PRIORITY_R7 + _PRIORITY_R7_OVERFLOW
+# insertion dedupes repeats), then the staged-for-r9 names, then the r7
+# lists so every still-staged name stays queued.
+_PRIORITY = (
+    _PRIORITY_R8 + _PRIORITY_R8_STAGED + _PRIORITY_R7 + _PRIORITY_R7_OVERFLOW
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

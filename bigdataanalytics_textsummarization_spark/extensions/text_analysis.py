@@ -3068,3 +3068,54 @@ JOIN documents d USING (doc_id)
 GROUP BY d.lang
 """
 QUERIES["tokenizer_fertility"] = tokenizer_fertility
+
+
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink round-trip as a value-gated query — the last
+    pytest-only ingest edge driver-gated (the r8 pattern that closed the
+    PPM/WAV/tar edges): documents -> ``io.write_jsonl`` (a DISTRIBUTED
+    Spark json sink to a temp dir — executor-side write, unlike the
+    media fixtures' driver-side provisioning) -> ``io.read_jsonl`` with
+    an EXPLICIT schema (single pass, no inference) -> one row per doc
+    with its key columns and text md5.  The oracle recomputes the same
+    facts from the documents table, so equality certifies JSON
+    escaping/encoding round-trips byte-exactly through the file system.
+    The fixture dir is keyed by a content signature of documents.parquet
+    (same scheme as ``multimodal._ensure_media_dir``); Spark's own
+    ``_SUCCESS`` marker gates the skip."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..io import read_jsonl, write_jsonl
+    from .multimodal import FILE_CAP
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    sig = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_media", sig, "jsonl"
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < FILE_CAP)
+        .select("doc_id", "source", "lang", "text")
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_jsonl(docs, out)
+    back = read_jsonl(spark, out, schema=docs.schema)
+    return back.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+    )
+
+
+ORACLES["jsonl_roundtrip"] = """
+SELECT doc_id, source, lang, md5(text) AS text_md5
+FROM documents WHERE doc_id < 1000
+"""
+QUERIES["jsonl_roundtrip"] = jsonl_roundtrip

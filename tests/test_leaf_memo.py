@@ -118,3 +118,27 @@ def test_file_ingest_edges_match_in_memory_twins(spark):
         assert r["suffix"] == "txt"
         assert r["n_bytes"] == len(docs[r["stem"]].encode())
     release_pins()
+
+
+def test_jsonl_roundtrip_matches_documents(spark):
+    """Driver-row twin of test_sinks' jsonl round-trip: facts re-keyed by
+    doc_id must equal the documents table's own."""
+    import hashlib
+
+    from bigdataanalytics_textsummarization_spark.extensions import multimodal as mm
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        jsonl_roundtrip,
+    )
+
+    got = {r["doc_id"]: r for r in jsonl_roundtrip(spark, SF_DIR).collect()}
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") < mm.FILE_CAP)
+        .collect()
+    )
+    assert set(got) == {r["doc_id"] for r in docs}
+    for r in docs:
+        g = got[r["doc_id"]]
+        assert g["source"] == r["source"] and g["lang"] == r["lang"]
+        assert g["text_md5"] == hashlib.md5(r["text"].encode()).hexdigest()
+    release_pins()
