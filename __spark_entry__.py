@@ -335,6 +335,14 @@ _PRIORITY_R7_OVERFLOW = [
 # that did not displace the verdict-prescribed oldest-first rotation.
 _PRIORITY_R8_STAGED = [
     "jsonl_roundtrip",  # JSONL ingest edge, pytest + full oracle ready
+    # closure changed late in r8 (checkpoint-ownership pass + the
+    # tfidf_doc_topk pin): values verified bit-exact at sf0.01 + sf0.1
+    "tokenizer_fertility",
+    "tfidf_doc_topk",
+    "dedup_clusters",
+    "bpe_vocab",
+    "knn_graph_descent",
+    "curation_pipeline",
 ]
 
 # r8 window first (the driver's 50-slot budget reads front-to-back, dict

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import r6
+from ..functions import _owned_ckpt, r6
 from ..io import load_table
 
 N_HASHES = 16
@@ -300,13 +300,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
-        .localCheckpoint()
+        .transform(_owned_ckpt)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .transform(_owned_ckpt)
     )
     for _ in range(CLUSTER_MAX_ITERS):
         neighbor_min = (
@@ -325,7 +325,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .transform(_owned_ckpt)
         )
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
         labels = stepped.select("doc_id", "label")

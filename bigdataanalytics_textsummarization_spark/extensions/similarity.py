@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..functions import dot, r6
+from ..functions import _owned_ckpt, dot, r6
 from ..io import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -2173,7 +2173,7 @@ def knn_graph_descent(
         )
         # iterative plan: cut lineage like the pagerank loop, else round
         # r replays rounds 1..r-1
-        edges = scored.select("src", "dst").localCheckpoint()
+        edges = scored.select("src", "dst").transform(_owned_ckpt)
     return scored.select(
         F.col("src").alias("vec_id"),
         F.col("rk").cast("long").alias("rk"),

@@ -16,7 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import SPLIT_BUCKET_SQL, STOPWORDS, STOPWORDS_SQL, pin, r6, split_bucket
+from ..functions import (
+    SPLIT_BUCKET_SQL,
+    STOPWORDS,
+    STOPWORDS_SQL,
+    _owned_ckpt,
+    pin,
+    r6,
+    split_bucket,
+)
 from ..io import load_table
 
 # Small marker lexicons per language (public stopword cores).  The synthetic
@@ -1884,7 +1892,7 @@ def _learn_merges(
                 F.array(F.lit("</w>")),
             ).alias("s"),
         )
-        .localCheckpoint()
+        .transform(_owned_ckpt)
     )
     merge = _bpe_merge_udf()
     pair_expr = F.expr(
@@ -1908,7 +1916,7 @@ def _learn_merges(
         rows.append((rank, a, b, n))
         cur = cur.select(
             "cnt", merge(F.col("s"), F.lit(a), F.lit(b)).alias("s")
-        ).localCheckpoint()
+        ).transform(_owned_ckpt)
     _MERGE_CACHE[sf_dir] = rows
     return rows
 
@@ -2801,7 +2809,9 @@ def tfidf_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("tf"))
     )
     n_docs = docs.agg(F.count("*").cast("long").alias("n"))
-    df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    # (doc_id, w) rows are unique after the tf aggregate, so df is a plain
+    # count — countDistinct would only add an Expand pass
+    df_ = tf.groupBy("w").agg(F.count("*").cast("long").alias("df"))
     weights = (
         tf.join(F.broadcast(df_), "w")
         .crossJoin(F.broadcast(n_docs))
@@ -2812,6 +2822,15 @@ def tfidf_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("wt") > 0)
     )
+    # pin (r8): three branches consume weights (norms, query side, corpus
+    # side) and the stacked aggregations defeat exchange reuse, so the
+    # full text explode + two shuffles executed once PER BRANCH — the
+    # dominant share of this query's wall (13.6s exec at sf0.1, 3x the
+    # postings work).  One owned cache feeds all three.  pin, not leaf:
+    # the query is built once per session (no cross-query sharing) and
+    # its subtree is shallow, so the leaf's checkpoint block copy would
+    # cost more than the analysis it saves (measured +1.3s at sf0.01).
+    weights = pin(weights)
 
     def fold_sq(col):
         return F.aggregate(

@@ -70,6 +70,16 @@ def pin_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
     return cp
 
 
+def _owned_ckpt(df: DataFrame) -> DataFrame:
+    """``df.transform(_owned_ckpt)``: an EAGER localCheckpoint with
+    registry ownership — the fluent form for iterative loops (connected
+    components, k-hop, LPA, BPE, NN-Descent) whose per-iteration
+    checkpoints previously escaped the pin contract as bare
+    ``.localCheckpoint()`` calls (r8 consistency pass on VERDICT r7
+    task 3)."""
+    return pin_checkpoint(df, eager=True)
+
+
 def _unpersist_checkpoint(cp: DataFrame) -> None:
     """Unpersist the block-manager storage behind a localCheckpoint'ed
     frame.  The checkpointed plan is a single LogicalRDD leaf whose

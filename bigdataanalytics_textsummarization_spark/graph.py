@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions import leaf, r6, session_memo
+from .functions import _owned_ckpt, leaf, r6, session_memo
 from .text import (
     SENTENCES_CTE,
     TOKENS_TR_CTE,
@@ -266,14 +266,14 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src").alias("e_src"),
             F.col("dst").alias("e_dst"),
         )
-        .localCheckpoint()
+        .transform(_owned_ckpt)
     )
     seeds = (
         edges.groupBy(F.col("e_source").alias("source"))
         .agg(F.min("e_src").alias("sentence_id"))
         .withColumn("hop", F.lit(0).cast("long"))
     )
-    reach = seeds.localCheckpoint()
+    reach = seeds.transform(_owned_ckpt)
     frontier = reach
     for h in range(1, K_HOPS + 1):
         nxt = (
@@ -289,9 +289,9 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(reach, ["source", "sentence_id"], "left_anti")
             .withColumn("hop", F.lit(h).cast("long"))
-            .localCheckpoint()
+            .transform(_owned_ckpt)
         )
-        reach = reach.unionByName(nxt).localCheckpoint()
+        reach = reach.unionByName(nxt).transform(_owned_ckpt)
         frontier = nxt
     return reach
 
@@ -336,7 +336,7 @@ def graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         edges_raw(spark, sf_dir)
         .select("source", "src", "dst")
-        .localCheckpoint()
+        .transform(_owned_ckpt)
     )
     labels = (
         edges.select("source", F.col("src").alias("v"))

@@ -142,3 +142,26 @@ def test_jsonl_roundtrip_matches_documents(spark):
         assert g["source"] == r["source"] and g["lang"] == r["lang"]
         assert g["text_md5"] == hashlib.md5(r["text"].encode()).hexdigest()
     release_pins()
+
+
+def test_iterative_loop_checkpoints_are_owned(spark):
+    """r8 consistency pass on the r7 ownership contract: the iterative
+    loops' per-iteration EAGER checkpoints (connected components, k-hop)
+    previously escaped the registry as bare .localCheckpoint() calls —
+    storage must now be empty after release_pins()."""
+    from bigdataanalytics_textsummarization_spark.extensions.dedup import (
+        dedup_clusters,
+    )
+    from bigdataanalytics_textsummarization_spark.graph import graph_khop
+
+    def persistent_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    release_pins()
+    before = persistent_ids()
+    assert dedup_clusters(spark, SF_DIR).count() >= 0
+    assert graph_khop(spark, SF_DIR).count() >= 0
+    assert persistent_ids() - before  # the loops really did checkpoint
+    release_pins()
+    assert persistent_ids() <= before
