@@ -183,3 +183,32 @@ def test_embedding_pca_single_vector(spark, tmp_path_factory):
     pca = embedding_pca(spark, str(d)).toPandas()
     assert len(pca) > 0
     assert (pca["coord"].abs() < 1e-9).all()
+
+
+def test_leafed_query_paths_on_empty_corpus(spark, tmp_path):
+    """The r8 leaf/session_memo paths (edges_raw -> ranks, term_stats'
+    leafed diamond) must survive a corpus whose tokenize output is EMPTY
+    — a leaf is then a checkpoint of an empty RDD, and every downstream
+    join/window must yield empty, not crash.  The *_from tests above
+    bypass leaf(); this drives the real (spark, sf_dir) entry points on
+    a degenerate on-disk corpus."""
+    from bigdataanalytics_textsummarization_spark.functions import release_pins
+    from bigdataanalytics_textsummarization_spark.graph import similarity_edges
+
+    # texts too short for ANY tokenizer band (one word, no '.'), so
+    # sentences exist but token streams are empty
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "en", "word") for i in range(6)],
+        "doc_id long, source string, lang string, text string",
+    )
+    sf = str(tmp_path / "sfdegenerate")
+    docs.write.parquet(f"{sf}/documents.parquet")
+    release_pins()
+    try:
+        assert similarity_edges(spark, sf).count() == 0
+        assert pagerank.textrank_ranks(spark, sf).count() == 0
+        assert pagerank.textrank_top5(spark, sf).count() == 0
+        assert text.term_stats(spark, sf).count() == 0
+        assert text.top_keywords(spark, sf).count() == 0
+    finally:
+        release_pins()
