@@ -343,6 +343,11 @@ _PRIORITY_R8_STAGED = [
     "bpe_vocab",
     "knn_graph_descent",
     "curation_pipeline",
+    # BPE decode certificate (new late r8): pieces must concatenate back
+    # to each vocab word — the lossless-segmentation gate bpe_encode's
+    # count gate cannot see
+    "bpe_roundtrip",
+    "bpe_encode",  # closure changed by the _bpe_apply_pieces refactor
 ]
 
 # r8 window first (the driver's 50-slot budget reads front-to-back, dict

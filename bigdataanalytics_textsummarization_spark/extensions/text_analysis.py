@@ -1947,8 +1947,9 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_apply(word: str, merges: list[tuple[str, str]]) -> int:
-    """Number of subword tokens `word` encodes to under `merges`."""
+def _bpe_apply_pieces(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Subword pieces `word` segments into under `merges` (last piece
+    carries the `</w>` end-of-word marker)."""
     syms = list(word) + ["</w>"]
     for a, b in merges:
         out, i = [], 0
@@ -1960,7 +1961,12 @@ def _bpe_apply(word: str, merges: list[tuple[str, str]]) -> int:
                 out.append(syms[i])
                 i += 1
         syms = out
-    return len(syms)
+    return syms
+
+
+def _bpe_apply(word: str, merges: list[tuple[str, str]]) -> int:
+    """Number of subword tokens `word` encodes to under `merges`."""
+    return len(_bpe_apply_pieces(word, merges))
 
 
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3138,3 +3144,52 @@ SELECT doc_id, source, lang, md5(text) AS text_md5
 FROM documents WHERE doc_id < 1000
 """
 QUERIES["jsonl_roundtrip"] = jsonl_roundtrip
+
+
+def bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer DECODE certificate: every vocabulary word's BPE pieces
+    must concatenate back to the word (+ the ``</w>`` marker) — the
+    lossless-segmentation invariant that makes detokenization exact.
+    ``bpe_encode`` gates the token COUNTS; this gates the pieces
+    themselves: a merge-application bug that produced the right count
+    with wrong splits (dropped or duplicated characters) passes the
+    count gate and fails here.  Determinate facts (the incremental_agg
+    merge-==-full pattern): the distinct-vocabulary size, and an
+    all-words-round-trip boolean the oracle states as the closed-form
+    TRUE.  Scale shape identical to bpe_encode: merges apply to the
+    DISTINCT word table (vocab-bounded, Arrow-batched), never per
+    corpus token."""
+    merges = [(a, b) for _, a, b, _ in _learn_merges(spark, sf_dir)]
+
+    @F.pandas_udf("boolean")
+    def roundtrips(w: pd.Series) -> pd.Series:
+        return w.map(
+            lambda x: "".join(_bpe_apply_pieces(x, merges)) == x + "</w>"
+        )
+
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .distinct()
+        .coalesce(4)
+    )
+    return vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab_words"),
+        F.coalesce(
+            F.sum(F.when(~roundtrips(F.col("w")), 1).otherwise(0)) == 0,
+            F.lit(True),
+        ).alias("all_roundtrip"),
+    )
+
+
+ORACLES["bpe_roundtrip"] = """
+SELECT cast(count(DISTINCT w) AS bigint) AS n_vocab_words,
+       TRUE AS all_roundtrip
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents)
+"""
+QUERIES["bpe_roundtrip"] = bpe_roundtrip

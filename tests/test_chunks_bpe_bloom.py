@@ -303,3 +303,21 @@ def test_tokenizer_fertility_consistency(spark):
         assert r.total_words == grp["words"].sum()
         assert r.total_subwords == grp["bpe_tokens"].sum()
         assert r.fertility_milli == (1000 * r.total_subwords) // r.total_words
+
+
+def test_bpe_pieces_roundtrip_and_count_agree(spark):
+    """_bpe_apply_pieces partitions the word exactly and _bpe_apply is
+    its length; the driver facts query certifies the corpus-wide form."""
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        _bpe_apply,
+        _bpe_apply_pieces,
+        bpe_roundtrip,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("i", "n</w>")]
+    for w in ["the", "thin", "in", "a", "theater"]:
+        pieces = _bpe_apply_pieces(w, merges)
+        assert "".join(pieces) == w + "</w>"
+        assert _bpe_apply(w, merges) == len(pieces)
+    row = bpe_roundtrip(spark, SF_DIR).collect()[0]
+    assert row["all_roundtrip"] is True and row["n_vocab_words"] > 0
