@@ -348,6 +348,7 @@ _PRIORITY_R8_STAGED = [
     # count gate cannot see
     "bpe_roundtrip",
     "bpe_encode",  # closure changed by the _bpe_apply_pieces refactor
+    "orc_roundtrip",  # ORC twin of jsonl_roundtrip
 ]
 
 # r8 window first (the driver's 50-slot budget reads front-to-back, dict

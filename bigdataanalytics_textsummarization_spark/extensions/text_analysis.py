@@ -3193,3 +3193,46 @@ FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
       FROM documents)
 """
 QUERIES["bpe_roundtrip"] = bpe_roundtrip
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip, the Hive-ecosystem sibling of
+    :func:`jsonl_roundtrip` (same fixture scheme, same oracle pattern):
+    documents -> ``io.write_orc`` (distributed) -> ``io.read_orc`` ->
+    key columns + text md5, value-gated against the documents table —
+    with this row every structured source/sink in io.py carries a
+    driver gate (parquet: every query; JSONL/ORC: the round-trip rows;
+    TSV/binaryFile/tar: the reviews and media-edge rows)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..io import read_orc, write_orc
+    from .multimodal import FILE_CAP
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    sig = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_media", sig, "orc")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < FILE_CAP)
+        .select("doc_id", "source", "lang", "text")
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_orc(docs, out)
+    return read_orc(spark, out).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+    )
+
+
+ORACLES["orc_roundtrip"] = """
+SELECT doc_id, source, lang, md5(text) AS text_md5
+FROM documents WHERE doc_id < 1000
+"""
+QUERIES["orc_roundtrip"] = orc_roundtrip
