@@ -165,3 +165,23 @@ def test_iterative_loop_checkpoints_are_owned(spark):
     assert persistent_ids() - before  # the loops really did checkpoint
     release_pins()
     assert persistent_ids() <= before
+
+
+def test_cross_query_leaf_sharing_skips_retokenization(spark):
+    """The architectural claim behind leaf(): after one textrank query
+    builds the token leaf, a SECOND query over the same base (the edge
+    table) must plan against the existing LogicalRDD leaf — its executed
+    plan contains an ExistingRDD scan and NO parquet scan of the
+    documents table (the tokenize subtree lives inside the leaf, built
+    once per session)."""
+    from bigdataanalytics_textsummarization_spark import graph, pagerank
+
+    release_pins()
+    try:
+        pagerank.textrank_top5(spark, SF_DIR).count()  # builds the leaves
+        edges = graph.similarity_edges(spark, SF_DIR)
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan  # reads the shared token leaf
+        assert "documents" not in plan  # never re-scans the corpus
+    finally:
+        release_pins()
