@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import _owned_ckpt, r6
+from ..functions import _owned_ckpt, _retire_ckpt, r6
 from ..io import load_table
 
 N_HASHES = 16
@@ -308,6 +308,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .transform(_owned_ckpt)
     )
+    prev_ckpt = labels  # superseded once the next iteration materializes
     for _ in range(CLUSTER_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -327,6 +328,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .transform(_owned_ckpt)
         )
+        # stepped's eager checkpoint has materialized: iteration i-1's
+        # blocks are dead — reclaim them now instead of at release_pins()
+        # (ADVICE r8: peak footprint must not grow with iteration count)
+        _retire_ckpt(prev_ckpt)
+        prev_ckpt = stepped
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
         labels = stepped.select("doc_id", "label")
         if changed == 0:

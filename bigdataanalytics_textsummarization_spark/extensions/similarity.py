@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..functions import _owned_ckpt, dot, r6
+from ..functions import _owned_ckpt, _retire_ckpt, dot, r6
 from ..io import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -2148,7 +2148,15 @@ def knn_graph_descent(
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
     scored = None
+    stale = None  # edges checkpoint from two rounds back (dead by now)
     for _ in range(iters):
+        # the round-(i-2) edge checkpoint is dead once round i starts:
+        # round i-1's scored was materialized into round i-1's edges, and
+        # nothing else references it — reclaim mid-query (ADVICE r8).
+        # NOT the round-(i-1) checkpoint: the FINAL round's returned
+        # ``scored`` still reads the second-to-last edges' blocks.
+        if stale is not None:
+            _retire_ckpt(stale)
         rev = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
         )
@@ -2173,6 +2181,7 @@ def knn_graph_descent(
         )
         # iterative plan: cut lineage like the pagerank loop, else round
         # r replays rounds 1..r-1
+        stale = edges
         edges = scored.select("src", "dst").transform(_owned_ckpt)
     return scored.select(
         F.col("src").alias("vec_id"),

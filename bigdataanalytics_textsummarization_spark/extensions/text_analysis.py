@@ -21,6 +21,7 @@ from ..functions import (
     STOPWORDS,
     STOPWORDS_SQL,
     _owned_ckpt,
+    _retire_ckpt,
     pin,
     r6,
     split_bucket,
@@ -1914,9 +1915,14 @@ def _learn_merges(
             break
         a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
         rows.append((rank, a, b, n))
+        prev = cur
         cur = cur.select(
             "cnt", merge(F.col("s"), F.lit(a), F.lit(b)).alias("s")
         ).transform(_owned_ckpt)
+        # cur's eager checkpoint has materialized: the previous iteration's
+        # symbol table is dead — reclaim mid-loop (ADVICE r8) so the ~2K
+        # merge iterations hold O(1) checkpoints, not O(BPE_MERGES)
+        _retire_ckpt(prev)
     _MERGE_CACHE[sf_dir] = rows
     return rows
 
@@ -3095,6 +3101,45 @@ GROUP BY d.lang
 QUERIES["tokenizer_fertility"] = tokenizer_fertility
 
 
+# Oracle-side mirror of multimodal.FILE_CAP (ADVICE r8: interpolated, not
+# hardcoded, so a FILE_CAP change can never desynchronize the round-trip
+# oracles from their queries — the ORACLES['tar_shards_roundtrip'] pattern).
+from .multimodal import FILE_CAP as _FILE_CAP_ORACLE  # noqa: E402
+
+
+def _ensure_roundtrip_dir(docs: DataFrame, sf_dir: str, kind: str) -> str:
+    """Provision the on-disk round-trip fixture for one structured sink,
+    once, ATOMICALLY (ADVICE r8): the distributed Spark write goes to a
+    pid-suffixed stage directory which is ``os.rename``d into the final
+    shared path only after the sink completed — the exact
+    ``multimodal._ensure_media_dir`` scheme, so a pytest run alongside
+    the driver can never observe (or overwrite) a half-written directory.
+    Keyed by a content signature of documents.parquet; a lost rename race
+    means the other builder's complete directory wins."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..io import write_jsonl, write_orc
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    sig = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_media", sig, kind)
+    if os.path.isdir(root):
+        return root
+    stage = root + f".stage-{os.getpid()}"
+    (write_jsonl if kind == "jsonl" else write_orc)(docs, stage)
+    try:
+        os.rename(stage, root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # raced: other build won
+    return root
+
+
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL source/sink round-trip as a value-gated query — the last
     pytest-only ingest edge driver-gated (the r8 pattern that closed the
@@ -3105,31 +3150,18 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its key columns and text md5.  The oracle recomputes the same
     facts from the documents table, so equality certifies JSON
     escaping/encoding round-trips byte-exactly through the file system.
-    The fixture dir is keyed by a content signature of documents.parquet
-    (same scheme as ``multimodal._ensure_media_dir``); Spark's own
-    ``_SUCCESS`` marker gates the skip."""
-    import hashlib
-    import os
-    import tempfile
-
-    from ..io import read_jsonl, write_jsonl
+    Fixture provisioning is stage-and-rename atomic
+    (:func:`_ensure_roundtrip_dir`)."""
     from .multimodal import FILE_CAP
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    sig = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
-    out = os.path.join(
-        tempfile.gettempdir(), "spark_graft_media", sig, "jsonl"
-    )
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < FILE_CAP)
         .select("doc_id", "source", "lang", "text")
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        write_jsonl(docs, out)
+    from ..io import read_jsonl
+
+    out = _ensure_roundtrip_dir(docs, sf_dir, "jsonl")
     back = read_jsonl(spark, out, schema=docs.schema)
     return back.select(
         "doc_id",
@@ -3139,9 +3171,9 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["jsonl_roundtrip"] = """
+ORACLES["jsonl_roundtrip"] = f"""
 SELECT doc_id, source, lang, md5(text) AS text_md5
-FROM documents WHERE doc_id < 1000
+FROM documents WHERE doc_id < {_FILE_CAP_ORACLE}
 """
 QUERIES["jsonl_roundtrip"] = jsonl_roundtrip
 
@@ -3202,27 +3234,18 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     key columns + text md5, value-gated against the documents table —
     with this row every structured source/sink in io.py carries a
     driver gate (parquet: every query; JSONL/ORC: the round-trip rows;
-    TSV/binaryFile/tar: the reviews and media-edge rows)."""
-    import hashlib
-    import os
-    import tempfile
-
-    from ..io import read_orc, write_orc
+    TSV/binaryFile/tar: the reviews and media-edge rows).  Fixture
+    provisioning is stage-and-rename atomic
+    (:func:`_ensure_roundtrip_dir`)."""
+    from ..io import read_orc
     from .multimodal import FILE_CAP
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    sig = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_media", sig, "orc")
     docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < FILE_CAP)
         .select("doc_id", "source", "lang", "text")
     )
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        write_orc(docs, out)
+    out = _ensure_roundtrip_dir(docs, sf_dir, "orc")
     return read_orc(spark, out).select(
         "doc_id",
         "source",
@@ -3231,8 +3254,8 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["orc_roundtrip"] = """
+ORACLES["orc_roundtrip"] = f"""
 SELECT doc_id, source, lang, md5(text) AS text_md5
-FROM documents WHERE doc_id < 1000
+FROM documents WHERE doc_id < {_FILE_CAP_ORACLE}
 """
 QUERIES["orc_roundtrip"] = orc_roundtrip

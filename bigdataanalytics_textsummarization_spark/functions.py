@@ -80,6 +80,22 @@ def _owned_ckpt(df: DataFrame) -> DataFrame:
     return pin_checkpoint(df, eager=True)
 
 
+def _retire_ckpt(cp: DataFrame) -> None:
+    """Release a SUPERSEDED loop-iteration checkpoint mid-query (ADVICE
+    r8).  Registering every iteration of LPA/k-hop/NN-Descent/BPE in
+    _CHECKPOINTS keeps dead intermediate iterations' blocks alive until
+    release_pins(), so peak block-manager footprint grew linearly with
+    iteration count.  Call this on iteration i's frame once iteration
+    i+1's checkpoint has MATERIALIZED (eager=True guarantees that at
+    construction) — pops it from the registry and unpersists its blocks.
+    Safe no-op for frames not in the registry."""
+    for i, c in enumerate(_CHECKPOINTS):
+        if c is cp:
+            _CHECKPOINTS.pop(i)
+            _unpersist_checkpoint(cp)
+            return
+
+
 def _unpersist_checkpoint(cp: DataFrame) -> None:
     """Unpersist the block-manager storage behind a localCheckpoint'ed
     frame.  The checkpointed plan is a single LogicalRDD leaf whose
@@ -171,9 +187,13 @@ def leaf(df: DataFrame) -> DataFrame:
     # the memo key includes the shuffle-partition conf: a same-session
     # conf change (tests/test_partition_invariance.py re-runs each query
     # under 1/7/32 partitions) must rebuild + re-materialize the leaf
-    # under the new physical layout, not hand back the old blocks
+    # under the new physical layout, not hand back the old blocks.
+    # It also includes the owning SparkSession (ADVICE r8): with two
+    # sessions in one process, a semantically-equal plan from session B
+    # must NOT be handed session A's checkpointed blocks — A may have
+    # been stopped or released (consistent with session_memo's keying).
     conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    h = (df.semanticHash(), conf)
+    h = (df.semanticHash(), conf, id(df.sparkSession))
     for hh, src, lf in _LEAVES:
         if hh == h and df.sameSemantics(src):
             return lf
@@ -184,7 +204,17 @@ def leaf(df: DataFrame) -> DataFrame:
 
 def release_pins() -> int:
     """Unpersist every registered pin and checkpoint (blocking=False);
-    returns the count released."""
+    returns the count released.
+
+    CONTRACT: every DataFrame previously returned by :func:`pin`,
+    :func:`pin_checkpoint`, :func:`leaf`, or :func:`session_memo` is DEAD
+    after this call.  Local checkpoints truncate lineage, so their RDD
+    storage is unrecomputable — any action on a caller-held frame derived
+    from a released leaf/checkpoint fails with a missing-checkpoint-block
+    error (it is not lazily rebuilt, unlike a plain unpersisted cache).
+    Call this only between queries, never while holding frames you intend
+    to act on; rebuild via the query entry point afterwards.
+    """
     n = 0
     while _PINS:
         _PINS.pop().unpersist()

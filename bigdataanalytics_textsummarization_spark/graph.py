@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions import _owned_ckpt, leaf, r6, session_memo
+from .functions import _owned_ckpt, _retire_ckpt, leaf, r6, session_memo
 from .text import (
     SENTENCES_CTE,
     TOKENS_TR_CTE,
@@ -291,7 +291,16 @@ def graph_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hop", F.lit(h).cast("long"))
             .transform(_owned_ckpt)
         )
-        reach = reach.unionByName(nxt).transform(_owned_ckpt)
+        new_reach = reach.unionByName(nxt).transform(_owned_ckpt)
+        # new_reach's eager checkpoint has materialized: round h-1's reach
+        # (and its frontier, once consumed by this round's joins) are dead
+        # — reclaim mid-query (ADVICE r8) so peak block-manager footprint
+        # stays O(1) in K_HOPS, not O(K).  frontier is nxt_{h-1} which is
+        # only read by THIS round's expansion join above.
+        _retire_ckpt(reach)
+        if frontier is not reach:
+            _retire_ckpt(frontier)
+        reach = new_reach
         frontier = nxt
     return reach
 
