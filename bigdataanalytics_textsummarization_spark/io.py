@@ -161,6 +161,54 @@ def write_orc(df: DataFrame, path: str, *partition_cols: str) -> None:
     w.orc(path)
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro connector is deployed in this runtime.
+
+    Avro has been a BUILT-IN-BUT-EXTERNAL module since Spark 2.4: the
+    reader/writer classes ship in a separate ``spark-avro`` artifact that
+    production clusters add via ``--packages org.apache.spark:spark-avro``
+    (this container carries only the core avro-* jars, not the connector,
+    so here this probe returns False and the avro entry points raise a
+    clear error instead of Spark's generic FAILED_TO_FIND_DATA_SOURCE).
+    Probes ``AvroDataSourceV2`` — the class the connector registers with
+    the DataSource ServiceLoader — not ``AvroFileFormat``, which other
+    jars can leak onto the classpath without a usable source."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroDataSourceV2"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro source — the Kafka-ecosystem interchange format; same
+    structured-scan contract as :func:`read_orc` when the connector is
+    deployed.  Guarded: raises a deployment-pointing error where the
+    connector is absent (tests/test_sinks.py roundtrips when present,
+    asserts this message when not)."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro connector not deployed; add "
+            "org.apache.spark:spark-avro_2.13 via spark.jars.packages"
+        )
+    return spark.read.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str, *partition_cols: str) -> None:
+    """Avro sink, optionally partitioned; same guard as :func:`read_avro`."""
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-avro connector not deployed; add "
+            "org.apache.spark:spark-avro_2.13 via spark.jars.packages"
+        )
+    w = df.write.mode("overwrite").format("avro")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.save(path)
+
+
 def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
     """Parquet sink partitioned by the given columns.
 

@@ -193,3 +193,87 @@ def test_decode_wav_files_from_binary_source(spark, tmp_path):
         assert r.n_samples == len(vals)
         assert r.sum_amp == sum(vals)
         assert r.max_amp == max(vals)
+
+
+# ---------------------------------------------------------------------------
+# Graduated media ops (r9, VERDICT r8 task 2): real payload structure
+# through real parsers, corrupt payloads fail loudly
+# ---------------------------------------------------------------------------
+
+
+def test_parse_ppm_returns_raster_and_rejects_corruption():
+    raster = bytes(range(48))
+    w, h, got = mm._parse_ppm(_ppm(4, 4, raster))
+    assert (w, h) == (4, 4)
+    assert got == raster
+    with pytest.raises(ValueError, match="magic"):
+        mm._parse_ppm(b"P5\n4 4\n255\n" + bytes(48))
+    with pytest.raises(ValueError, match="maxval"):
+        mm._parse_ppm(_ppm(4, 4, bytes(48), maxval=1023))
+    with pytest.raises(ValueError, match="raster"):
+        mm._parse_ppm(_ppm(4, 4, bytes(47)))  # truncated
+    with pytest.raises(NotImplementedError):
+        mm._parse_ppm(None)
+
+
+def test_synth_ppm4_payloads_are_valid_4x4_images(spark):
+    rows = mm.synth_ppm4(spark, SF_DIR).limit(10).collect()
+    assert rows
+    for r in rows:
+        w, h, raster = mm._parse_ppm(bytes(r["payload"]))
+        assert (w, h) == (4, 4) and len(raster) == 48
+
+
+def test_image_resize_is_box_filter_of_parsed_raster(spark):
+    """First doc cross-checked by hand: quadrant milli-means must equal
+    the box filter of the raster _parse_ppm extracts from the payload."""
+    payload = bytes(
+        mm.synth_ppm4(spark, SF_DIR).orderBy("doc_id").first()["payload"]
+    )
+    w, h, raster = mm._parse_ppm(payload)
+    out = (
+        mm.image_resize(spark, SF_DIR)
+        .filter("doc_id = (SELECT min(doc_id) FROM parquet.`" + SF_DIR + "/documents.parquet`)")
+        .orderBy("qy", "qx")
+        .collect()
+    )
+    assert len(out) == 4
+    for row in out:
+        sums = [0, 0, 0]
+        for r in (0, 1):
+            for c in (0, 1):
+                p = (2 * row["qy"] + r) * w + (2 * row["qx"] + c)
+                for ch in range(3):
+                    sums[ch] += raster[p * 3 + ch]
+        assert (row["r_milli"], row["g_milli"], row["b_milli"]) == tuple(
+            (1000 * s) // 4 for s in sums
+        )
+
+
+def test_decode_ppm_frames_walks_headers_and_rejects_corruption():
+    f0 = _ppm(2, 2, bytes([1] * 12))
+    f1 = _ppm(1, 1, bytes([7, 8, 9]))  # variable dims: offsets need parsing
+    frames = mm.decode_ppm_frames(f0 + f1)
+    assert frames == [(2, 2, 4, 4, 4), (1, 1, 7, 8, 9)]
+    with pytest.raises(ValueError, match="truncated raster"):
+        mm.decode_ppm_frames(f0 + f1[:-1])
+    with pytest.raises(ValueError, match="not a P6 frame"):
+        mm.decode_ppm_frames(f0 + b"JUNK\n1 1\n255\n" + bytes(3))
+    with pytest.raises(ValueError, match="truncated frame header"):
+        mm.decode_ppm_frames(f0 + b"P6\n2 2")
+    with pytest.raises(NotImplementedError):
+        mm.decode_ppm_frames(None)
+
+
+def test_synth_ppm_frames_are_valid_containers(spark):
+    rows = mm.synth_ppm_frames(spark, SF_DIR).limit(10).collect()
+    assert rows
+    for r in rows:
+        frames = mm.decode_ppm_frames(bytes(r["payload"]))
+        assert len(frames) in (4, 6, 8)
+        assert all(f[:2] == (2, 2) for f in frames)
+
+
+def test_graduated_media_oracle_parity(spark, oracle):
+    for name in ("image_resize", "frame_sample", "audio_resample"):
+        assert_parity(spark, oracle, mm.QUERIES[name], mm.ORACLES[name])

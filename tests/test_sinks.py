@@ -319,3 +319,33 @@ def test_build_tar_shards_roundtrip_and_determinism(spark, tmp_path):
     # same-stem members always co-shard
     per_stem = back.groupby("stem")["shard"].nunique()
     assert (per_stem == 1).all()
+
+
+def test_avro_roundtrip_or_clear_guard(spark, tmp_path):
+    """Avro is built-in-but-external since Spark 2.4: when the connector
+    jar is deployed, the entry points must roundtrip like ORC; when it is
+    absent (this container), they must fail with the deployment-pointing
+    message, not Spark's generic FAILED_TO_FIND_DATA_SOURCE."""
+    import pytest
+
+    from bigdataanalytics_textsummarization_spark.io import (
+        avro_available,
+        read_avro,
+        write_avro,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    out = str(tmp_path / "docs_avro")
+    if avro_available(spark):
+        write_avro(docs, out, "source")
+        back = read_avro(spark, out)
+        a = normalize_cols(docs.toPandas())
+        b = normalize_cols(back.select("doc_id", "source", "text").toPandas())
+        assert a.equals(b)
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro connector"):
+            write_avro(docs, out)
+        with pytest.raises(RuntimeError, match="spark-avro connector"):
+            read_avro(spark, out)
