@@ -1736,25 +1736,20 @@ def embedding_pca(
 
     emb = _embeddings(spark, sf_dir).select("vec_id", "e")
     n = float(emb.count())
-    x = emb.select("vec_id", F.posexplode("e").alias("i", "xi"))
-    # full (not triangular) second moments: dims^2 bounded rows
-    a = x.select("vec_id", "i", F.col("xi").alias("xa"))
-    b = x.select("vec_id", F.col("i").alias("j"), F.col("xi").alias("xb"))
-    mom = (
-        a.join(b, "vec_id")
-        .select("i", "j", (F.col("xa") * F.col("xb")).alias("p"))
-        .groupBy("i", "j")
-        .agg(F.sum("p").alias("sp"))
-        .collect()
-    )  # bounded: dims^2 rows (the covariance matrix itself)
-    means_rows = x.groupBy("i").agg(F.sum("xi").alias("s")).collect()
-    dims = len(means_rows)
+    # second moments + dim sums via the Gramian-partial kernel (VERDICT r8
+    # task 3): one numpy X^T X per Arrow batch, a bounded groupBy((i, j))
+    # over #batches x dims^2/2 partial rows, then a dims^2-bounded collect
+    # (the covariance matrix itself — the PQ-codebook driver-split).  The
+    # per-vector self-join this replaces built O(rows x dims^2)
+    # intermediate tuples to reach the same bounded object.
+    rows = _gram_partials(emb).collect()  # bounded: dims*(dims+1)/2 rows
+    dims = max(r["j"] for r in rows) + 1
     mu = np.zeros(dims)
-    for r in means_rows:
-        mu[r["i"]] = r["s"] / n
     cov = np.zeros((dims, dims))
-    for r in mom:
-        cov[r["i"], r["j"]] = r["sp"] / n
+    for r in rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["sp"] / n
+        if r["i"] == r["j"]:
+            mu[r["i"]] = r["si"] / n
     cov -= np.outer(mu, mu)
     evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
     order = sorted(range(dims), key=lambda c: (-float(evals[c]), c))[:k]
@@ -1835,25 +1830,17 @@ ORACLES["embedding_pca"] = (
 )
 
 
-def embedding_cov_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path covariance: per-Arrow-batch Gramian partials.
-
-    The value-gated :func:`embedding_cov` buys bit-determinism with an
-    order-fixed collect_list per (i, j) group — O(rows) array state per
-    group, fine at gate scale, wrong at 100 TB.  This variant is the
-    production shape: each Arrow batch computes its LOCAL Gramian
-    (X^T X, dims x dims) and dim sums in one numpy pass, emits them in
-    long form, and a single bounded groupBy((i, j)) sums the partials —
-    shuffle volume is #batches x dims^2 regardless of corpus size, and no
-    state anywhere exceeds dims^2.  Cost: float addition order follows
-    partitioning, so results match :func:`embedding_cov` to ~1e-9 instead
-    of bit-exactly (equality pinned in tests/test_ann_recall.py); not
-    value-gate-registered for exactly that reason.
-    """
+def _gram_partials(emb: DataFrame) -> DataFrame:
+    """The Gramian-partial moment kernel shared by
+    :func:`embedding_cov_gram` (distributed covariance) and
+    :func:`embedding_pca` (driver-side eigh over the bounded moments):
+    each Arrow batch computes its LOCAL Gramian (X^T X, dims x dims) and
+    dim sums in one numpy pass, emits the upper triangle in long form
+    (dim sums carried on the diagonal rows), and one bounded
+    groupBy((i, j)) sums the partials — shuffle volume is
+    #batches x dims^2/2 regardless of corpus size."""
     import numpy as np
 
-    emb = _embeddings(spark, sf_dir).select("vec_id", "e")
-    n = float(emb.count())
     part_schema = T.StructType(
         [
             T.StructField("i", T.IntegerType()),
@@ -1880,10 +1867,30 @@ def embedding_cov_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    parts = emb.mapInPandas(partials, schema=part_schema)
-    agg = parts.groupBy("i", "j").agg(
+    parts = emb.select("e").mapInPandas(partials, schema=part_schema)
+    return parts.groupBy("i", "j").agg(
         F.sum("sp").alias("sp"), F.sum("si").alias("si")
     )
+
+
+def embedding_cov_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path covariance: per-Arrow-batch Gramian partials.
+
+    The value-gated :func:`embedding_cov` buys bit-determinism with an
+    order-fixed collect_list per (i, j) group — O(rows) array state per
+    group, fine at gate scale, wrong at 100 TB.  This variant is the
+    production shape: each Arrow batch computes its LOCAL Gramian
+    (X^T X, dims x dims) and dim sums in one numpy pass, emits them in
+    long form, and a single bounded groupBy((i, j)) sums the partials —
+    shuffle volume is #batches x dims^2 regardless of corpus size, and no
+    state anywhere exceeds dims^2.  Cost: float addition order follows
+    partitioning, so results match :func:`embedding_cov` to ~1e-9 instead
+    of bit-exactly (equality pinned in tests/test_ann_recall.py); not
+    value-gate-registered for exactly that reason.
+    """
+    emb = _embeddings(spark, sf_dir).select("vec_id", "e")
+    n = float(emb.count())
+    agg = _gram_partials(emb)
     means = agg.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("d"), (F.col("si") / F.lit(n)).alias("m")
     )

@@ -347,6 +347,14 @@ def graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "src", "dst")
         .transform(_owned_ckpt)
     )
+    return _lpa_labels(edges)
+
+
+def _lpa_labels(edges: DataFrame) -> DataFrame:
+    """Synchronous LPA (fixed LPA_ITERS rounds, votes read only the
+    previous round's labels, ties by smallest label) over any
+    (source, src, dst) edge table — shared by :func:`graph_lpa` and
+    :func:`graph_lpa_capped`."""
     labels = (
         edges.select("source", F.col("src").alias("v"))
         .distinct()
@@ -387,11 +395,11 @@ def graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_round_sql(prev: str, cur: str) -> str:
+def _lpa_round_sql(prev: str, cur: str, table: str = "edges") -> str:
     return f"""
 v{cur} AS (
   SELECT e.source, e.src, l.label, count(*) AS c
-  FROM edges e
+  FROM {table} e
   JOIN l{prev} l ON l.source = e.source AND l.v = e.dst
   GROUP BY e.source, e.src, l.label
 ),
@@ -411,3 +419,77 @@ l0 AS (SELECT DISTINCT source, src AS v, src AS label FROM edges),
 SELECT source, v AS sentence_id, label FROM l{LPA_ITERS}
 """
 QUERIES["graph_lpa"] = graph_lpa
+
+
+DEGREE_CAP = 8
+
+
+def edges_degree_capped(
+    spark: SparkSession, sf_dir: str, cap: int = DEGREE_CAP
+) -> DataFrame:
+    """Degree-capped similarity edges — the bounded edge builder for
+    near-duplicate-heavy corpora (VERDICT r8 task 4).
+
+    The token-equi-join edge table is O(pairs-sharing-a-word): on a
+    corpus where many sentences are near-identical (the scale probe's
+    replicated corpus, boilerplate-heavy web text) edge count grows
+    ~quadratically inside each duplicate clique, and every edge-linear
+    consumer (LPA at 35x on the x10 probe) inherits the blow-up.  The
+    fix is the kNN-graph discipline: keep each vertex's top-``cap``
+    neighbors by (weight desc, dst-id tie-break) — one window over the
+    edge table, no new shuffle key — then UNION-symmetrize (keep (u, v)
+    if v is in u's top-cap OR u is in v's) so community structure stays
+    connected while per-vertex degree is bounded by 2*cap.  Downstream
+    cost becomes O(vertices * cap) per round regardless of how
+    duplicate-heavy the corpus is.  Deterministic: the weight expression
+    is the same IEEE tree both engines compute (the textrank contract),
+    ties on it break by dst.
+    """
+    from pyspark.sql.window import Window
+
+    e = edges_raw(spark, sf_dir)
+    w = Window.partitionBy("source", "src").orderBy(
+        F.desc("weight"), F.asc("dst")
+    )
+    kept = (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("source", "src", "dst")
+    )
+    rev = kept.select(
+        "source", F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return kept.unionByName(rev).distinct()
+
+
+def graph_lpa_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA communities over the degree-capped edge graph — the opt-in
+    variant that survives near-duplicate edge explosions (same rounds,
+    ties, and output schema as :func:`graph_lpa`; on a low-degree corpus
+    where the cap never binds, communities are identical — pinned by
+    test and by the x10 probe row `graph_lpa_capped`)."""
+    edges = edges_degree_capped(spark, sf_dir).transform(_owned_ckpt)
+    return _lpa_labels(edges)
+
+
+ORACLES["graph_lpa_capped"] = f"""
+{EDGES_PREAMBLE},
+ranked AS (
+  SELECT source, src, dst,
+         row_number() OVER (PARTITION BY source, src
+                            ORDER BY weight DESC, dst) AS rk
+  FROM edges
+),
+kept AS (SELECT source, src, dst FROM ranked WHERE rk <= {DEGREE_CAP}),
+cedges AS (
+  SELECT DISTINCT source, src, dst FROM (
+    SELECT source, src, dst FROM kept
+    UNION ALL
+    SELECT source, dst AS src, src AS dst FROM kept
+  )
+),
+l0 AS (SELECT DISTINCT source, src AS v, src AS label FROM cedges),
+{",".join(_lpa_round_sql(str(i), str(i + 1), "cedges") for i in range(LPA_ITERS))}
+SELECT source, v AS sentence_id, label FROM l{LPA_ITERS}
+"""
+QUERIES["graph_lpa_capped"] = graph_lpa_capped

@@ -72,6 +72,14 @@ PROBE = [
     # merge_upsert is O(delta) and the delta grows with the corpus
     "graph_lpa",
     "merge_upsert",
+    # round-9: the degree-capped edge builder must flatten graph_lpa's
+    # edge-explosion ratio (uncapped measured 35x at x10 — the replicated
+    # corpus makes every sentence a 10-clique member; capped is
+    # O(vertices * cap) per round and should track the corpus, not the
+    # clique squares); embedding_pca's moments now ride the Gramian
+    # kernel, so its x10 ratio should be flat-linear like embedding_cov's
+    "graph_lpa_capped",
+    "embedding_pca",
 ]
 
 

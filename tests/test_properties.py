@@ -448,3 +448,48 @@ def test_graph_lpa_matches_plain_python(spark):
     assert got.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_graph_lpa_capped_bounds_degree_and_preserves_communities(spark):
+    """The degree-capped edge builder (VERDICT r8 task 4) must (a) bound
+    every vertex's out-degree by 2*cap (cap kept + up to cap reversed),
+    and (b) where the cap never binds (max out-degree <= cap) produce the
+    EXACT same edge set — hence identical LPA communities — as the
+    uncapped graph."""
+    from bigdataanalytics_textsummarization_spark.graph import (
+        DEGREE_CAP,
+        edges_degree_capped,
+        edges_raw,
+        graph_lpa,
+        graph_lpa_capped,
+    )
+    from tests.conftest import SF_DIR
+
+    capped = edges_degree_capped(spark, SF_DIR).toPandas()
+    deg = capped.groupby(["source", "src"]).size()
+    assert (deg <= 2 * DEGREE_CAP).all()
+
+    raw = (
+        edges_raw(spark, SF_DIR).select("source", "src", "dst").toPandas()
+    )
+    raw_deg_max = raw.groupby(["source", "src"]).size().max()
+    if raw_deg_max <= DEGREE_CAP:
+        # clean fixture: cap never binds -> identical graph, identical LPA
+        key = ["source", "src", "dst"]
+        assert raw.sort_values(key).reset_index(drop=True).equals(
+            capped[key].sort_values(key).reset_index(drop=True)
+        )
+        a = graph_lpa(spark, SF_DIR).toPandas()
+        b = graph_lpa_capped(spark, SF_DIR).toPandas()
+        k2 = ["source", "sentence_id"]
+        assert a.sort_values(k2).reset_index(drop=True).equals(
+            b.sort_values(k2).reset_index(drop=True)
+        )
+    else:
+        # cap binds: every kept vertex still appears, labels still form
+        # communities over the same vertex set
+        a = graph_lpa(spark, SF_DIR).toPandas()
+        b = graph_lpa_capped(spark, SF_DIR).toPandas()
+        assert set(map(tuple, a[["source", "sentence_id"]].values)) == set(
+            map(tuple, b[["source", "sentence_id"]].values)
+        )
