@@ -331,6 +331,86 @@ _PRIORITY_R7_OVERFLOW = [
     "top_keywords",
 ]
 
+# Round-9 window (VERDICT r8 tasks 1+6): 50 slots = (a) the four
+# never-driver-certified rows (the three r8-staged round-trips plus
+# graph_lpa_capped, new this round), (b) the rest of _PRIORITY_R8_STAGED,
+# (c) every query whose closure changed under this round's code — the
+# multimodal real-decode graduation, embedding_pca's Gramian routing, the
+# leaf() session-keying + mid-loop checkpoint retirement (graph/pagerank/
+# text/lsa families — values verified bit-exact by driver_sim at sf0.01
+# before staging), then (d) the changed-since-green overflow OLDEST-first
+# (r4-era greens before r6-era).  Four twins/recall-companions spill past
+# the budget to _PRIORITY_R9_SPILL (still staged, r10 certifies them).
+_PRIORITY_R9 = [
+    # (a) never certified
+    "bpe_roundtrip",
+    "jsonl_roundtrip",
+    "orc_roundtrip",
+    "graph_lpa_capped",
+    # (b) r8-staged remainder
+    "tokenizer_fertility",
+    "tfidf_doc_topk",
+    "dedup_clusters",
+    "bpe_vocab",
+    "knn_graph_descent",
+    "curation_pipeline",
+    "bpe_encode",
+    # (c) closure changed by r9 code (grouped by family for leaf/memo
+    # reuse in the driver's single-session sweep)
+    "image_resize",
+    "frame_sample",
+    "audio_resample",
+    "embedding_pca",
+    "embedding_cov_gram_check",
+    "similarity_edges",
+    "graph_triangles",
+    "graph_khop",
+    "graph_lpa",
+    "knn_graph_recall",
+    "textrank_ranks",
+    "textrank_top5",
+    "term_stats",
+    "top_keywords",
+    "lsa_summary",
+    "lsa_concepts",
+    "dedup_ngram_jaccard",
+    # (d) changed-since-green overflow, oldest green first (r4-era)
+    "q8_market_share",
+    "q9_product_profit",
+    "rich_customers_sql",
+    "sales_cube",
+    "sales_grouping_sets",
+    "stupid_backoff",
+    "user_value_moving_avg",
+    "vocab_kl_drift",
+    "weighted_sample",
+    # (d) r6-era greens
+    "events_hourly",
+    "events_json_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "rouge_l",
+    "rouge_n",
+    "rouge_n_relational",
+    "rouge_n_stemmed",
+    "rouge_sweep",
+    "rouge_sweep_stemmed",
+    "sales_rollup",
+    "top_customers_per_nation",
+]
+
+# Changed-since-green names that did not fit the 50-slot budget: twins and
+# recall companions whose drift is the mechanical shared-helper kind (their
+# primaries ARE in the window).  Staged here so check_recert sees them
+# queued; round 10 leads with them.
+_PRIORITY_R9_SPILL = [
+    "doc_perplexity",
+    "ann_ivf_recall",
+    "minhash_lsh_mllib_recall",
+    "lsa_concepts_distributed",
+]
+
 # Staged for the r9 window (behind the r8 budget): new-this-round queries
 # that did not displace the verdict-prescribed oldest-first rotation.
 _PRIORITY_R8_STAGED = [
@@ -351,11 +431,16 @@ _PRIORITY_R8_STAGED = [
     "orc_roundtrip",  # ORC twin of jsonl_roundtrip
 ]
 
-# r8 window first (the driver's 50-slot budget reads front-to-back, dict
-# insertion dedupes repeats), then the staged-for-r9 names, then the r7
+# r9 window first (the driver's 50-slot budget reads front-to-back, dict
+# insertion dedupes repeats), then the over-budget spill, then the older
 # lists so every still-staged name stays queued.
 _PRIORITY = (
-    _PRIORITY_R8 + _PRIORITY_R8_STAGED + _PRIORITY_R7 + _PRIORITY_R7_OVERFLOW
+    _PRIORITY_R9
+    + _PRIORITY_R9_SPILL
+    + _PRIORITY_R8
+    + _PRIORITY_R8_STAGED
+    + _PRIORITY_R7
+    + _PRIORITY_R7_OVERFLOW
 )
 
 

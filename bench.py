@@ -70,7 +70,21 @@ HEADLINE = [
     # is no longer bench-worthy as the headline brute-force entry
     "ann_cosine_topk_arrow",
     "quality_score",
+    # round-9 widening (VERDICT r8 task 5): the heaviest LLM-ops family
+    # members, so regressions in text_analysis.py/dedup.py/graph.py show
+    # up in BENCH_rN, not only in the ad-hoc scale probe.  Timer
+    # semantics identical to every other row (construct+execute, warm
+    # median of reps); the v1-comparable total is the sum over the
+    # original 20 names, also emitted as "v1_total".
+    "bpe_encode",
+    "bm25_search",
+    "contrastive_pairs",
+    "graph_lpa",
 ]
+
+# the pre-r9 headline set, kept addressable so round-over-round
+# comparisons against BENCH_v1.json need no row arithmetic
+_V1_NAMES = HEADLINE[:20]
 
 
 def main() -> None:
@@ -170,6 +184,10 @@ def main() -> None:
     # comparable to the pre-r5 anchor in BENCH.json, emitted so no
     # reader has to reconstruct the subtraction
     exec_total = round(total - sum(construct.values()), 3)
+    # the BENCH_v1-comparable subtotal (original 20 rows only)
+    v1_total = round(
+        sum(t for n, t in timings.items() if n in _V1_NAMES), 3
+    )
     print(
         json.dumps(
             {
@@ -181,6 +199,7 @@ def main() -> None:
                 "cold": cold,
                 "construct": construct,
                 "exec_total": exec_total,
+                "v1_total": v1_total,
                 "control": control,
                 "control_spread": control_spread,
                 "reps": reps,

@@ -1,6 +1,13 @@
 """Simulate the round driver: entry() smoke + every oracle compare at sf0.01.
 
 Usage: python scripts/driver_sim.py [sf_dir] [query ...]
+       python scripts/driver_sim.py --window [sf_dir] [query ...]
+
+``--window`` rehearses the REAL driver's conditions: the named queries run
+in the GIVEN order (not sorted) in one session with NO release_pins()
+between them — exactly how the round driver sweeps its 50-slot budget —
+so leaf/session-memo interactions between adjacent window queries are
+exercised before the window is committed.
 """
 
 from __future__ import annotations
@@ -20,8 +27,13 @@ from bigdataanalytics_textsummarization_spark.session import get_session  # noqa
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    window_mode = "--window" in args
+    if window_mode:
+        args.remove("--window")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    names = args[1:]
+    only = set(names)
     spark = get_session(app="driver-sim", cpus=4, shuffle_partitions=8)
     print("entry rows:", len(e.entry(spark).collect()))
     con = duckdb.connect()
@@ -30,7 +42,8 @@ def main() -> int:
     qs, osql = e.queries(), e.oracle_sql()
     failed = []
     times: dict[str, float] = {}
-    for name in sorted(qs):
+    order = names if window_mode else sorted(qs)
+    for name in order:
         if only and name not in only:
             continue
         t0 = time.monotonic()
@@ -42,13 +55,15 @@ def main() -> int:
         )
         if name not in osql or golden_off_scale:
             n = qs[name](spark, sf_dir).count()
-            release_pins()  # pins are per-query; 165 queries in one session
+            if not window_mode:  # the REAL driver never releases mid-window
+                release_pins()
             times[name] = time.monotonic() - t0
             kind = "golden@sf0.01, rows-only here" if golden_off_scale else "rows-only"
             print(f"{name}: {kind}, {n} rows  [{times[name]:.2f}s]")
             continue
         g = qs[name](spark, sf_dir).toPandas()
-        release_pins()  # pins are per-query; 165 queries in one session
+        if not window_mode:  # the REAL driver never releases mid-window
+            release_pins()
         w = con.sql(osql[name]).df()
         g = g.reindex(sorted(g.columns), axis=1)
         w = w.reindex(sorted(w.columns), axis=1)

@@ -82,6 +82,20 @@ PROBE = [
     "embedding_pca",
 ]
 
+# The x100 tier (VERDICT r8 task 8): one decade further for the queries
+# whose x10 ratios were flat-linear (1.1-1.3x-per-x10 shapes) — confirms
+# the linearity holds another order of magnitude instead of hiding a
+# knee.  Only the flat-linear family: the adversarial dedup/graph
+# workloads grow their OWN workload super-linearly under replication
+# (candidate pairs, clique edges), which the x10 tier already measures.
+PROBE_X100 = [
+    "dedup_exact",
+    "classifier_score",
+    "quality_score",
+    "multimodal_decode",
+    "domain_caps",
+]
+
 
 def build_replicated(spark, replicas: int) -> str:
     out = os.path.join(WORK_DIR, f"x{replicas}")
@@ -133,8 +147,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     big_dir = build_replicated(spark, replicas)
     queries = entry_mod.queries()
+    probe = PROBE_X100 if replicas >= 100 else PROBE
     print(f"{'query':24} {'sf0.1':>8} {'x' + str(replicas):>8} {'ratio':>7}")
-    for name in PROBE:
+    for name in probe:
         fn = queries[name]
         time_query(spark, fn, BASE_SF)  # warm
         base = time_query(spark, fn, BASE_SF)
