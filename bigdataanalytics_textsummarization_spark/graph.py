@@ -422,32 +422,90 @@ QUERIES["graph_lpa"] = graph_lpa
 
 
 DEGREE_CAP = 8
+WORD_DF_CAP = 64  # clean sf0.1 max per-(source, word) df is 43: never binds
 
 
 def edges_degree_capped(
-    spark: SparkSession, sf_dir: str, cap: int = DEGREE_CAP
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int = DEGREE_CAP,
+    df_cap: int = WORD_DF_CAP,
 ) -> DataFrame:
-    """Degree-capped similarity edges — the bounded edge builder for
-    near-duplicate-heavy corpora (VERDICT r8 task 4).
+    """Bounded edge builder for near-duplicate-heavy corpora (VERDICT r8
+    task 4) — TWO composed bounds, one for construction, one for
+    consumers:
 
-    The token-equi-join edge table is O(pairs-sharing-a-word): on a
-    corpus where many sentences are near-identical (the scale probe's
-    replicated corpus, boilerplate-heavy web text) edge count grows
-    ~quadratically inside each duplicate clique, and every edge-linear
-    consumer (LPA at 35x on the x10 probe) inherits the blow-up.  The
-    fix is the kNN-graph discipline: keep each vertex's top-``cap``
-    neighbors by (weight desc, dst-id tie-break) — one window over the
-    edge table, no new shuffle key — then UNION-symmetrize (keep (u, v)
-    if v is in u's top-cap OR u is in v's) so community structure stays
-    connected while per-vertex degree is bounded by 2*cap.  Downstream
-    cost becomes O(vertices * cap) per round regardless of how
-    duplicate-heavy the corpus is.  Deterministic: the weight expression
-    is the same IEEE tree both engines compute (the textrank contract),
-    ties on it break by dst.
+    1. CANDIDATE-GENERATION bound (``df_cap``): the token equi-join is
+       O(df²) per (source, word) blocking key, so a corpus where many
+       sentences are near-identical (the scale probe's replicated
+       corpus, boilerplate-heavy web text) explodes pair count
+       ~quadratically inside each duplicate clique — and the degree cap
+       alone cannot help, because ranking edges requires BUILDING them.
+       The fix is the hot-key discipline every blocked dedup here uses:
+       keep only the first ``df_cap`` sentences (by sentence_id) per
+       (source, word) as pair CANDIDATES — one row_number window over
+       the distinct token table — so pair work per blocking key is
+       capped at df_cap² regardless of how many clones share the word.
+       Per-sentence token counts (the weight denominator) still come
+       from the FULL stream; df_cap = 64 clears the clean sf0.1 maximum
+       (43), so on non-degenerate corpora the candidate set — and every
+       downstream value — is identical to the uncapped builder's.
+    2. DEGREE bound (``cap``): the kNN-graph discipline — keep each
+       vertex's top-``cap`` neighbors by (weight desc, dst tie-break),
+       then UNION-symmetrize (keep (u, v) if v is in u's top-cap OR u is
+       in v's) so community structure stays connected while per-vertex
+       degree is bounded by 2*cap.  Every edge-linear consumer (LPA)
+       becomes O(vertices * cap) per round.
+
+    Deterministic end-to-end: the df window orders by sentence_id, the
+    weight expression is the same IEEE tree both engines compute (the
+    textrank contract), and weight ties break by dst.
     """
     from pyspark.sql.window import Window
 
-    e = edges_raw(spark, sf_dir)
+    toks = leaf(tokens_textrank(spark, sf_dir))
+    ntok = toks.groupBy("source", "sentence_id").agg(
+        F.count("*").alias("n")
+    )
+    w_df = Window.partitionBy("source", "word").orderBy("sentence_id")
+    dist = (
+        toks.select("source", "sentence_id", "word")
+        .distinct()
+        .withColumn("dfrn", F.row_number().over(w_df))
+        .filter(F.col("dfrn") <= df_cap)
+        .drop("dfrn")
+    )
+    a, b = dist.alias("a"), dist.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.sentence_id") != F.col("b.sentence_id")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source"),
+            F.col("a.sentence_id").alias("src"),
+            F.col("b.sentence_id").alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("isect"))
+    )
+    ns = ntok.select(
+        F.col("source"), F.col("sentence_id").alias("src"),
+        F.col("n").alias("n_src"),
+    )
+    nd = ntok.select(
+        F.col("source"), F.col("sentence_id").alias("dst"),
+        F.col("n").alias("n_dst"),
+    )
+    e = (
+        pairs.join(ns, ["source", "src"])
+        .join(nd, ["source", "dst"])
+        .withColumn(
+            "weight",
+            F.col("isect") / (F.lit(1) + F.log2("n_src") + F.log2("n_dst")),
+        )
+    )
     w = Window.partitionBy("source", "src").orderBy(
         F.desc("weight"), F.asc("dst")
     )
@@ -473,7 +531,32 @@ def graph_lpa_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["graph_lpa_capped"] = f"""
-{EDGES_PREAMBLE},
+WITH {SENTENCES_CTE}, {TR_SENT_CTE}, {TOKENS_TR_CTE},
+ntok AS (
+  SELECT source, sentence_id, count(*) AS n
+  FROM trtok GROUP BY source, sentence_id
+),
+dist AS (
+  SELECT source, sentence_id, word
+  FROM (SELECT DISTINCT source, sentence_id, word FROM trtok)
+  QUALIFY row_number() OVER (PARTITION BY source, word
+                             ORDER BY sentence_id) <= {WORD_DF_CAP}
+),
+pairs AS (
+  SELECT a.source AS source, a.sentence_id AS src, b.sentence_id AS dst,
+         count(*) AS isect
+  FROM dist a
+  JOIN dist b ON a.source = b.source AND a.word = b.word
+             AND a.sentence_id <> b.sentence_id
+  GROUP BY a.source, a.sentence_id, b.sentence_id
+),
+edges AS (
+  SELECT p.source, p.src, p.dst, p.isect,
+         p.isect / (1 + log2(ns.n) + log2(nd.n)) AS weight
+  FROM pairs p
+  JOIN ntok ns ON p.source = ns.source AND p.src = ns.sentence_id
+  JOIN ntok nd ON p.source = nd.source AND p.dst = nd.sentence_id
+),
 ranked AS (
   SELECT source, src, dst,
          row_number() OVER (PARTITION BY source, src
