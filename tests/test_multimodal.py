@@ -277,3 +277,29 @@ def test_synth_ppm_frames_are_valid_containers(spark):
 def test_graduated_media_oracle_parity(spark, oracle):
     for name in ("image_resize", "frame_sample", "audio_resample"):
         assert_parity(spark, oracle, mm.QUERIES[name], mm.ORACLES[name])
+
+
+def test_decode_ppm_frames_roundtrip_fuzz():
+    """Property: any frame sequence synthesized by the same rule the
+    Catalyst builder uses parses back to its exact per-frame stats."""
+    import hashlib
+    import random
+
+    rng = random.Random(20260815)
+    for _ in range(50):
+        n_frames = rng.choice([1, 2, 4, 6, 8])
+        payload = b""
+        expect = []
+        for f in range(n_frames):
+            w, h = rng.choice([(1, 1), (2, 2), (2, 1), (3, 2)])
+            raster = hashlib.md5(f"frame-{f}".encode()).digest()[: w * h * 3]
+            while len(raster) < w * h * 3:
+                raster += raster
+                raster = raster[: w * h * 3]
+            payload += f"P6\n{w} {h}\n255\n".encode() + raster
+            sums = [0, 0, 0]
+            for i in range(w * h):
+                for c in range(3):
+                    sums[c] += raster[i * 3 + c]
+            expect.append((w, h, *sums))
+        assert mm.decode_ppm_frames(payload) == expect

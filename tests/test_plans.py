@@ -415,3 +415,16 @@ def test_aqe_skew_join_splits_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_graduated_media_ops_are_map_only(spark):
+    """The r9 real-decode media ops are embarrassingly parallel payload
+    transforms: synth (pure Catalyst expressions over the scan) ->
+    mapInPandas decode — no data-keyed shuffle at any scale.  The only
+    Exchange allowed is load_table's round-robin scan widening."""
+    for name in ("image_resize", "frame_sample", "audio_resample",
+                 "multimodal_decode", "wav_decode"):
+        plan = _plan(spark, name)
+        assert "hashpartitioning" not in plan, name
+        assert "rangepartitioning" not in plan, name
+        assert plan.count("Exchange") <= 2, name
