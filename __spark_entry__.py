@@ -405,6 +405,8 @@ _PRIORITY_R9 = [
 # primaries ARE in the window).  Staged here so check_recert sees them
 # queued; round 10 leads with them.
 _PRIORITY_R9_SPILL = [
+    "dedup_keep_best",  # NEW late-r9 (quality-canonical fuzzy dedup):
+    # bit-exact locally at sf0.01 + sf0.1, staged for its first driver row
     "doc_perplexity",
     "ann_ivf_recall",
     "minhash_lsh_mllib_recall",

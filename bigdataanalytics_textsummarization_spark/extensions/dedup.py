@@ -1115,3 +1115,108 @@ FROM best b JOIN sizes s USING (doc_id)
 WHERE rn = 1
 """
 QUERIES["benchmark_decontam"] = benchmark_decontam
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection for fuzzy dedup — the
+    RefinedWeb/FineWeb discipline: within each near-dup cluster KEEP the
+    highest-quality member, not the smallest id.  Min-id canonicals
+    (dedup_clusters) are cheap but keep whichever clone happened to land
+    first; production corpora keep the best-written duplicate, so the
+    canonical choice is argmax over a quality signal with a
+    deterministic id tie-break.
+
+    Composition, all existing gated pieces: the connected-component
+    labels from :func:`dedup_clusters` (LSH-banded, never all-pairs)
+    joined to the ``quality_score`` heuristic, then ONE window per
+    cluster — rank by (quality desc, doc_id asc), keep rank 1.  Ranking
+    uses the ROUNDED quality (bit-identical across engines by the r6
+    contract), so the argmax cannot split between Spark and the oracle.
+    Scale shape: clusters are tiny (near-dup groups), the window key is
+    the cluster id — O(cluster members) per group, no new wide state.
+    """
+    from .text_analysis import quality_score
+
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        labels.join(q, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (F.col("rk") == 1).alias("keep"),
+        )
+    )
+# the dedup_clusters closure CTEs + the quality_score scoring CTEs, then
+# one keep-window; STOPWORDS_SQL keeps the stopword test identical to the
+# Spark side (the quality_score contract)
+from ..functions import STOPWORDS_SQL as _STOPWORDS_SQL  # noqa: E402
+
+ORACLES["dedup_keep_best"] = f"""
+WITH RECURSIVE {SHINGLES_CTE}, {MINHASH_CTE},
+bands AS (
+  SELECT doc_id, cast(floor(seed / {N_HASHES // N_BANDS}) AS bigint) AS band,
+         string_agg(cast(minhash AS varchar), '|' ORDER BY seed) AS band_sig
+  FROM mh GROUP BY doc_id, 2
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+isect AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS isect
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.doc_a
+  JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+  GROUP BY c.doc_a, c.doc_b
+),
+lshp AS (
+  SELECT i.doc_a, i.doc_b
+  FROM isect i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE (round(i.isect * 1.0 / (na.n + nb.n - i.isect), 6) + 0.0)
+        >= {CLUSTER_MIN_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM lshp
+  UNION
+  SELECT doc_b, doc_a FROM lshp
+),
+reach(s, d) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+labels AS (SELECT s AS doc_id, min(d) AS cluster_id FROM reach GROUP BY s),
+qtoks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_words, avg(length(w)) AS awl,
+         sum(CASE WHEN w IN {_STOPWORDS_SQL} THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS swr
+  FROM qtoks GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id,
+         (round(0.4 * least(n_words / 50.0, 1.0)
+               + 0.3 * (1.0 - abs(swr - 0.4))
+               + 0.3 * least(awl / 8.0, 1.0), 6) + 0.0) AS quality
+  FROM per_doc
+)
+SELECT l.doc_id, l.cluster_id, q.quality,
+       row_number() OVER (PARTITION BY l.cluster_id
+                          ORDER BY q.quality DESC, l.doc_id) = 1 AS keep
+FROM labels l JOIN q USING (doc_id)
+"""
+QUERIES["dedup_keep_best"] = dedup_keep_best

@@ -383,3 +383,23 @@ def test_domain_caps_ceiling_and_determinism(spark):
     assert out.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_dedup_keep_best_semantics(spark):
+    """Quality-canonical dedup: exactly one keep per cluster, and the kept
+    member maximizes (quality, -doc_id) within its cluster."""
+    from bigdataanalytics_textsummarization_spark.extensions.dedup import (
+        dedup_keep_best,
+    )
+    from tests.conftest import SF_DIR
+
+    out = dedup_keep_best(spark, SF_DIR).toPandas()
+    if out.empty:
+        return  # no near-dup clusters at this scale: vacuously fine
+    per = out.groupby("cluster_id")
+    assert (per["keep"].sum() == 1).all()
+    for _, grp in per:
+        best = grp.sort_values(
+            ["quality", "doc_id"], ascending=[False, True]
+        ).iloc[0]
+        assert bool(best["keep"])
