@@ -80,6 +80,9 @@ PROBE = [
     # kernel, so its x10 ratio should be flat-linear like embedding_cov's
     "graph_lpa_capped",
     "embedding_pca",
+    # late-r9: quality-canonical dedup rides the LSH candidate plan, so
+    # its ratio should track dedup_minhash_lsh's O(candidates) shape
+    "dedup_keep_best",
 ]
 
 # The x100 tier (VERDICT r8 task 8): one decade further for the queries
