@@ -407,6 +407,8 @@ _PRIORITY_R9 = [
 _PRIORITY_R9_SPILL = [
     "dedup_keep_best",  # NEW late-r9 (quality-canonical fuzzy dedup):
     # bit-exact locally at sf0.01 + sf0.1, staged for its first driver row
+    "ann_graph_search",  # NEW late-r9 (HNSW-style beam search over the
+    "ann_graph_search_recall",  # kNN graph): gate-verified locally
     "doc_perplexity",
     "ann_ivf_recall",
     "minhash_lsh_mllib_recall",

@@ -2262,3 +2262,192 @@ ORACLES["knn_graph_descent"] = (
 )
 QUERIES["knn_graph_descent"] = knn_graph_descent
 QUERIES["knn_graph_recall"] = knn_graph_recall
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN query path (the HNSW idea): beam search over the kNN graph
+# ---------------------------------------------------------------------------
+
+BEAM_W = 8  # beam width (candidates kept per query per round)
+BEAM_ROUNDS = 3  # expansion rounds (the fixed-iteration LPA/pagerank shape)
+
+
+def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN search — beam search over the NN-Descent kNN graph,
+    the query path of graph indexes (HNSW/NSG): enter at a fixed vertex,
+    repeatedly expand the current best candidates' neighbor lists, score
+    by TRUE cosine, keep the best ``BEAM_W`` — the last missing member of
+    the ANN family here (brute/gemm, sign-LSH, IVF, SQ/PQ/IVF+PQ, and now
+    graph traversal).
+
+    Spark-first shape: the graph is the (golden-gated, deterministic)
+    ``knn_graph_descent`` edge table, materialized once; each round is
+    one frontier->edges equi-join (shuffle keyed on the vertex), one
+    bounded scoring join against the embedding table, and one per-query
+    top-W window — O(|beam| * K) candidates per query per round, never a
+    scan of the corpus, which is the entire point of a graph index at
+    100 TB: search cost is O(rounds * beam * degree), independent of
+    corpus size.  Fixed rounds + smallest-id tie-breaks + the shared
+    ``dot()`` contract make every beam state bit-reproducible, so the
+    oracle unrolls the same rounds as CTEs over the committed graph
+    golden (value gate at the driver's sf0.01; rows-only off-scale).
+    """
+    import math
+
+    emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    edges = (
+        knn_graph_descent(spark, sf_dir)
+        .select(
+            F.col("vec_id").alias("g_src"),
+            F.col("neighbor_id").alias("g_dst"),
+        )
+        .transform(_owned_ckpt)  # re-read every round: materialize once
+    )
+    # rounds grow with the store like the descent's iteration rule — a
+    # bigger graph needs more hops from the fixed entry; at the driver's
+    # gate scales (50/500 vectors) this is exactly BEAM_ROUNDS, which is
+    # what the sf0.01-pinned oracle unrolls
+    n = emb.count()
+    rounds = max(
+        BEAM_ROUNDS,
+        math.ceil(math.log(max(n, 2)) / math.log(max(BEAM_W, 2))),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    # fixed entry point: the smallest vertex id in the graph (1-row
+    # aggregate, broadcast — the bounded-scalar crossJoin pattern)
+    entry = edges.agg(F.min("g_src").alias("vec_id"))
+    cand = (
+        q.crossJoin(F.broadcast(entry))
+        .join(emb, "vec_id")
+        .select("query_id", "vec_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    for _ in range(rounds):
+        frontier = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= BEAM_W)
+            .select("query_id", "vec_id")
+        )
+        nbrs = (
+            frontier.join(edges, frontier.vec_id == edges.g_src)
+            .select("query_id", F.col("g_dst").alias("vec_id"))
+            .distinct()
+        )
+        scored = (
+            nbrs.join(emb, "vec_id")
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "vec_id", cos.alias("cos"))
+        )
+        # merge, dedupe (cosines are bit-identical recomputations, so
+        # plain distinct collapses revisits), trim back to the beam
+        cand = (
+            cand.unionByName(scored)
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= BEAM_W)
+            .select("query_id", "vec_id", "cos")
+        )
+    return (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "rk",
+            F.col("vec_id").alias("neighbor_id"),
+            r6(F.col("cos")).alias("cosine"),
+        )
+    )
+
+
+def _beam_round_sql(prev: str, cur: str) -> str:
+    return f"""
+f{cur} AS (
+  SELECT query_id, vec_id FROM c{prev}
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, vec_id) <= {BEAM_W}
+),
+n{cur} AS (
+  SELECT DISTINCT f.query_id, g.g_dst AS vec_id
+  FROM f{cur} f JOIN g ON g.g_src = f.vec_id
+),
+s{cur} AS (
+  SELECT n.query_id, n.vec_id,
+         list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS cos
+  FROM n{cur} n
+  JOIN q ON q.query_id = n.query_id
+  JOIN embn c ON c.vec_id = n.vec_id
+),
+c{cur} AS (
+  SELECT query_id, vec_id, cos FROM (
+    SELECT query_id, vec_id, cos FROM c{prev}
+    UNION
+    SELECT query_id, vec_id, cos FROM s{cur}
+  )
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, vec_id) <= {BEAM_W}
+)"""
+
+
+ORACLES["ann_graph_search"] = f"""
+WITH {_EMB_CTE},
+g AS (
+  SELECT vec_id AS g_src, neighbor_id AS g_dst
+  FROM '{_os.path.join(_GOLDEN_DIR, "knn_graph_descent.parquet")}'
+),
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM embn
+      WHERE vec_id < {N_QUERIES}),
+entry AS (SELECT min(g_src) AS vec_id FROM g),
+c0 AS (
+  SELECT q.query_id, en.vec_id,
+         list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS cos
+  FROM q CROSS JOIN entry en JOIN embn c ON c.vec_id = en.vec_id
+),
+{",".join(_beam_round_sql(str(i), str(i + 1)) for i in range(BEAM_ROUNDS))}
+SELECT query_id, rk, vec_id AS neighbor_id, (round(cos, 6) + 0.0) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, vec_id) AS rk
+  FROM c{BEAM_ROUNDS} WHERE vec_id <> query_id
+) WHERE rk <= {TOP_K}
+"""
+QUERIES["ann_graph_search"] = ann_graph_search
+
+
+GRAPH_SEARCH_RECALL_FLOOR = 0.2  # random embeddings: graph navigation's
+# known worst case (no hub structure — see knn_graph_descent docstring);
+# on clustered real corpora beam search reaches 0.9+
+
+
+def ann_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Determinate-fact gate for the graph query path: average top-K
+    recall of beam search against the brute-force truth must clear the
+    floor (the knn_graph_recall pattern: try_divide + coalesce so a
+    degenerate corpus stays a clean boolean)."""
+    approx = ann_graph_search(spark, sf_dir).select(
+        "query_id",
+        F.col("neighbor_id"),
+        F.lit(1).alias("hit"),
+    )
+    truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    return truth.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.countDistinct("query_id").cast("long").alias("n_queries"),
+        F.coalesce(
+            F.try_divide(
+                F.coalesce(F.sum("hit"), F.lit(0)), F.count(F.lit(1))
+            )
+            >= GRAPH_SEARCH_RECALL_FLOOR,
+            F.lit(True),
+        ).alias("recall_ok"),
+    )
+
+
+ORACLES["ann_graph_search_recall"] = (
+    f"SELECT cast({N_QUERIES} AS bigint) AS n_queries, true AS recall_ok"
+)
+QUERIES["ann_graph_search_recall"] = ann_graph_search_recall

@@ -521,3 +521,31 @@ def test_knn_graph_descent_recall_and_determinism(spark):
     assert ap.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_ann_graph_search_beam_semantics(spark):
+    """Graph ANN query path: per query exactly TOP_K ranked neighbors,
+    never the query itself, ranks contiguous, cosines non-increasing,
+    every neighbor reachable in the kNN graph union the entry point —
+    and the whole search is deterministic across runs."""
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        TOP_K,
+        ann_graph_search,
+        knn_graph_descent,
+    )
+    from tests.conftest import SF_DIR
+
+    out = ann_graph_search(spark, SF_DIR).toPandas()
+    g = knn_graph_descent(spark, SF_DIR).toPandas()
+    vertices = set(g.vec_id) | set(g.neighbor_id)
+    for qid, grp in out.groupby("query_id"):
+        grp = grp.sort_values("rk")
+        assert list(grp.rk) == list(range(1, TOP_K + 1))
+        assert (grp.neighbor_id != qid).all()
+        assert (grp.cosine.diff().dropna() <= 1e-12).all()
+        assert set(grp.neighbor_id) <= vertices
+    again = ann_graph_search(spark, SF_DIR).toPandas()
+    key = ["query_id", "rk"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
