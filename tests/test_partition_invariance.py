@@ -53,6 +53,13 @@ INVARIANCE_SLICE = [
     # map-only chunking + the broadcast-bounded Bloom verdict
     "doc_chunks",
     "bloom_semijoin",
+    # r9 additions: df-capped+degree-capped edge graph (windows ordered by
+    # the deterministic weight tree), quality-canonical dedup (argmax over
+    # rounded quality), and beam search over the kNN graph (id tie-breaks,
+    # shared dot() contract) — each must survive a serialized reduction
+    "graph_lpa_capped",
+    "dedup_keep_best",
+    "ann_graph_search",
 ]
 
 PARTITION_SETTINGS = ["1", "7", "32"]
