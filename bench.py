@@ -82,9 +82,21 @@ HEADLINE = [
     "graph_lpa",
 ]
 
-# the pre-r9 headline set, kept addressable so round-over-round
-# comparisons against BENCH_v1.json need no row arithmetic
-_V1_NAMES = HEADLINE[:20]
+# the pre-r9 headline set (exactly BENCH_v1.json's rows), kept as an
+# explicit frozen list — NOT a slice of HEADLINE, which may reorder —
+# so round-over-round comparisons against the v1 anchor need no row
+# arithmetic and cannot silently drift
+_V1_NAMES = frozenset(
+    [
+        "q1_pricing_summary", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "q10_returned_items", "q18_large_orders", "asof_click_attribution",
+        "top_customers_per_nation", "events_hourly", "events_sliding",
+        "user_sessions", "top_keywords", "term_stats", "textrank_top5",
+        "lsa_summary", "rouge_n", "dedup_exact", "dedup_minhash_lsh",
+        "ann_cosine_topk_arrow", "quality_score",
+    ]
+)
 
 
 def main() -> None:
