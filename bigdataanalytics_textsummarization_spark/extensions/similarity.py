@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..functions import _owned_ckpt, _retire_ckpt, dot, r6
+from ..functions import _owned_ckpt, _retire_ckpt, dot, r6, session_memo
 from ..io import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -2065,6 +2065,7 @@ KNN_GRAPH_K = 10
 KNN_GRAPH_RECALL_FLOOR = 0.5  # pinned tighter in pytest at gate scales
 
 
+@session_memo
 def knn_graph_descent(
     spark: SparkSession,
     sf_dir: str,
@@ -2097,7 +2098,10 @@ def knn_graph_descent(
     Fully DETERMINISTIC by construction (md5-keyed init, JVM cosine
     folds, ties by neighbor id), so unlike the trained-quantizer family
     this approximate index carries a GOLDEN value gate, not just a
-    recall floor.
+    recall floor.  Session-memoized (r9): the recall gate and the
+    graph-search query path both consume this graph, and determinism
+    makes the memoized frame value-identical to a rebuild — one descent
+    per session instead of one per consumer.
     """
     import math
 
