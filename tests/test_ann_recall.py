@@ -516,6 +516,13 @@ def test_knn_graph_descent_recall_and_determinism(spark):
     rec = sum(len(t[s] & g.get(s, set())) / len(t[s]) for s in t.index) / len(t)
     assert rec >= 0.8, f"recall {rec:.3f}"
 
+    # r9: the builder is session-memoized, so the determinism check must
+    # clear the memo to force a genuine from-scratch rebuild
+    from bigdataanalytics_textsummarization_spark.functions import (
+        release_pins,
+    )
+
+    release_pins()
     again = knn_graph_descent(spark, SF_DIR).toPandas()
     key = ["vec_id", "rk"]
     assert ap.sort_values(key).reset_index(drop=True).equals(
