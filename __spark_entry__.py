@@ -409,6 +409,7 @@ _PRIORITY_R9_SPILL = [
     # bit-exact locally at sf0.01 + sf0.1, staged for its first driver row
     "ann_graph_search",  # NEW late-r9 (HNSW-style beam search over the
     "ann_graph_search_recall",  # kNN graph): gate-verified locally
+    "ann_graph_tuning",  # NEW late-r9: recall-vs-beam-width curve
     "doc_perplexity",
     "ann_ivf_recall",
     "minhash_lsh_mllib_recall",

@@ -2299,14 +2299,6 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
-    edges = (
-        knn_graph_descent(spark, sf_dir)
-        .select(
-            F.col("vec_id").alias("g_src"),
-            F.col("neighbor_id").alias("g_dst"),
-        )
-        .transform(_owned_ckpt)  # re-read every round: materialize once
-    )
     # rounds grow with the store like the descent's iteration rule — a
     # bigger graph needs more hops from the fixed entry; at the driver's
     # gate scales (50/500 vectors) this is exactly BEAM_ROUNDS, which is
@@ -2315,6 +2307,38 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds = max(
         BEAM_ROUNDS,
         math.ceil(math.log(max(n, 2)) / math.log(max(BEAM_W, 2))),
+    )
+    cand = _beam_search(spark, sf_dir, BEAM_W, rounds)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "rk",
+            F.col("vec_id").alias("neighbor_id"),
+            r6(F.col("cos")).alias("cosine"),
+        )
+    )
+
+
+def _beam_search(
+    spark: SparkSession, sf_dir: str, beam_w: int, rounds: int
+) -> DataFrame:
+    """The beam-state evolution shared by :func:`ann_graph_search` and
+    :func:`ann_graph_tuning`: C_0 = {entry scored}; per round, expand the
+    top-``beam_w`` candidates' neighbor lists, score by true cosine,
+    merge, dedupe, trim back to the beam.  Returns the final candidate
+    frame (query_id, vec_id, cos)."""
+    emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    edges = (
+        knn_graph_descent(spark, sf_dir)
+        .select(
+            F.col("vec_id").alias("g_src"),
+            F.col("neighbor_id").alias("g_dst"),
+        )
+        .transform(_owned_ckpt)  # re-read every round: materialize once
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -2334,7 +2358,7 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(rounds):
         frontier = (
             cand.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= BEAM_W)
+            .filter(F.col("rn") <= beam_w)
             .select("query_id", "vec_id")
         )
         nbrs = (
@@ -2353,48 +2377,40 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand.unionByName(scored)
             .distinct()
             .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= BEAM_W)
+            .filter(F.col("rn") <= beam_w)
             .select("query_id", "vec_id", "cos")
         )
-    return (
-        cand.filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= TOP_K)
-        .select(
-            "query_id",
-            "rk",
-            F.col("vec_id").alias("neighbor_id"),
-            r6(F.col("cos")).alias("cosine"),
-        )
-    )
+    return cand
 
 
-def _beam_round_sql(prev: str, cur: str) -> str:
+def _beam_round_sql(
+    prev: str, cur: str, beam_w: int = BEAM_W, tag: str = ""
+) -> str:
     return f"""
-f{cur} AS (
-  SELECT query_id, vec_id FROM c{prev}
+f{tag}{cur} AS (
+  SELECT query_id, vec_id FROM c{tag}{prev}
   QUALIFY row_number() OVER (PARTITION BY query_id
-                             ORDER BY cos DESC, vec_id) <= {BEAM_W}
+                             ORDER BY cos DESC, vec_id) <= {beam_w}
 ),
-n{cur} AS (
+n{tag}{cur} AS (
   SELECT DISTINCT f.query_id, g.g_dst AS vec_id
-  FROM f{cur} f JOIN g ON g.g_src = f.vec_id
+  FROM f{tag}{cur} f JOIN g ON g.g_src = f.vec_id
 ),
-s{cur} AS (
+s{tag}{cur} AS (
   SELECT n.query_id, n.vec_id,
          list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS cos
-  FROM n{cur} n
+  FROM n{tag}{cur} n
   JOIN q ON q.query_id = n.query_id
   JOIN embn c ON c.vec_id = n.vec_id
 ),
-c{cur} AS (
+c{tag}{cur} AS (
   SELECT query_id, vec_id, cos FROM (
-    SELECT query_id, vec_id, cos FROM c{prev}
+    SELECT query_id, vec_id, cos FROM c{tag}{prev}
     UNION
-    SELECT query_id, vec_id, cos FROM s{cur}
+    SELECT query_id, vec_id, cos FROM s{tag}{cur}
   )
   QUALIFY row_number() OVER (PARTITION BY query_id
-                             ORDER BY cos DESC, vec_id) <= {BEAM_W}
+                             ORDER BY cos DESC, vec_id) <= {beam_w}
 )"""
 
 
@@ -2455,3 +2471,98 @@ ORACLES["ann_graph_search_recall"] = (
     f"SELECT cast({N_QUERIES} AS bigint) AS n_queries, true AS recall_ok"
 )
 QUERIES["ann_graph_search_recall"] = ann_graph_search_recall
+
+
+TUNE_BEAM_WS = (2, 4, 8, 16)
+
+
+def ann_graph_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-vs-beam-width curve for the graph query path at a FIXED hop
+    budget (BEAM_ROUNDS) — the graph-index twin of ``ann_recall_sweep``:
+    the tuning fact an operator reads before picking a beam width
+    (recall rises with W at fixed rounds; cost per query is
+    rounds·W·degree).  Unlike the IVF curve, monotonicity is NOT a
+    theorem here (a wider beam can greedily commit to a different path),
+    so every row is a measured fact: hits against the brute top-k truth,
+    quantized to exact milli-units by integer division (no rounded
+    rationals).  All inputs are deterministic (golden graph, id
+    tie-breaks, shared dot() contract), so the oracle recomputes the
+    same four sweeps as unrolled per-width CTE chains over the committed
+    graph golden — a full value gate, not a floor."""
+    brute = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    total = N_QUERIES * TOP_K
+    out = None
+    for bw in TUNE_BEAM_WS:
+        cand = _beam_search(spark, sf_dir, bw, BEAM_ROUNDS)
+        topk = (
+            cand.filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        row = topk.join(brute, ["query_id", "neighbor_id"]).agg(
+            F.lit(bw).cast("long").alias("beam_w"),
+            F.lit(N_QUERIES).cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("hits"),
+            F.lit(total).cast("long").alias("total"),
+            F.expr(f"(1000 * count(1)) div {total}")
+            .cast("long")
+            .alias("recall_milli"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _beam_chain_sql(bw: int) -> str:
+    tag = f"w{bw}_"
+    chain = f"c{tag}0 AS (SELECT * FROM c0),"
+    chain += ",".join(
+        _beam_round_sql(str(i), str(i + 1), beam_w=bw, tag=tag)
+        for i in range(BEAM_ROUNDS)
+    )
+    return chain
+
+
+ORACLES["ann_graph_tuning"] = f"""
+WITH {_EMB_CTE},
+g AS (
+  SELECT vec_id AS g_src, neighbor_id AS g_dst
+  FROM '{_os.path.join(_GOLDEN_DIR, "knn_graph_descent.parquet")}'
+),
+q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM embn
+      WHERE vec_id < {N_QUERIES}),
+entry AS (SELECT min(g_src) AS vec_id FROM g),
+c0 AS (
+  SELECT q.query_id, en.vec_id,
+         list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS cos
+  FROM q CROSS JOIN entry en JOIN embn c ON c.vec_id = en.vec_id
+),
+brute AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qe, c.e) / (q.qn * c.nrm) DESC,
+                      c.vec_id) AS rk
+    FROM q JOIN embn c ON c.vec_id <> q.query_id
+  ) WHERE rk <= {TOP_K}
+),
+{",".join(_beam_chain_sql(bw) for bw in TUNE_BEAM_WS)}
+{" UNION ALL ".join(
+    f'''
+SELECT cast({bw} AS bigint) AS beam_w,
+       cast({N_QUERIES} AS bigint) AS n_queries,
+       cast(count(*) AS bigint) AS hits,
+       cast({N_QUERIES * TOP_K} AS bigint) AS total,
+       cast((1000 * count(*)) // {N_QUERIES * TOP_K} AS bigint) AS recall_milli
+FROM (
+  SELECT query_id, vec_id FROM cw{bw}_{BEAM_ROUNDS} WHERE vec_id <> query_id
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, vec_id) <= {TOP_K}
+) b JOIN brute t ON t.query_id = b.query_id AND t.neighbor_id = b.vec_id'''
+    for bw in TUNE_BEAM_WS
+)}
+"""
+QUERIES["ann_graph_tuning"] = ann_graph_tuning

@@ -556,3 +556,39 @@ def test_ann_graph_search_beam_semantics(spark):
     assert out.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_ann_graph_tuning_curve_consistency(spark):
+    """The tuning sweep's facts must be internally consistent: totals are
+    n_queries * TOP_K, recall_milli is the exact integer quantization of
+    hits/total, one row per configured width — and the BEAM_W row must
+    reproduce ann_graph_search's own recall at gate scale (same rounds
+    at sf0.01, same graph, same ties)."""
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        BEAM_W,
+        TOP_K,
+        TUNE_BEAM_WS,
+        ann_cosine_topk,
+        ann_graph_search,
+        ann_graph_tuning,
+    )
+    from tests.conftest import SF_DIR
+
+    out = (
+        ann_graph_tuning(spark, SF_DIR)
+        .orderBy("beam_w")
+        .toPandas()
+        .set_index("beam_w")
+    )
+    assert list(out.index) == sorted(TUNE_BEAM_WS)
+    assert (out.total == out.n_queries * TOP_K).all()
+    assert (out.recall_milli == (1000 * out.hits) // out.total).all()
+    assert (out.hits <= out.total).all()
+
+    search = ann_graph_search(spark, SF_DIR).toPandas()
+    brute = ann_cosine_topk(spark, SF_DIR).toPandas()
+    truth = set(zip(brute.query_id, brute.neighbor_id))
+    hits = sum(
+        (q, n) in truth for q, n in zip(search.query_id, search.neighbor_id)
+    )
+    assert hits == out.loc[BEAM_W, "hits"]
