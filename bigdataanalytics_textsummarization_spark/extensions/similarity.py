@@ -2272,13 +2272,40 @@ QUERIES["knn_graph_recall"] = knn_graph_recall
 # Graph-based ANN query path (the HNSW idea): beam search over the kNN graph
 # ---------------------------------------------------------------------------
 
-BEAM_W = 8  # beam width (candidates kept per query per round)
-BEAM_ROUNDS = 3  # expansion rounds (the fixed-iteration LPA/pagerank shape)
+BEAM_W = 16  # beam width (candidates kept per query per round) — r10:
+# widened from 8; the r9 tuning curve showed rounds/entries saturate at
+# 0.60 recall on this corpus while W is the lever (0.74 at sf0.1)
+BEAM_ROUNDS = 3  # minimum expansion rounds (and the gate-scale budget)
+N_ENTRY_SEEDS = 16  # md5-spread entry vertices (HNSW upper-layer analog)
+_ROUNDS_BASE = 8  # hop-budget growth base, deliberately decoupled from
+# BEAM_W so widening the beam never starves the hop budget; with
+# _ROUNDS_BASE**BEAM_ROUNDS = 512 > the driver's 500-vector gate corpus,
+# _beam_rounds(gate_n) == BEAM_ROUNDS exactly — the invariant the
+# sf0.01-pinned oracles rely on to unroll BEAM_ROUNDS CTE rounds
+# (measured at r10: recall 0.98 sf0.01 / 0.68 sf0.1 under this budget)
+
+
+def _beam_rounds(n: int) -> int:
+    """Hop budget shared by the search path and the tuning sweep: rounds
+    grow with the store like the descent's iteration rule — a bigger
+    graph needs more hops from the entry set.  Never keyed on the sweep
+    width, so every tuning row measures the SAME hop budget
+    ann_graph_search actually uses and the W=BEAM_W tuning row
+    reproduces the search at every scale (ADVICE r9: the old
+    fixed-BEAM_ROUNDS sweep silently diverged past the gate size)."""
+    import math
+
+    return max(
+        BEAM_ROUNDS,
+        math.ceil(math.log(max(n, 2)) / math.log(_ROUNDS_BASE)),
+    )
 
 
 def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-based ANN search — beam search over the NN-Descent kNN graph,
-    the query path of graph indexes (HNSW/NSG): enter at a fixed vertex,
+    the query path of graph indexes (HNSW/NSG): enter at
+    ``N_ENTRY_SEEDS`` md5-spread vertices (the HNSW upper-layer analog —
+    r10, lifting recall off the single-entry 0.48/0.38 plateau),
     repeatedly expand the current best candidates' neighbor lists, score
     by TRUE cosine, keep the best ``BEAM_W`` — the last missing member of
     the ANN family here (brute/gemm, sign-LSH, IVF, SQ/PQ/IVF+PQ, and now
@@ -2296,19 +2323,12 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the same rounds as CTEs over the committed graph
     golden (value gate at the driver's sf0.01; rows-only off-scale).
     """
-    import math
-
     emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
-    # rounds grow with the store like the descent's iteration rule — a
-    # bigger graph needs more hops from the fixed entry; at the driver's
-    # gate scales (50/500 vectors) this is exactly BEAM_ROUNDS, which is
-    # what the sf0.01-pinned oracle unrolls
+    # hop budget grows with the store (shared _beam_rounds rule); at the
+    # driver's gate scales (50/500 vectors) this is exactly BEAM_ROUNDS,
+    # which is what the sf0.01-pinned oracle unrolls
     n = emb.count()
-    rounds = max(
-        BEAM_ROUNDS,
-        math.ceil(math.log(max(n, 2)) / math.log(max(BEAM_W, 2))),
-    )
-    cand = _beam_search(spark, sf_dir, BEAM_W, rounds)
+    cand = _beam_search(spark, sf_dir, BEAM_W, _beam_rounds(n))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         cand.filter(F.col("vec_id") != F.col("query_id"))
@@ -2324,20 +2344,33 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _beam_search(
-    spark: SparkSession, sf_dir: str, beam_w: int, rounds: int
+    spark: SparkSession,
+    sf_dir: str,
+    beam_w: int,
+    rounds: int,
+    n_entries: int = N_ENTRY_SEEDS,
 ) -> DataFrame:
     """The beam-state evolution shared by :func:`ann_graph_search` and
-    :func:`ann_graph_tuning`: C_0 = {entry scored}; per round, expand the
-    top-``beam_w`` candidates' neighbor lists, score by true cosine,
+    :func:`ann_graph_tuning`: C_0 = {entry set scored}; per round, expand
+    the top-``beam_w`` candidates' neighbor lists, score by true cosine,
     merge, dedupe, trim back to the beam.  Returns the final candidate
     frame (query_id, vec_id, cos)."""
     emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    # SYMMETRIZED adjacency (forward ∪ reverse, exactly the B ∪ B' view
+    # NN-Descent itself navigates): a true neighbor only reachable via
+    # an in-edge becomes walkable, which is worth ~+0.15 recall on this
+    # random-embedding corpus.  Degree stays bounded at 2k.
+    fwd = knn_graph_descent(spark, sf_dir).select(
+        F.col("vec_id").alias("g_src"),
+        F.col("neighbor_id").alias("g_dst"),
+    )
     edges = (
-        knn_graph_descent(spark, sf_dir)
-        .select(
-            F.col("vec_id").alias("g_src"),
-            F.col("neighbor_id").alias("g_dst"),
+        fwd.unionByName(
+            fwd.select(
+                F.col("g_dst").alias("g_src"), F.col("g_src").alias("g_dst")
+            )
         )
+        .distinct()
         .transform(_owned_ckpt)  # re-read every round: materialize once
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -2346,9 +2379,25 @@ def _beam_search(
         F.col("nrm").alias("qn"),
     )
     cos = dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
-    # fixed entry point: the smallest vertex id in the graph (1-row
-    # aggregate, broadcast — the bounded-scalar crossJoin pattern)
-    entry = edges.agg(F.min("g_src").alias("vec_id"))
+    # entry SET: the n_entries vertices with the smallest md5(vec_id) —
+    # hash-spread over the graph like HNSW's sparse upper layer, so the
+    # beam starts in several regions instead of greedily committing to
+    # the single min-id vertex's neighborhood (r9: fixed entry capped
+    # recall at 0.48/0.38; the tuning curve showed W alone saturates).
+    # Sort+limit is TakeOrderedAndProject over the distinct vertex ids —
+    # one O(n) pass total, shared by all queries, broadcast downstream;
+    # per-query search cost stays O(rounds·beam·degree).
+    entry = (
+        edges.select("g_src")
+        .distinct()
+        .select(
+            F.col("g_src").alias("vec_id"),
+            F.md5(F.col("g_src").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(n_entries)
+        .select("vec_id")
+    )
     cand = (
         q.crossJoin(F.broadcast(entry))
         .join(emb, "vec_id")
@@ -2419,10 +2468,16 @@ WITH {_EMB_CTE},
 g AS (
   SELECT vec_id AS g_src, neighbor_id AS g_dst
   FROM '{_os.path.join(_GOLDEN_DIR, "knn_graph_descent.parquet")}'
+  UNION
+  SELECT neighbor_id AS g_src, vec_id AS g_dst
+  FROM '{_os.path.join(_GOLDEN_DIR, "knn_graph_descent.parquet")}'
 ),
 q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM embn
       WHERE vec_id < {N_QUERIES}),
-entry AS (SELECT min(g_src) AS vec_id FROM g),
+entry AS (
+  SELECT vec_id FROM (SELECT DISTINCT g_src AS vec_id FROM g)
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_ENTRY_SEEDS}
+),
 c0 AS (
   SELECT q.query_id, en.vec_id,
          list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS cos
@@ -2439,9 +2494,11 @@ FROM (
 QUERIES["ann_graph_search"] = ann_graph_search
 
 
-GRAPH_SEARCH_RECALL_FLOOR = 0.2  # random embeddings: graph navigation's
-# known worst case (no hub structure — see knn_graph_descent docstring);
-# on clustered real corpora beam search reaches 0.9+
+GRAPH_SEARCH_RECALL_FLOOR = 0.6  # r10: multi-entry seeding + symmetrized
+# adjacency + W=16 measured 0.98 (sf0.01) / 0.68 (sf0.1) — the family
+# floor ann_ivf_recall certifies, even on these near-uniform random
+# embeddings (graph navigation's known worst case; clustered real
+# corpora reach 0.9+)
 
 
 def ann_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2478,7 +2535,8 @@ TUNE_BEAM_WS = (2, 4, 8, 16)
 
 def ann_graph_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-vs-beam-width curve for the graph query path at a FIXED hop
-    budget (BEAM_ROUNDS) — the graph-index twin of ``ann_recall_sweep``:
+    budget (``_beam_rounds(n)``, the exact budget ``ann_graph_search``
+    uses at this scale) — the graph-index twin of ``ann_recall_sweep``:
     the tuning fact an operator reads before picking a beam width
     (recall rises with W at fixed rounds; cost per query is
     rounds·W·degree).  Unlike the IVF curve, monotonicity is NOT a
@@ -2492,11 +2550,17 @@ def ann_graph_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = ann_cosine_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
+    # the SAME dynamic hop budget ann_graph_search uses (keyed on BEAM_W
+    # for every sweep width), so the W=BEAM_W row reproduces the search
+    # at every scale, not only n <= 512 (ADVICE r9)
+    rounds = _beam_rounds(
+        _embeddings(spark, sf_dir).count()
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     total = N_QUERIES * TOP_K
     out = None
     for bw in TUNE_BEAM_WS:
-        cand = _beam_search(spark, sf_dir, bw, BEAM_ROUNDS)
+        cand = _beam_search(spark, sf_dir, bw, rounds)
         topk = (
             cand.filter(F.col("vec_id") != F.col("query_id"))
             .withColumn("rn", F.row_number().over(w))
@@ -2531,10 +2595,16 @@ WITH {_EMB_CTE},
 g AS (
   SELECT vec_id AS g_src, neighbor_id AS g_dst
   FROM '{_os.path.join(_GOLDEN_DIR, "knn_graph_descent.parquet")}'
+  UNION
+  SELECT neighbor_id AS g_src, vec_id AS g_dst
+  FROM '{_os.path.join(_GOLDEN_DIR, "knn_graph_descent.parquet")}'
 ),
 q AS (SELECT vec_id AS query_id, e AS qe, nrm AS qn FROM embn
       WHERE vec_id < {N_QUERIES}),
-entry AS (SELECT min(g_src) AS vec_id FROM g),
+entry AS (
+  SELECT vec_id FROM (SELECT DISTINCT g_src AS vec_id FROM g)
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_ENTRY_SEEDS}
+),
 c0 AS (
   SELECT q.query_id, en.vec_id,
          list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS cos
