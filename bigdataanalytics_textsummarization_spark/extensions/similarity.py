@@ -1743,7 +1743,16 @@ def embedding_pca(
     # per-vector self-join this replaces built O(rows x dims^2)
     # intermediate tuples to reach the same bounded object.
     rows = _gram_partials(emb).collect()  # bounded: dims*(dims+1)/2 rows
-    dims = max(r["j"] for r in rows) + 1
+    dims = max((r["j"] for r in rows), default=-1) + 1
+    if dims == 0:
+        # empty corpus: no moments to factor — degrade to the empty
+        # projection with the contract schema instead of a ValueError
+        # (ADVICE r9)
+        return emb.select(
+            "vec_id",
+            F.lit(0).cast("long").alias("pc"),
+            F.lit(0.0).cast("double").alias("coord"),
+        ).limit(0)
     mu = np.zeros(dims)
     cov = np.zeros((dims, dims))
     for r in rows:

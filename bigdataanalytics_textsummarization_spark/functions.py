@@ -107,15 +107,19 @@ def _unpersist_checkpoint(cp: DataFrame) -> None:
         pass
 
 
-# Session-scoped leaf memo: (semanticHash, source frame, leafed frame).
-# Keyed by PLAN SEMANTICS, not object identity — a LogicalRDD leaf carries
-# a unique RDD id, so without the memo every rebuild of the same query
-# creates a fresh leaf whose canonical plan matches nothing, busting
-# CacheManager reuse for every frame derived from it (measured: warm
-# textrank_top5 2.4s -> 4.1s with per-build leaves).  Same single-thread
+# Session-scoped leaf memo: (semanticHash+conf, owning session, source
+# frame, leafed frame).  Keyed by PLAN SEMANTICS, not object identity — a
+# LogicalRDD leaf carries a unique RDD id, so without the memo every
+# rebuild of the same query creates a fresh leaf whose canonical plan
+# matches nothing, busting CacheManager reuse for every frame derived
+# from it (measured: warm textrank_top5 2.4s -> 4.1s with per-build
+# leaves).  The entry holds a STRONG ref to the owning SparkSession and
+# matches it by identity (ADVICE r9): an id()-only key could be recycled
+# by CPython after the session wrapper is GC'd, handing a new session a
+# dead session's unrecomputable checkpointed leaf.  Same single-thread
 # ownership contract as _PINS; release_pins() clears it (the storage the
 # memo hands out is owned by the registries it fills).
-_LEAVES: list[tuple[int, DataFrame, DataFrame]] = []
+_LEAVES: list[tuple[tuple, object, DataFrame, DataFrame]] = []
 
 # Session-scoped BUILD memo for pure builder functions (sentences, token
 # streams, edge tables, rank tables): building the same DataFrame twice
@@ -188,17 +192,20 @@ def leaf(df: DataFrame) -> DataFrame:
     # conf change (tests/test_partition_invariance.py re-runs each query
     # under 1/7/32 partitions) must rebuild + re-materialize the leaf
     # under the new physical layout, not hand back the old blocks.
-    # It also includes the owning SparkSession (ADVICE r8): with two
-    # sessions in one process, a semantically-equal plan from session B
-    # must NOT be handed session A's checkpointed blocks — A may have
-    # been stopped or released (consistent with session_memo's keying).
-    conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    h = (df.semanticHash(), conf, id(df.sparkSession))
-    for hh, src, lf in _LEAVES:
-        if hh == h and df.sameSemantics(src):
+    # It also matches the owning SparkSession BY IDENTITY on a held
+    # strong ref (ADVICE r8/r9): with two sessions in one process, a
+    # semantically-equal plan from session B must NOT be handed session
+    # A's checkpointed blocks — A may have been stopped or released —
+    # and the held ref keeps CPython from recycling a dead session's
+    # id for a new session while the entry lives.
+    sess = df.sparkSession
+    conf = sess.conf.get("spark.sql.shuffle.partitions")
+    h = (df.semanticHash(), conf)
+    for hh, s, src, lf in _LEAVES:
+        if hh == h and s is sess and df.sameSemantics(src):
             return lf
     lf = pin_checkpoint(pin(df))
-    _LEAVES.append((h, df, lf))
+    _LEAVES.append((h, sess, df, lf))
     return lf
 
 

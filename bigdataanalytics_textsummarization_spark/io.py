@@ -172,7 +172,23 @@ def avro_available(spark: SparkSession) -> bool:
     clear error instead of Spark's generic FAILED_TO_FIND_DATA_SOURCE).
     Probes ``AvroDataSourceV2`` — the class the connector registers with
     the DataSource ServiceLoader — not ``AvroFileFormat``, which other
-    jars can leak onto the classpath without a usable source."""
+    jars can leak onto the classpath without a usable source.
+
+    Resolution order matters (ADVICE r9): connectors deployed via
+    ``--packages`` / ``spark.jars.packages`` live in Spark's
+    MutableURLClassLoader, which ``java.lang.Class.forName`` from py4j's
+    system classloader cannot see — a plain forName probe would report
+    "not deployed" on a correctly-deployed cluster.  So probe through
+    Spark's own ``Utils.classForName`` (context-or-Spark classloader)
+    first, and keep the system-classloader forName only as a fallback
+    for runtimes where the Utils entry point itself is unreachable."""
+    try:
+        spark._jvm.org.apache.spark.util.Utils.classForName(
+            "org.apache.spark.sql.avro.AvroDataSourceV2", True, False
+        )
+        return True
+    except Exception:
+        pass
     try:
         spark._jvm.java.lang.Class.forName(
             "org.apache.spark.sql.avro.AvroDataSourceV2"

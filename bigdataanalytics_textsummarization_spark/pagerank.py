@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions import leaf, pin_checkpoint, r6, session_memo
+from .functions import _retire_ckpt, leaf, pin_checkpoint, r6, session_memo
 from .graph import EDGES_PREAMBLE, edges_raw
 from .text import sentences
 
@@ -131,7 +131,16 @@ def ranks_from(
                 .agg(F.max(F.abs(F.col("rank") - F.col("prev"))).alias("d"))
                 .collect()[0]["d"]
             )
+            # iteration i-1's eager checkpoint is dead once the delta
+            # collect above has read it (new_ranks is materialized and
+            # nothing downstream references prev) — retire it mid-loop
+            # like the k-hop/LPA/descent loops, keeping the tol path's
+            # block-manager footprint O(1) in iteration count (VERDICT
+            # r9 task 7).  Safe no-op on iteration 0, where ranks is the
+            # leaf-derived init, not a registered checkpoint.
+            prev = ranks
             ranks = new_ranks
+            _retire_ckpt(prev)
             if delta is not None and delta < tol:
                 break
         else:
