@@ -400,6 +400,77 @@ _PRIORITY_R9 = [
     "top_customers_per_nation",
 ]
 
+# Round-10 window (VERDICT r9 tasks 1+4): 50 slots, composed straight
+# from the check_recert enumeration at r10 HEAD — (a) the four
+# never-driver-certified rows (the r9 spill), (b) the four r9-spill
+# changed-since-green rows, (c) every query whose closure changed under
+# r10 code (the graph-ANN multi-entry/symmetrized rewrite, the
+# multimodal_features real-parse graduation, embedding_pca's empty
+# guard, the leaf()-session-identity + ranks_from retire edits reaching
+# the graph/textrank/term_stats families — all verified bit-exact at
+# sf0.01 by driver_sim before staging), then (d) the 17 r3-era and (e)
+# the 14 r4-era oldest standing greens.  4+4+11+17+14 = exactly the
+# 50-slot budget; after r10 no registered query's newest driver row
+# predates r6.
+_PRIORITY_R10 = [
+    # (a) never certified
+    "dedup_keep_best",
+    "ann_graph_search",
+    "ann_graph_search_recall",
+    "ann_graph_tuning",
+    # (b) r9-spill changed-since-green
+    "doc_perplexity",
+    "ann_ivf_recall",
+    "minhash_lsh_mllib_recall",
+    "lsa_concepts_distributed",
+    # (c) closure changed by r10 code (family-grouped for leaf/memo
+    # reuse in the driver's single-session sweep)
+    "multimodal_features",
+    "embedding_pca",
+    "similarity_edges",
+    "graph_triangles",
+    "graph_khop",
+    "graph_lpa",
+    "graph_lpa_capped",
+    "textrank_ranks",
+    "textrank_top5",
+    "term_stats",
+    "top_keywords",
+    # (d) r3-era greens, oldest standing rows in the registry
+    "event_anomalies",
+    "event_funnel",
+    "heavy_hitters_sketch",
+    "length_outliers",
+    "line_dedup",
+    "ngram_novelty",
+    "pack_sequences",
+    "partition_rewrite_plan",
+    "quantile_sketch",
+    "semantic_dedup",
+    "shard_shuffle",
+    "snapshot_diff",
+    "snapshot_drift",
+    "table_profile",
+    "text_normalize",
+    "timeseries_fill",
+    "typo_pairs",
+    # (e) r4-era greens
+    "distinct_sketch",
+    "doc_chunks",
+    "dq_checks",
+    "events_typed_props",
+    "incremental_agg",
+    "key_skew_profile",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q16_parts_supplier_count",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "salted_heavy_agg",
+    "salted_join",
+    "zorder_stats",
+]
+
 # Changed-since-green names that did not fit the 50-slot budget: twins and
 # recall companions whose drift is the mechanical shared-helper kind (their
 # primaries ARE in the window).  Staged here so check_recert sees them
@@ -440,7 +511,8 @@ _PRIORITY_R8_STAGED = [
 # insertion dedupes repeats), then the over-budget spill, then the older
 # lists so every still-staged name stays queued.
 _PRIORITY = (
-    _PRIORITY_R9
+    _PRIORITY_R10
+    + _PRIORITY_R9
     + _PRIORITY_R9_SPILL
     + _PRIORITY_R8
     + _PRIORITY_R8_STAGED

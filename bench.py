@@ -80,6 +80,14 @@ HEADLINE = [
     "bm25_search",
     "contrastive_pairs",
     "graph_lpa",
+    # round-10 widening (VERDICT r9 task 6): the single heaviest
+    # registered query (quality-canonical fuzzy dedup rides the full LSH
+    # candidate plan) and the value-gated scale answer to the similarity-
+    # graph edge explosion, so regressions in the dedup/graph families
+    # stay visible round-over-round.  Same v2 timer semantics; v1_total
+    # still sums only the frozen _V1_NAMES rows.
+    "dedup_keep_best",
+    "graph_lpa_capped",
 ]
 
 # the pre-r9 headline set (exactly BENCH_v1.json's rows), kept as an
