@@ -471,6 +471,17 @@ _PRIORITY_R10 = [
     "zorder_stats",
 ]
 
+# New-in-r10 queries that did not displace the verdict-prescribed window
+# composition (the 50 slots above are exactly the never-certified +
+# changed-since-green + oldest-green rotation): staged here so
+# check_recert sees them queued; round 11 leads with them.  Both are
+# full-SQL-gated and verified bit-exact at sf0.001 + sf0.01 by
+# driver_sim before staging.
+_PRIORITY_R10_SPILL = [
+    "corpus_diversity",  # distinct-1/2/3 (Li et al.) in exact milli-units
+    "vocab_growth",  # Heaps'-law curve over nested md5-bucket prefixes
+]
+
 # Changed-since-green names that did not fit the 50-slot budget: twins and
 # recall companions whose drift is the mechanical shared-helper kind (their
 # primaries ARE in the window).  Staged here so check_recert sees them
@@ -512,6 +523,7 @@ _PRIORITY_R8_STAGED = [
 # lists so every still-staged name stays queued.
 _PRIORITY = (
     _PRIORITY_R10
+    + _PRIORITY_R10_SPILL
     + _PRIORITY_R9
     + _PRIORITY_R9_SPILL
     + _PRIORITY_R8

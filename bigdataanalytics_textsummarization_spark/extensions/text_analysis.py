@@ -3259,3 +3259,153 @@ SELECT doc_id, source, lang, md5(text) AS text_md5
 FROM documents WHERE doc_id < {_FILE_CAP_ORACLE}
 """
 QUERIES["orc_roundtrip"] = orc_roundtrip
+
+
+# ---------------------------------------------------------------------------
+# Corpus diversity (distinct-n) and vocabulary growth (Heaps' law) — the
+# corpus-level health curves a training-data pipeline reads before and
+# after synthetic-data injection or aggressive dedup (r10)
+# ---------------------------------------------------------------------------
+
+DIVERSITY_MAX_N = 3  # distinct-1/2/3
+GROWTH_BUCKETS = 10  # nested md5-bucket prefixes for the growth curve
+
+
+def corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level distinct-n diversity (the distinct-1/distinct-2
+    metric of Li et al. 2016, the standard mode-collapse check for
+    synthetic training data): for n = 1..DIVERSITY_MAX_N, distinct word
+    n-grams over total n-grams — a rational of integers, so quantized
+    to exact milli-units by integer division per the repo's float
+    convention (never ``round()``).
+
+    Spark-first: each n's grams are an array-side ``transform`` +
+    ``explode`` (no window, no join), and each aggregate is one
+    map-side-combinable count + countDistinct keyed on the gram —
+    O(tokens) work per n over three independent shuffle rounds.  At
+    100 TB this is the ``vocabulary()`` shape: gram-keyed partial
+    aggregation; no stage ever holds more than the distinct grams.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.lower("text"), " ", -1)
+
+    def _gram(n: int):
+        return lambda i: F.concat_ws(
+            " ", *[F.element_at(arr, i + j) for j in range(n)]
+        )
+
+    out = None
+    for n in range(1, DIVERSITY_MAX_N + 1):
+        grams = F.when(
+            F.size(arr) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - F.lit(n - 1)), _gram(n)
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = docs.select(F.explode(grams).alias("g"))
+        row = g.agg(
+            F.lit(n).cast("long").alias("n"),
+            F.count("*").cast("long").alias("total_ngrams"),
+            F.countDistinct("g").cast("long").alias("distinct_ngrams"),
+            F.expr("(1000 * count(DISTINCT g)) div count(*)")
+            .cast("long")
+            .alias("distinct_milli"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+ORACLES["corpus_diversity"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+g AS (
+  SELECT n,
+         unnest(list_transform(
+           range(1, len(ws) - n + 2),
+           i -> array_to_string(ws[i:i + n - 1], ' '))) AS g
+  FROM w, (SELECT unnest(range(1, {DIVERSITY_MAX_N + 1})) AS n)
+  WHERE len(ws) >= n
+)
+SELECT cast(n AS bigint) AS n,
+       cast(count(*) AS bigint) AS total_ngrams,
+       cast(count(DISTINCT g) AS bigint) AS distinct_ngrams,
+       cast((1000 * count(DISTINCT g)) // count(*) AS bigint) AS distinct_milli
+FROM g GROUP BY n
+"""
+QUERIES["corpus_diversity"] = corpus_diversity
+
+
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative vocabulary vs
+    cumulative tokens over NESTED corpus prefixes — the curve an
+    operator reads to extrapolate tokenizer/vocab budgets to the full
+    corpus and to spot unnatural flattening after aggressive dedup.
+
+    "Prefix" is the md5-bucket prefix (buckets ``0..b`` of
+    ``split_bucket() % GROWTH_BUCKETS``), not a doc_id sort: nested
+    random subsets measure the same growth law, the bucketing reuses
+    the single-sourced split-hash contract (so the curve is stable
+    under corpus growth and engine-portable), and — unlike an ``ntile``
+    over a global ``ORDER BY doc_id`` — it needs no global sort at
+    100 TB.  One min() aggregate finds each word's first-seen bucket;
+    the cumulative curve is a running sum over the GROWTH_BUCKETS
+    bucket rows (the only unpartitioned window, bounded at 10 rows by
+    construction).  ``ttr_milli`` is the type-token ratio of the prefix
+    in exact milli-units (integer division — a rational of integers).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (split_bucket() % GROWTH_BUCKETS).alias("bucket"),
+        F.explode(F.split(F.lower("text"), " ", -1)).alias("w"),
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    first_seen = toks.groupBy("w").agg(F.min("bucket").alias("bucket"))
+    new_words = first_seen.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    # bounded global window: exactly GROWTH_BUCKETS rows reach it
+    wspec = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_bucket.join(new_words, "bucket", "left")
+        .select(
+            "bucket",
+            "n_tokens",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(wspec).cast("long"))
+        .withColumn("cum_vocab", F.sum("n_new").over(wspec).cast("long"))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "cum_tokens",
+            "cum_vocab",
+            F.expr("(1000 * cum_vocab) div cum_tokens")
+            .cast("long")
+            .alias("ttr_milli"),
+        )
+    )
+
+
+ORACLES["vocab_growth"] = f"""
+WITH toks AS (
+  SELECT ({SPLIT_BUCKET_SQL}) % {GROWTH_BUCKETS} AS bucket,
+         unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+bt AS (SELECT bucket, count(*) AS n_tokens FROM toks GROUP BY bucket),
+fs AS (SELECT w, min(bucket) AS bucket FROM toks GROUP BY w),
+nw AS (SELECT bucket, count(*) AS n_new FROM fs GROUP BY bucket)
+SELECT cast(b.bucket AS bigint) AS bucket,
+       cast(sum(b.n_tokens) OVER (ORDER BY b.bucket) AS bigint) AS cum_tokens,
+       cast(sum(coalesce(n.n_new, 0)) OVER (ORDER BY b.bucket) AS bigint)
+         AS cum_vocab,
+       cast((1000 * sum(coalesce(n.n_new, 0)) OVER (ORDER BY b.bucket))
+            // sum(b.n_tokens) OVER (ORDER BY b.bucket) AS bigint)
+         AS ttr_milli
+FROM bt b LEFT JOIN nw n ON b.bucket = n.bucket
+"""
+QUERIES["vocab_growth"] = vocab_growth
