@@ -117,6 +117,18 @@ PROBE_X100 = [
     "quality_score",
     "multimodal_decode",
     "domain_caps",
+    # r10 widening: the rest of the (sub-)linear family from the x10
+    # table, one decade further — doc_chunks (map-only), merge_upsert
+    # (O(delta)), the salted pair (hot keys now 100x hotter), bm25
+    # (O(docs x query_terms) downstream of the semi-join), and
+    # embedding_pca over the now genuinely replicated 100x vector store
+    # (Gramian kernel: per-batch partials, dims²-bounded collect)
+    "doc_chunks",
+    "merge_upsert",
+    "salted_join",
+    "salted_heavy_agg",
+    "bm25_search",
+    "embedding_pca",
 ]
 
 
