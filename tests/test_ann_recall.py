@@ -592,3 +592,42 @@ def test_ann_graph_tuning_curve_consistency(spark):
         (q, n) in truth for q, n in zip(search.query_id, search.neighbor_id)
     )
     assert hits == out.loc[BEAM_W, "hits"]
+
+
+def test_beam_rounds_gate_invariant():
+    """The sf0.01-pinned graph-ANN oracles unroll exactly BEAM_ROUNDS CTE
+    rounds, which is only sound while the dynamic hop-budget rule
+    resolves to BEAM_ROUNDS at the driver's 500-vector gate corpus —
+    pin that arithmetic so a constant edit cannot silently desync the
+    Spark path from its oracle (ADVICE r9)."""
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        BEAM_ROUNDS,
+        _ROUNDS_BASE,
+        _beam_rounds,
+    )
+
+    assert _ROUNDS_BASE**BEAM_ROUNDS >= 500  # gate corpus fits the budget
+    assert _beam_rounds(500) == BEAM_ROUNDS
+    assert _beam_rounds(1) == BEAM_ROUNDS  # degenerate stores: the floor
+    assert _beam_rounds(10_000) > BEAM_ROUNDS  # grows with the store
+    # monotone: a bigger store never gets a smaller budget
+    budgets = [_beam_rounds(n) for n in (10, 500, 2_000, 10**6, 10**9)]
+    assert budgets == sorted(budgets)
+
+
+def test_beam_entry_selection_is_top_k_not_global_sort(spark):
+    """The md5-spread entry set must plan as TakeOrderedAndProject (a
+    distributed top-K), never a single-partition global Sort — the
+    100 TB posture of the seed pass."""
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        ann_graph_search,
+    )
+    from tests.conftest import SF_DIR
+
+    df = ann_graph_search(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan
