@@ -560,3 +560,124 @@ SELECT doc_id, source, lang, rk FROM (
 ) WHERE rk <= {DOMAIN_CAP}
 """
 QUERIES["domain_caps"] = domain_caps
+
+
+# ---------------------------------------------------------------------------
+# Token-budgeted mixture epoch (r10): mixtures are specified in TOKENS
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 500_000  # tokens per sampling epoch
+
+
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize a TOKEN-budgeted mixture epoch — the way real
+    pretraining mixtures are specified (a source contributes N tokens,
+    not N documents; a source of long documents would otherwise eat the
+    epoch).  Per-source raw TOKEN shares are temperature-flattened
+    exactly like :func:`source_mixture` (p_s^alpha, renormalized) into
+    per-source token quotas, then each source's documents are ranked by
+    salted hash (its own ``:tokmix`` salt, decorrelated from the split/
+    sample/mix hashes) and the greedy hash-ordered PREFIX whose running
+    token sum stays within quota survives — the deterministic epoch cut,
+    not a knapsack (same prefix discipline as :func:`mixture_sample`,
+    budget-aware).
+
+    Scale shape: one tokenize-free pass (token counts are
+    ``size(split())`` projections), the quota table is O(sources) and
+    broadcasts, ranking + running sum is ONE hash shuffle on source and
+    one per-source window pass.  Deterministic and re-derivable: two
+    runs, two engines, or a re-run on grown data admit the same prefix
+    for unchanged (source, hash) ranks.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    )
+    per = docs.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("src_tokens")
+    )
+    # unpartitioned scalar windows over the O(sources) aggregate, same
+    # rationale as source_mixture's
+    w = Window.partitionBy()
+    quotas = (
+        per.withColumn(
+            "p",
+            F.col("src_tokens")
+            / F.sum(F.col("src_tokens").cast("double")).over(w),
+        )
+        .withColumn("pa", F.pow("p", F.lit(MIX_ALPHA)))
+        .select(
+            "source",
+            F.round(F.col("pa") / F.sum("pa").over(w) * TOKEN_BUDGET)
+            .cast("long")
+            .alias("token_quota"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":tokmix"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ws = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = (
+        docs.select("doc_id", "source", "n_tokens", h.alias("h"))
+        .withColumn("rk", F.row_number().over(ws).cast("long"))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens")
+            .over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("cum_tokens") <= F.col("token_quota"))
+        .select("doc_id", "source", "rk", "n_tokens", "cum_tokens")
+    )
+
+
+ORACLES["token_budget_mixture"] = f"""
+WITH docs_t AS (
+  SELECT doc_id, source,
+         cast(len(string_split(text, ' ')) AS bigint) AS n_tokens,
+         cast(cast(concat('0x',
+             substr(md5(cast(doc_id AS varchar) || ':tokmix'), 1, 12))
+             AS ubigint) AS bigint) AS h
+  FROM documents
+),
+per AS (
+  SELECT source, cast(sum(n_tokens) AS bigint) AS src_tokens
+  FROM docs_t GROUP BY source
+),
+shared AS (
+  SELECT source,
+         pow(src_tokens / (SELECT cast(sum(src_tokens) AS double) FROM per),
+             {MIX_ALPHA}) AS pa
+  FROM per
+),
+quotas AS (
+  SELECT source,
+         cast(round(pa / (SELECT sum(pa) FROM shared) * {TOKEN_BUDGET})
+              AS bigint) AS token_quota
+  FROM shared
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         cast(row_number() OVER (
+             PARTITION BY source ORDER BY h, doc_id) AS bigint) AS rk,
+         cast(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS bigint) AS cum_tokens
+  FROM docs_t
+)
+SELECT r.doc_id, r.source, r.rk, r.n_tokens, r.cum_tokens
+FROM ranked r JOIN quotas q ON r.source = q.source
+WHERE r.cum_tokens <= q.token_quota
+"""
+QUERIES["token_budget_mixture"] = token_budget_mixture

@@ -3279,40 +3279,47 @@ def corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     to exact milli-units by integer division per the repo's float
     convention (never ``round()``).
 
-    Spark-first: each n's grams are an array-side ``transform`` +
-    ``explode`` (no window, no join), and each aggregate is one
-    map-side-combinable count + countDistinct keyed on the gram —
-    O(tokens) work per n over three independent shuffle rounds.  At
-    100 TB this is the ``vocabulary()`` shape: gram-keyed partial
-    aggregation; no stage ever holds more than the distinct grams.
+    Spark-first, ONE corpus pass: every n's grams ride a single scan —
+    per document, an array-side ``transform`` per n tagged with its n,
+    flattened and exploded once — then one (n, gram)-keyed aggregate
+    with map-side partials.  At 100 TB this is the ``vocabulary()``
+    shape (gram-keyed partial aggregation; no stage ever holds more
+    than the distinct grams) without paying the scan+tokenize
+    DIVERSITY_MAX_N times.
     """
     docs = load_table(spark, sf_dir, "documents")
     arr = F.split(F.lower("text"), " ", -1)
 
-    def _gram(n: int):
-        return lambda i: F.concat_ws(
-            " ", *[F.element_at(arr, i + j) for j in range(n)]
-        )
-
-    out = None
-    for n in range(1, DIVERSITY_MAX_N + 1):
-        grams = F.when(
+    def _grams(n: int):
+        return F.when(
             F.size(arr) >= n,
             F.transform(
-                F.sequence(F.lit(1), F.size(arr) - F.lit(n - 1)), _gram(n)
+                F.sequence(F.lit(1), F.size(arr) - F.lit(n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).cast("long").alias("n"),
+                    F.concat_ws(
+                        " ", *[F.element_at(arr, i + j) for j in range(n)]
+                    ).alias("g"),
+                ),
             ),
-        ).otherwise(F.array().cast("array<string>"))
-        g = docs.select(F.explode(grams).alias("g"))
-        row = g.agg(
-            F.lit(n).cast("long").alias("n"),
-            F.count("*").cast("long").alias("total_ngrams"),
-            F.countDistinct("g").cast("long").alias("distinct_ngrams"),
-            F.expr("(1000 * count(DISTINCT g)) div count(*)")
-            .cast("long")
-            .alias("distinct_milli"),
+        ).otherwise(
+            F.array().cast("array<struct<n:bigint,g:string>>")
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+
+    tagged = docs.select(
+        F.explode(
+            F.flatten(
+                F.array(*[_grams(n) for n in range(1, DIVERSITY_MAX_N + 1)])
+            )
+        ).alias("t")
+    ).select(F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    return tagged.groupBy("n").agg(
+        F.count("*").cast("long").alias("total_ngrams"),
+        F.countDistinct("g").cast("long").alias("distinct_ngrams"),
+        F.expr("(1000 * count(DISTINCT g)) div count(*)")
+        .cast("long")
+        .alias("distinct_milli"),
+    )
 
 
 ORACLES["corpus_diversity"] = f"""
