@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import SPLIT_BUCKET_SQL, STOPWORDS_SQL, r6
+from ..functions import SPLIT_BUCKET_SQL, STOPWORDS_SQL, leaf, r6
 from ..io import load_table
 from .dedup import (
     CLUSTER_MIN_JACCARD,
@@ -582,17 +582,22 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a knapsack (same prefix discipline as :func:`mixture_sample`,
     budget-aware).
 
-    Scale shape: one tokenize-free pass (token counts are
-    ``size(split())`` projections), the quota table is O(sources) and
-    broadcasts, ranking + running sum is ONE hash shuffle on source and
-    one per-source window pass.  Deterministic and re-derivable: two
-    runs, two engines, or a re-run on grown data admit the same prefix
-    for unchanged (source, hash) ranks.
+    Scale shape: the (doc_id, source, n_tokens) projection is an owned
+    leaf — the quota branch and the ranking branch both consume it, so
+    the text column is scanned and token-counted ONCE (the leaf is 3
+    narrow columns, far smaller than the text it summarizes); the quota
+    table is O(sources) and broadcasts; ranking + running sum is ONE
+    hash shuffle on source and one per-source window pass.
+    Deterministic and re-derivable: two runs, two engines, or a re-run
+    on grown data admit the same prefix for unchanged (source, hash)
+    ranks.
     """
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    docs = leaf(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+        )
     )
     per = docs.groupBy("source").agg(
         F.sum("n_tokens").cast("long").alias("src_tokens")

@@ -22,6 +22,7 @@ from ..functions import (
     STOPWORDS_SQL,
     _owned_ckpt,
     _retire_ckpt,
+    leaf,
     pin,
     r6,
     split_bucket,
@@ -3355,21 +3356,30 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single-sourced split-hash contract (so the curve is stable
     under corpus growth and engine-portable), and — unlike an ``ntile``
     over a global ``ORDER BY doc_id`` — it needs no global sort at
-    100 TB.  One min() aggregate finds each word's first-seen bucket;
-    the cumulative curve is a running sum over the GROWTH_BUCKETS
-    bucket rows (the only unpartitioned window, bounded at 10 rows by
-    construction).  ``ttr_milli`` is the type-token ratio of the prefix
-    in exact milli-units (integer division — a rational of integers).
+    100 TB.  The corpus is tokenized ONCE into the (bucket, word) count
+    aggregate — an owned leaf bounded by GROWTH_BUCKETS × vocabulary,
+    tiny next to the token stream — and both curve branches (per-bucket
+    token totals, per-word first-seen bucket) re-aggregate that leaf
+    instead of re-scanning the text.  The cumulative curve is a running
+    sum over the GROWTH_BUCKETS bucket rows (the only unpartitioned
+    window, bounded at 10 rows by construction).  ``ttr_milli`` is the
+    type-token ratio of the prefix in exact milli-units (integer
+    division — a rational of integers).
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         (split_bucket() % GROWTH_BUCKETS).alias("bucket"),
         F.explode(F.split(F.lower("text"), " ", -1)).alias("w"),
     )
-    per_bucket = toks.groupBy("bucket").agg(
-        F.count("*").cast("long").alias("n_tokens")
+    bw = leaf(
+        toks.groupBy("bucket", "w").agg(
+            F.count("*").cast("long").alias("c")
+        )
     )
-    first_seen = toks.groupBy("w").agg(F.min("bucket").alias("bucket"))
+    per_bucket = bw.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("n_tokens")
+    )
+    first_seen = bw.groupBy("w").agg(F.min("bucket").alias("bucket"))
     new_words = first_seen.groupBy("bucket").agg(
         F.count("*").cast("long").alias("n_new")
     )

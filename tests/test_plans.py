@@ -428,3 +428,27 @@ def test_graduated_media_ops_are_map_only(spark):
         assert "hashpartitioning" not in plan, name
         assert "rangepartitioning" not in plan, name
         assert plan.count("Exchange") <= 2, name
+
+
+def test_corpus_diversity_single_corpus_scan(spark):
+    """All three n-gram sizes ride ONE documents scan (the r10 tagged-
+    flatten rewrite) — the plan must not tokenize the corpus per n.
+    (simple mode: formatted prints every node twice — tree + detail.)"""
+    df = QUERIES["corpus_diversity"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_token_mixture_and_vocab_growth_scan_once_via_leaf(spark):
+    """Both curve queries share a diamond base (quota/rank branches;
+    token-total/first-seen branches) that is an owned leaf: the consumer
+    plan reads the materialized leaf (ExistingRDD), never a second
+    parquet scan of the text."""
+    for name in ("token_budget_mixture", "vocab_growth"):
+        plan = _plan(spark, name)
+        assert "ExistingRDD" in plan, name
+        assert plan.count("Scan parquet") == 0, name
