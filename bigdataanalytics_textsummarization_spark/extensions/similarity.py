@@ -2352,18 +2352,14 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _beam_search(
-    spark: SparkSession,
-    sf_dir: str,
-    beam_w: int,
-    rounds: int,
-    n_entries: int = N_ENTRY_SEEDS,
-) -> DataFrame:
-    """The beam-state evolution shared by :func:`ann_graph_search` and
-    :func:`ann_graph_tuning`: C_0 = {entry set scored}; per round, expand
-    the top-``beam_w`` candidates' neighbor lists, score by true cosine,
-    merge, dedupe, trim back to the beam.  Returns the final candidate
-    frame (query_id, vec_id, cos)."""
+@session_memo
+def _beam_seed(spark: SparkSession, sf_dir: str, n_entries: int):
+    """Shared graph-index state for the beam family: the symmetrized
+    edge table (checkpointed ONCE), the query relation, and the scored
+    entry set C_0.  Session-memoized (r10): ann_graph_search, its recall
+    companion, and all four tuning sweeps consume the identical seed, so
+    one session materializes the edge checkpoint once instead of six
+    times.  Returns (emb, edges, q, cand0)."""
     emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
     # SYMMETRIZED adjacency (forward ∪ reverse, exactly the B ∪ B' view
     # NN-Descent itself navigates): a true neighbor only reachable via
@@ -2412,6 +2408,23 @@ def _beam_search(
         .join(emb, "vec_id")
         .select("query_id", "vec_id", cos.alias("cos"))
     )
+    return emb, edges, q, cand
+
+
+def _beam_search(
+    spark: SparkSession,
+    sf_dir: str,
+    beam_w: int,
+    rounds: int,
+    n_entries: int = N_ENTRY_SEEDS,
+) -> DataFrame:
+    """The beam-state evolution shared by :func:`ann_graph_search` and
+    :func:`ann_graph_tuning`: C_0 = {entry set scored}; per round, expand
+    the top-``beam_w`` candidates' neighbor lists, score by true cosine,
+    merge, dedupe, trim back to the beam.  Returns the final candidate
+    frame (query_id, vec_id, cos)."""
+    emb, edges, q, cand = _beam_seed(spark, sf_dir, n_entries)
+    cos = dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     for _ in range(rounds):
         frontier = (
