@@ -481,6 +481,7 @@ _PRIORITY_R10_SPILL = [
     "corpus_diversity",  # distinct-1/2/3 (Li et al.) in exact milli-units
     "vocab_growth",  # Heaps'-law curve over nested md5-bucket prefixes
     "token_budget_mixture",  # token-quota epoch cut (mixtures are tokens)
+    "hybrid_dedup_audit",  # lexical-vs-semantic near-dup agreement pairs
 ]
 
 # Changed-since-green names that did not fit the 50-slot budget: twins and

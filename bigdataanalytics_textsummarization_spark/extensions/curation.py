@@ -35,7 +35,11 @@ from .dedup import (
     SHINGLES_CTE,
     dedup_clusters,
     dedup_exact,
+    dedup_minhash_lsh,
 )
+from .dedup import ORACLES as _DEDUP_ORACLES
+from .similarity import ORACLES as _SIM_ORACLES
+from .similarity import embedding_near_dups
 from .text_analysis import _LEX_VALUES, lang_id, quality_score, token_count, train_test_split
 
 QUALITY_MIN = 0.6
@@ -686,3 +690,63 @@ FROM ranked r JOIN quotas q ON r.source = q.source
 WHERE r.cum_tokens <= q.token_quota
 """
 QUERIES["token_budget_mixture"] = token_budget_mixture
+
+
+# ---------------------------------------------------------------------------
+# Hybrid dedup agreement audit (r10): lexical vs semantic near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def hybrid_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the two near-dup detectors — the question
+    a curation engineer actually asks before trusting cheap lexical
+    dedup at 100 TB: which pairs does MinHash-LSH (exact Jaccard >= the
+    cluster threshold) flag that embedding-cosine dedup misses, and vice
+    versa?  One row per pair found by EITHER detector, with per-method
+    verdicts and scores (absent score = -1.0, kept null-free for the
+    typed value gate).
+
+    Bridges the documents and embeddings tables through the corpus's
+    1:1 doc_id↔vec_id keying.  Scale shape: both inputs are already
+    candidate-bounded (banded LSH; bucketed cosine), and the audit adds
+    ONE full-outer equi-join keyed on the pair — O(candidates), never a
+    new pairwise stage.
+    """
+    lex = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .filter(F.col("jaccard") >= CLUSTER_MIN_JACCARD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    sem = embedding_near_dups(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+        "cosine",
+    )
+    return lex.join(sem, ["doc_a", "doc_b"], "full_outer").select(
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").isNotNull().alias("lexical"),
+        F.col("cosine").isNotNull().alias("semantic"),
+        F.coalesce("jaccard", F.lit(-1.0)).alias("jaccard"),
+        F.coalesce("cosine", F.lit(-1.0)).alias("cosine"),
+    )
+
+
+# the oracle composes the two certified pair oracles verbatim as nested
+# CTE bodies (DuckDB scopes inner WITHs per-CTE), so the audit's ground
+# truth can never drift from the detectors' own gates
+ORACLES["hybrid_dedup_audit"] = f"""
+WITH lex_all AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
+lex AS (SELECT doc_a, doc_b, jaccard FROM lex_all
+        WHERE jaccard >= {CLUSTER_MIN_JACCARD}),
+sem AS ({_SIM_ORACLES["embedding_near_dups"]})
+SELECT coalesce(l.doc_a, s.vec_a) AS doc_a,
+       coalesce(l.doc_b, s.vec_b) AS doc_b,
+       l.jaccard IS NOT NULL AS lexical,
+       s.cosine IS NOT NULL AS semantic,
+       coalesce(l.jaccard, -1.0) AS jaccard,
+       coalesce(s.cosine, -1.0) AS cosine
+FROM lex l
+FULL OUTER JOIN sem s ON l.doc_a = s.vec_a AND l.doc_b = s.vec_b
+"""
+QUERIES["hybrid_dedup_audit"] = hybrid_dedup_audit
