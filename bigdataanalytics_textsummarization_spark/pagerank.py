@@ -164,8 +164,19 @@ def _ranks_raw(
 
 def top_sentences_from(ranks: DataFrame, sent: DataFrame, k: int = 5) -> DataFrame:
     """Top-k ranked sentences per source joined back to text — the single
-    equi-join replacement for the reference's per-sentence lookup() jobs."""
-    w = Window.partitionBy("source").orderBy(F.desc("rank"), F.asc("sentence_id"))
+    equi-join replacement for the reference's per-sentence lookup() jobs.
+
+    The cut orders by the ROUNDED rank (r6), not the raw double (r10):
+    the raw rank is a float sum whose partial-merge order varies with
+    shuffle fetch timing, so a raw-rank near-tie at the k-boundary could
+    flip run-to-run (surfaced as a once-in-a-few-runs sf0.1 driver_sim
+    mismatch; textrank_ranks, which emits rounded ranks, never flapped).
+    The rounded rank is the certified engine-equal contract, and the
+    sentence_id tie-break makes the cut total — deterministic across
+    runs, partitionings, and engines."""
+    w = Window.partitionBy("source").orderBy(
+        F.desc(r6(F.col("rank"))), F.asc("sentence_id")
+    )
     top = (
         ranks.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= k)
@@ -225,9 +236,13 @@ SELECT source, sentence_id, (round(rnk, 6) + 0.0) AS rank FROM r{N_ITERATIONS}
 {EDGES_PREAMBLE},
 {_ranks_cte(N_ITERATIONS)},
 ranked AS (
+  -- cut on the ROUNDED rank like the Spark side: the raw double is not
+  -- an engine-stable ordering key at the k-boundary (see
+  -- top_sentences_from)
   SELECT source, sentence_id, rnk,
          row_number() OVER (PARTITION BY source
-                            ORDER BY rnk DESC, sentence_id ASC) AS rk
+                            ORDER BY (round(rnk, 6) + 0.0) DESC,
+                                     sentence_id ASC) AS rk
   FROM r{N_ITERATIONS}
 )
 SELECT r.source, r.rk, r.sentence_id, (round(r.rnk, 6) + 0.0) AS rank, s.sentence
