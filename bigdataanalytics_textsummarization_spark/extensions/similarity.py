@@ -430,12 +430,12 @@ def ann_ivf_search_indexed(
     return _ivf_search(corpus, centers, queries, nprobe_eff)
 
 
-def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= threshold), bucketed.
-
-    The dedup flavor of similarity search: same-bucket pairs only, so the
-    pair generation is an equi-join — the 100 TB-safe shape.
-    """
+def _bucket_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic detector's CANDIDATE set — all same-bucket pairs with
+    their raw cosine, BEFORE the near-dup threshold: (vec_a, vec_b,
+    sim_raw).  Shared by :func:`embedding_near_dups` (which applies the
+    threshold) and the hybrid audit (which needs the unthresholded set to
+    tell 'scored below threshold' from 'never became a candidate')."""
     emb = (
         _embeddings(spark, sf_dir)
         .withColumn("nrm", _norm(F.col("e")))
@@ -459,6 +459,18 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "sim_raw", dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
         )
+        .select("vec_a", "vec_b", "sim_raw")
+    )
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold), bucketed.
+
+    The dedup flavor of similarity search: same-bucket pairs only, so the
+    pair generation is an equi-join — the 100 TB-safe shape.
+    """
+    return (
+        _bucket_cosine_pairs(spark, sf_dir)
         .filter(F.col("sim_raw") >= NEAR_DUP_THRESHOLD)
         .select("vec_a", "vec_b", r6(F.col("sim_raw")).alias("cosine"))
     )

@@ -403,3 +403,141 @@ def test_dedup_keep_best_semantics(spark):
             ["quality", "doc_id"], ascending=[False, True]
         ).iloc[0]
         assert bool(best["keep"])
+
+
+@pytest.fixture(scope="module")
+def long_doc_dir(tmp_path_factory):
+    """A 2000-token cyclic document (40 repeats of a 50-word block) plus a
+    2-token doc: distinct-n counts are derivable by eye, and the long doc
+    exercises the per-n explode's O(tokens) bound (ADVICE r10 — the old
+    flatten-of-three-arrays form held 3x the grams per row)."""
+    d = tmp_path_factory.mktemp("long_doc")
+    block = [f"w{i}" for i in range(50)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array([0, 1], dtype="int64"),
+            "text": [" ".join(block * 40), "a b"],
+            "lang": ["en", "en"],
+            "source": ["s1", "s1"],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+def test_corpus_diversity_long_doc(spark, long_doc_dir):
+    """Cyclic 50-word block repeated 40x: exactly 50 distinct n-grams for
+    every n (wrap-around included), plus the 2-token doc's contribution."""
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        corpus_diversity,
+    )
+
+    rows = {
+        r["n"]: r.asDict()
+        for r in corpus_diversity(spark, long_doc_dir).collect()
+    }
+    # n=1: 2000 + 2 tokens; 50 block words + {a, b}
+    assert rows[1]["total_ngrams"] == 2002
+    assert rows[1]["distinct_ngrams"] == 52
+    assert rows[1]["distinct_milli"] == (1000 * 52) // 2002
+    # n=2: 1999 cyclic bigrams (50 distinct) + "a b"
+    assert rows[2]["total_ngrams"] == 2000
+    assert rows[2]["distinct_ngrams"] == 51
+    # n=3: long doc only (the 2-token doc has no trigram)
+    assert rows[3]["total_ngrams"] == 1998
+    assert rows[3]["distinct_ngrams"] == 50
+
+
+def test_corpus_diversity_sketch_matches_exact(spark, long_doc_dir):
+    """The HLL twin carries the same exact counts, and the raw estimate
+    (re-derived here numerically) is inside the certified 6% tolerance on
+    both the fixture and the gate corpus."""
+    import pyspark.sql.functions as F
+
+    from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
+        _diversity_grams,
+        corpus_diversity,
+        corpus_diversity_sketch,
+    )
+    from bigdataanalytics_textsummarization_spark.io import load_table
+
+    for d in (long_doc_dir, SF_DIR):
+        exact = {
+            r["n"]: r.asDict() for r in corpus_diversity(spark, d).collect()
+        }
+        tw = {
+            r["n"]: r.asDict()
+            for r in corpus_diversity_sketch(spark, d).collect()
+        }
+        assert set(exact) == set(tw)
+        for n in exact:
+            assert tw[n]["total_ngrams"] == exact[n]["total_ngrams"]
+            assert tw[n]["distinct_ngrams"] == exact[n]["distinct_ngrams"]
+            assert tw[n]["sketch_within_tol"] is True
+        # raw HLL estimates, asserted numerically (docstring contract)
+        raw = {
+            r["n"]: r["approx"]
+            for r in _diversity_grams(load_table(spark, d, "documents"))
+            .groupBy("n")
+            .agg(F.approx_count_distinct("g", rsd=0.02).alias("approx"))
+            .collect()
+        }
+        for n in exact:
+            assert (
+                abs(raw[n] - exact[n]["distinct_ngrams"])
+                <= exact[n]["distinct_ngrams"] * 0.06
+            )
+
+
+def test_hybrid_dedup_audit_three_state_contract(spark):
+    """The audit's per-method verdicts are three-state (ADVICE r10): every
+    emitted row has at least one 'flagged'; 'flagged'/'below_threshold'
+    imply the method's score is present and sits on the right side of its
+    threshold; 'not_a_candidate' implies the -1.0 sentinel; and the
+    flagged sets reproduce the certified detectors exactly."""
+    from bigdataanalytics_textsummarization_spark.extensions.curation import (
+        hybrid_dedup_audit,
+    )
+    from bigdataanalytics_textsummarization_spark.extensions.dedup import (
+        CLUSTER_MIN_JACCARD,
+        dedup_minhash_lsh,
+    )
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        NEAR_DUP_THRESHOLD,
+        embedding_near_dups,
+    )
+
+    out = hybrid_dedup_audit(spark, SF_DIR).toPandas()
+    states = {"flagged", "below_threshold", "not_a_candidate"}
+    assert set(out["lexical"]) <= states and set(out["semantic"]) <= states
+    assert (
+        (out["lexical"] == "flagged") | (out["semantic"] == "flagged")
+    ).all()
+    lex_f = out["lexical"] == "flagged"
+    assert (out.loc[lex_f, "jaccard"] >= CLUSTER_MIN_JACCARD).all()
+    lex_b = out["lexical"] == "below_threshold"
+    assert (
+        (out.loc[lex_b, "jaccard"] >= 0)
+        & (out.loc[lex_b, "jaccard"] < CLUSTER_MIN_JACCARD)
+    ).all()
+    assert (out.loc[out["lexical"] == "not_a_candidate", "jaccard"] == -1.0).all()
+    sem_f = out["semantic"] == "flagged"
+    assert (out.loc[sem_f, "cosine"] >= round(NEAR_DUP_THRESHOLD, 6)).all()
+    assert (out.loc[out["semantic"] == "not_a_candidate", "cosine"] == -1.0).all()
+    # flagged sets == the certified detectors' own outputs
+    lex_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, SF_DIR)
+        .filter(f"jaccard >= {CLUSTER_MIN_JACCARD}")
+        .collect()
+    }
+    assert set(map(tuple, out.loc[lex_f, ["doc_a", "doc_b"]].values)) == lex_pairs
+    sem_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups(spark, SF_DIR).collect()
+    }
+    assert set(map(tuple, out.loc[sem_f, ["doc_a", "doc_b"]].values)) == sem_pairs

@@ -431,16 +431,17 @@ def test_graduated_media_ops_are_map_only(spark):
 
 
 def test_corpus_diversity_single_corpus_scan(spark):
-    """All three n-gram sizes ride ONE documents scan (the r10 tagged-
-    flatten rewrite) — the plan must not tokenize the corpus per n.
+    """All three n-gram sizes ride ONE documents scan (r11: per-n explode,
+    O(tokens) per row) — the plan must not tokenize the corpus per n.
     (simple mode: formatted prints every node twice — tree + detail.)"""
-    df = QUERIES["corpus_diversity"](spark, SF_DIR)
-    plan = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "simple"
+    for name in ("corpus_diversity", "corpus_diversity_sketch"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
         )
-    )
-    assert plan.count("FileScan parquet") == 1
+        assert plan.count("FileScan parquet") == 1, name
 
 
 def test_token_mixture_and_vocab_growth_scan_once_via_leaf(spark):
