@@ -2293,11 +2293,13 @@ QUERIES["knn_graph_recall"] = knn_graph_recall
 # Graph-based ANN query path (the HNSW idea): beam search over the kNN graph
 # ---------------------------------------------------------------------------
 
-BEAM_W = 16  # beam width (candidates kept per query per round) — r10:
-# widened from 8; the r9 tuning curve showed rounds/entries saturate at
-# 0.60 recall on this corpus while W is the lever (0.74 at sf0.1)
+BEAM_W = 16  # GATE-scale beam width (candidates kept per query per
+# round) — r10: widened from 8 (the r9 tuning curve showed
+# rounds/entries saturate while W is the lever); r11: off-gate the
+# search runs _beam_width(n), which doubles per extra hop round
 BEAM_ROUNDS = 3  # minimum expansion rounds (and the gate-scale budget)
-N_ENTRY_SEEDS = 16  # md5-spread entry vertices (HNSW upper-layer analog)
+N_ENTRY_SEEDS = 16  # GATE-scale md5-spread entry vertices (HNSW
+# upper-layer analog); off-gate the search seeds _entry_seeds(n)
 _ROUNDS_BASE = 8  # hop-budget growth base, deliberately decoupled from
 # BEAM_W so widening the beam never starves the hop budget; with
 # _ROUNDS_BASE**BEAM_ROUNDS = 512 > the driver's 500-vector gate corpus,
@@ -2322,15 +2324,53 @@ def _beam_rounds(n: int) -> int:
     )
 
 
+_SEED_GROWTH = 4  # entry-set growth per extra hop round (VERDICT r10)
+_WIDTH_GROWTH = 2  # beam-width growth per extra hop round (r11: the r10
+# tuning curve already showed W is the recall lever on this corpus —
+# rounds and seeds saturate at ~0.70 at sf0.1 while W=2x lifts to 0.80)
+
+
+def _beam_width(n: int) -> int:
+    """Beam-width budget shared by the search path and the tuning sweep,
+    scaled with the store under the same rule family as ``_beam_rounds``
+    and ``_entry_seeds``: doubles per extra hop round, so at every gate
+    scale (n <= 512) it is exactly BEAM_W — the width the sf0.01-pinned
+    oracles unroll.  Per-query search cost stays
+    O(rounds · width · degree): log² n growth, corpus-scan-free.
+    Measured at r11 (n=2000/sf0.1, 64 seeds): W=16 -> 0.70 recall,
+    W=32 (this rule) -> 0.80."""
+    return BEAM_W * _WIDTH_GROWTH ** (_beam_rounds(n) - BEAM_ROUNDS)
+
+
+def _entry_seeds(n: int) -> int:
+    """Entry-set budget shared by the search path and the tuning sweep,
+    scaled with the store under the SAME rule family as ``_beam_rounds``
+    (VERDICT r10 task 2: 16 fixed seeds measured 0.98 recall at the
+    sf0.01 gate but 0.68 at sf0.1 — a bigger graph needs its entry set
+    to keep covering regions, exactly as it needs more hops): the seed
+    count grows geometrically with the EXTRA hop rounds the store earns,
+    so at every gate scale (n <= _ROUNDS_BASE**BEAM_ROUNDS = 512) this
+    is exactly N_ENTRY_SEEDS — the invariant the sf0.01-pinned oracles'
+    ``LIMIT {N_ENTRY_SEEDS}`` entry CTE relies on.  Keyed only on n,
+    never on the sweep width, so every tuning row measures the same
+    entry set ann_graph_search actually uses and the W=BEAM_W tuning
+    row reproduces the search at every scale.  Cost: the entry set is
+    scored once per query (O(seeds) dot products) and trimmed to the
+    beam at round 1 — log-growing, corpus-size-independent per query.
+    (Measured at r11, n=2000/sf0.1: 16 seeds -> 0.68 recall, 64 seeds
+    under this rule -> see GRAPH_SEARCH_RECALL_FLOOR note.)"""
+    return N_ENTRY_SEEDS * _SEED_GROWTH ** (_beam_rounds(n) - BEAM_ROUNDS)
+
+
 def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-based ANN search — beam search over the NN-Descent kNN graph,
     the query path of graph indexes (HNSW/NSG): enter at
-    ``N_ENTRY_SEEDS`` md5-spread vertices (the HNSW upper-layer analog —
-    r10, lifting recall off the single-entry 0.48/0.38 plateau),
-    repeatedly expand the current best candidates' neighbor lists, score
-    by TRUE cosine, keep the best ``BEAM_W`` — the last missing member of
-    the ANN family here (brute/gemm, sign-LSH, IVF, SQ/PQ/IVF+PQ, and now
-    graph traversal).
+    ``_entry_seeds(n)`` md5-spread vertices (the HNSW upper-layer analog
+    — r10, lifting recall off the single-entry 0.48/0.38 plateau; scaled
+    with the store r11), repeatedly expand the current best candidates'
+    neighbor lists, score by TRUE cosine, keep the best
+    ``_beam_width(n)`` — the last missing member of the ANN family here
+    (brute/gemm, sign-LSH, IVF, SQ/PQ/IVF+PQ, and now graph traversal).
 
     Spark-first shape: the graph is the (golden-gated, deterministic)
     ``knn_graph_descent`` edge table, materialized once; each round is
@@ -2345,11 +2385,14 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     golden (value gate at the driver's sf0.01; rows-only off-scale).
     """
     emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
-    # hop budget grows with the store (shared _beam_rounds rule); at the
-    # driver's gate scales (50/500 vectors) this is exactly BEAM_ROUNDS,
-    # which is what the sf0.01-pinned oracle unrolls
+    # hop + width + entry budgets grow with the store (shared
+    # _beam_rounds / _beam_width / _entry_seeds rules); at the driver's
+    # gate scales (50/500 vectors) these are exactly BEAM_ROUNDS, BEAM_W
+    # and N_ENTRY_SEEDS, which is what the sf0.01-pinned oracle unrolls
     n = emb.count()
-    cand = _beam_search(spark, sf_dir, BEAM_W, _beam_rounds(n))
+    cand = _beam_search(
+        spark, sf_dir, _beam_width(n), _beam_rounds(n), _entry_seeds(n)
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         cand.filter(F.col("vec_id") != F.col("query_id"))
@@ -2528,11 +2571,16 @@ FROM (
 QUERIES["ann_graph_search"] = ann_graph_search
 
 
-GRAPH_SEARCH_RECALL_FLOOR = 0.6  # r10: multi-entry seeding + symmetrized
-# adjacency + W=16 measured 0.98 (sf0.01) / 0.68 (sf0.1) — the family
-# floor ann_ivf_recall certifies, even on these near-uniform random
-# embeddings (graph navigation's known worst case; clustered real
-# corpora reach 0.9+)
+GRAPH_SEARCH_RECALL_FLOOR = 0.6  # r11: with the scaled budgets
+# (_beam_rounds/_beam_width/_entry_seeds) measured recall is 0.98 at
+# the sf0.01 gate and 0.80 at sf0.1 (was 0.68 under fixed W=16/16
+# seeds — the r10 decade-drop the budget scaling compensates), on
+# near-uniform random embeddings (graph navigation's known worst case;
+# clustered real corpora reach 0.9+).  CONTRACT NOTE (ADVICE r10): the
+# driver value-gates recall_ok at the sf0.01 gate only; off-gate runs
+# are rows-only, and the floor is a single scale-independent constant
+# because the budgets — not the floor — absorb store growth (each
+# decade earns more hops/width/seeds under the shared rules above).
 
 
 def ann_graph_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2569,32 +2617,41 @@ TUNE_BEAM_WS = (2, 4, 8, 16)
 
 def ann_graph_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-vs-beam-width curve for the graph query path at a FIXED hop
-    budget (``_beam_rounds(n)``, the exact budget ``ann_graph_search``
-    uses at this scale) — the graph-index twin of ``ann_recall_sweep``:
-    the tuning fact an operator reads before picking a beam width
-    (recall rises with W at fixed rounds; cost per query is
-    rounds·W·degree).  Unlike the IVF curve, monotonicity is NOT a
-    theorem here (a wider beam can greedily commit to a different path),
-    so every row is a measured fact: hits against the brute top-k truth,
-    quantized to exact milli-units by integer division (no rounded
-    rationals).  All inputs are deterministic (golden graph, id
-    tie-breaks, shared dot() contract), so the oracle recomputes the
-    same four sweeps as unrolled per-width CTE chains over the committed
-    graph golden — a full value gate, not a floor."""
+    and entry budget (``_beam_rounds(n)`` / ``_entry_seeds(n)``, the
+    exact budgets ``ann_graph_search`` uses at this scale) — the
+    graph-index twin of ``ann_recall_sweep``: the tuning fact an
+    operator reads before picking a beam width (recall rises with W at
+    fixed rounds; cost per query is rounds·W·degree).  The four widths
+    are w/8, w/4, w/2, w of the DYNAMIC search width ``_beam_width(n)``
+    — at the gate exactly TUNE_BEAM_WS, and at every scale the top row
+    reproduces the search's own configuration.  Unlike the IVF curve,
+    monotonicity is NOT a theorem here (a wider beam can greedily
+    commit to a different path), so every row is a measured fact: hits
+    against the brute top-k truth, quantized to exact milli-units by
+    integer division (no rounded rationals).  All inputs are
+    deterministic (golden graph, id tie-breaks, shared dot() contract),
+    so the oracle recomputes the same four sweeps as unrolled per-width
+    CTE chains over the committed graph golden — a full value gate, not
+    a floor."""
     brute = ann_cosine_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    # the SAME dynamic hop budget ann_graph_search uses (keyed on BEAM_W
-    # for every sweep width), so the W=BEAM_W row reproduces the search
-    # at every scale, not only n <= 512 (ADVICE r9)
-    rounds = _beam_rounds(
-        _embeddings(spark, sf_dir).count()
-    )
+    # the SAME dynamic hop + entry budgets ann_graph_search uses (keyed
+    # on n only, never the sweep width), so the TOP sweep row reproduces
+    # the search at every scale, not only n <= 512 (ADVICE r9; entry +
+    # width scaling r11).  The sweep widths are RELATIVE to the dynamic
+    # search width (w/8, w/4, w/2, w): at the gate that is exactly
+    # TUNE_BEAM_WS — the widths the pinned oracle unrolls — and off-gate
+    # the curve brackets the width the search actually runs.
+    n = _embeddings(spark, sf_dir).count()
+    rounds = _beam_rounds(n)
+    seeds = _entry_seeds(n)
+    widths = tuple(max(1, _beam_width(n) // d) for d in (8, 4, 2, 1))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     total = N_QUERIES * TOP_K
     out = None
-    for bw in TUNE_BEAM_WS:
-        cand = _beam_search(spark, sf_dir, bw, rounds)
+    for bw in widths:
+        cand = _beam_search(spark, sf_dir, bw, rounds, seeds)
         topk = (
             cand.filter(F.col("vec_id") != F.col("query_id"))
             .withColumn("rn", F.row_number().over(w))

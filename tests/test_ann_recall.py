@@ -596,14 +596,20 @@ def test_ann_graph_tuning_curve_consistency(spark):
 
 def test_beam_rounds_gate_invariant():
     """The sf0.01-pinned graph-ANN oracles unroll exactly BEAM_ROUNDS CTE
-    rounds, which is only sound while the dynamic hop-budget rule
-    resolves to BEAM_ROUNDS at the driver's 500-vector gate corpus —
-    pin that arithmetic so a constant edit cannot silently desync the
-    Spark path from its oracle (ADVICE r9)."""
+    rounds at width BEAM_W from N_ENTRY_SEEDS entries, which is only
+    sound while all three dynamic budget rules resolve to their gate
+    constants at the driver's 500-vector gate corpus — pin that
+    arithmetic so a constant edit cannot silently desync the Spark path
+    from its oracle (ADVICE r9; width/entry scaling r11)."""
     from bigdataanalytics_textsummarization_spark.extensions.similarity import (
         BEAM_ROUNDS,
+        BEAM_W,
+        N_ENTRY_SEEDS,
+        TUNE_BEAM_WS,
         _ROUNDS_BASE,
         _beam_rounds,
+        _beam_width,
+        _entry_seeds,
     )
 
     assert _ROUNDS_BASE**BEAM_ROUNDS >= 500  # gate corpus fits the budget
@@ -613,6 +619,21 @@ def test_beam_rounds_gate_invariant():
     # monotone: a bigger store never gets a smaller budget
     budgets = [_beam_rounds(n) for n in (10, 500, 2_000, 10**6, 10**9)]
     assert budgets == sorted(budgets)
+    # the width and entry budgets share the rule family: exactly the gate
+    # constants wherever the hop budget is at its floor, growing with it
+    for n in (1, 500, 512):
+        assert _beam_width(n) == BEAM_W
+        assert _entry_seeds(n) == N_ENTRY_SEEDS
+    assert _beam_width(2_000) > BEAM_W
+    assert _entry_seeds(2_000) > N_ENTRY_SEEDS
+    for rule in (_beam_width, _entry_seeds):
+        vals = [rule(n) for n in (10, 500, 2_000, 10**6, 10**9)]
+        assert vals == sorted(vals)
+    # the tuning sweep's relative widths (w/8..w) reproduce TUNE_BEAM_WS
+    # at the gate — the widths the pinned tuning oracle unrolls
+    assert tuple(
+        max(1, _beam_width(500) // d) for d in (8, 4, 2, 1)
+    ) == tuple(sorted(TUNE_BEAM_WS))
 
 
 def test_beam_entry_selection_is_top_k_not_global_sort(spark):
