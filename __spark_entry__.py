@@ -412,6 +412,87 @@ _PRIORITY_R9 = [
 # the 14 r4-era oldest standing greens.  4+4+11+17+14 = exactly the
 # 50-slot budget; after r10 no registered query's newest driver row
 # predates r6.
+# Round-11 window (VERDICT r10 task 1): lead with the four r10-spill
+# never-certified rows, then the new r11 query, then everything whose
+# closure changed under the r11 code (graph-ANN budget scaling + descent
+# early-exit + the near-dup candidate-set refactor), then the oldest
+# standing greens — all 10 r6-era rows and the oldest 29 of the r7-era
+# rows (the remaining 7 r7 rows queue in _PRIORITY_R11_SPILL for r12).
+_PRIORITY_R11 = [
+    # (a) never certified (r10 spill, __spark_entry__.py r10 note)
+    "corpus_diversity",
+    "vocab_growth",
+    "token_budget_mixture",
+    "hybrid_dedup_audit",
+    # (b) new in r11 (VERDICT r10 tasks 3 and 6)
+    "corpus_diversity_sketch",
+    "token_budget_mixture_salted",
+    # (c) closure changed by r11 code: the beam family (width/entry
+    # scaling), the descent family (convergence early-exit), and the
+    # bucket-pair refactor behind the hybrid audit
+    "knn_graph_descent",
+    "knn_graph_recall",
+    "ann_graph_search",
+    "ann_graph_search_recall",
+    "ann_graph_tuning",
+    "embedding_near_dups",
+    # (d) r6-era greens — the oldest standing rows in the registry
+    "benchmark_decontam",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "dedup_exact",
+    "domain_caps",
+    "merge_upsert",
+    "multimodal_decode",
+    "order_priority_check",
+    "segment_custkey_setops",
+    "train_test_split",
+    # (e) r7-era greens, family-grouped for leaf/memo reuse in the
+    # driver's single-session sweep: embedding/ANN family first (shares
+    # the _embeddings leaf with (c)), then dedup, text, events
+    "ann_bucketed_topk",
+    "ann_cosine_topk",
+    "ann_cosine_topk_arrow",
+    "ann_recall_sweep",
+    "ann_sq_topk",
+    "embedding_cov",
+    "embedding_rp",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "near_dup_ingest",
+    "simhash_fingerprints",
+    "contamination_check",
+    "doc_fingerprint",
+    "bigram_lm",
+    "bloom_semijoin",
+    "bm25_search",
+    "char_entropy",
+    "classifier_score",
+    "clf_ingest",
+    "compression_ratio",
+    "doc_repetition",
+    "lang_id",
+    "pii_scrub",
+    "quality_score",
+    "sales_pivot",
+    "cohort_retention",
+    "events_by_segment",
+    "events_dedup",
+]
+
+# r7-era greens that did not fit the r11 50-slot budget: oldest-first
+# rotation continues here in r12.
+_PRIORITY_R11_SPILL = [
+    "events_sliding",
+    "simhash_near_pairs",
+    "stratified_sample",
+    "token_count",
+    "topk_ngrams",
+    "user_sessions",
+    "view_click_pairs",
+    "wav_decode",
+]
+
 _PRIORITY_R10 = [
     # (a) never certified
     "dedup_keep_best",
@@ -520,11 +601,13 @@ _PRIORITY_R8_STAGED = [
     "orc_roundtrip",  # ORC twin of jsonl_roundtrip
 ]
 
-# r9 window first (the driver's 50-slot budget reads front-to-back, dict
+# r11 window first (the driver's 50-slot budget reads front-to-back, dict
 # insertion dedupes repeats), then the over-budget spill, then the older
 # lists so every still-staged name stays queued.
 _PRIORITY = (
-    _PRIORITY_R10
+    _PRIORITY_R11
+    + _PRIORITY_R11_SPILL
+    + _PRIORITY_R10
     + _PRIORITY_R10_SPILL
     + _PRIORITY_R9
     + _PRIORITY_R9_SPILL

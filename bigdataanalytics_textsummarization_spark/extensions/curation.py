@@ -727,6 +727,127 @@ WHERE r.cum_tokens <= q.token_quota
 QUERIES["token_budget_mixture"] = token_budget_mixture
 
 
+N_PREFIX_RANGES = 8  # hash ranges per source in the two-phase prefix cut
+
+
+def token_budget_mixture_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-source plan for :func:`token_budget_mixture` (VERDICT r10
+    task 6), as certifiable code: the classic TWO-PHASE distributed
+    prefix sum replaces the per-source single-reducer running-sum
+    window, producing the BIT-IDENTICAL epoch cut (it shares the same
+    oracle).
+
+    The per-source (h, doc_id) order is range-partitioned by the hash
+    value into ``N_PREFIX_RANGES`` contiguous intervals (``h div W`` —
+    ranges respect the sort order by construction, and a row's range is
+    a projection, no sampling pass).  Phase 1: rank and prefix-sum
+    WITHIN each (source, range) — every reducer is bounded at
+    ~|source| / N_PREFIX_RANGES rows instead of the whole source.
+    Phase 2: per-(source, range) totals (an O(sources × ranges)
+    aggregate) turn into cumulative offsets via a window over that tiny
+    frame, broadcast back, and each row's global rank / running sum is
+    local + offset.  The cut at ``quota`` then happens range-locally.
+    All arithmetic is exact integers, so local + offset EQUALS the
+    single-window prefix — which is what makes the decomposition
+    value-gateable against the same SQL, not merely argued.  (A prefix
+    CUT needs the offset broadcast, unlike ``domain_caps``'s top-CAP
+    union trick: the cut point depends on every earlier range's total.)
+    """
+    assert MIX_ALPHA == 0.5  # same quota derivation as the single-window twin
+    docs = leaf(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+        )
+    )
+    per = docs.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("src_tokens")
+    )
+    w = Window.partitionBy()
+    quotas = (
+        per.withColumn(
+            "p", F.col("src_tokens") / F.sum("src_tokens").over(w)
+        )
+        .withColumn(
+            "pa_micro",
+            F.floor(F.sqrt("p") * F.lit(1_000_000.0)).cast("long"),
+        )
+        .withColumn("sum_pa", F.sum("pa_micro").over(w))
+        .select(
+            "source",
+            F.expr(f"(pa_micro * {TOKEN_BUDGET}) div sum_pa")
+            .cast("long")
+            .alias("token_quota"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":tokmix"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    range_w = (2**48) // N_PREFIX_RANGES  # h is 12 hex chars: h < 2^48
+    keyed = docs.select(
+        "doc_id", "source", "n_tokens", h.alias("h")
+    ).withColumn("rng", F.expr(f"h div {range_w}").cast("long"))
+    # phase 1: bounded per-(source, range) local rank + local prefix sum
+    lw = Window.partitionBy("source", "rng").orderBy("h", "doc_id")
+    local = keyed.withColumn(
+        "l_rk", F.row_number().over(lw).cast("long")
+    ).withColumn(
+        "l_cum",
+        F.sum("n_tokens")
+        .over(lw.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    # phase 2: O(sources x ranges) totals -> cumulative offsets
+    ow = (
+        Window.partitionBy("source")
+        .orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy("source", "rng")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("n_tokens").cast("long").alias("rng_tokens"),
+        )
+        .select(
+            "source",
+            "rng",
+            F.coalesce(F.sum("n_rows").over(ow), F.lit(0))
+            .cast("long")
+            .alias("rk_off"),
+            F.coalesce(F.sum("rng_tokens").over(ow), F.lit(0))
+            .cast("long")
+            .alias("tok_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), ["source", "rng"])
+        .join(F.broadcast(quotas), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("l_rk") + F.col("rk_off")).alias("rk"),
+            "n_tokens",
+            (F.col("l_cum") + F.col("tok_off")).alias("cum_tokens"),
+            "token_quota",
+        )
+        .filter(F.col("cum_tokens") <= F.col("token_quota"))
+        .select("doc_id", "source", "rk", "n_tokens", "cum_tokens")
+    )
+
+
+# bit-identical by construction to the single-window form: same oracle
+ORACLES["token_budget_mixture_salted"] = ORACLES["token_budget_mixture"]
+QUERIES["token_budget_mixture_salted"] = token_budget_mixture_salted
+
+
 # ---------------------------------------------------------------------------
 # Hybrid dedup agreement audit (r10): lexical vs semantic near-dup pairs
 # ---------------------------------------------------------------------------

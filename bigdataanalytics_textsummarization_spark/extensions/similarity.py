@@ -2084,6 +2084,9 @@ QUERIES["ann_recall_sweep"] = ann_recall_sweep
 
 KNN_GRAPH_K = 10
 KNN_GRAPH_RECALL_FLOOR = 0.5  # pinned tighter in pytest at gate scales
+_LAST_DESCENT_ROUNDS = 0  # observability: rounds the last ACTUAL build
+# ran (session-memoized replays don't update it) — read by the
+# convergence early-exit pytest, not by any query path
 
 
 @session_memo
@@ -2110,11 +2113,24 @@ def knn_graph_descent(
     Rounds default to ceil(log_k n) + 1 — the paper's empirical
     iteration growth — so a bigger store gets the extra hops it needs
     (measured here: 4 rounds -> 0.87 recall at 500 vectors, 5 -> 0.58 at
-    2000).  Corpus caveat: the synthetic embeddings are near-uniform
-    random (cosines top out ~0.5), the known worst case for NN-Descent —
-    "my neighbor's neighbor" carries little signal without local
-    structure, so these recalls are the floor of the method, not its
-    typical (clustered-data) 0.9+.
+    2000).  ``iters`` is a MAXIMUM (r11, VERDICT r10 task 5): the loop
+    stops early at the paper's natural termination (Dong et al. §2.3,
+    taken at its strict delta=0 point) — when a round changes ZERO
+    edges, the refinement is a fixed point, and because every round is
+    a deterministic function of the edge SET, all later rounds would
+    reproduce the same relation bit-for-bit; stopping is provably
+    output-identical at ANY scale, so the gate golden cannot move.  The
+    check costs two bounded scalar actions per round (an anti-join
+    count between two materialized ~n·k edge checkpoints and the new
+    edge count) — noise next to the O(n·k²) candidate join it can save:
+    an already-converged (e.g. re-ingested or small) store exits after
+    one confirmation round instead of paying the full log-rule budget,
+    the single most expensive build in the repo at x10 scale.  Corpus
+    caveat: the synthetic embeddings are near-uniform random (cosines
+    top out ~0.5), the known worst case for NN-Descent — "my neighbor's
+    neighbor" carries little signal without local structure, so these
+    recalls are the floor of the method, not its typical
+    (clustered-data) 0.9+.
 
     Fully DETERMINISTIC by construction (md5-keyed init, JVM cosine
     folds, ties by neighbor id), so unlike the trained-quantizer family
@@ -2181,6 +2197,9 @@ def knn_graph_descent(
     w = Window.partitionBy("src").orderBy(F.desc("cos_raw"), F.asc("dst"))
     scored = None
     stale = None  # edges checkpoint from two rounds back (dead by now)
+    cur_count = None  # |edges| carried across rounds: 1 count per round
+    global _LAST_DESCENT_ROUNDS
+    _LAST_DESCENT_ROUNDS = 0
     for _ in range(iters):
         # the round-(i-2) edge checkpoint is dead once round i starts:
         # round i-1's scored was materialized into round i-1's edges, and
@@ -2213,8 +2232,26 @@ def knn_graph_descent(
         )
         # iterative plan: cut lineage like the pagerank loop, else round
         # r replays rounds 1..r-1
+        new_edges = scored.select("src", "dst").transform(_owned_ckpt)
+        _LAST_DESCENT_ROUNDS += 1
+        # convergence early-exit (docstring): the round is a fixed point
+        # iff the new edge SET equals the old one — |new \ old| = 0 with
+        # equal cardinalities (both sides are distinct-by-construction
+        # top-k sets).  Strict zero, so breaking is provably
+        # output-identical; both scalars are bounded driver-side
+        # aggregates like the pagerank loop's dangling-mass collect.
+        changed = new_edges.join(
+            edges, ["src", "dst"], "left_anti"
+        ).count()
+        if cur_count is None:
+            cur_count = edges.count()
+        new_count = new_edges.count()
+        converged = changed == 0 and new_count == cur_count
         stale = edges
-        edges = scored.select("src", "dst").transform(_owned_ckpt)
+        edges = new_edges
+        cur_count = new_count
+        if converged:
+            break
     return scored.select(
         F.col("src").alias("vec_id"),
         F.col("rk").cast("long").alias("rk"),
@@ -2407,32 +2444,25 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@session_memo
-def _beam_seed(spark: SparkSession, sf_dir: str, n_entries: int):
-    """Shared graph-index state for the beam family: the symmetrized
-    edge table (checkpointed ONCE), the query relation, and the scored
-    entry set C_0.  Session-memoized (r10): ann_graph_search, its recall
-    companion, and all four tuning sweeps consume the identical seed, so
-    one session materializes the edge checkpoint once instead of six
-    times.  Returns (emb, edges, q, cand0)."""
-    emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
-    # SYMMETRIZED adjacency (forward ∪ reverse, exactly the B ∪ B' view
-    # NN-Descent itself navigates): a true neighbor only reachable via
-    # an in-edge becomes walkable, which is worth ~+0.15 recall on this
-    # random-embedding corpus.  Degree stays bounded at 2k.
+def _symmetrized_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYMMETRIZED adjacency (forward ∪ reverse, exactly the B ∪ B' view
+    NN-Descent itself navigates): a true neighbor only reachable via
+    an in-edge becomes walkable, which is worth ~+0.15 recall on this
+    random-embedding corpus.  Degree stays bounded at 2k."""
     fwd = knn_graph_descent(spark, sf_dir).select(
         F.col("vec_id").alias("g_src"),
         F.col("neighbor_id").alias("g_dst"),
     )
-    edges = (
-        fwd.unionByName(
-            fwd.select(
-                F.col("g_dst").alias("g_src"), F.col("g_src").alias("g_dst")
-            )
+    return fwd.unionByName(
+        fwd.select(
+            F.col("g_dst").alias("g_src"), F.col("g_src").alias("g_dst")
         )
-        .distinct()
-        .transform(_owned_ckpt)  # re-read every round: materialize once
-    )
+    ).distinct()
+
+
+def _beam_state(emb: DataFrame, edges: DataFrame, n_entries: int):
+    """Score the entry set over an arbitrary edge relation (in-session
+    checkpoint or the on-disk index): returns (q, cand0)."""
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -2463,22 +2493,38 @@ def _beam_seed(spark: SparkSession, sf_dir: str, n_entries: int):
         .join(emb, "vec_id")
         .select("query_id", "vec_id", cos.alias("cos"))
     )
+    return q, cand
+
+
+@session_memo
+def _beam_seed(spark: SparkSession, sf_dir: str, n_entries: int):
+    """Shared graph-index state for the beam family: the symmetrized
+    edge table (checkpointed ONCE), the query relation, and the scored
+    entry set C_0.  Session-memoized (r10): ann_graph_search, its recall
+    companion, and all four tuning sweeps consume the identical seed, so
+    one session materializes the edge checkpoint once instead of six
+    times.  Returns (emb, edges, q, cand0)."""
+    emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    edges = _symmetrized_edges(spark, sf_dir).transform(
+        _owned_ckpt  # re-read every round: materialize once
+    )
+    q, cand = _beam_state(emb, edges, n_entries)
     return emb, edges, q, cand
 
 
-def _beam_search(
-    spark: SparkSession,
-    sf_dir: str,
+def _beam_loop(
+    emb: DataFrame,
+    edges: DataFrame,
+    q: DataFrame,
+    cand: DataFrame,
     beam_w: int,
     rounds: int,
-    n_entries: int = N_ENTRY_SEEDS,
 ) -> DataFrame:
-    """The beam-state evolution shared by :func:`ann_graph_search` and
-    :func:`ann_graph_tuning`: C_0 = {entry set scored}; per round, expand
-    the top-``beam_w`` candidates' neighbor lists, score by true cosine,
-    merge, dedupe, trim back to the beam.  Returns the final candidate
-    frame (query_id, vec_id, cos)."""
-    emb, edges, q, cand = _beam_seed(spark, sf_dir, n_entries)
+    """The beam-state evolution shared by :func:`ann_graph_search`,
+    :func:`ann_graph_tuning` and the on-disk index search: per round,
+    expand the top-``beam_w`` candidates' neighbor lists, score by true
+    cosine, merge, dedupe, trim back to the beam.  Returns the final
+    candidate frame (query_id, vec_id, cos)."""
     cos = dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     for _ in range(rounds):
@@ -2507,6 +2553,66 @@ def _beam_search(
             .select("query_id", "vec_id", "cos")
         )
     return cand
+
+
+def _beam_search(
+    spark: SparkSession,
+    sf_dir: str,
+    beam_w: int,
+    rounds: int,
+    n_entries: int = N_ENTRY_SEEDS,
+) -> DataFrame:
+    """Beam search over the session-memoized index (the registered query
+    path): C_0 = {entry set scored}, then ``_beam_loop``."""
+    emb, edges, q, cand = _beam_seed(spark, sf_dir, n_entries)
+    return _beam_loop(emb, edges, q, cand, beam_w, rounds)
+
+
+def build_graph_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Materialize the graph-ANN index on disk — the deployment split the
+    beam family's session memo stands in for (index built ONCE, searched
+    by many later sessions, exactly like ``build_ivf_index`` for IVF):
+    the symmetrized NN-Descent edge table, repartitioned and sorted by
+    ``g_src`` so each stored file holds contiguous whole neighbor lists.
+    At 100 TB the edge relation would be bucketed BY g_src (saveAsTable)
+    so every round's frontier→edges equi-join co-locates on the stored
+    side; plain sorted parquet here — the local in-memory catalog does
+    not persist bucketing metadata across sessions, and the search's
+    VALUES are layout-independent (pinned against the in-session path in
+    tests/test_ann_recall.py)."""
+    _symmetrized_edges(spark, sf_dir).repartition(
+        "g_src"
+    ).sortWithinPartitions("g_src", "g_dst").write.mode("overwrite").parquet(
+        f"{index_path}/edges"
+    )
+
+
+def ann_graph_search_indexed(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """Beam search against the ON-DISK graph index: identical budgets
+    (``_beam_rounds`` / ``_beam_width`` / ``_entry_seeds``), tie-breaks
+    and dot() contract as :func:`ann_graph_search`, so the result is
+    bit-identical to the in-session path — only the edge relation's
+    storage differs.  The embedding store is touched exclusively by the
+    bounded per-round scoring lookups, never scanned."""
+    emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    edges = spark.read.parquet(f"{index_path}/edges")
+    n = emb.count()
+    q, cand = _beam_state(emb, edges, _entry_seeds(n))
+    cand = _beam_loop(emb, edges, q, cand, _beam_width(n), _beam_rounds(n))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "rk",
+            F.col("vec_id").alias("neighbor_id"),
+            r6(F.col("cos")).alias("cosine"),
+        )
+    )
 
 
 def _beam_round_sql(

@@ -652,3 +652,73 @@ def test_beam_entry_selection_is_top_k_not_global_sort(spark):
         )
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_graph_descent_convergence_early_exit(spark):
+    """NN-Descent's natural termination (Dong et al. §2.3 at the strict
+    delta=0 point, r11): a generous round budget exits at the first
+    fixed point; the budget past convergence cannot change the relation
+    (each round is a deterministic function of the edge set); and the
+    default gate-scale budget sits BELOW the convergence point, so the
+    golden-gated default path still runs its full log-rule rounds."""
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        similarity as S,
+    )
+    from tests.conftest import SF_DIR
+
+    out10 = S.knn_graph_descent(spark, SF_DIR, iters=10).toPandas()
+    rounds = S._LAST_DESCENT_ROUNDS
+    assert rounds < 10  # pre-converged store: the budget was not spent
+    # fixed-point invariance, observed not just proven: truncating the
+    # budget to exactly the executed rounds reproduces the relation
+    out_exact = S.knn_graph_descent(spark, SF_DIR, iters=rounds).toPandas()
+    key = ["vec_id", "rk"]
+    assert out10.sort_values(key).reset_index(drop=True).equals(
+        out_exact.sort_values(key).reset_index(drop=True)
+    )
+    # the default budget at the gate store (4 rounds for 500 vectors)
+    # does not reach the fixed point: no early exit on the golden path
+    S.knn_graph_descent(spark, SF_DIR, iters=4).count()
+    assert S._LAST_DESCENT_ROUNDS == 4
+
+
+def test_graph_index_on_disk_reproduces_in_session_search(spark, tmp_path):
+    """build_graph_index + ann_graph_search_indexed is the deployment
+    split (index built once, searched by later sessions, the
+    build_ivf_index analog): the stored-edge search must reproduce the
+    in-session ann_graph_search bit-for-bit — same budgets, tie-breaks
+    and dot() contract, only the edge relation's storage differs."""
+    from bigdataanalytics_textsummarization_spark.extensions.similarity import (
+        ann_graph_search,
+        ann_graph_search_indexed,
+        build_graph_index,
+    )
+    from tests.conftest import SF_DIR
+
+    idx = str(tmp_path / "graph_index")
+    build_graph_index(spark, SF_DIR, idx)
+    key = ["query_id", "rk"]
+    got = (
+        ann_graph_search_indexed(spark, SF_DIR, idx)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        ann_graph_search(spark, SF_DIR)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # and the stored index is self-contained: a fresh read plans no
+    # dependence on the descent build's checkpoint (the edges come from
+    # parquet — two FileScans: embeddings + index; no ExistingRDD leaf)
+    df = ann_graph_search_indexed(spark, SF_DIR, idx)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "graph_index/edges" in plan
+    assert "ExistingRDD" not in plan

@@ -453,3 +453,17 @@ def test_token_mixture_and_vocab_growth_scan_once_via_leaf(spark):
         plan = _plan(spark, name)
         assert "ExistingRDD" in plan, name
         assert plan.count("Scan parquet") == 0, name
+
+
+def test_token_budget_mixture_salted_bounded_reducers(spark):
+    """The two-phase prefix twin must rank/prefix-sum under a window
+    keyed on (source, rng) — every reducer bounded at ~1/N_PREFIX_RANGES
+    of a source — with the per-source-only windows confined to the
+    O(sources x ranges) offset/quota frames, and both broadcast back."""
+    import re
+
+    plan = _plan(spark, "token_budget_mixture_salted")
+    assert re.search(r"hashpartitioning\(source[^)]*rng", plan), (
+        "phase-1 window not keyed on (source, rng)"
+    )
+    assert plan.count("BroadcastExchange") >= 2  # offsets + quotas
