@@ -428,8 +428,12 @@ _PRIORITY_R11 = [
     "corpus_diversity_sketch",
     "token_budget_mixture_salted",
     # (c) closure changed by r11 code: the beam family (width/entry
-    # scaling), the descent family (convergence early-exit), and the
-    # bucket-pair refactor behind the hybrid audit
+    # scaling), the descent family (convergence early-exit), the
+    # bucket-pair refactor behind the hybrid audit, and the mixture pair
+    # (quota hardened to the order-fixed integer chain — quota gates
+    # mixture_sample's membership, the token_budget_mixture flake class)
+    "source_mixture",
+    "mixture_sample",
     "knn_graph_descent",
     "knn_graph_recall",
     "ann_graph_search",
@@ -476,13 +480,13 @@ _PRIORITY_R11 = [
     "quality_score",
     "sales_pivot",
     "cohort_retention",
-    "events_by_segment",
-    "events_dedup",
 ]
 
 # r7-era greens that did not fit the r11 50-slot budget: oldest-first
 # rotation continues here in r12.
 _PRIORITY_R11_SPILL = [
+    "events_by_segment",
+    "events_dedup",
     "events_sliding",
     "simhash_near_pairs",
     "stratified_sample",

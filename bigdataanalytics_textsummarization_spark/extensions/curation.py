@@ -39,7 +39,6 @@ from .dedup import (
 )
 from .dedup import ORACLES as _DEDUP_ORACLES
 from .similarity import _EMB_CTE, NEAR_DUP_THRESHOLD
-from .similarity import ORACLES as _SIM_ORACLES
 from .similarity import _bucket_cosine_pairs
 from .text_analysis import _LEX_VALUES, lang_id, quality_score, token_count, train_test_split
 
@@ -174,19 +173,37 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     #sources (a mixture with more than a few thousand strata isn't a
     mixture), and the cross-join formulation would re-scan the corpus per
     scalar reference.
+
+    The QUOTA column is derived with the order-fixed integer chain of
+    :func:`token_budget_mixture` (r11: ``quota`` gates document
+    membership downstream — ``mixture_sample`` admits ``rk <= quota`` —
+    so a free-double ``round()`` at a .5 boundary was the same latent
+    flake class fixed there): sqrt (IEEE correctly-rounded, unlike pow)
+    floor-quantized to integer micro-units, then bigint division.  The
+    descriptive ``p_raw``/``p_mix`` ratio columns stay r6-rounded
+    doubles — they gate nothing.
     """
+    assert MIX_ALPHA == 0.5  # the quota chain's sqrt IS pow(·, MIX_ALPHA)
     docs = load_table(spark, sf_dir, "documents")
     per = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
     w = Window.partitionBy()
-    shared = per.withColumn(
-        "p", F.col("n_docs") / F.sum(F.col("n_docs").cast("double")).over(w)
-    ).withColumn("pa", F.pow("p", F.lit(MIX_ALPHA)))
+    shared = (
+        per.withColumn(
+            "p", F.col("n_docs") / F.sum("n_docs").over(w)
+        )
+        .withColumn("pa", F.pow("p", F.lit(MIX_ALPHA)))
+        .withColumn(
+            "pa_micro",
+            F.floor(F.sqrt("p") * F.lit(1_000_000.0)).cast("long"),
+        )
+        .withColumn("sum_pa_micro", F.sum("pa_micro").over(w))
+    )
     return shared.select(
         "source",
         "n_docs",
         r6(F.col("p")).alias("p_raw"),
         r6(F.col("pa") / F.sum("pa").over(w)).alias("p_mix"),
-        F.round(F.col("pa") / F.sum("pa").over(w) * MIX_BUDGET)
+        F.expr(f"(pa_micro * {MIX_BUDGET}) div sum_pa_micro")
         .cast("long")
         .alias("quota"),
     )
@@ -441,13 +458,15 @@ WITH per AS (
 ),
 shared AS (
   SELECT source, n_docs,
-         pow(n_docs / (SELECT cast(sum(n_docs) AS double) FROM per),
-             {MIX_ALPHA}) AS pa
+         cast(floor(sqrt(
+             n_docs / (SELECT cast(sum(n_docs) AS double) FROM per)
+         ) * 1000000.0) AS bigint) AS pa_micro
   FROM per
 ),
 q AS (
   SELECT source,
-         cast(round(pa / (SELECT sum(pa) FROM shared) * {MIX_BUDGET})
+         cast((pa_micro * {MIX_BUDGET})
+              // (SELECT cast(sum(pa_micro) AS bigint) FROM shared)
               AS bigint) AS quota
   FROM shared
 ),
@@ -474,13 +493,17 @@ shared AS (
   SELECT source, n_docs,
          n_docs / (SELECT cast(sum(n_docs) AS double) FROM per) AS p,
          pow(n_docs / (SELECT cast(sum(n_docs) AS double) FROM per),
-             {MIX_ALPHA}) AS pa
+             {MIX_ALPHA}) AS pa,
+         cast(floor(sqrt(
+             n_docs / (SELECT cast(sum(n_docs) AS double) FROM per)
+         ) * 1000000.0) AS bigint) AS pa_micro
   FROM per
 )
 SELECT source, n_docs,
        (round(p, 6) + 0.0) AS p_raw,
        (round(pa / (SELECT sum(pa) FROM shared), 6) + 0.0) AS p_mix,
-       cast(round(pa / (SELECT sum(pa) FROM shared) * {MIX_BUDGET})
+       cast((pa_micro * {MIX_BUDGET})
+            // (SELECT cast(sum(pa_micro) AS bigint) FROM shared)
             AS bigint) AS quota
 FROM shared
 """,
