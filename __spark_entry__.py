@@ -440,6 +440,11 @@ _PRIORITY_R11 = [
     "ann_graph_search_recall",
     "ann_graph_tuning",
     "embedding_near_dups",
+    # (c cont.) the dedup family over the now leaf-shared LSH pair table
+    "dedup_clusters",
+    "dedup_keep_best",
+    "contrastive_pairs",
+    "curation_pipeline",
     # (d) r6-era greens — the oldest standing rows in the registry
     "benchmark_decontam",
     "customers_with_open_orders",
@@ -476,15 +481,15 @@ _PRIORITY_R11 = [
     "compression_ratio",
     "doc_repetition",
     "lang_id",
-    "pii_scrub",
-    "quality_score",
-    "sales_pivot",
-    "cohort_retention",
 ]
 
 # r7-era greens that did not fit the r11 50-slot budget: oldest-first
 # rotation continues here in r12.
 _PRIORITY_R11_SPILL = [
+    "pii_scrub",
+    "quality_score",
+    "sales_pivot",
+    "cohort_retention",
     "events_by_segment",
     "events_dedup",
     "events_sliding",

@@ -35,7 +35,7 @@ from .dedup import (
     SHINGLES_CTE,
     dedup_clusters,
     dedup_exact,
-    dedup_minhash_lsh,
+    _lsh_pairs,
 )
 from .dedup import ORACLES as _DEDUP_ORACLES
 from .similarity import _EMB_CTE, NEAR_DUP_THRESHOLD
@@ -903,9 +903,7 @@ def hybrid_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE full-outer equi-join of the two candidate sets keyed on the
     pair — O(candidates), never a new pairwise stage.
     """
-    lex_c = dedup_minhash_lsh(spark, sf_dir).select(
-        "doc_a", "doc_b", "jaccard"
-    )
+    lex_c = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
     sem_c = _bucket_cosine_pairs(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"),
         F.col("vec_b").alias("doc_b"),

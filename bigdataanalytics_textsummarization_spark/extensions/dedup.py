@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import _owned_ckpt, _retire_ckpt, r6
+from ..functions import _owned_ckpt, _retire_ckpt, leaf, r6, session_memo
 from ..io import load_table
 
 N_HASHES = 16
@@ -275,6 +275,21 @@ CLUSTER_MIN_JACCARD = 0.2
 CLUSTER_MAX_ITERS = 20
 
 
+@session_memo
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH candidate pair table, materialized ONCE per
+    session and shared by every consumer (r11, the ``_beam_seed``
+    precedent): ``dedup_clusters`` (and through it ``dedup_keep_best``
+    and ``curation_pipeline``), ``contrastive_pairs`` and the hybrid
+    audit each composed the full LSH diamond independently —
+    ``dedup_keep_best``'s 3.1 s construct share was mostly this re-
+    derivation.  The pair table is O(candidates) (tiny next to the
+    shingle stream it summarizes), so the leaf is cheap to hold;
+    ``dedup_minhash_lsh`` itself stays un-leafed — its own driver row
+    and the shuffle-reuse plan test certify the raw diamond."""
+    return leaf(dedup_minhash_lsh(spark, sf_dir))
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the LSH pair
     graph (exact Jaccard >= 0.2), canonical = min doc_id per component.
@@ -289,7 +304,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves the cluster.  The DuckDB oracle computes the same components
     with a recursive transitive-closure CTE.
     """
-    pairs = dedup_minhash_lsh(spark, sf_dir).filter(
+    pairs = _lsh_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= CLUSTER_MIN_JACCARD
     )
     edges = (
@@ -934,7 +949,7 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs are emitted unbalanced with a ``kind`` tag; downstream
     samplers (mixture_sample / weighted_sample) own the class ratio.
     """
-    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    lsh = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
     pos = lsh.filter(F.col("jaccard") >= CONTRASTIVE_POS_J).select(
         "doc_a",
         "doc_b",
