@@ -483,9 +483,14 @@ _PRIORITY_R11 = [
     "lang_id",
 ]
 
-# r7-era greens that did not fit the r11 50-slot budget: oldest-first
-# rotation continues here in r12.
+# Over-budget r11 queue, r12 leads with it: first the new-in-r11
+# never-certified pair (DSIR importance weights + resampled epoch, both
+# full-SQL-gated and verified bit-exact at sf0.001/0.01/0.1 by
+# driver_sim before staging), then the r7-era greens the 50-slot budget
+# displaced — oldest-first rotation continues from here.
 _PRIORITY_R11_SPILL = [
+    "dsir_weights",
+    "dsir_sample",
     "pii_scrub",
     "quality_score",
     "sales_pivot",

@@ -969,3 +969,209 @@ SELECT * FROM (
 ) WHERE lexical = 'flagged' OR semantic = 'flagged'
 """
 QUERIES["hybrid_dedup_audit"] = hybrid_dedup_audit
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection by importance resampling (Xie et al. 2023, r11)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024  # hashed-unigram feature space (the paper hashes n-grams)
+DSIR_TARGET_LANG = "en"  # the target-domain slice the raw corpus is steered to
+DSIR_K = 200  # resampled epoch size
+
+
+def _dsir_doc_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hashed-unigram bucket counts — the single corpus scan
+    the whole DSIR pipeline rides, leafed so the target LM, the raw
+    (source) LM and the per-document scoring all consume ONE
+    materialized (doc_id, lang, b, cnt) aggregate instead of
+    re-tokenizing the text three times.  Cardinality is bounded by
+    docs × min(doc vocab, DSIR_BUCKETS) — far smaller than the token
+    stream at any scale."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ", -1)).alias("w"),
+    )
+    b = (
+        F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    return leaf(
+        docs.select("doc_id", "lang", b.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): per document, the
+    log-likelihood ratio of a TARGET-domain hashed-unigram LM over the
+    RAW-corpus LM — the standard cheap way to steer a crawl-scale corpus
+    toward a target domain without a trained classifier.  Target here is
+    the corpus's own ``lang = 'en'`` slice (the paper's target is any
+    small high-quality set; the mechanics are identical).
+
+    Both LMs are add-1-smoothed over the DSIR_BUCKETS hashed-feature
+    space: p(b) = (c(b) + 1) / (N + B).  Since the source LM counts the
+    FULL corpus, every bucket a document can hit has a source count, so
+    the log-ratio is total on the join — no null handling in the fold.
+
+    Scale shape: ONE corpus scan (the leafed ``_dsir_doc_buckets``
+    aggregate feeds both LMs and the scoring), the LM table is O(B)
+    rows and broadcasts, the per-document score is an ORDER-FIXED fold
+    (bucket-sorted, the vocab_kl_drift pattern) over that document's
+    buckets.  The only unpartitioned windows are the two scalar token
+    totals over the O(B) LM frame.
+    """
+    db = _dsir_doc_buckets(spark, sf_dir)
+    src = db.groupBy("b").agg(F.sum("cnt").cast("long").alias("c_s"))
+    tgt = (
+        db.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("cnt").cast("long").alias("c_t"))
+    )
+    w = Window.partitionBy()
+    lm = (
+        src.join(tgt, "b", "left")
+        .select("b", "c_s", F.coalesce("c_t", F.lit(0)).alias("c_t"))
+        .withColumn("n_s", F.sum("c_s").over(w))
+        .withColumn("n_t", F.sum("c_t").over(w))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.col("c_t") + 1)
+                    / (F.col("n_t") + F.lit(DSIR_BUCKETS)).cast("double")
+                )
+                - F.log(
+                    (F.col("c_s") + 1)
+                    / (F.col("n_s") + F.lit(DSIR_BUCKETS)).cast("double")
+                )
+            ).alias("r"),
+        )
+    )
+    contrib = db.join(F.broadcast(lm), "b").select(
+        "doc_id", "lang", "b", "cnt", (F.col("cnt") * F.col("r")).alias("c")
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("b", F.col("c")))),
+            lambda s: s["c"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return contrib.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        r6(fold).alias("logw"),
+        r6(fold / F.sum("cnt")).alias("logw_per_token"),
+    )
+
+
+def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR resampling step: a without-replacement sample of DSIR_K
+    documents with probability proportional to the importance weight —
+    Efraimidis-Spirakis A-Res exactly as :func:`weighted_sample`, with
+    w_d = exp(per-token log ratio).  The weight input is the ROUNDED
+    ``logw_per_token`` (the certified engine-equal value), so the
+    membership cut never reads a free engine-ulp double — the textrank
+    top-k lesson.  u is the md5-derived uniform under its own ``:dsir``
+    salt; two engines or two runs admit the identical epoch.  Top-k is a
+    distributed TakeOrdered (sort+limit), never a corpus-wide window.
+    """
+    scored = dsir_weights(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":dsir"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1) / F.lit(float(2**48 + 1))  # in (0, 1): ln() stays finite
+    keyed = (
+        scored.select(
+            "doc_id",
+            "logw_per_token",
+            (F.log(u) / F.exp(F.col("logw_per_token"))).alias("key"),
+        )
+        .orderBy(F.desc("key"), "doc_id")
+        .limit(DSIR_K)
+    )
+    rkw = Window.orderBy(F.desc("key"), "doc_id")
+    return keyed.select(
+        "doc_id",
+        "logw_per_token",
+        F.row_number().over(rkw).cast("long").alias("rk"),
+        r6(F.col("key")).alias("key"),
+    )
+
+
+_DSIR_BUCKET_SQL = (
+    "cast(cast(concat('0x', substr(md5(w), 1, 12)) AS ubigint) AS bigint) "
+    f"% {DSIR_BUCKETS}"
+)
+
+_DSIR_WEIGHTS_CTE = f"""
+db AS (
+  SELECT doc_id, lang, b, cast(count(*) AS bigint) AS cnt FROM (
+    SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b
+    FROM (SELECT doc_id, lang,
+                 unnest(string_split(lower(text), ' ')) AS w
+          FROM documents)
+  ) GROUP BY doc_id, lang, b
+),
+lm AS (
+  SELECT b,
+         ln((c_t + 1) / cast((SELECT sum(c_t) FROM (
+               SELECT cast(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                                    THEN cnt ELSE 0 END) AS bigint) AS c_t
+               FROM db GROUP BY b)) + {DSIR_BUCKETS} AS double))
+         - ln((c_s + 1) / cast((SELECT sum(c_s) FROM (
+               SELECT cast(sum(cnt) AS bigint) AS c_s
+               FROM db GROUP BY b)) + {DSIR_BUCKETS} AS double)) AS r
+  FROM (
+    SELECT b,
+           cast(sum(cnt) AS bigint) AS c_s,
+           cast(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                         THEN cnt ELSE 0 END) AS bigint) AS c_t
+    FROM db GROUP BY b
+  )
+),
+scored AS (
+  SELECT doc_id, lang,
+         cast(sum(cnt) AS bigint) AS n_tokens,
+         (round(list_aggregate(list(cnt * r ORDER BY b), 'sum'), 6)
+          + 0.0) AS logw,
+         (round(list_aggregate(list(cnt * r ORDER BY b), 'sum')
+                / sum(cnt), 6) + 0.0) AS logw_per_token
+  FROM db JOIN lm USING (b)
+  GROUP BY doc_id, lang
+)"""
+
+ORACLES["dsir_weights"] = f"""
+WITH {_DSIR_WEIGHTS_CTE}
+SELECT doc_id, lang, n_tokens, logw, logw_per_token FROM scored
+"""
+QUERIES["dsir_weights"] = dsir_weights
+
+ORACLES["dsir_sample"] = f"""
+WITH {_DSIR_WEIGHTS_CTE},
+keyed AS (
+  SELECT doc_id, logw_per_token,
+         ln((cast(cast(concat('0x',
+               substr(md5(cast(doc_id AS varchar) || ':dsir'), 1, 12))
+               AS ubigint) AS bigint) + 1) / {float(2**48 + 1)})
+           / exp(logw_per_token) AS key
+  FROM scored
+)
+SELECT doc_id, logw_per_token, rk, (round(key, 6) + 0.0) AS key FROM (
+  SELECT doc_id, logw_per_token, key,
+         cast(row_number() OVER (ORDER BY key DESC, doc_id) AS bigint) AS rk
+  FROM keyed
+) WHERE rk <= {DSIR_K}
+"""
+QUERIES["dsir_sample"] = dsir_sample

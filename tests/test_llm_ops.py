@@ -541,3 +541,33 @@ def test_hybrid_dedup_audit_three_state_contract(spark):
         for r in embedding_near_dups(spark, SF_DIR).collect()
     }
     assert set(map(tuple, out.loc[sem_f, ["doc_a", "doc_b"]].values)) == sem_pairs
+
+
+def test_dsir_weights_steer_toward_target(spark):
+    """DSIR semantics (Xie et al. 2023): documents of the target slice
+    must average a HIGHER importance log-ratio than the rest (their
+    hashed unigrams are what the target LM up-weights), smoothing keeps
+    every weight finite, and the resampled epoch is exactly the DSIR_K
+    largest A-Res keys, deterministically."""
+    from bigdataanalytics_textsummarization_spark.extensions.curation import (
+        DSIR_K,
+        DSIR_TARGET_LANG,
+        dsir_sample,
+        dsir_weights,
+    )
+
+    wts = dsir_weights(spark, SF_DIR).toPandas()
+    assert wts["logw"].notna().all() and wts["logw_per_token"].notna().all()
+    tgt = wts[wts["lang"] == DSIR_TARGET_LANG]["logw_per_token"]
+    rest = wts[wts["lang"] != DSIR_TARGET_LANG]["logw_per_token"]
+    assert len(tgt) and len(rest)
+    assert tgt.mean() > rest.mean()
+    out = dsir_sample(spark, SF_DIR).toPandas()
+    assert len(out) == min(DSIR_K, len(wts))
+    assert sorted(out["rk"]) == list(range(1, len(out) + 1))
+    # determinism: the identical epoch on a second run
+    again = dsir_sample(spark, SF_DIR).toPandas()
+    key = ["rk"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )

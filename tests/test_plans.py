@@ -467,3 +467,15 @@ def test_token_budget_mixture_salted_bounded_reducers(spark):
         "phase-1 window not keyed on (source, rng)"
     )
     assert plan.count("BroadcastExchange") >= 2  # offsets + quotas
+
+
+def test_dsir_scans_corpus_once_via_leaf(spark):
+    """The DSIR pipeline's three consumers (target LM, source LM,
+    per-doc scoring) all ride the single leafed doc-bucket aggregate:
+    the consumer plan reads the materialized leaf, never a second
+    parquet scan of the text; the O(B) LM table broadcasts."""
+    for name in ("dsir_weights", "dsir_sample"):
+        plan = _plan(spark, name)
+        assert "ExistingRDD" in plan, name
+        assert plan.count("Scan parquet") == 0, name
+        assert "BroadcastExchange" in plan, name
