@@ -491,6 +491,7 @@ _PRIORITY_R11 = [
 _PRIORITY_R11_SPILL = [
     "dsir_weights",
     "dsir_sample",
+    "dsir_ingest",
     "pii_scrub",
     "quality_score",
     "sales_pivot",

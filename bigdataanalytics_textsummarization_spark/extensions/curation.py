@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import SPLIT_BUCKET_SQL, STOPWORDS_SQL, leaf, r6
+from ..functions import SPLIT_BUCKET_SQL, STOPWORDS_SQL, leaf, pin, r6
 from ..io import load_table
 from .dedup import (
     CLUSTER_MIN_JACCARD,
@@ -1175,3 +1175,148 @@ SELECT doc_id, logw_per_token, rk, (round(key, 6) + 0.0) AS key FROM (
 ) WHERE rk <= {DSIR_K}
 """
 QUERIES["dsir_sample"] = dsir_sample
+
+
+DSIR_INGEST_MOD = 10  # doc_id % MOD == 0 arrives "new"; the LM trains on the rest
+
+
+def _dsir_bucket(col: str):
+    """Shared hashed-unigram bucket expression (md5 % DSIR_BUCKETS)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+
+
+def _dsir_lm(train_docs: DataFrame) -> DataFrame:
+    """The STATIC DSIR log-ratio table a deployment freezes at train
+    time: one row per bucket 0..DSIR_BUCKETS-1 (spine-complete via a
+    range join, so serve-time lookups are total — an arriving document
+    can hash anywhere), with the add-1-smoothed target/source log
+    ratio.  O(B) rows: broadcast at serve time."""
+    spark = train_docs.sparkSession
+    wb = train_docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ", -1)).alias("w")
+    ).select("lang", _dsir_bucket("w").alias("b"))
+    counts = wb.groupBy("b").agg(
+        F.count("*").cast("long").alias("c_s"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("long").alias("c_t"),
+    )
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    w = Window.partitionBy()
+    return (
+        spine.join(counts, "b", "left")
+        .select(
+            "b",
+            F.coalesce("c_s", F.lit(0)).alias("c_s"),
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        )
+        .withColumn("n_s", F.sum("c_s").over(w))
+        .withColumn("n_t", F.sum("c_t").over(w))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.col("c_t") + 1)
+                    / (F.col("n_t") + F.lit(DSIR_BUCKETS)).cast("double")
+                )
+                - F.log(
+                    (F.col("c_s") + 1)
+                    / (F.col("n_s") + F.lit(DSIR_BUCKETS)).cast("double")
+                )
+            ).alias("r"),
+        )
+    )
+
+
+def dsir_ingest_score(new_docs: DataFrame, lm: DataFrame) -> DataFrame:
+    """Score ARRIVING documents against the static DSIR ratio table —
+    the serve-time half of importance-based selection (train/serve
+    split, unlike :func:`dsir_weights` where the corpus scores itself).
+
+    ``new_docs`` may be a STREAM: bucket extraction is row-local, the
+    ratio lookup is ONE stateless stream-static broadcast join against
+    the spine-complete O(B) table (total — no unseen-bucket null path),
+    and because each document arrives as one row the per-doc fold is
+    micro-batch-local — run it inside ``foreachBatch`` with zero
+    cross-batch state (the ``ppl_ingest_score`` argument)."""
+    new_bk = (
+        new_docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ", -1)).alias("w")
+        )
+        .select("doc_id", _dsir_bucket("w").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    contrib = new_bk.join(F.broadcast(lm), "b").select(
+        "doc_id", "b", "cnt", (F.col("cnt") * F.col("r")).alias("c")
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("b", F.col("c")))),
+            lambda s: s["c"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        r6(fold).alias("logw"),
+        r6(fold / F.sum("cnt")).alias("logw_per_token"),
+    )
+
+
+def dsir_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming DSIR gate: docs with
+    doc_id % DSIR_INGEST_MOD == 0 arrive 'new'; the ratio table trains
+    on the rest (stream==batch pinned in tests/test_streaming.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = pin(
+        _dsir_lm(docs.filter(F.col("doc_id") % DSIR_INGEST_MOD != 0))
+    )
+    return dsir_ingest_score(
+        docs.filter(F.col("doc_id") % DSIR_INGEST_MOD == 0), lm
+    )
+
+
+ORACLES["dsir_ingest"] = f"""
+WITH train_wb AS (
+  SELECT lang, {_DSIR_BUCKET_SQL} AS b
+  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE doc_id % {DSIR_INGEST_MOD} <> 0)
+),
+counts AS (
+  SELECT b, cast(count(*) AS bigint) AS c_s,
+         cast(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                       THEN 1 ELSE 0 END) AS bigint) AS c_t
+  FROM train_wb GROUP BY b
+),
+lm AS (
+  SELECT s.b,
+         ln((coalesce(c.c_t, 0) + 1)
+            / cast((SELECT sum(c_t) FROM counts) + {DSIR_BUCKETS} AS double))
+         - ln((coalesce(c.c_s, 0) + 1)
+            / cast((SELECT sum(c_s) FROM counts) + {DSIR_BUCKETS} AS double))
+           AS r
+  FROM (SELECT unnest(range(0, {DSIR_BUCKETS})) AS b) s
+  LEFT JOIN counts c ON c.b = s.b
+),
+new_bk AS (
+  SELECT doc_id, b, cast(count(*) AS bigint) AS cnt FROM (
+    SELECT doc_id, {_DSIR_BUCKET_SQL} AS b
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents WHERE doc_id % {DSIR_INGEST_MOD} = 0)
+  ) GROUP BY doc_id, b
+)
+SELECT doc_id,
+       cast(sum(cnt) AS bigint) AS n_tokens,
+       (round(list_aggregate(list(cnt * r ORDER BY b), 'sum'), 6)
+        + 0.0) AS logw,
+       (round(list_aggregate(list(cnt * r ORDER BY b), 'sum')
+              / sum(cnt), 6) + 0.0) AS logw_per_token
+FROM new_bk JOIN lm USING (b)
+GROUP BY doc_id
+"""
+QUERIES["dsir_ingest"] = dsir_ingest

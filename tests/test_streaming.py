@@ -580,3 +580,56 @@ def test_hourly_counts_accept_late_data_within_watermark(spark, tmp_path):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape
     assert g.equals(w)
+
+
+def test_dsir_ingest_stream_matches_batch(spark):
+    # the DSIR gate streams: row-local bucket hashing + ONE stateless
+    # stream-static broadcast join against the frozen spine-complete
+    # ratio table; the per-doc fold runs inside foreachBatch (each doc
+    # is one input row, so the rollup is micro-batch-local), and the
+    # union of all micro-batch outputs must equal the batch twin
+    from pyspark.sql import types as T
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        curation as cu,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream_docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(SF_DIR)
+        .filter(F.col("doc_id") % cu.DSIR_INGEST_MOD == 0)
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    lm = cu._dsir_lm(
+        docs.filter(F.col("doc_id") % cu.DSIR_INGEST_MOD != 0)
+    ).localCheckpoint()  # frozen ratio table, as a deployment would have
+
+    batches = []
+
+    def score_batch(batch_df, _bid):
+        batches.append(cu.dsir_ingest_score(batch_df, lm).toPandas())
+
+    q = (
+        stream_docs.writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import pandas as pd
+
+    got = pd.concat(batches, ignore_index=True)
+    want = cu.dsir_ingest(spark, SF_DIR).toPandas()
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
