@@ -89,6 +89,14 @@ PROBE = [
     # O(n·k) index-edge materialization (expect well below linear)
     "knn_graph_descent",
     "ann_graph_search",
+    # round-11: the corpus-curve pair (exact distinct-gram shuffle vs the
+    # mergeable HLL twin — the measured gap IS the sketch's reason to
+    # exist at scale), the two-phase prefix mixture cut, and the DSIR
+    # scoring pass (one leafed scan + O(B) broadcast; expect ~linear)
+    "corpus_diversity",
+    "corpus_diversity_sketch",
+    "token_budget_mixture_salted",
+    "dsir_weights",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default

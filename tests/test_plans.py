@@ -97,7 +97,15 @@ def test_minhash_lsh_reuses_shuffles_at_scale_shape(spark):
     # AQE broadcasts tiny sides instead, which re-evaluates cheap subtrees;
     # that is the right trade there and irrelevant at 100 TB.
     from bigdataanalytics_textsummarization_spark.extensions import dedup as D
+    from bigdataanalytics_textsummarization_spark.functions import (
+        release_pins,
+    )
 
+    # r11: if an earlier test materialized the shared _lsh_pairs leaf,
+    # Spark's cache manager substitutes the cached pair table into this
+    # semantically-equal plan (the feature the leaf exists for) — clear
+    # the pin scope so the assertion sees the RAW diamond it certifies
+    release_pins()
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
