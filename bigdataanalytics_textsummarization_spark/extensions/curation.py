@@ -1144,10 +1144,13 @@ lm AS (
 scored AS (
   SELECT doc_id, lang,
          cast(sum(cnt) AS bigint) AS n_tokens,
-         (round(list_aggregate(list(cnt * r ORDER BY b), 'sum'), 6)
-          + 0.0) AS logw,
-         (round(list_aggregate(list(cnt * r ORDER BY b), 'sum')
-                / sum(cnt), 6) + 0.0) AS logw_per_token
+         (round(
+            list_aggregate(list(cnt * r ORDER BY b), 'sum'), 6) + 0.0
+         ) AS logw,
+         (round(
+            list_aggregate(list(cnt * r ORDER BY b), 'sum') / sum(cnt),
+            6) + 0.0
+         ) AS logw_per_token
   FROM db JOIN lm USING (b)
   GROUP BY doc_id, lang
 )"""
@@ -1312,10 +1315,13 @@ new_bk AS (
 )
 SELECT doc_id,
        cast(sum(cnt) AS bigint) AS n_tokens,
-       (round(list_aggregate(list(cnt * r ORDER BY b), 'sum'), 6)
-        + 0.0) AS logw,
-       (round(list_aggregate(list(cnt * r ORDER BY b), 'sum')
-              / sum(cnt), 6) + 0.0) AS logw_per_token
+       (round(
+          list_aggregate(list(cnt * r ORDER BY b), 'sum'), 6) + 0.0
+       ) AS logw,
+       (round(
+          list_aggregate(list(cnt * r ORDER BY b), 'sum') / sum(cnt),
+          6) + 0.0
+       ) AS logw_per_token
 FROM new_bk JOIN lm USING (b)
 GROUP BY doc_id
 """
