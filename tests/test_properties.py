@@ -493,3 +493,165 @@ def test_graph_lpa_capped_bounds_degree_and_preserves_communities(spark):
         assert set(map(tuple, a[["source", "sentence_id"]].values)) == set(
             map(tuple, b[["source", "sentence_id"]].values)
         )
+
+
+def _docs_con_mixed(texts):
+    """Like _docs_con but with alternating languages, so a target-slice
+    LM (DSIR) differs from the raw-corpus LM."""
+    import pandas as pd
+
+    con = duckdb.connect()
+    df = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en" if i % 2 == 0 else "de" for i in range(len(texts))],
+            "source": ["s%d" % (i % 2) for i in range(len(texts))],
+        }
+    )
+    df["n_chars"] = df["text"].str.len()
+    con.register("documents", df)
+    return con
+
+
+@settings(max_examples=80, deadline=None)
+@given(_texts)
+def test_corpus_diversity_matches_counter_reference(texts):
+    from collections import Counter
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    con = _docs_con(texts)
+    out = con.sql(ta.ORACLES["corpus_diversity"]).df().set_index("n")
+    for n in (1, 2, 3):
+        grams, total = Counter(), 0
+        for t in texts:
+            ws = t.lower().split(" ")
+            for i in range(len(ws) - n + 1):
+                grams[" ".join(ws[i : i + n])] += 1
+                total += 1
+        if total == 0:
+            assert n not in out.index
+            continue
+        row = out.loc[n]
+        assert row["total_ngrams"] == total
+        assert row["distinct_ngrams"] == len(grams)
+        assert row["distinct_milli"] == (1000 * len(grams)) // total
+    # the HLL twin carries the identical exact columns
+    tw = con.sql(ta.ORACLES["corpus_diversity_sketch"]).df().set_index("n")
+    assert (
+        tw[["total_ngrams", "distinct_ngrams"]]
+        .sort_index()
+        .equals(out[["total_ngrams", "distinct_ngrams"]].sort_index())
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts)
+def test_token_budget_mixture_matches_integer_reference(texts):
+    """The full admitted set is re-derived in pure Python: the quota
+    chain is exact integer arithmetic on an IEEE-correctly-rounded sqrt
+    (so Python reproduces it bit-for-bit), and the prefix cut follows
+    the md5 hash order — the oracle must agree EXACTLY."""
+    import hashlib
+    import math
+
+    from bigdataanalytics_textsummarization_spark.extensions import curation as cu
+
+    con = _docs_con(texts)
+    out = con.sql(cu.ORACLES["token_budget_mixture"]).df()
+    docs = [
+        (i, len(t.split(" ")), "s%d" % (i % 2)) for i, t in enumerate(texts)
+    ]
+    src_tokens = {}
+    for _, n, s in docs:
+        src_tokens[s] = src_tokens.get(s, 0) + n
+    total = sum(src_tokens.values())
+    pa_micro = {
+        s: math.floor(math.sqrt(v / total) * 1_000_000.0)
+        for s, v in src_tokens.items()
+    }
+    sum_pa = sum(pa_micro.values())
+    quota = {
+        s: (pa_micro[s] * cu.TOKEN_BUDGET) // sum_pa for s in pa_micro
+    }
+
+    def h(doc_id):
+        return int(
+            hashlib.md5(f"{doc_id}:tokmix".encode()).hexdigest()[:12], 16
+        )
+
+    want = set()
+    for s in src_tokens:
+        ordered = sorted(
+            (d for d in docs if d[2] == s), key=lambda d: (h(d[0]), d[0])
+        )
+        cum = 0
+        for doc_id, n, _ in ordered:
+            cum += n
+            if cum > quota[s]:
+                break
+            want.add(doc_id)
+    assert set(out["doc_id"]) == want
+    if len(out):
+        assert (out["cum_tokens"] <= out["source"].map(quota)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts)
+def test_dsir_weights_match_python_reference(texts):
+    import hashlib
+    import math
+    from collections import Counter
+
+    from bigdataanalytics_textsummarization_spark.extensions import curation as cu
+
+    B = cu.DSIR_BUCKETS
+    con = _docs_con_mixed(texts)
+    out = con.sql(cu.ORACLES["dsir_weights"]).df()
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:12], 16) % B
+
+    langs = ["en" if i % 2 == 0 else "de" for i in range(len(texts))]
+    src, tgt = Counter(), Counter()
+    for t, lg in zip(texts, langs):
+        for w in t.lower().split(" "):
+            b = bucket(w)
+            src[b] += 1
+            if lg == cu.DSIR_TARGET_LANG:
+                tgt[b] += 1
+    n_s, n_t = sum(src.values()), sum(tgt.values())
+    r = {
+        b: math.log((tgt.get(b, 0) + 1) / (n_t + B))
+        - math.log((c + 1) / (n_s + B))
+        for b, c in src.items()
+    }
+    got = {int(row["doc_id"]): row for _, row in out.iterrows()}
+    for i, t in enumerate(texts):
+        ws = t.lower().split(" ")
+        s = sum(r[bucket(w)] for w in ws)
+        assert got[i]["n_tokens"] == len(ws)
+        # cross-implementation tolerance: libm-vs-Python ln ulps + fold order
+        assert abs(got[i]["logw"] - s) < 5e-6
+        assert abs(got[i]["logw_per_token"] - s / len(ws)) < 5e-6
+    # the resampled epoch is the DSIR_K largest A-Res keys
+    samp = con.sql(cu.ORACLES["dsir_sample"]).df()
+    assert len(samp) == min(cu.DSIR_K, len(texts))
+    assert sorted(samp["rk"]) == list(range(1, len(samp) + 1))
+
+
+@settings(max_examples=40, deadline=None)
+@given(_texts)
+def test_dsir_target_equals_corpus_is_exactly_neutral(texts):
+    """When the target slice IS the whole corpus (every doc en), both LMs
+    are identical, so every log-ratio — and every document weight — is
+    EXACTLY zero (ln(x) - ln(x) on identical doubles)."""
+    from bigdataanalytics_textsummarization_spark.extensions import curation as cu
+
+    con = _docs_con(texts)  # all-en fixture
+    out = con.sql(cu.ORACLES["dsir_weights"]).df()
+    assert (out["logw"] == 0.0).all()
+    assert (out["logw_per_token"] == 0.0).all()
