@@ -1022,8 +1022,10 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate feeds both LMs and the scoring), the LM table is O(B)
     rows and broadcasts, the per-document score is an ORDER-FIXED fold
     (bucket-sorted, the vocab_kl_drift pattern) over that document's
-    buckets.  The only unpartitioned windows are the two scalar token
-    totals over the O(B) LM frame.
+    buckets.  The two scalar token totals are a 1-row aggregate
+    broadcast back over the O(B) LM frame (the snapshot_drift pattern)
+    rather than an unpartitioned window, so no stage ever coalesces the
+    frame to a single partition.
     """
     db = _dsir_doc_buckets(spark, sf_dir)
     src = db.groupBy("b").agg(F.sum("cnt").cast("long").alias("c_s"))
@@ -1032,12 +1034,15 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("b")
         .agg(F.sum("cnt").cast("long").alias("c_t"))
     )
-    w = Window.partitionBy()
+    counts = src.join(tgt, "b", "left").select(
+        "b", "c_s", F.coalesce("c_t", F.lit(0)).alias("c_t")
+    )
+    totals = counts.agg(
+        F.sum("c_s").cast("long").alias("n_s"),
+        F.sum("c_t").cast("long").alias("n_t"),
+    )
     lm = (
-        src.join(tgt, "b", "left")
-        .select("b", "c_s", F.coalesce("c_t", F.lit(0)).alias("c_t"))
-        .withColumn("n_s", F.sum("c_s").over(w))
-        .withColumn("n_t", F.sum("c_t").over(w))
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "b",
             (
@@ -1208,16 +1213,17 @@ def _dsir_lm(train_docs: DataFrame) -> DataFrame:
         ).cast("long").alias("c_t"),
     )
     spine = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
-    w = Window.partitionBy()
+    filled = spine.join(counts, "b", "left").select(
+        "b",
+        F.coalesce("c_s", F.lit(0)).alias("c_s"),
+        F.coalesce("c_t", F.lit(0)).alias("c_t"),
+    )
+    totals = filled.agg(
+        F.sum("c_s").cast("long").alias("n_s"),
+        F.sum("c_t").cast("long").alias("n_t"),
+    )
     return (
-        spine.join(counts, "b", "left")
-        .select(
-            "b",
-            F.coalesce("c_s", F.lit(0)).alias("c_s"),
-            F.coalesce("c_t", F.lit(0)).alias("c_t"),
-        )
-        .withColumn("n_s", F.sum("c_s").over(w))
-        .withColumn("n_t", F.sum("c_t").over(w))
+        filled.crossJoin(F.broadcast(totals))
         .select(
             "b",
             (
