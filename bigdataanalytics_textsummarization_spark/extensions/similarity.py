@@ -2587,15 +2587,58 @@ def build_graph_index(spark: SparkSession, sf_dir: str, index_path: str) -> None
     )
 
 
+def _ensure_graph_index(spark: SparkSession, sf_dir: str) -> str:
+    """Provision the on-disk graph index ONCE per embedding-store content,
+    atomically (the ``_ensure_roundtrip_dir`` scheme): the distributed
+    :func:`build_graph_index` write goes to a pid-suffixed stage
+    directory which is ``os.rename``d into the signature-keyed shared
+    path only after the sink completed, so a pytest run alongside the
+    driver can never observe (or overwrite) a half-written index.  A
+    lost rename race means the other builder's complete index wins —
+    identical by construction (descent is deterministic)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    sig = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_media", sig, "graph_index"
+    )
+    if os.path.isdir(root):
+        return root
+    stage = root + f".stage-{os.getpid()}"
+    build_graph_index(spark, sf_dir, stage)
+    try:
+        os.rename(stage, root)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # raced: other build won
+    return root
+
+
 def ann_graph_search_indexed(
-    spark: SparkSession, sf_dir: str, index_path: str
+    spark: SparkSession, sf_dir: str, index_path: str | None = None
 ) -> DataFrame:
     """Beam search against the ON-DISK graph index: identical budgets
     (``_beam_rounds`` / ``_beam_width`` / ``_entry_seeds``), tie-breaks
     and dot() contract as :func:`ann_graph_search`, so the result is
     bit-identical to the in-session path — only the edge relation's
     storage differs.  The embedding store is touched exclusively by the
-    bounded per-round scoring lookups, never scanned."""
+    bounded per-round scoring lookups, never scanned.
+
+    As the registered driver query (index_path=None) this certifies the
+    full deployment path — build -> persist -> fresh-scan search —
+    against the same unrolled beam-CTE oracle as :func:`ann_graph_search`
+    (they are bit-identical; also pinned in tests/test_ann_recall.py).
+    The index provisions once per embedding-store signature
+    (:func:`_ensure_graph_index`), which is exactly the deployment
+    economics: the build amortizes across every later search session."""
+    if index_path is None:
+        index_path = _ensure_graph_index(spark, sf_dir)
     emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
     edges = spark.read.parquet(f"{index_path}/edges")
     n = emb.count()
@@ -2675,6 +2718,13 @@ FROM (
 ) WHERE rk <= {TOP_K}
 """
 QUERIES["ann_graph_search"] = ann_graph_search
+
+# The on-disk path answers with the in-session path's exact rows (pinned
+# bit-equal in tests/test_ann_recall.py), so it certifies against the
+# same unrolled beam-CTE oracle — a second green row that covers what
+# the first cannot: the persisted layout actually round-trips.
+ORACLES["ann_graph_search_indexed"] = ORACLES["ann_graph_search"]
+QUERIES["ann_graph_search_indexed"] = ann_graph_search_indexed
 
 
 GRAPH_SEARCH_RECALL_FLOOR = 0.6  # r11: with the scaled budgets
