@@ -959,3 +959,269 @@ FROM documents WHERE doc_id < {FILE_CAP}
 QUERIES["ppm_files_decode"] = ppm_files_decode
 QUERIES["wav_files_decode"] = wav_files_decode
 QUERIES["tar_shards_roundtrip"] = tar_shards_roundtrip
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup — the multimodal twin of dedup_minhash_lsh
+# (VERDICT r11 task 5): aHash/dHash over REAL decoded PPM rasters, then
+# Hamming-band blocking, never all-pairs.  A LAION-scale image dedup is
+# exactly this shape with a 64-bit hash over 32x32 downsamples; the 4x4
+# fixture keeps every integer SQL-replicable while the Spark plumbing
+# (binary payload -> Arrow decode -> banded self-join) is the real thing.
+
+N_IMG_PATTERNS = 125  # planted groups: doc_id % N shares a base raster
+IMG_BASE_MOD = 128  # base channel byte in [64, 191] (no clamp needed ...)
+IMG_BASE_LO = 64
+IMG_NOISE_MOD = 17  # per-channel noise in [-8, 8]: payload byte in [56, 199]
+PHASH_SIDE = 4  # raster is PHASH_SIDE x PHASH_SIDE RGB
+PHASH_BITS = 40  # 16 aHash + 12 horizontal dHash + 12 vertical dHash
+PHASH_BANDS = 4  # 10-bit bands: pigeonhole-complete at hamming <= 3
+PHASH_MAX_HAMMING = 3
+
+
+def synth_ppm_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a GENUINE 4x4 P6 PPM per document with PLANTED perceptual
+    near-duplicates: the raster is a pattern-keyed base image
+    (``doc_id % N_IMG_PATTERNS`` — same pattern, same base) plus a small
+    per-document per-channel noise in [-8, 8], so documents sharing a
+    pattern are true near-dups (a few perceptual-hash bits flip) while
+    different patterns are unrelated.  Every byte is an exact integer
+    function of (doc_id) that the DuckDB oracle replays; the payload is a
+    VALID image file — ``PIL.Image.open`` would decode it unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bytes = PHASH_SIDE * PHASH_SIDE * 3
+    keyed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("pat:"),
+            (F.col("doc_id") % N_IMG_PATTERNS).cast("string"),
+        ).alias("pk"),
+        F.concat(F.lit("img:"), F.col("doc_id").cast("string")).alias("nk"),
+    ).select(
+        "doc_id",
+        F.concat(F.md5("pk"), F.md5(F.concat("pk", F.lit("a"))),
+                 F.md5(F.concat("pk", F.lit("b")))).alias("bhx"),
+        F.concat(F.md5("nk"), F.md5(F.concat("nk", F.lit("a"))),
+                 F.md5(F.concat("nk", F.lit("b")))).alias("nhx"),
+    )
+    header = F.encode(
+        F.lit(f"P6\n{PHASH_SIDE} {PHASH_SIDE}\n255\n"), "UTF-8"
+    )
+    raster = F.expr(
+        f"unhex(array_join(transform(sequence(0, {n_bytes - 1}), i -> "
+        "lpad(hex("
+        f"cast(conv(substring(bhx, 2 * i + 1, 2), 16, 10) AS int)"
+        f" % {IMG_BASE_MOD} + {IMG_BASE_LO}"
+        f" + cast(conv(substring(nhx, 2 * i + 1, 2), 16, 10) AS int)"
+        f" % {IMG_NOISE_MOD} - {(IMG_NOISE_MOD - 1) // 2}"
+        "), 2, '0')), ''))"
+    )
+    return keyed.select("doc_id", F.concat(header, raster).alias("payload"))
+
+
+def phash_ppm(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """REAL perceptual hash of a binary P6 PPM: format-parse the header
+    and raster (:func:`_parse_ppm` — corrupt payloads fail loudly), then
+    (width, height, ahash, dhash_h, dhash_v, phash) over per-pixel luma
+    sums (r+g+b, exact integers — no float surface anywhere):
+
+    - aHash (16 bits): bit p set iff pixel p's luma is above the image
+      mean (``16 * lum[p] > total``, the division-free exact form);
+    - dHash horizontal (12 bits): bit (3y+x) set iff lum[y,x] > lum[y,x+1];
+    - dHash vertical (12 bits): bit (4y+x) set iff lum[y,x] > lum[y+1,x];
+    - phash (40 bits): ahash | dhash_h << 16 | dhash_v << 28.
+
+    A real deployment swaps the 4x4 raster for a 32x32 grayscale
+    downsample and a 64-bit hash; the banding math is unchanged."""
+    w, h, raster = _parse_ppm(payload)
+    if (w, h) != (PHASH_SIDE, PHASH_SIDE):
+        raise ValueError(f"phash expects {PHASH_SIDE}x{PHASH_SIDE}, got {w}x{h}")
+    n_px = w * h
+    lum = [
+        raster[3 * p] + raster[3 * p + 1] + raster[3 * p + 2]
+        for p in range(n_px)
+    ]
+    total = sum(lum)
+    ahash = sum(1 << p for p in range(n_px) if n_px * lum[p] > total)
+    dhash_h = sum(
+        1 << (3 * (p // w) + p % w)
+        for p in range(n_px)
+        if p % w < w - 1 and lum[p] > lum[p + 1]
+    )
+    dhash_v = sum(
+        1 << p for p in range(n_px - w) if lum[p] > lum[p + w]
+    )
+    return w, h, ahash, dhash_h, dhash_v, (
+        ahash + (dhash_h << 16) + (dhash_v << 28)
+    )
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("dhash_h", T.LongType()),
+        T.StructField("dhash_v", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image perceptual hash via mapInPandas (Arrow batches): the
+    binary payload flows through Arrow, the Python worker format-parses
+    each PPM once (:func:`phash_ppm`), and the output is all-long —
+    zero float surface for the value gate.  Partitioning is preserved
+    (no shuffle): at 100 TB this is a pure map stage over the image
+    store, the cheap half of the dedup pipeline."""
+    media = synth_ppm_noisy(spark, sf_dir)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(did), *phash_ppm(payload))
+                for did, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PHASH_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(hash_batches, schema=_PHASH_SCHEMA)
+
+
+def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance <=
+    {PHASH_MAX_HAMMING}, band-blocked (the ``simhash_near_pairs`` shape
+    on the multimodal store): with {PHASH_BANDS} bands of 10 bits over
+    the 40-bit hash, any pair at hamming <= 3 agrees exactly on at least
+    one band (pigeonhole), so candidate generation is an equi-join on
+    (band, band_bits) — never an all-pairs cross product, and with ZERO
+    recall loss versus brute force.  The hash table is leafed so the
+    Arrow decode runs once, not once per self-join side."""
+    from ..functions import leaf
+
+    fp = leaf(image_phash(spark, sf_dir).select("doc_id", "phash"))
+    band_w = PHASH_BITS // PHASH_BANDS
+    bands = fp.select(
+        "doc_id",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
+    ).withColumn(
+        "band_bits",
+        F.expr(f"(phash >> (band * {band_w})) & {(1 << band_w) - 1}"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band",
+        "band_bits",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band",
+        "band_bits",
+    )
+    return (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("ph_a ^ ph_b")).cast("long"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "ph_a", "ph_b", "hamming")
+    )
+
+
+# Shared oracle CTE: replay the synthesis integers (pattern base + noise)
+# straight into per-pixel luma sums, then the three hash planes.  Mirrors
+# the simhash oracle's banded shape; everything is exact integer math.
+_PHASH_CTE = f"""
+lum AS (
+  SELECT doc_id, p,
+         sum((cast(cast(concat('0x', substr(bhx, 6 * p + 2 * c + 1, 2))
+                   AS ubigint) AS bigint) % {IMG_BASE_MOD} + {IMG_BASE_LO})
+           + (cast(cast(concat('0x', substr(nhx, 6 * p + 2 * c + 1, 2))
+                   AS ubigint) AS bigint) % {IMG_NOISE_MOD}
+              - {(IMG_NOISE_MOD - 1) // 2})) AS g
+  FROM (
+    SELECT doc_id,
+           md5(pk) || md5(pk || 'a') || md5(pk || 'b') AS bhx,
+           md5(nk) || md5(nk || 'a') || md5(nk || 'b') AS nhx,
+           rp.p AS p, rc.c AS c
+    FROM (SELECT doc_id,
+                 'pat:' || cast(doc_id % {N_IMG_PATTERNS} AS varchar) AS pk,
+                 'img:' || cast(doc_id AS varchar) AS nk
+          FROM documents),
+         range({PHASH_SIDE * PHASH_SIDE}) rp(p), range(3) rc(c)
+  )
+  GROUP BY doc_id, p
+),
+tot AS (SELECT doc_id, sum(g) AS t FROM lum GROUP BY doc_id),
+ah AS (
+  SELECT l.doc_id,
+         cast(coalesce(sum(CASE WHEN {PHASH_SIDE * PHASH_SIDE} * l.g > t.t
+                                THEN cast(1 AS bigint) << l.p END), 0)
+              AS bigint) AS ahash
+  FROM lum l JOIN tot t USING (doc_id) GROUP BY l.doc_id
+),
+dh AS (
+  SELECT a.doc_id,
+         cast(coalesce(sum(CASE WHEN a.g > b.g THEN cast(1 AS bigint)
+                                << ((a.p // {PHASH_SIDE}) * {PHASH_SIDE - 1}
+                                    + (a.p % {PHASH_SIDE})) END), 0)
+              AS bigint) AS dhash_h
+  FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.p % {PHASH_SIDE} < {PHASH_SIDE - 1}
+  GROUP BY a.doc_id
+),
+dv AS (
+  SELECT a.doc_id,
+         cast(coalesce(sum(CASE WHEN a.g > b.g
+                                THEN cast(1 AS bigint) << a.p END), 0)
+              AS bigint) AS dhash_v
+  FROM lum a JOIN lum b ON b.doc_id = a.doc_id
+                       AND b.p = a.p + {PHASH_SIDE}
+  WHERE a.p < {PHASH_SIDE * (PHASH_SIDE - 1)}
+  GROUP BY a.doc_id
+),
+ph AS (
+  SELECT doc_id,
+         cast({PHASH_SIDE} AS bigint) AS width,
+         cast({PHASH_SIDE} AS bigint) AS height,
+         ahash, dhash_h, dhash_v,
+         ahash + (dhash_h << 16) + (dhash_v << 28) AS phash
+  FROM ah JOIN dh USING (doc_id) JOIN dv USING (doc_id)
+)"""
+
+ORACLES["image_phash"] = f"""
+WITH {_PHASH_CTE}
+SELECT doc_id, width, height, ahash, dhash_h, dhash_v, phash FROM ph
+"""
+
+ORACLES["image_near_dups"] = f"""
+WITH {_PHASH_CTE},
+pbands AS (
+  SELECT doc_id, phash, band,
+         (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
+           & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
+  FROM (SELECT doc_id, phash,
+               unnest(range({PHASH_BANDS})) AS band FROM ph)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS ph_a, b.phash AS ph_b
+  FROM pbands a
+  JOIN pbands b ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ph_a, ph_b,
+       cast(bit_count(xor(ph_a, ph_b)) AS bigint) AS hamming
+FROM cand
+WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_MAX_HAMMING}
+"""
+
+QUERIES["image_phash"] = image_phash
+QUERIES["image_near_dups"] = image_near_dups

@@ -329,3 +329,71 @@ def test_decode_ppm_frames_roundtrip_fuzz():
                     sums[c] += raster[i * 3 + c]
             expect.append((w, h, *sums))
         assert mm.decode_ppm_frames(payload) == expect
+
+
+# --- image perceptual-hash near-dup (r12) ---
+
+
+def test_phash_ppm_planted_near_dup_and_unrelated():
+    """Constructed fixture: a base raster, a near-dup with one tiny pixel
+    nudge (hamming small, found by the <= 3 cut), and an unrelated raster
+    (hamming large).  Pure-Python check of the real decode+hash path."""
+    base = bytes(range(56, 56 + 48))
+    # nudge ONE channel of ONE pixel by 1: at most a couple of comparison
+    # bits can flip
+    near = bytearray(base)
+    near[21] += 1
+    far = bytes(199 - ((i * 37) % 144) for i in range(48))
+    _, _, *_, ph_base = mm.phash_ppm(_ppm(4, 4, base))
+    _, _, *_, ph_near = mm.phash_ppm(_ppm(4, 4, bytes(near)))
+    _, _, *_, ph_far = mm.phash_ppm(_ppm(4, 4, far))
+    assert bin(ph_base ^ ph_near).count("1") <= mm.PHASH_MAX_HAMMING
+    assert bin(ph_base ^ ph_far).count("1") > mm.PHASH_MAX_HAMMING
+
+
+def test_phash_ppm_rejects_wrong_dims_and_corruption():
+    with pytest.raises(ValueError, match="4x4"):
+        mm.phash_ppm(_ppm(2, 2, bytes(12)))
+    with pytest.raises(ValueError, match="magic"):
+        mm.phash_ppm(b"P5\n4 4\n255\n" + bytes(48))
+    with pytest.raises(NotImplementedError):
+        mm.phash_ppm(None)
+
+
+def test_synth_ppm_noisy_plants_same_pattern_near_dups(spark):
+    """Documents sharing doc_id % N_IMG_PATTERNS decode to rasters that
+    differ only by the bounded noise — every same-pattern channel byte
+    is within 2 * noise_half of its sibling."""
+    rows = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in mm.synth_ppm_noisy(spark, SF_DIR)
+        .filter(f"doc_id IN (0, {mm.N_IMG_PATTERNS}, 1)")
+        .collect()
+    }
+    _, _, r0 = mm._parse_ppm(rows[0])
+    _, _, r_same = mm._parse_ppm(rows[mm.N_IMG_PATTERNS])
+    _, _, r_other = mm._parse_ppm(rows[1])
+    half = (mm.IMG_NOISE_MOD - 1) // 2
+    assert all(abs(a - b) <= 2 * half for a, b in zip(r0, r_same))
+    # unrelated patterns diverge far beyond the noise band somewhere
+    assert max(abs(a - b) for a, b in zip(r0, r_other)) > 2 * half
+
+
+def test_image_phash_oracle_parity(spark, oracle):
+    assert_parity(spark, oracle, mm.image_phash, mm.ORACLES["image_phash"])
+
+
+def test_image_near_dups_oracle_parity_and_banding_complete(spark, oracle):
+    assert_parity(
+        spark, oracle, mm.image_near_dups, mm.ORACLES["image_near_dups"]
+    )
+    # pigeonhole completeness: the banded join finds EXACTLY the brute
+    # all-pairs hamming <= 3 set (zero recall loss by construction)
+    brute = oracle.sql(
+        f"""
+        WITH {mm._PHASH_CTE}
+        SELECT count(*) FROM ph a JOIN ph b ON b.doc_id > a.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {mm.PHASH_MAX_HAMMING}
+        """
+    ).fetchone()[0]
+    assert mm.image_near_dups(spark, SF_DIR).count() == brute
