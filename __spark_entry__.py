@@ -483,6 +483,88 @@ _PRIORITY_R11 = [
     "lang_id",
 ]
 
+# Round-12 window (VERDICT r11 tasks 1-3+5): 50 slots = (a) the six
+# never-certified rows — the DSIR trio (led the r11 spill; the LM
+# scalar-total windows were replaced by a 1-row agg broadcast this round
+# and the trio re-verified ALL MATCH by driver_sim at sf0.01 before
+# staging), the on-disk graph-ANN search (build -> persist -> search,
+# same beam-CTE oracle as the in-session path), and the new image
+# perceptual-hash near-dup pair — then (b) ALL 14 r7-era greens (the 8
+# the r11 verdict named plus the 6 other _PRIORITY_R11_SPILL leftovers),
+# then (c) the alphabetically-first 30 of the 38 r8-era greens (the r7
+# precedent's tie-break within an era).  6 + 14 + 30 = exactly the
+# 50-slot budget; the 8 r8-era leftovers queue in _PRIORITY_R12_SPILL
+# for r13, after which the oldest standing green is r8-era.
+_PRIORITY_R12 = [
+    # (a) never certified
+    "dsir_weights",
+    "dsir_sample",
+    "dsir_ingest",
+    "ann_graph_search_indexed",
+    "image_phash",
+    "image_near_dups",
+    # (b) r7-era greens — the oldest standing rows in the registry
+    "pii_scrub",
+    "quality_score",
+    "sales_pivot",
+    "cohort_retention",
+    "events_by_segment",
+    "events_dedup",
+    "events_sliding",
+    "simhash_near_pairs",
+    "stratified_sample",
+    "token_count",
+    "topk_ngrams",
+    "user_sessions",
+    "view_click_pairs",
+    "wav_decode",
+    # (c) r8-era greens, alphabetical up to the budget
+    "ann_ivfpq_recall",
+    "ann_pq_recall",
+    "asof_click_attribution",
+    "basket_lift",
+    "centroid_eval",
+    "dedup_containment",
+    "embedding_quantize",
+    "event_transitions",
+    "events_in_sessions",
+    "gopher_rules",
+    "knn_accuracy",
+    "lineitem_stats",
+    "pmi_edges",
+    "ppl_ingest",
+    "ppm_files_decode",
+    "price_percentiles",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "rfm_segments",
+    "sentences",
+    "substring_dedup",
+]
+
+# Over-budget r12 queue, r13 leads with it: the r8-era greens past the
+# alphabetical cut (text-family names group back together here, so the
+# r13 window keeps the leaf/memo reuse when they rotate in).
+_PRIORITY_R12_SPILL = [
+    "tar_shards_roundtrip",
+    "tf_map",
+    "tfidf_topk_mllib",
+    "tokens_lsa",
+    "tokens_textrank",
+    "tokens_wordnet",
+    "vocabulary",
+    "wav_files_decode",
+]
+
 # Over-budget r11 queue, r12 leads with it: first the new-in-r11
 # never-certified pair (DSIR importance weights + resampled epoch, both
 # full-SQL-gated and verified bit-exact at sf0.001/0.01/0.1 by
@@ -620,7 +702,9 @@ _PRIORITY_R8_STAGED = [
 # insertion dedupes repeats), then the over-budget spill, then the older
 # lists so every still-staged name stays queued.
 _PRIORITY = (
-    _PRIORITY_R11
+    _PRIORITY_R12
+    + _PRIORITY_R12_SPILL
+    + _PRIORITY_R11
     + _PRIORITY_R11_SPILL
     + _PRIORITY_R10
     + _PRIORITY_R10_SPILL

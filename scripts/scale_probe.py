@@ -97,6 +97,13 @@ PROBE = [
     "corpus_diversity_sketch",
     "token_budget_mixture_salted",
     "dsir_weights",
+    # round-12: the multimodal dedup pair — phash is a pure Arrow map
+    # stage (expect flat-linear); the banded near-dup join is clone-
+    # adversarial exactly like dedup_minhash_lsh (every image gains 9
+    # bit-identical twins, so same-pattern groups grow 10x and pair work
+    # grows ~100x per group — O(candidates) is the claim under test)
+    "image_phash",
+    "image_near_dups",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default
