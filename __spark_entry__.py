@@ -503,6 +503,10 @@ _PRIORITY_R12 = [
     "ann_graph_search_indexed",
     "image_phash",
     "image_near_dups",
+    "phash_ingest",  # late-r12: the streaming image-ingest gate's batch
+    # twin (stream==batch proof in tests/test_streaming.py); takes the
+    # slot of the alphabetically-last r8-era name, which moves to the
+    # spill so the rotation loses nothing
     # (b) r7-era greens — the oldest standing rows in the registry
     "pii_scrub",
     "quality_score",
@@ -548,13 +552,13 @@ _PRIORITY_R12 = [
     "q7_volume_shipping",
     "rfm_segments",
     "sentences",
-    "substring_dedup",
 ]
 
 # Over-budget r12 queue, r13 leads with it: the r8-era greens past the
 # alphabetical cut (text-family names group back together here, so the
 # r13 window keeps the leaf/memo reuse when they rotate in).
 _PRIORITY_R12_SPILL = [
+    "substring_dedup",
     "tar_shards_roundtrip",
     "tf_map",
     "tfidf_topk_mllib",

@@ -979,16 +979,10 @@ PHASH_BANDS = 4  # 10-bit bands: pigeonhole-complete at hamming <= 3
 PHASH_MAX_HAMMING = 3
 
 
-def synth_ppm_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synthesize a GENUINE 4x4 P6 PPM per document with PLANTED perceptual
-    near-duplicates: the raster is a pattern-keyed base image
-    (``doc_id % N_IMG_PATTERNS`` — same pattern, same base) plus a small
-    per-document per-channel noise in [-8, 8], so documents sharing a
-    pattern are true near-dups (a few perceptual-hash bits flip) while
-    different patterns are unrelated.  Every byte is an exact integer
-    function of (doc_id) that the DuckDB oracle replays; the payload is a
-    VALID image file — ``PIL.Image.open`` would decode it unchanged."""
-    docs = load_table(spark, sf_dir, "documents")
+def _noisy_media(docs: DataFrame) -> DataFrame:
+    """The payload construction of :func:`synth_ppm_noisy` over an
+    arbitrary (batch or STREAMING) frame with a doc_id column — pure
+    per-row expressions, so it is legal inside an append-mode stream."""
     n_bytes = PHASH_SIDE * PHASH_SIDE * 3
     keyed = docs.select(
         "doc_id",
@@ -1017,6 +1011,18 @@ def synth_ppm_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "), 2, '0')), ''))"
     )
     return keyed.select("doc_id", F.concat(header, raster).alias("payload"))
+
+
+def synth_ppm_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a GENUINE 4x4 P6 PPM per document with PLANTED perceptual
+    near-duplicates: the raster is a pattern-keyed base image
+    (``doc_id % N_IMG_PATTERNS`` — same pattern, same base) plus a small
+    per-document per-channel noise in [-8, 8], so documents sharing a
+    pattern are true near-dups (a few perceptual-hash bits flip) while
+    different patterns are unrelated.  Every byte is an exact integer
+    function of (doc_id) that the DuckDB oracle replays; the payload is a
+    VALID image file — ``PIL.Image.open`` would decode it unchanged."""
+    return _noisy_media(load_table(spark, sf_dir, "documents"))
 
 
 def phash_ppm(payload: bytes) -> tuple[int, int, int, int, int, int]:
@@ -1069,14 +1075,10 @@ _PHASH_SCHEMA = T.StructType(
 )
 
 
-def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-image perceptual hash via mapInPandas (Arrow batches): the
-    binary payload flows through Arrow, the Python worker format-parses
-    each PPM once (:func:`phash_ppm`), and the output is all-long —
-    zero float surface for the value gate.  Partitioning is preserved
-    (no shuffle): at 100 TB this is a pure map stage over the image
-    store, the cheap half of the dedup pipeline."""
-    media = synth_ppm_noisy(spark, sf_dir)
+def _phash_frame(media: DataFrame) -> DataFrame:
+    """The hash map-stage of :func:`image_phash` over an arbitrary
+    (doc_id, payload) frame — mapInPandas is stateless, so this is also
+    legal on a STREAMING media frame (the ingest gate's stream side)."""
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1091,6 +1093,30 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(hash_batches, schema=_PHASH_SCHEMA)
 
 
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image perceptual hash via mapInPandas (Arrow batches): the
+    binary payload flows through Arrow, the Python worker format-parses
+    each PPM once (:func:`phash_ppm`), and the output is all-long —
+    zero float surface for the value gate.  Partitioning is preserved
+    (no shuffle): at 100 TB this is a pure map stage over the image
+    store, the cheap half of the dedup pipeline."""
+    return _phash_frame(synth_ppm_noisy(spark, sf_dir))
+
+
+def _phash_bands(fp: DataFrame) -> DataFrame:
+    """Explode a (doc_id, phash) frame into its {PHASH_BANDS} banding
+    keys — per-row expressions only, stream-legal."""
+    band_w = PHASH_BITS // PHASH_BANDS
+    return fp.select(
+        "doc_id",
+        "phash",
+        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
+    ).withColumn(
+        "band_bits",
+        F.expr(f"(phash >> (band * {band_w})) & {(1 << band_w) - 1}"),
+    )
+
+
 def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs by perceptual-hash Hamming distance <=
     {PHASH_MAX_HAMMING}, band-blocked (the ``simhash_near_pairs`` shape
@@ -1103,15 +1129,7 @@ def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import leaf
 
     fp = leaf(image_phash(spark, sf_dir).select("doc_id", "phash"))
-    band_w = PHASH_BITS // PHASH_BANDS
-    bands = fp.select(
-        "doc_id",
-        "phash",
-        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
-    ).withColumn(
-        "band_bits",
-        F.expr(f"(phash >> (band * {band_w})) & {(1 << band_w) - 1}"),
-    )
+    bands = _phash_bands(fp)
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("phash").alias("ph_a"),
@@ -1225,3 +1243,84 @@ WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_MAX_HAMMING}
 
 QUERIES["image_phash"] = image_phash
 QUERIES["image_near_dups"] = image_near_dups
+
+
+IMG_INGEST_MOD = 10  # doc_id % 10 == 0 plays the arriving image stream
+
+
+def phash_ingest_join(
+    new_media: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Ingest-time image near-dup gate: new images vs a static hash index.
+
+    ``new_media`` may be a STREAM of (doc_id, payload) — the perceptual
+    hash is a stateless Arrow map stage (:func:`_phash_frame`), banding
+    is per-row expressions, and the band equi-join against the
+    precomputed ``corpus_bands`` index is a stateless stream-static
+    join, so the whole gate runs in append mode with zero streaming
+    state (the ``near_dup_ingest`` shape on the multimodal store).  One
+    output row per matching (new, corpus, band); the Hamming distance
+    is row-local from the two full hashes riding the join —
+    deliberately no pair-level dedup, which would need watermark state
+    the gate has no event time for."""
+    nb = _phash_bands(_phash_frame(new_media)).select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("phash").alias("new_phash"),
+        "band",
+        "band_bits",
+    )
+    idx = corpus_bands.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("phash").alias("corpus_phash"),
+        "band",
+        "band_bits",
+    )
+    return (
+        nb.join(idx, ["band", "band_bits"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr("new_phash ^ corpus_phash")).cast("long"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            F.col("band").cast("long").alias("band"),
+            "hamming",
+        )
+    )
+
+
+def phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming image-ingest gate: images with doc_id
+    % {IMG_INGEST_MOD} == 0 arrive 'new'; the rest are the indexed
+    corpus.  The stream==batch proof lives in tests/test_streaming.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    new_media = _noisy_media(docs.filter(F.col("doc_id") % IMG_INGEST_MOD == 0))
+    corpus = _phash_bands(
+        _phash_frame(
+            _noisy_media(docs.filter(F.col("doc_id") % IMG_INGEST_MOD != 0))
+        ).select("doc_id", "phash")
+    )
+    return phash_ingest_join(new_media, corpus)
+
+
+ORACLES["phash_ingest"] = f"""
+WITH {_PHASH_CTE},
+pbands AS (
+  SELECT doc_id, phash, band,
+         (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
+           & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
+  FROM (SELECT doc_id, phash,
+               unnest(range({PHASH_BANDS})) AS band FROM ph)
+)
+SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id, n.band,
+       cast(bit_count(xor(n.phash, c.phash)) AS bigint) AS hamming
+FROM pbands n
+JOIN pbands c ON n.band = c.band AND n.band_bits = c.band_bits
+WHERE n.doc_id % {IMG_INGEST_MOD} = 0
+  AND c.doc_id % {IMG_INGEST_MOD} <> 0
+  AND bit_count(xor(n.phash, c.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
+QUERIES["phash_ingest"] = phash_ingest

@@ -144,6 +144,16 @@ PROBE_X100 = [
     "salted_heavy_agg",
     "bm25_search",
     "embedding_pca",
+    # r12 (VERDICT r11 task 6): the r11 ops one decade further — the
+    # corpus-curve pair (exact distinct-gram shuffle vs the mergeable
+    # HLL twin), the two-phase prefix mixture cut, the DSIR scoring
+    # pass, and the new Arrow map-stage image hash; all were 1.6-2.9x
+    # at x10, linear-shaped
+    "corpus_diversity",
+    "corpus_diversity_sketch",
+    "token_budget_mixture_salted",
+    "dsir_weights",
+    "image_phash",
 ]
 
 

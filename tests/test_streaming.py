@@ -633,3 +633,49 @@ def test_dsir_ingest_stream_matches_batch(spark):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape, f"{g.shape} != {w.shape}"
     assert g.equals(w)
+
+
+def test_phash_ingest_stream_matches_batch(spark):
+    # the image-ingest near-dup gate runs as a stateless stream-static
+    # join: Arrow-hash map stage + banding on the stream side vs the
+    # precomputed corpus hash index; append-mode result must equal the
+    # batch twin
+    from pyspark.sql import types as T
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        multimodal as mm,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream_media = mm._noisy_media(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+        .filter(F.col("doc_id") % mm.IMG_INGEST_MOD == 0)
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    index = mm._phash_bands(
+        mm._phash_frame(
+            mm._noisy_media(
+                docs.filter(F.col("doc_id") % mm.IMG_INGEST_MOD != 0)
+            )
+        ).select("doc_id", "phash")
+    ).localCheckpoint()  # materialized index, as a deployment would have
+    got = se.run_stream_to_memory(
+        spark,
+        mm.phash_ingest_join(stream_media, index),
+        "phash_ingest_stream",
+        output_mode="append",
+    ).toPandas()
+    want = mm.phash_ingest(spark, SF_DIR).toPandas()
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
