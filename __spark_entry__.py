@@ -504,9 +504,11 @@ _PRIORITY_R12 = [
     "image_phash",
     "image_near_dups",
     "phash_ingest",  # late-r12: the streaming image-ingest gate's batch
-    # twin (stream==batch proof in tests/test_streaming.py); takes the
-    # slot of the alphabetically-last r8-era name, which moves to the
-    # spill so the rotation loses nothing
+    # twin (stream==batch proof in tests/test_streaming.py)
+    "image_dedup_clusters",  # late-r12: components over the phash pairs
+    # (each late-r12 query takes the slot of an alphabetically-last
+    # r8-era name, which moves to the spill so the rotation loses
+    # nothing)
     # (b) r7-era greens — the oldest standing rows in the registry
     "pii_scrub",
     "quality_score",
@@ -551,13 +553,13 @@ _PRIORITY_R12 = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "rfm_segments",
-    "sentences",
 ]
 
 # Over-budget r12 queue, r13 leads with it: the r8-era greens past the
 # alphabetical cut (text-family names group back together here, so the
 # r13 window keeps the leaf/memo reuse when they rotate in).
 _PRIORITY_R12_SPILL = [
+    "sentences",
     "substring_dedup",
     "tar_shards_roundtrip",
     "tf_map",

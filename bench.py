@@ -88,6 +88,10 @@ HEADLINE = [
     # still sums only the frozen _V1_NAMES rows.
     "dedup_keep_best",
     "graph_lpa_capped",
+    # round-12 widening (VERDICT r11 task 5): the multimodal dedup entry —
+    # Arrow-hash map stage + pigeonhole-complete Hamming-band join — so
+    # regressions in the image family stay visible round-over-round
+    "image_near_dups",
 ]
 
 # the pre-r9 headline set (exactly BENCH_v1.json's rows), kept as an

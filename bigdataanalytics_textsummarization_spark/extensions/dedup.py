@@ -359,6 +359,63 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an arbitrary (doc_a, doc_b) pair frame —
+    the iterative min-label propagation of :func:`dedup_clusters`,
+    extracted so other near-dup detectors (the image perceptual-hash
+    family) can collapse their pair graphs the same way: label(v) <-
+    min(label(v), labels of neighbors) to fixpoint, one join + one
+    aggregate per iteration, per-iteration ``localCheckpoint`` with
+    eager retirement (peak footprint does not grow with iterations).
+    Returns (doc_id, cluster_id, is_duplicate) for every vertex that
+    appears in at least one pair; canonical = min doc_id per component."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .transform(_owned_ckpt)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .transform(_owned_ckpt)
+    )
+    prev_ckpt = labels
+    for _ in range(CLUSTER_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .transform(_owned_ckpt)
+        )
+        _retire_ckpt(prev_ckpt)
+        prev_ckpt = stepped
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("doc_id", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("doc_id") != F.col("label")).alias("is_duplicate"),
+    )
+
+
 def _shared_shingle_pairs(
     spark: SparkSession,
     sf_dir: str,

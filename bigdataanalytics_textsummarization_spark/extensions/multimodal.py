@@ -1324,3 +1324,52 @@ WHERE n.doc_id % {IMG_INGEST_MOD} = 0
 """
 
 QUERIES["phash_ingest"] = phash_ingest
+
+
+def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate CLUSTERS: connected components over the
+    perceptual-hash pair graph — the last step of multimodal dedup
+    (pairs alone over-remove: A~B, B~C must collapse to ONE canonical).
+    Components via the shared iterative min-label propagation
+    (:func:`dedup.min_label_components` — O(component diameter)
+    iterations, one join + aggregate each); canonical = min doc_id.
+    The DuckDB oracle computes the same components with a recursive
+    transitive-closure CTE over the same banded pair set."""
+    from .dedup import min_label_components
+
+    return min_label_components(
+        image_near_dups(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+ORACLES["image_dedup_clusters"] = f"""
+WITH RECURSIVE {_PHASH_CTE},
+pbands AS (
+  SELECT doc_id, phash, band,
+         (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
+           & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
+  FROM (SELECT doc_id, phash,
+               unnest(range({PHASH_BANDS})) AS band FROM ph)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pbands a
+  JOIN pbands b ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM cand
+  UNION
+  SELECT doc_b, doc_a FROM cand
+),
+reach(s, d) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, min(d) AS cluster_id, s <> min(d) AS is_duplicate
+FROM reach GROUP BY s
+"""
+
+QUERIES["image_dedup_clusters"] = image_dedup_clusters

@@ -397,3 +397,23 @@ def test_image_near_dups_oracle_parity_and_banding_complete(spark, oracle):
         """
     ).fetchone()[0]
     assert mm.image_near_dups(spark, SF_DIR).count() == brute
+
+
+def test_phash_ingest_oracle_parity(spark, oracle):
+    assert_parity(spark, oracle, mm.phash_ingest, mm.ORACLES["phash_ingest"])
+
+
+def test_image_dedup_clusters_oracle_parity_and_invariants(spark, oracle):
+    assert_parity(
+        spark,
+        oracle,
+        mm.image_dedup_clusters,
+        mm.ORACLES["image_dedup_clusters"],
+    )
+    rows = mm.image_dedup_clusters(spark, SF_DIR).collect()
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in rows}
+    # canonical member of every cluster is a member and not a duplicate
+    for r in rows:
+        assert r["cluster_id"] in by_doc
+        assert r["is_duplicate"] == (r["doc_id"] != r["cluster_id"])
+        assert r["cluster_id"] <= r["doc_id"] or not r["is_duplicate"]
