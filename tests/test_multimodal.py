@@ -417,3 +417,86 @@ def test_image_dedup_clusters_oracle_parity_and_invariants(spark, oracle):
         assert r["cluster_id"] in by_doc
         assert r["is_duplicate"] == (r["doc_id"] != r["cluster_id"])
         assert r["cluster_id"] <= r["doc_id"] or not r["is_duplicate"]
+
+
+# --- audio fingerprint near-dup (r12) ---
+
+
+def _wav32(samples: bytes) -> bytes:
+    assert len(samples) == mm.AUDIO_FP_SAMPLES
+    return mm._wav_header32() + samples
+
+
+def test_audio_fp_planted_near_dup_and_unrelated():
+    base = bytes(range(80, 80 + 32))
+    near = bytearray(base)
+    near[10] += 1  # nudge one sample: at most 2 derivative bits flip
+    far = bytes(190 - ((i * 29) % 120) for i in range(32))
+    _, _, fp_base = mm.audio_fp_wav(_wav32(base))
+    _, _, fp_near = mm.audio_fp_wav(_wav32(bytes(near)))
+    _, _, fp_far = mm.audio_fp_wav(_wav32(far))
+    assert bin(fp_base ^ fp_near).count("1") <= mm.AUDIO_FP_MAX_HAMMING
+    assert bin(fp_base ^ fp_far).count("1") > mm.AUDIO_FP_MAX_HAMMING
+
+
+def test_audio_fp_rejects_corruption():
+    import wave as wave_mod
+
+    with pytest.raises(NotImplementedError):
+        mm.audio_fp_wav(None)
+    with pytest.raises(ValueError, match="samples"):
+        # valid WAV, wrong length: real synth_wav payloads are 2-8 frames
+        import io
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(bytes(4))
+        mm.audio_fp_wav(buf.getvalue())
+    with pytest.raises((wave_mod.Error, EOFError, ValueError)):
+        mm.audio_fp_wav(b"RIFF\x00\x00\x00\x00NOTW")
+
+
+def test_synth_wav_noisy_payloads_are_valid_and_planted(spark):
+    import io
+    import wave as wave_mod
+
+    rows = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in mm.synth_wav_noisy(spark, SF_DIR)
+        .filter(f"doc_id IN (0, {mm.AUDIO_PATTERNS}, 1)")
+        .collect()
+    }
+    half = (mm.IMG_NOISE_MOD - 1) // 2
+    frames = {}
+    for did, payload in rows.items():
+        with wave_mod.open(io.BytesIO(payload)) as w:
+            assert w.getframerate() == 8000
+            assert (w.getnchannels(), w.getsampwidth()) == (1, 1)
+            assert w.getnframes() == mm.AUDIO_FP_SAMPLES
+            frames[did] = w.readframes(mm.AUDIO_FP_SAMPLES)
+    same = zip(frames[0], frames[mm.AUDIO_PATTERNS])
+    other = zip(frames[0], frames[1])
+    assert all(abs(a - b) <= 2 * half for a, b in same)
+    assert max(abs(a - b) for a, b in other) > 2 * half
+
+
+def test_audio_fingerprint_oracle_parity(spark, oracle):
+    assert_parity(
+        spark, oracle, mm.audio_fingerprint, mm.ORACLES["audio_fingerprint"]
+    )
+
+
+def test_audio_near_dups_oracle_parity_and_banding_complete(spark, oracle):
+    assert_parity(
+        spark, oracle, mm.audio_near_dups, mm.ORACLES["audio_near_dups"]
+    )
+    brute = oracle.sql(
+        f"""
+        WITH {mm._AUDIO_FP_CTE}
+        SELECT count(*) FROM afp a JOIN afp b ON b.doc_id > a.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {mm.AUDIO_FP_MAX_HAMMING}
+        """
+    ).fetchone()[0]
+    assert mm.audio_near_dups(spark, SF_DIR).count() == brute
