@@ -506,6 +506,8 @@ _PRIORITY_R12 = [
     "phash_ingest",  # late-r12: the streaming image-ingest gate's batch
     # twin (stream==batch proof in tests/test_streaming.py)
     "image_dedup_clusters",  # late-r12: components over the phash pairs
+    "audio_fingerprint",  # late-r12: the acoustic dedup twin (sign-of-
+    "audio_near_dups",    # derivative fp over real wave-parsed PCM)
     # (each late-r12 query takes the slot of an alphabetically-last
     # r8-era name, which moves to the spill so the rotation loses
     # nothing)
@@ -551,14 +553,14 @@ _PRIORITY_R12 = [
     "q22_global_sales_opportunity",
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "rfm_segments",
 ]
 
 # Over-budget r12 queue, r13 leads with it: the r8-era greens past the
 # alphabetical cut (text-family names group back together here, so the
 # r13 window keeps the leaf/memo reuse when they rotate in).
 _PRIORITY_R12_SPILL = [
+    "q7_volume_shipping",
+    "rfm_segments",
     "sentences",
     "substring_dedup",
     "tar_shards_roundtrip",
