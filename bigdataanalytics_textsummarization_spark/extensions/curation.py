@@ -167,12 +167,14 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     up-sampled without letting any single giant source dominate an epoch.
     ``quota`` is the resulting per-source document budget.
 
-    The corpus is scanned ONCE into the per-source count; the two scalar
-    normalizers (corpus total, sum of flattened weights) are unpartitioned
-    window sums over that aggregate — safe because its cardinality is
-    #sources (a mixture with more than a few thousand strata isn't a
-    mixture), and the cross-join formulation would re-scan the corpus per
-    scalar reference.
+    The corpus is scanned ONCE into the per-source count; the scalar
+    normalizers (corpus total, sums of flattened weights) are 1-row
+    aggregates broadcast back over the O(sources) frame (the ``eede4da``
+    DSIR pattern, r13) — no unpartitioned window, so no stage coalesces
+    the frame to a single partition and the certified plan carries no
+    ``WindowExec: No Partition Defined`` warning.  The aggregates read
+    the per-source frame, never the corpus, so the corpus is still
+    scanned exactly once.
 
     The QUOTA column is derived with the order-fixed integer chain of
     :func:`token_budget_mixture` (r11: ``quota`` gates document
@@ -185,25 +187,32 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     assert MIX_ALPHA == 0.5  # the quota chain's sqrt IS pow(·, MIX_ALPHA)
     docs = load_table(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
-    w = Window.partitionBy()
-    shared = (
-        per.withColumn(
-            "p", F.col("n_docs") / F.sum("n_docs").over(w)
-        )
+    # leafed so the two scalar-total branches and the final select all
+    # read the materialized O(sources) aggregate — the corpus is scanned
+    # once, at leaf build (the broadcast branches never touch the files)
+    per = leaf(
+        docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    total = per.agg(F.sum("n_docs").cast("long").alias("_total_docs"))
+    based = (
+        per.crossJoin(F.broadcast(total))
+        .withColumn("p", F.col("n_docs") / F.col("_total_docs"))
         .withColumn("pa", F.pow("p", F.lit(MIX_ALPHA)))
         .withColumn(
             "pa_micro",
             F.floor(F.sqrt("p") * F.lit(1_000_000.0)).cast("long"),
         )
-        .withColumn("sum_pa_micro", F.sum("pa_micro").over(w))
     )
-    return shared.select(
+    sums = based.agg(
+        F.sum("pa").alias("_sum_pa"),
+        F.sum("pa_micro").cast("long").alias("_sum_pa_micro"),
+    )
+    return based.crossJoin(F.broadcast(sums)).select(
         "source",
         "n_docs",
         r6(F.col("p")).alias("p_raw"),
-        r6(F.col("pa") / F.sum("pa").over(w)).alias("p_mix"),
-        F.expr(f"(pa_micro * {MIX_BUDGET}) div sum_pa_micro")
+        r6(F.col("pa") / F.col("_sum_pa")).alias("p_mix"),
+        F.expr(f"(pa_micro * {MIX_BUDGET}) div _sum_pa_micro")
         .cast("long")
         .alias("quota"),
     )
@@ -597,6 +606,37 @@ QUERIES["domain_caps"] = domain_caps
 TOKEN_BUDGET = 500_000  # tokens per sampling epoch
 
 
+def _token_quotas(per: DataFrame) -> DataFrame:
+    """(source, src_tokens) -> (source, token_quota): the order-fixed
+    temperature-quota chain shared verbatim by :func:`token_budget_mixture`
+    and its salted twin (they gate against the same oracle, so the quota
+    derivation must be one copy).  Scalar totals are 1-row aggregates
+    broadcast back over the O(sources) frame (the ``eede4da`` DSIR
+    pattern, r13) instead of unpartitioned windows — same exact-integer
+    values (long sums are fold-order-free; pa_micro is per-row), no
+    single-partition stage in the plan.  ``per`` is leafed here (both
+    twins build the identical O(sources) aggregate over the shared docs
+    leaf, so the memo hands them ONE materialized frame) — the total and
+    sum branches read the leaf, never re-aggregating the corpus.
+    """
+    per = leaf(per)
+    total = per.agg(F.sum("src_tokens").cast("long").alias("_total_tokens"))
+    based = per.crossJoin(F.broadcast(total)).withColumn(
+        "pa_micro",
+        F.floor(
+            F.sqrt(F.col("src_tokens") / F.col("_total_tokens"))
+            * F.lit(1_000_000.0)
+        ).cast("long"),
+    )
+    sums = based.agg(F.sum("pa_micro").cast("long").alias("_sum_pa"))
+    return based.crossJoin(F.broadcast(sums)).select(
+        "source",
+        F.expr(f"(pa_micro * {TOKEN_BUDGET}) div _sum_pa")
+        .cast("long")
+        .alias("token_quota"),
+    )
+
+
 def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize a TOKEN-budgeted mixture epoch — the way real
     pretraining mixtures are specified (a source contributes N tokens,
@@ -658,26 +698,7 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.groupBy("source").agg(
         F.sum("n_tokens").cast("long").alias("src_tokens")
     )
-    # unpartitioned scalar windows over the O(sources) aggregate, same
-    # rationale as source_mixture's — but summed as LONGS (exact at any
-    # fold order) and quantized before any further arithmetic
-    w = Window.partitionBy()
-    quotas = (
-        per.withColumn(
-            "p", F.col("src_tokens") / F.sum("src_tokens").over(w)
-        )
-        .withColumn(
-            "pa_micro",
-            F.floor(F.sqrt("p") * F.lit(1_000_000.0)).cast("long"),
-        )
-        .withColumn("sum_pa", F.sum("pa_micro").over(w))
-        .select(
-            "source",
-            F.expr(f"(pa_micro * {TOKEN_BUDGET}) div sum_pa")
-            .cast("long")
-            .alias("token_quota"),
-        )
-    )
+    quotas = _token_quotas(per)
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":tokmix"))),
@@ -787,23 +808,7 @@ def token_budget_mixture_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = docs.groupBy("source").agg(
         F.sum("n_tokens").cast("long").alias("src_tokens")
     )
-    w = Window.partitionBy()
-    quotas = (
-        per.withColumn(
-            "p", F.col("src_tokens") / F.sum("src_tokens").over(w)
-        )
-        .withColumn(
-            "pa_micro",
-            F.floor(F.sqrt("p") * F.lit(1_000_000.0)).cast("long"),
-        )
-        .withColumn("sum_pa", F.sum("pa_micro").over(w))
-        .select(
-            "source",
-            F.expr(f"(pa_micro * {TOKEN_BUDGET}) div sum_pa")
-            .cast("long")
-            .alias("token_quota"),
-        )
-    )
+    quotas = _token_quotas(per)
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":tokmix"))),

@@ -235,13 +235,19 @@ def test_topk_ngrams_single_aggregate_shuffle(spark):
 
 
 def test_source_mixture_single_scan(spark):
-    """The corpus is read once; both normalizers are window sums over the
-    #sources-row aggregate (the cross-join formulation re-scanned the
-    corpus per scalar reference)."""
+    """The corpus is read once — at leaf build — and the scalar
+    normalizers are 1-row aggregates broadcast back over the leafed
+    O(sources) frame (r13, the eede4da DSIR pattern): the final plan
+    carries NO file scan (the leaf is a LogicalRDD), no unpartitioned
+    window, and the only nested-loop joins are the 1-row broadcast
+    totals."""
     plan = _plan(spark, "source_mixture")
-    # one detail block per scan node in formatted explain
-    assert plan.count("Location: InMemoryFileIndex") == 1
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "Scan ExistingRDD" in plan  # the materialized leaf
+    assert "CartesianProduct" not in plan
+    # the eede4da pattern: scalar totals arrive as 1-row broadcasts, not
+    # as WindowExec with no partition spec
+    assert "Window" not in plan
 
 
 def test_substring_dedup_no_pairwise_stage(spark):
