@@ -1104,8 +1104,8 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phash_bands(fp: DataFrame) -> DataFrame:
-    """Explode a (doc_id, phash) frame into its {PHASH_BANDS} banding
-    keys — per-row expressions only, stream-legal."""
+    """Explode a (doc_id, phash) frame into its 4 banding keys —
+    per-row expressions only, stream-legal."""
     band_w = PHASH_BITS // PHASH_BANDS
     return fp.select(
         "doc_id",
@@ -1119,8 +1119,8 @@ def _phash_bands(fp: DataFrame) -> DataFrame:
 
 def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs by perceptual-hash Hamming distance <=
-    {PHASH_MAX_HAMMING}, band-blocked (the ``simhash_near_pairs`` shape
-    on the multimodal store): with {PHASH_BANDS} bands of 10 bits over
+    3, band-blocked (the ``simhash_near_pairs`` shape on the multimodal
+    store): with 4 bands of 10 bits over
     the 40-bit hash, any pair at hamming <= 3 agrees exactly on at least
     one band (pigeonhole), so candidate generation is an equi-join on
     (band, band_bits) — never an all-pairs cross product, and with ZERO
@@ -1293,7 +1293,7 @@ def phash_ingest_join(
 
 def phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming image-ingest gate: images with doc_id
-    % {IMG_INGEST_MOD} == 0 arrive 'new'; the rest are the indexed
+    % 10 == 0 arrive 'new'; the rest are the indexed
     corpus.  The stream==batch proof lives in tests/test_streaming.py."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     new_media = _noisy_media(docs.filter(F.col("doc_id") % IMG_INGEST_MOD == 0))
@@ -1417,7 +1417,14 @@ def synth_wav_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
     so every byte is an exact integer function of doc_id that the
     DuckDB oracle replays; the payload opens unchanged in the stdlib
     ``wave`` reader."""
-    docs = load_table(spark, sf_dir, "documents")
+    return _noisy_wav(load_table(spark, sf_dir, "documents"))
+
+
+def _noisy_wav(docs: DataFrame) -> DataFrame:
+    """The :func:`synth_wav_noisy` synthesis over an arbitrary docs
+    frame — per-row expressions only, so it is also legal on a
+    STREAMING documents read (the ingest proof's stream side, mirroring
+    :func:`_noisy_media`)."""
     keyed = docs.select(
         "doc_id",
         F.concat(
@@ -1484,11 +1491,11 @@ _AUDIO_FP_SCHEMA = T.StructType(
 )
 
 
-def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-clip acoustic fingerprint via mapInPandas (Arrow batches) —
-    one real ``wave`` parse per payload, all-long output, no shuffle:
-    the cheap map half of audio dedup at any scale."""
-    media = synth_wav_noisy(spark, sf_dir)
+def _audio_fp_frame(media: DataFrame) -> DataFrame:
+    """The fingerprint map-stage of :func:`audio_fingerprint` over an
+    arbitrary (doc_id, payload) frame — mapInPandas is stateless, so
+    this is also legal on a STREAMING media frame (the acoustic ingest
+    gate's stream side, mirroring :func:`_phash_frame`)."""
 
     def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1503,18 +1510,19 @@ def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(fp_batches, schema=_AUDIO_FP_SCHEMA)
 
 
-def audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio near-duplicate pairs by fingerprint Hamming distance <=
-    {AUDIO_FP_MAX_HAMMING}, band-blocked: {AUDIO_FP_BANDS} bands of 8
-    bits over the {AUDIO_FP_BITS}-bit fingerprint, so any pair at
-    hamming <= 3 shares a band exactly (pigeonhole — zero recall loss),
-    and candidate generation is an equi-join.  Same 100 TB shape as
-    ``image_near_dups``/``simhash_near_pairs``."""
-    from ..functions import leaf
+def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip acoustic fingerprint via mapInPandas (Arrow batches) —
+    one real ``wave`` parse per payload, all-long output, no shuffle:
+    the cheap map half of audio dedup at any scale."""
+    return _audio_fp_frame(synth_wav_noisy(spark, sf_dir))
 
-    fp = leaf(audio_fingerprint(spark, sf_dir).select("doc_id", "fp"))
+
+def _audio_bands(fp: DataFrame) -> DataFrame:
+    """Explode a (doc_id, fp) frame into its 4 8-bit banding keys —
+    per-row expressions only, stream-legal (the audio twin of
+    :func:`_phash_bands`)."""
     band_w = 8
-    bands = fp.select(
+    return fp.select(
         "doc_id",
         "fp",
         F.explode(F.expr(f"sequence(0, {AUDIO_FP_BANDS - 1})")).alias("band"),
@@ -1522,6 +1530,18 @@ def audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band_bits",
         F.expr(f"(fp >> (band * {band_w})) & {(1 << band_w) - 1}"),
     )
+
+
+def audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by fingerprint Hamming distance <= 3,
+    band-blocked: 4 bands of 8 bits over the 31-bit fingerprint, so any
+    pair at hamming <= 3 shares a band exactly (pigeonhole — zero
+    recall loss), and candidate generation is an equi-join.  Same
+    100 TB shape as ``image_near_dups``/``simhash_near_pairs``."""
+    from ..functions import leaf
+
+    fp = leaf(audio_fingerprint(spark, sf_dir).select("doc_id", "fp"))
+    bands = _audio_bands(fp)
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("fp").alias("fp_a"),
@@ -1604,3 +1624,89 @@ WHERE bit_count(xor(fp_a, fp_b)) <= {AUDIO_FP_MAX_HAMMING}
 
 QUERIES["audio_fingerprint"] = audio_fingerprint
 QUERIES["audio_near_dups"] = audio_near_dups
+
+
+AUDIO_INGEST_MOD = 10  # doc_id % 10 == 0 plays the arriving audio stream
+
+
+def audio_fp_ingest_join(
+    new_media: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Ingest-time audio near-dup gate: new clips vs a static
+    fingerprint index — the acoustic twin of :func:`phash_ingest_join`
+    (VERDICT r12 task 2), completing ingest-gating parity across text
+    (``near_dup_ingest``), image (``phash_ingest``) and audio.
+
+    ``new_media`` may be a STREAM of (doc_id, payload) — the
+    fingerprint is a stateless Arrow map stage (:func:`_audio_fp_frame`),
+    banding is per-row expressions, and the band equi-join against the
+    precomputed ``corpus_bands`` index is a stateless stream-static
+    join, so the whole gate runs in append mode with zero streaming
+    state.  One output row per matching (new, corpus, band); the
+    Hamming distance is row-local from the two full fingerprints riding
+    the join — deliberately no pair-level dedup, which would need
+    watermark state the gate has no event time for (consumers
+    ``distinct()`` if they want pairs, same contract as the image
+    gate)."""
+    nb = _audio_bands(
+        _audio_fp_frame(new_media).select("doc_id", "fp")
+    ).select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("fp").alias("new_fp"),
+        "band",
+        "band_bits",
+    )
+    idx = corpus_bands.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("fp").alias("corpus_fp"),
+        "band",
+        "band_bits",
+    )
+    return (
+        nb.join(idx, ["band", "band_bits"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr("new_fp ^ corpus_fp")).cast("long"),
+        )
+        .filter(F.col("hamming") <= AUDIO_FP_MAX_HAMMING)
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            F.col("band").cast("long").alias("band"),
+            "hamming",
+        )
+    )
+
+
+def audio_fp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming audio-ingest gate: clips with doc_id
+    % 10 == 0 arrive 'new'; the rest are the indexed corpus.  The
+    stream==batch proof lives in tests/test_streaming.py."""
+    media = synth_wav_noisy(spark, sf_dir)
+    new_media = media.filter(F.col("doc_id") % AUDIO_INGEST_MOD == 0)
+    corpus = _audio_bands(
+        _audio_fp_frame(
+            media.filter(F.col("doc_id") % AUDIO_INGEST_MOD != 0)
+        ).select("doc_id", "fp")
+    )
+    return audio_fp_ingest_join(new_media, corpus)
+
+
+ORACLES["audio_fp_ingest"] = f"""
+WITH {_AUDIO_FP_CTE},
+abands AS (
+  SELECT doc_id, fp, band,
+         (fp >> (band * 8)) & 255 AS band_bits
+  FROM (SELECT doc_id, fp,
+               unnest(range({AUDIO_FP_BANDS})) AS band FROM afp)
+)
+SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id, n.band,
+       cast(bit_count(xor(n.fp, c.fp)) AS bigint) AS hamming
+FROM abands n
+JOIN abands c ON n.band = c.band AND n.band_bits = c.band_bits
+WHERE n.doc_id % {AUDIO_INGEST_MOD} = 0
+  AND c.doc_id % {AUDIO_INGEST_MOD} <> 0
+  AND bit_count(xor(n.fp, c.fp)) <= {AUDIO_FP_MAX_HAMMING}
+"""
+
+QUERIES["audio_fp_ingest"] = audio_fp_ingest

@@ -679,3 +679,49 @@ def test_phash_ingest_stream_matches_batch(spark):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape, f"{g.shape} != {w.shape}"
     assert g.equals(w)
+
+
+def test_audio_fp_ingest_stream_matches_batch(spark):
+    # the acoustic twin of the image gate (VERDICT r12 task 2): stateless
+    # wave-parse fingerprint map stage + banding on the stream side vs
+    # the precomputed corpus fingerprint index; append-mode result must
+    # equal the batch twin
+    from pyspark.sql import types as T
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        multimodal as mm,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream_media = mm._noisy_wav(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+        .filter(F.col("doc_id") % mm.AUDIO_INGEST_MOD == 0)
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    index = mm._audio_bands(
+        mm._audio_fp_frame(
+            mm._noisy_wav(
+                docs.filter(F.col("doc_id") % mm.AUDIO_INGEST_MOD != 0)
+            )
+        ).select("doc_id", "fp")
+    ).localCheckpoint()  # materialized index, as a deployment would have
+    got = se.run_stream_to_memory(
+        spark,
+        mm.audio_fp_ingest_join(stream_media, index),
+        "audio_fp_ingest_stream",
+        output_mode="append",
+    ).toPandas()
+    want = mm.audio_fp_ingest(spark, SF_DIR).toPandas()
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
