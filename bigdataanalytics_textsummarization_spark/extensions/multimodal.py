@@ -242,13 +242,14 @@ def synth_ppm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.select("doc_id", payload.alias("payload"))
 
 
-def decode_ppm_frames(payload: bytes) -> list[tuple[int, int, int, int, int]]:
-    """REAL sequential parse of a multi-frame P6 concatenation: walk the
-    stream header-by-header (each frame declares its own dimensions, so
-    the raster length — and therefore the next frame's offset — is only
-    knowable by parsing), validate every magic/maxval/raster, and return
-    per-frame (width, height, sum_r, sum_g, sum_b).  A truncated final
-    frame fails loudly."""
+def _walk_ppm_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """REAL sequential walk of a multi-frame P6 concatenation: each frame
+    declares its own dimensions, so the raster length — and therefore
+    the next frame's offset — is only knowable by parsing.  Validates
+    every magic/maxval/raster and returns per-frame (width, height,
+    raster bytes); a truncated final frame fails loudly.  Shared by the
+    keyframe pass (:func:`frame_sample`) and the per-frame video hash
+    (:func:`video_phashes`)."""
     if payload is None:
         raise NotImplementedError(
             "real media decode not available in this container"
@@ -277,6 +278,16 @@ def decode_ppm_frames(payload: bytes) -> list[tuple[int, int, int, int, int]]:
                 f"{len(raster)} bytes for {w}x{h}x3"
             )
         off = nl3 + 1 + w * h * 3
+        frames.append((w, h, raster))
+    return frames
+
+
+def decode_ppm_frames(payload: bytes) -> list[tuple[int, int, int, int, int]]:
+    """Per-frame (width, height, sum_r, sum_g, sum_b) of a multi-frame
+    P6 concatenation, via the shared sequential walker
+    (:func:`_walk_ppm_frames`)."""
+    frames = []
+    for w, h, raster in _walk_ppm_frames(payload):
         sums = [0, 0, 0]
         for i in range(w * h):
             for c in range(3):
@@ -1040,6 +1051,14 @@ def phash_ppm(payload: bytes) -> tuple[int, int, int, int, int, int]:
     A real deployment swaps the 4x4 raster for a 32x32 grayscale
     downsample and a 64-bit hash; the banding math is unchanged."""
     w, h, raster = _parse_ppm(payload)
+    return w, h, *_phash_planes(w, h, raster)
+
+
+def _phash_planes(w: int, h: int, raster: bytes) -> tuple[int, int, int, int]:
+    """(ahash, dhash_h, dhash_v, phash) of one decoded PHASH_SIDE-square
+    raster — the hash math shared by the single-image path
+    (:func:`phash_ppm`) and the per-frame video path
+    (:func:`video_phashes`)."""
     if (w, h) != (PHASH_SIDE, PHASH_SIDE):
         raise ValueError(f"phash expects {PHASH_SIDE}x{PHASH_SIDE}, got {w}x{h}")
     n_px = w * h
@@ -1057,7 +1076,7 @@ def phash_ppm(payload: bytes) -> tuple[int, int, int, int, int, int]:
     dhash_v = sum(
         1 << p for p in range(n_px - w) if lum[p] > lum[p + w]
     )
-    return w, h, ahash, dhash_h, dhash_v, (
+    return ahash, dhash_h, dhash_v, (
         ahash + (dhash_h << 16) + (dhash_v << 28)
     )
 
@@ -1104,12 +1123,12 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phash_bands(fp: DataFrame) -> DataFrame:
-    """Explode a (doc_id, phash) frame into its 4 banding keys —
-    per-row expressions only, stream-legal."""
+    """Explode a frame carrying a ``phash`` column into its 4 banding
+    keys, preserving the other columns (the video path keeps
+    ``frame_idx``) — per-row expressions only, stream-legal."""
     band_w = PHASH_BITS // PHASH_BANDS
     return fp.select(
-        "doc_id",
-        "phash",
+        "*",
         F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("band"),
     ).withColumn(
         "band_bits",
@@ -1710,3 +1729,279 @@ WHERE n.doc_id % {AUDIO_INGEST_MOD} = 0
 """
 
 QUERIES["audio_fp_ingest"] = audio_fp_ingest
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup — the last multimodal family member (VERDICT r12 task 3):
+# per-frame perceptual hashes composed into a per-video fingerprint, banded
+# per (frame_idx, band), never all-pairs.  With text (MinHash/SimHash),
+# image (phash), audio (acoustic fp) and now video covered, every modality
+# of a multimodal training corpus has a first-class banded dedup path.
+
+N_VIDEO_PATTERNS = 125  # planted groups: doc_id % N shares a base clip
+VIDEO_FRAMES = 4  # fixed frame count per synthesized clip
+VIDEO_MAX_HAMMING = 12  # total across frames; see pigeonhole note below
+
+
+def _noisy_video(docs: DataFrame) -> DataFrame:
+    """Synthesize a GENUINE multi-frame P6 clip per document with PLANTED
+    video near-duplicates: each of the VIDEO_FRAMES frames is a
+    4x4 P6 raster (the :func:`_noisy_media` byte scheme, keyed per
+    (pattern, frame) for the base and per (doc, frame) for the noise),
+    so same-pattern documents are true near-dups frame-by-frame while
+    different patterns are unrelated.  The concatenation is a fold over
+    the frame sequence (the :func:`synth_ppm_frames` container shape —
+    back-to-back self-describing frames a real parser must walk); every
+    byte is an exact integer function of doc_id the DuckDB oracle
+    replays."""
+    n_bytes = PHASH_SIDE * PHASH_SIDE * 3
+    header = F.encode(F.lit(f"P6\n{PHASH_SIDE} {PHASH_SIDE}\n255\n"), "UTF-8")
+    pat = (F.col("doc_id") % N_VIDEO_PATTERNS).cast("string")
+    did = F.col("doc_id").cast("string")
+
+    def hex3(key):
+        return F.concat(
+            F.md5(key),
+            F.md5(F.concat(key, F.lit("a"))),
+            F.md5(F.concat(key, F.lit("b"))),
+        )
+
+    def frame_raster(f):
+        fs = f.cast("string")
+        bhx = hex3(F.concat(F.lit("vpat:"), pat, F.lit(":"), fs))
+        nhx = hex3(F.concat(F.lit("vfr:"), did, F.lit(":"), fs))
+
+        def byte_hex(i):
+            b = (
+                F.conv(F.substring(bhx, i * 2 + 1, F.lit(2)), 16, 10)
+                .cast("int")
+                % IMG_BASE_MOD
+                + IMG_BASE_LO
+                + F.conv(F.substring(nhx, i * 2 + 1, F.lit(2)), 16, 10)
+                .cast("int")
+                % IMG_NOISE_MOD
+                - (IMG_NOISE_MOD - 1) // 2
+            )
+            return F.lpad(F.hex(b), 2, "0")
+
+        return F.unhex(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bytes - 1)), byte_hex
+                ),
+                "",
+            )
+        )
+
+    payload = F.aggregate(
+        F.sequence(F.lit(0), F.lit(VIDEO_FRAMES - 1)),
+        F.lit(b""),
+        lambda acc, f: F.concat(acc, header, frame_raster(f)),
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def synth_video_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _noisy_video(load_table(spark, sf_dir, "documents"))
+
+
+def video_phashes(payload: bytes) -> list[int]:
+    """Per-frame 40-bit perceptual hashes of a multi-frame P6 clip: the
+    REAL sequential walker finds frame boundaries
+    (:func:`_walk_ppm_frames`) and each decoded raster hashes through
+    the shared planes (:func:`_phash_planes`).  A real deployment swaps
+    the walker for an ffmpeg keyframe pass; the fingerprint and banding
+    math downstream are unchanged."""
+    return [
+        _phash_planes(w, h, raster)[3]
+        for w, h, raster in _walk_ppm_frames(payload)
+    ]
+
+
+_VIDEO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _video_fp_frame(media: DataFrame) -> DataFrame:
+    """The per-frame hash map-stage over an arbitrary (doc_id, payload)
+    frame — 1 clip in, VIDEO_FRAMES rows out; stateless, so stream-legal
+    like its image/audio siblings."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(did), fi, ph)
+                for did, payload in zip(pdf["doc_id"], pdf["payload"])
+                for fi, ph in enumerate(video_phashes(payload))
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _VIDEO_FP_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(hash_batches, schema=_VIDEO_FP_SCHEMA)
+
+
+def video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video fingerprint: one 40-bit perceptual hash per frame via
+    mapInPandas (Arrow batches), all-long output, no shuffle — the
+    cheap map half of video dedup at any scale."""
+    return _video_fp_frame(synth_video_noisy(spark, sf_dir))
+
+
+def video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate pairs by TOTAL per-frame-hash Hamming
+    distance <= 12 across the clip, band-blocked per (frame_idx, band):
+    if a pair's total over 4 frames is <= 12, some frame sits at
+    hamming <= 3 (pigeonhole over frames), and that frame then agrees
+    exactly on one of its 4 10-bit bands (pigeonhole over bands) — so
+    the (frame_idx, band, band_bits) equi-join is candidate-complete
+    with ZERO recall loss, never an all-pairs stage.  Candidates join
+    back to the leafed per-frame hash table (the decode runs once) to
+    score every frame; ``max_hamming`` rides along so consumers can
+    tighten to an all-frames criterion without re-scoring.  Equal-length
+    clips by construction here; variable-length corpora add n_frames to
+    the band key (same trick as the n-gram dedup's length band)."""
+    from ..functions import leaf
+
+    fp = leaf(video_fingerprint(spark, sf_dir))
+    bands = _phash_bands(fp)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "frame_idx", "band", "band_bits"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "frame_idx", "band", "band_bits"
+    )
+    cand = (
+        a.join(b, ["frame_idx", "band", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        "frame_idx",
+        F.col("phash").alias("ph_a"),
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        "frame_idx",
+        F.col("phash").alias("ph_b"),
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "frame_idx"])
+        .withColumn("ham", F.bit_count(F.expr("ph_a ^ ph_b")).cast("long"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum("ham").cast("long").alias("total_hamming"),
+            F.max("ham").cast("long").alias("max_hamming"),
+        )
+        .filter(F.col("total_hamming") <= VIDEO_MAX_HAMMING)
+    )
+
+
+# Per-(doc, frame) replay of the synthesis integers into the three hash
+# planes — the _PHASH_CTE shape with a frame axis.
+_VIDEO_PH_CTE = f"""
+vlum AS (
+  SELECT doc_id, f, p,
+         sum((cast(cast(concat('0x', substr(bhx, 6 * p + 2 * c + 1, 2))
+                   AS ubigint) AS bigint) % {IMG_BASE_MOD} + {IMG_BASE_LO})
+           + (cast(cast(concat('0x', substr(nhx, 6 * p + 2 * c + 1, 2))
+                   AS ubigint) AS bigint) % {IMG_NOISE_MOD}
+              - {(IMG_NOISE_MOD - 1) // 2})) AS g
+  FROM (
+    SELECT doc_id, f,
+           md5(pk) || md5(pk || 'a') || md5(pk || 'b') AS bhx,
+           md5(nk) || md5(nk || 'a') || md5(nk || 'b') AS nhx,
+           rp.p AS p, rc.c AS c
+    FROM (SELECT doc_id, rf.f AS f,
+                 'vpat:' || cast(doc_id % {N_VIDEO_PATTERNS} AS varchar)
+                         || ':' || cast(rf.f AS varchar) AS pk,
+                 'vfr:' || cast(doc_id AS varchar)
+                        || ':' || cast(rf.f AS varchar) AS nk
+          FROM documents, range({VIDEO_FRAMES}) rf(f)),
+         range({PHASH_SIDE * PHASH_SIDE}) rp(p), range(3) rc(c)
+  )
+  GROUP BY doc_id, f, p
+),
+vtot AS (SELECT doc_id, f, sum(g) AS t FROM vlum GROUP BY doc_id, f),
+vah AS (
+  SELECT l.doc_id, l.f,
+         cast(coalesce(sum(CASE WHEN {PHASH_SIDE * PHASH_SIDE} * l.g > t.t
+                                THEN cast(1 AS bigint) << l.p END), 0)
+              AS bigint) AS ahash
+  FROM vlum l JOIN vtot t ON t.doc_id = l.doc_id AND t.f = l.f
+  GROUP BY l.doc_id, l.f
+),
+vdh AS (
+  SELECT a.doc_id, a.f,
+         cast(coalesce(sum(CASE WHEN a.g > b.g THEN cast(1 AS bigint)
+                                << ((a.p // {PHASH_SIDE}) * {PHASH_SIDE - 1}
+                                    + (a.p % {PHASH_SIDE})) END), 0)
+              AS bigint) AS dhash_h
+  FROM vlum a JOIN vlum b ON b.doc_id = a.doc_id AND b.f = a.f
+                         AND b.p = a.p + 1
+  WHERE a.p % {PHASH_SIDE} < {PHASH_SIDE - 1}
+  GROUP BY a.doc_id, a.f
+),
+vdv AS (
+  SELECT a.doc_id, a.f,
+         cast(coalesce(sum(CASE WHEN a.g > b.g
+                                THEN cast(1 AS bigint) << a.p END), 0)
+              AS bigint) AS dhash_v
+  FROM vlum a JOIN vlum b ON b.doc_id = a.doc_id AND b.f = a.f
+                         AND b.p = a.p + {PHASH_SIDE}
+  WHERE a.p < {PHASH_SIDE * (PHASH_SIDE - 1)}
+  GROUP BY a.doc_id, a.f
+),
+vph AS (
+  SELECT doc_id, cast(f AS bigint) AS frame_idx,
+         ahash + (dhash_h << 16) + (dhash_v << 28) AS phash
+  FROM vah JOIN vdh USING (doc_id, f) JOIN vdv USING (doc_id, f)
+)"""
+
+ORACLES["video_fingerprint"] = f"""
+WITH {_VIDEO_PH_CTE}
+SELECT doc_id, frame_idx, phash FROM vph
+"""
+
+ORACLES["video_near_dups"] = f"""
+WITH {_VIDEO_PH_CTE},
+vbands AS (
+  SELECT doc_id, frame_idx, band,
+         (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
+           & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
+  FROM (SELECT doc_id, frame_idx, phash,
+               unnest(range({PHASH_BANDS})) AS band FROM vph)
+),
+vcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM vbands a
+  JOIN vbands b ON a.frame_idx = b.frame_idx AND a.band = b.band
+               AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+),
+vscored AS (
+  SELECT c.doc_a, c.doc_b,
+         cast(count(*) AS bigint) AS n_frames,
+         cast(sum(bit_count(xor(fa.phash, fb.phash))) AS bigint)
+           AS total_hamming,
+         cast(max(bit_count(xor(fa.phash, fb.phash))) AS bigint)
+           AS max_hamming
+  FROM vcand c
+  JOIN vph fa ON fa.doc_id = c.doc_a
+  JOIN vph fb ON fb.doc_id = c.doc_b AND fb.frame_idx = fa.frame_idx
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, n_frames, total_hamming, max_hamming
+FROM vscored WHERE total_hamming <= {VIDEO_MAX_HAMMING}
+"""
+
+QUERIES["video_fingerprint"] = video_fingerprint
+QUERIES["video_near_dups"] = video_near_dups

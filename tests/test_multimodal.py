@@ -500,3 +500,83 @@ def test_audio_near_dups_oracle_parity_and_banding_complete(spark, oracle):
         """
     ).fetchone()[0]
     assert mm.audio_near_dups(spark, SF_DIR).count() == brute
+
+
+def test_audio_fp_ingest_oracle_parity(spark, oracle):
+    assert_parity(
+        spark, oracle, mm.audio_fp_ingest, mm.ORACLES["audio_fp_ingest"]
+    )
+
+
+def test_video_phashes_planted_near_dup_and_unrelated():
+    """Constructed fixture: a 2-frame clip, a near-dup with one tiny pixel
+    nudge in each frame (small per-frame hamming), and an unrelated clip
+    (large total).  Pure-Python check of the real walk+hash path."""
+    f0 = bytes(range(56, 56 + 48))
+    f1 = bytes(range(60, 60 + 48))
+    near0, near1 = bytearray(f0), bytearray(f1)
+    near0[21] += 1
+    near1[33] += 1
+    far = bytes(199 - ((i * 37) % 144) for i in range(48))
+    clip = _ppm(4, 4, f0) + _ppm(4, 4, f1)
+    clip_near = _ppm(4, 4, bytes(near0)) + _ppm(4, 4, bytes(near1))
+    clip_far = _ppm(4, 4, far) + _ppm(4, 4, far)
+    ph = mm.video_phashes(clip)
+    ph_near = mm.video_phashes(clip_near)
+    ph_far = mm.video_phashes(clip_far)
+    assert len(ph) == len(ph_near) == 2
+    total_near = sum(bin(a ^ b).count("1") for a, b in zip(ph, ph_near))
+    total_far = sum(bin(a ^ b).count("1") for a, b in zip(ph, ph_far))
+    assert total_near <= mm.VIDEO_MAX_HAMMING
+    assert total_far > mm.VIDEO_MAX_HAMMING
+
+
+def test_synth_video_noisy_payloads_are_valid_clips(spark):
+    rows = mm.synth_video_noisy(spark, SF_DIR).limit(10).collect()
+    assert rows
+    for r in rows:
+        frames = mm._walk_ppm_frames(bytes(r["payload"]))
+        assert len(frames) == mm.VIDEO_FRAMES
+        assert all((w, h) == (mm.PHASH_SIDE, mm.PHASH_SIDE) for w, h, _ in frames)
+
+
+def test_video_fingerprint_oracle_parity(spark, oracle):
+    assert_parity(
+        spark, oracle, mm.video_fingerprint, mm.ORACLES["video_fingerprint"]
+    )
+
+
+def test_video_near_dups_oracle_parity_and_banding_complete(spark, oracle):
+    assert_parity(
+        spark, oracle, mm.video_near_dups, mm.ORACLES["video_near_dups"]
+    )
+    # pigeonhole completeness: total <= 12 over 4 frames forces one frame
+    # to hamming <= 3, which forces one exact 10-bit band match — the
+    # banded join finds EXACTLY the brute all-pairs total-hamming set
+    brute = oracle.sql(
+        f"""
+        WITH {mm._VIDEO_PH_CTE}
+        SELECT count(*) FROM (
+          SELECT a.doc_id, b.doc_id
+          FROM vph a JOIN vph b ON b.doc_id > a.doc_id
+                                AND b.frame_idx = a.frame_idx
+          GROUP BY a.doc_id, b.doc_id
+          HAVING sum(bit_count(xor(a.phash, b.phash)))
+                   <= {mm.VIDEO_MAX_HAMMING}
+        )
+        """
+    ).fetchone()[0]
+    assert mm.video_near_dups(spark, SF_DIR).count() == brute
+
+
+def test_video_near_dups_pairs_share_pattern(spark):
+    # at test scale every surviving pair comes from a planted pattern
+    # group: unrelated 160-bit fingerprints sit near hamming ~80, far
+    # above the 12-bit total cut
+    rows = mm.video_near_dups(spark, SF_DIR).collect()
+    assert rows
+    assert all(
+        r["doc_a"] % mm.N_VIDEO_PATTERNS == r["doc_b"] % mm.N_VIDEO_PATTERNS
+        for r in rows
+    )
+    assert all(r["n_frames"] == mm.VIDEO_FRAMES for r in rows)
