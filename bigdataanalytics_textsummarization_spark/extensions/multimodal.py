@@ -1136,15 +1136,13 @@ def _phash_bands(fp: DataFrame) -> DataFrame:
     )
 
 
-def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-duplicate pairs by perceptual-hash Hamming distance <=
-    3, band-blocked (the ``simhash_near_pairs`` shape on the multimodal
-    store): with 4 bands of 10 bits over
-    the 40-bit hash, any pair at hamming <= 3 agrees exactly on at least
-    one band (pigeonhole), so candidate generation is an equi-join on
-    (band, band_bits) — never an all-pairs cross product, and with ZERO
-    recall loss versus brute force.  The hash table is leafed so the
-    Arrow decode runs once, not once per self-join side."""
+def _phash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded image CANDIDATE pair set with per-pair Hamming distance,
+    BEFORE the near-dup threshold cut — :func:`image_near_dups` filters
+    it, and the cross-modal audit reads it unfiltered (a candidate that
+    scored above the cut is a genuine detector disagreement, distinct
+    from a pair the bands never surfaced).  The hash table is leafed so
+    the Arrow decode runs once, not once per self-join side."""
     from ..functions import leaf
 
     fp = leaf(image_phash(spark, sf_dir).select("doc_id", "phash"))
@@ -1167,6 +1165,20 @@ def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "ph_a", "ph_b")
         .distinct()
         .withColumn("hamming", F.bit_count(F.expr("ph_a ^ ph_b")).cast("long"))
+    )
+
+
+def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance <=
+    3, band-blocked (the ``simhash_near_pairs`` shape on the multimodal
+    store): with 4 bands of 10 bits over
+    the 40-bit hash, any pair at hamming <= 3 agrees exactly on at least
+    one band (pigeonhole), so candidate generation is an equi-join on
+    (band, band_bits) — never an all-pairs cross product, and with ZERO
+    recall loss versus brute force.  The hash table is leafed so the
+    Arrow decode runs once, not once per self-join side."""
+    return (
+        _phash_candidate_pairs(spark, sf_dir)
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "ph_a", "ph_b", "hamming")
     )
@@ -2005,3 +2017,102 @@ FROM vscored WHERE total_hamming <= {VIDEO_MAX_HAMMING}
 
 QUERIES["video_fingerprint"] = video_fingerprint
 QUERIES["video_near_dups"] = video_near_dups
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal dedup audit (VERDICT r12 task 7): the hybrid_dedup_audit
+# shape ACROSS modalities — before trusting either signal, a curation team
+# checks where text MinHash dedup and image perceptual-hash dedup agree on
+# the same doc_ids.
+
+
+def multimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the text and image near-dup detectors on
+    the same documents: one row per pair FLAGGED by either text
+    MinHash-LSH (exact Jaccard >= 0.2) or image perceptual hash
+    (Hamming <= 3), with each detector's verdict in the three-state
+    vocabulary of ``hybrid_dedup_audit`` (flagged / below_threshold /
+    not_a_candidate — a pair the detector scored under its cut is a
+    genuine disagreement; a pair its blocking never surfaced is a
+    recall artifact).  Sentinels keep the row null-free for the typed
+    gate: jaccard -1.0, hamming -1.
+
+    Scale shape: both inputs are already candidate-bounded (the
+    session-shared LSH pair leaf; the banded phash candidates), and the
+    audit is ONE full-outer equi-join keyed on the pair — O(candidates),
+    never a new pairwise stage."""
+    from .dedup import CLUSTER_MIN_JACCARD, _lsh_pairs
+
+    text_c = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    img_c = _phash_candidate_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", "hamming"
+    )
+    text_state = (
+        F.when(F.col("jaccard").isNull(), F.lit("not_a_candidate"))
+        .when(F.col("jaccard") >= CLUSTER_MIN_JACCARD, F.lit("flagged"))
+        .otherwise(F.lit("below_threshold"))
+    )
+    img_state = (
+        F.when(F.col("hamming").isNull(), F.lit("not_a_candidate"))
+        .when(F.col("hamming") <= PHASH_MAX_HAMMING, F.lit("flagged"))
+        .otherwise(F.lit("below_threshold"))
+    )
+    return (
+        text_c.join(img_c, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            text_state.alias("text_verdict"),
+            img_state.alias("image_verdict"),
+            F.coalesce("jaccard", F.lit(-1.0)).alias("jaccard"),
+            F.coalesce("hamming", F.lit(-1).cast("long")).alias("hamming"),
+        )
+        .filter(
+            (F.col("text_verdict") == "flagged")
+            | (F.col("image_verdict") == "flagged")
+        )
+    )
+
+
+def _install_audit_oracle() -> None:
+    # deferred so the module keeps zero import-time coupling beyond the
+    # oracle string itself (dedup does not import multimodal back)
+    from .dedup import CLUSTER_MIN_JACCARD
+    from .dedup import ORACLES as _DEDUP_ORACLES
+
+    ORACLES["multimodal_dedup_audit"] = f"""
+WITH lex AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
+{_PHASH_CTE},
+pbands AS (
+  SELECT doc_id, phash, band,
+         (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
+           & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
+  FROM (SELECT doc_id, phash,
+               unnest(range({PHASH_BANDS})) AS band FROM ph)
+),
+img AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(bit_count(xor(a.phash, b.phash)) AS bigint) AS hamming
+  FROM pbands a
+  JOIN pbands b ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+)
+SELECT * FROM (
+  SELECT coalesce(l.doc_a, i.doc_a) AS doc_a,
+         coalesce(l.doc_b, i.doc_b) AS doc_b,
+         CASE WHEN l.jaccard IS NULL THEN 'not_a_candidate'
+              WHEN l.jaccard >= {CLUSTER_MIN_JACCARD} THEN 'flagged'
+              ELSE 'below_threshold' END AS text_verdict,
+         CASE WHEN i.hamming IS NULL THEN 'not_a_candidate'
+              WHEN i.hamming <= {PHASH_MAX_HAMMING} THEN 'flagged'
+              ELSE 'below_threshold' END AS image_verdict,
+         coalesce(l.jaccard, -1.0) AS jaccard,
+         coalesce(i.hamming, cast(-1 AS bigint)) AS hamming
+  FROM lex l
+  FULL OUTER JOIN img i ON l.doc_a = i.doc_a AND l.doc_b = i.doc_b
+) WHERE text_verdict = 'flagged' OR image_verdict = 'flagged'
+"""
+
+
+_install_audit_oracle()
+QUERIES["multimodal_dedup_audit"] = multimodal_dedup_audit

@@ -580,3 +580,23 @@ def test_video_near_dups_pairs_share_pattern(spark):
         for r in rows
     )
     assert all(r["n_frames"] == mm.VIDEO_FRAMES for r in rows)
+
+
+def test_multimodal_dedup_audit_oracle_parity_and_states(spark, oracle):
+    assert_parity(
+        spark,
+        oracle,
+        mm.multimodal_dedup_audit,
+        mm.ORACLES["multimodal_dedup_audit"],
+    )
+    rows = mm.multimodal_dedup_audit(spark, SF_DIR).collect()
+    assert rows
+    states = {"flagged", "below_threshold", "not_a_candidate"}
+    for r in rows:
+        assert r["text_verdict"] in states and r["image_verdict"] in states
+        # every emitted row is flagged by at least one detector
+        assert "flagged" in (r["text_verdict"], r["image_verdict"])
+        # sentinel discipline: a non-candidate carries its sentinel, a
+        # candidate carries a real score
+        assert (r["text_verdict"] == "not_a_candidate") == (r["jaccard"] == -1.0)
+        assert (r["image_verdict"] == "not_a_candidate") == (r["hamming"] == -1)
