@@ -303,10 +303,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is one join + one aggregate on the edge key — no state ever
     leaves the cluster.  The DuckDB oracle computes the same components
     with a recursive transitive-closure CTE.
+
+    The propagation loop itself lives in :func:`min_label_components`
+    (ONE copy, shared with the image/video near-dup families — ADVICE
+    r12: the extracted loop and this function had silently kept twin
+    copies); this function owns only the jaccard-thresholded pair frame.
     """
     pairs = _lsh_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= CLUSTER_MIN_JACCARD
     )
+    return min_label_components(pairs.select("doc_a", "doc_b"))
+
+
+def min_label_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an arbitrary (doc_a, doc_b) pair frame —
+    iterative min-label propagation shared by every near-dup family
+    (text via :func:`dedup_clusters`, image, video): label(v) <-
+    min(label(v), labels of neighbors) to fixpoint, one join + one
+    aggregate per iteration, per-iteration ``localCheckpoint`` with
+    eager retirement (peak footprint does not grow with iterations).
+    Returns (doc_id, cluster_id, is_duplicate) for every vertex that
+    appears in at least one pair; canonical = min doc_id per component.
+
+    A component whose diameter exceeds ``CLUSTER_MAX_ITERS`` would exit
+    the loop BEFORE the fixpoint — the result would disagree with any
+    exact transitive-closure oracle with nothing pointing at the cap —
+    so a non-converged exit raises loudly (ADVICE r12) instead of
+    returning silently-wrong labels.  Near-dup components are tiny in
+    practice; a graph that trips this is a signal the pair generator is
+    over-connecting, not a reason to raise the cap blindly."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -323,7 +348,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .transform(_owned_ckpt)
     )
-    prev_ckpt = labels  # superseded once the next iteration materializes
+    prev_ckpt = labels
+    changed = -1
     for _ in range(CLUSTER_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -352,63 +378,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.select("doc_id", "label")
         if changed == 0:
             break
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("doc_id") != F.col("label")).alias("is_duplicate"),
-    )
-
-
-def min_label_components(pairs: DataFrame) -> DataFrame:
-    """Connected components over an arbitrary (doc_a, doc_b) pair frame —
-    the iterative min-label propagation of :func:`dedup_clusters`,
-    extracted so other near-dup detectors (the image perceptual-hash
-    family) can collapse their pair graphs the same way: label(v) <-
-    min(label(v), labels of neighbors) to fixpoint, one join + one
-    aggregate per iteration, per-iteration ``localCheckpoint`` with
-    eager retirement (peak footprint does not grow with iterations).
-    Returns (doc_id, cluster_id, is_duplicate) for every vertex that
-    appears in at least one pair; canonical = min doc_id per component."""
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
+    if changed != 0:
+        raise RuntimeError(
+            f"min_label_components exited after {CLUSTER_MAX_ITERS} "
+            f"iterations with {changed} labels still changing — a component "
+            "diameter exceeds the cap and the labels are not a fixpoint"
         )
-        .distinct()
-        .transform(_owned_ckpt)
-    )
-    labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .transform(_owned_ckpt)
-    )
-    prev_ckpt = labels
-    for _ in range(CLUSTER_MAX_ITERS):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        stepped = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
-            .select(
-                "doc_id",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .transform(_owned_ckpt)
-        )
-        _retire_ckpt(prev_ckpt)
-        prev_ckpt = stepped
-        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
-        labels = stepped.select("doc_id", "label")
-        if changed == 0:
-            break
     return labels.select(
         "doc_id",
         F.col("label").alias("cluster_id"),

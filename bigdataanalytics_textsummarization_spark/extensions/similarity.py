@@ -2568,6 +2568,12 @@ def _beam_search(
     return _beam_loop(emb, edges, q, cand, beam_w, rounds)
 
 
+# bump whenever build_graph_index's output (descent params, edge schema,
+# layout) changes: the token folds into _ensure_graph_index's signature so
+# a code change can never silently reuse an index built by old code
+_GRAPH_INDEX_BUILD_VERSION = 1
+
+
 def build_graph_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     """Materialize the graph-ANN index on disk — the deployment split the
     beam family's session memo stands in for (index built ONCE, searched
@@ -2595,7 +2601,15 @@ def _ensure_graph_index(spark: SparkSession, sf_dir: str) -> str:
     path only after the sink completed, so a pytest run alongside the
     driver can never observe (or overwrite) a half-written index.  A
     lost rename race means the other builder's complete index wins —
-    identical by construction (descent is deterministic)."""
+    identical by construction (descent is deterministic).
+
+    The signature folds in ``_GRAPH_INDEX_BUILD_VERSION`` (ADVICE r12:
+    keyed on file path/mtime/size alone, a code change to
+    :func:`build_graph_index` would silently reuse a stale index built
+    by old code) and the root is scoped per-uid so another user's
+    predictable-path directory is never trusted as a valid index; a
+    failed build's stage directory is always reclaimed (try/finally),
+    not only on the rename-race path."""
     import hashlib
     import os
     import shutil
@@ -2604,19 +2618,28 @@ def _ensure_graph_index(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     sig = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}"
+        f":build-v{_GRAPH_INDEX_BUILD_VERSION}".encode()
     ).hexdigest()[:12]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
     root = os.path.join(
-        tempfile.gettempdir(), "spark_graft_media", sig, "graph_index"
+        tempfile.gettempdir(),
+        f"spark_graft_media-{uid}",
+        sig,
+        "graph_index",
     )
     if os.path.isdir(root):
         return root
     stage = root + f".stage-{os.getpid()}"
-    build_graph_index(spark, sf_dir, stage)
     try:
-        os.rename(stage, root)
-    except OSError:
-        shutil.rmtree(stage, ignore_errors=True)  # raced: other build won
+        build_graph_index(spark, sf_dir, stage)
+        os.makedirs(os.path.dirname(root), exist_ok=True)
+        try:
+            os.rename(stage, root)
+        except OSError:
+            pass  # raced: other build won; finally reclaims the stage
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
     return root
 
 
