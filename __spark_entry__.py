@@ -555,6 +555,108 @@ _PRIORITY_R12 = [
     "q6_forecast_revenue",
 ]
 
+# Round-13 window (VERDICT r12 tasks 1-4+7): 50 slots composed straight
+# from the check_recert enumeration at r13 HEAD — (a) the four
+# never-certified r13 queries (video near-dup family, the acoustic
+# ingest gate, the cross-modal audit; all verified ALL MATCH by
+# driver_sim at sf0.01 before staging), (b) the 15 changed-since-green
+# rows (the image/audio families through the _phash_bands/_phash_planes/
+# _walk_ppm_frames refactors, the dedup-cluster family through the
+# min_label_components delegation, the mixture quartet through the
+# scalar-window retirement, ann_graph_search_indexed through the index
+# signature hardening — every one re-verified MATCH at sf0.01), then
+# (c) ALL 12 r8-era spill greens (the whole freshness debt named by the
+# r12 verdict), then (d) the alphabetically-first 19 of the 35 r9-era
+# greens (frame_sample, the 36th, rides in (b)).  4+15+12+19 = exactly
+# the 50-slot budget; the 16 r9-era leftovers queue in
+# _PRIORITY_R13_SPILL (the rouge family stays adjacent there for r14's
+# leaf reuse).  After r13 certifies, the oldest standing green is
+# r9-era.
+_PRIORITY_R13 = [
+    # (a) never certified — the video family first (shared fingerprint
+    # leaf), then the acoustic gate beside its family, then the audit
+    # beside the dedup rows below
+    "video_fingerprint",
+    "video_near_dups",
+    "audio_fp_ingest",
+    "multimodal_dedup_audit",
+    # (b) changed-since-green, family-grouped: image hash family (shared
+    # phash leaf), audio family, the frame walker's keyframe pass
+    "image_phash",
+    "image_near_dups",
+    "phash_ingest",
+    "image_dedup_clusters",
+    "audio_fingerprint",
+    "audio_near_dups",
+    "frame_sample",
+    # (b cont.) dedup-cluster family over the shared LSH pair leaf
+    "dedup_clusters",
+    "dedup_keep_best",
+    "curation_pipeline",
+    # (b cont.) the mixture quartet (scalar totals now 1-row agg
+    # broadcasts over a leafed per-source frame) + the hardened index
+    "source_mixture",
+    "mixture_sample",
+    "token_budget_mixture",
+    "token_budget_mixture_salted",
+    "ann_graph_search_indexed",
+    # (c) the 12 r8-era spill greens — the oldest standing rows
+    "q7_volume_shipping",
+    "rfm_segments",
+    "sentences",
+    "substring_dedup",
+    "tar_shards_roundtrip",
+    "tf_map",
+    "tfidf_topk_mllib",
+    "tokens_lsa",
+    "tokens_textrank",
+    "tokens_wordnet",
+    "vocabulary",
+    "wav_files_decode",
+    # (d) r9-era greens, alphabetical up to the budget
+    "audio_resample",
+    "bpe_encode",
+    "bpe_roundtrip",
+    "bpe_vocab",
+    "dedup_ngram_jaccard",
+    "embedding_cov_gram_check",
+    "events_hourly",
+    "events_json_stats",
+    "image_resize",
+    "jsonl_roundtrip",
+    "lsa_concepts",
+    "lsa_summary",
+    "orc_roundtrip",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "rich_customers_sql",
+]
+
+# Over-budget r13 queue, r14 leads with it: the r9-era greens past the
+# alphabetical cut (the rouge family groups back together here, so the
+# r14 window keeps the leaf/memo reuse when they rotate in).
+_PRIORITY_R13_SPILL = [
+    "rouge_l",
+    "rouge_n",
+    "rouge_n_relational",
+    "rouge_n_stemmed",
+    "rouge_sweep",
+    "rouge_sweep_stemmed",
+    "sales_cube",
+    "sales_grouping_sets",
+    "sales_rollup",
+    "stupid_backoff",
+    "tfidf_doc_topk",
+    "tokenizer_fertility",
+    "top_customers_per_nation",
+    "user_value_moving_avg",
+    "vocab_kl_drift",
+    "weighted_sample",
+]
+
 # Over-budget r12 queue, r13 leads with it: the r8-era greens past the
 # alphabetical cut (text-family names group back together here, so the
 # r13 window keeps the leaf/memo reuse when they rotate in).
@@ -710,7 +812,9 @@ _PRIORITY_R8_STAGED = [
 # insertion dedupes repeats), then the over-budget spill, then the older
 # lists so every still-staged name stays queued.
 _PRIORITY = (
-    _PRIORITY_R12
+    _PRIORITY_R13
+    + _PRIORITY_R13_SPILL
+    + _PRIORITY_R12
     + _PRIORITY_R12_SPILL
     + _PRIORITY_R11
     + _PRIORITY_R11_SPILL
