@@ -92,6 +92,10 @@ HEADLINE = [
     # Arrow-hash map stage + pigeonhole-complete Hamming-band join — so
     # regressions in the image family stay visible round-over-round
     "image_near_dups",
+    # round-13 widening (VERDICT r12 task 3): the video family's pair
+    # query — per-frame hashes, banded candidates, join-back scoring —
+    # the heaviest multimodal near-dup path
+    "video_near_dups",
 ]
 
 # the pre-r9 headline set (exactly BENCH_v1.json's rows), kept as an

@@ -104,6 +104,14 @@ PROBE = [
     # grows ~100x per group — O(candidates) is the claim under test)
     "image_phash",
     "image_near_dups",
+    # round-13 (VERDICT r12 task 6): the rest of the banded media
+    # families — the image/audio ingest gates (stream-static band join
+    # vs a 10x corpus index) and the audio/video pair queries; all run
+    # with pattern-count scaled (PROBE_PATTERN_SCALE) so planted
+    # candidates stay O(n)
+    "phash_ingest",
+    "audio_near_dups",
+    "video_near_dups",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default
@@ -119,6 +127,44 @@ PROBE_MODES = {
     "knn_graph_descent": "rebuild",
     "ann_graph_search": "prewarm",
 }
+
+# r13 (VERDICT r12 task 6): the banded media families probe with the
+# PLANTED-PATTERN COUNT SCALED with the corpus (constant per-pattern
+# group size), so planted candidate pairs grow O(n) — the engine shape
+# under test — instead of O(n²) within 125 ever-fatter groups (which is
+# the workload growing itself, the thing the x10 dedup rows already
+# measure).  Maps query -> the multimodal pattern constants to scale by
+# the replica factor for the big rep (base rep keeps base constants, so
+# both reps see the same per-group density).
+PROBE_PATTERN_SCALE = {
+    "image_near_dups": ("N_IMG_PATTERNS",),
+    "phash_ingest": ("N_IMG_PATTERNS",),
+    "audio_near_dups": ("AUDIO_PATTERNS",),
+    "video_near_dups": ("N_VIDEO_PATTERNS",),
+}
+
+
+class _scaled_patterns:
+    """Temporarily multiply the named multimodal pattern constants."""
+
+    def __init__(self, names: tuple[str, ...], factor: int) -> None:
+        from bigdataanalytics_textsummarization_spark.extensions import multimodal
+
+        self.mod = multimodal
+        self.names = names
+        self.factor = factor
+        self.saved: dict[str, int] = {}
+
+    def __enter__(self):
+        for n in self.names:
+            self.saved[n] = getattr(self.mod, n)
+            setattr(self.mod, n, self.saved[n] * self.factor)
+        return self
+
+    def __exit__(self, *exc):
+        for n, v in self.saved.items():
+            setattr(self.mod, n, v)
+        return False
 
 # The x100 tier (VERDICT r8 task 8): one decade further for the queries
 # whose x10 ratios were flat-linear (1.1-1.3x-per-x10 shapes) — confirms
@@ -154,6 +200,17 @@ PROBE_X100 = [
     "token_budget_mixture_salted",
     "dsir_weights",
     "image_phash",
+    # r13 (VERDICT r12 task 6): the banded image pair + ingest gate one
+    # decade further, pattern-scaled so planted candidates stay O(n).
+    # The residual x100 growth is the toy 40-bit hash's 10-bit band
+    # space saturating (~500 images per band value at 500k images) —
+    # random-collision candidates, not planted ones; the production
+    # 64-bit hash with 16-bit bands moves that wall two decades out
+    # (constants, not shape).  audio_near_dups stays x10-only: its
+    # 31-bit fingerprint's 8-bit bands saturate ~4x harder (see
+    # PLANS.md).
+    "image_near_dups",
+    "phash_ingest",
 ]
 
 
@@ -223,6 +280,9 @@ def main() -> None:
     big_dir = build_replicated(spark, replicas)
     queries = entry_mod.queries()
     probe = PROBE_X100 if replicas >= 100 else PROBE
+    if len(sys.argv) > 2:  # optional name filter: probe only these rows
+        only = set(sys.argv[2:])
+        probe = [n for n in probe if n in only]
     print(f"{'query':24} {'sf0.1':>8} {'x' + str(replicas):>8} {'ratio':>7}")
     for name in probe:
         fn = queries[name]
@@ -238,6 +298,12 @@ def main() -> None:
             base = time_query(spark, fn, BASE_SF)
             time_query(spark, fn, big_dir)  # builds the big index memo
             big = time_query(spark, fn, big_dir)
+        elif name in PROBE_PATTERN_SCALE:
+            time_query(spark, fn, BASE_SF)  # warm
+            base = time_query(spark, fn, BASE_SF)
+            release_pins()  # the phash/fp leaf is pattern-dependent
+            with _scaled_patterns(PROBE_PATTERN_SCALE[name], replicas):
+                big = time_query(spark, fn, big_dir)
         else:
             time_query(spark, fn, BASE_SF)  # warm
             base = time_query(spark, fn, BASE_SF)
