@@ -575,10 +575,18 @@ _PRIORITY_R12 = [
 _PRIORITY_R13 = [
     # (a) never certified — the video family first (shared fingerprint
     # leaf), then the acoustic gate beside its family, then the audit
-    # beside the dedup rows below
+    # beside the dedup rows below.  Late-r13 family-symmetry queries
+    # (video gate + audio/video clusters, each verified ALL MATCH by
+    # driver_sim before staging) ride beside their families, each taking
+    # the slot of an alphabetically-last r9-era name that moves to the
+    # spill head — the r12 late-round precedent, the rotation loses
+    # nothing
     "video_fingerprint",
     "video_near_dups",
+    "video_fp_ingest",  # late r13
+    "video_dedup_clusters",  # late r13
     "audio_fp_ingest",
+    "audio_dedup_clusters",  # late r13
     "multimodal_dedup_audit",
     # (b) changed-since-green, family-grouped: image hash family (shared
     # phash leaf), audio family, the frame walker's keyframe pass
@@ -630,15 +638,16 @@ _PRIORITY_R13 = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "rich_customers_sql",
 ]
 
 # Over-budget r13 queue, r14 leads with it: the r9-era greens past the
 # alphabetical cut (the rouge family groups back together here, so the
 # r14 window keeps the leaf/memo reuse when they rotate in).
 _PRIORITY_R13_SPILL = [
+    # displaced by the late-r13 family-symmetry trio (see _PRIORITY_R13)
+    "q8_market_share",
+    "q9_product_profit",
+    "rich_customers_sql",
     "rouge_l",
     "rouge_n",
     "rouge_n_relational",

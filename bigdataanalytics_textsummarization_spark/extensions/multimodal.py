@@ -2116,3 +2116,198 @@ SELECT * FROM (
 
 _install_audit_oracle()
 QUERIES["multimodal_dedup_audit"] = multimodal_dedup_audit
+
+
+# ---------------------------------------------------------------------------
+# Family symmetry (late r13): every modality gets the full dedup
+# lifecycle — fingerprint -> near-dup pairs -> clusters -> ingest gate.
+# Image had all four; audio lacked clusters, video lacked clusters+gate.
+
+VIDEO_INGEST_MOD = 10  # doc_id % 10 == 0 plays the arriving clip stream
+
+
+def video_fp_ingest_join(
+    new_media: DataFrame, corpus_bands: DataFrame
+) -> DataFrame:
+    """Ingest-time video near-dup gate: new clips vs a static per-frame
+    hash index — completes ingest-gating parity across all four
+    modalities (text ``near_dup_ingest``, image ``phash_ingest``, audio
+    ``audio_fp_ingest``).
+
+    ``new_media`` may be a STREAM of (doc_id, payload): the per-frame
+    hash is a stateless Arrow map stage (:func:`_video_fp_frame`, 1
+    clip -> 4 rows — mapInPandas row fan-out is stream-legal), banding
+    is per-row, and the (frame_idx, band, band_bits) equi-join against
+    the precomputed index is stream-static, so the gate runs append-mode
+    with zero streaming state.  One output row per matching (new,
+    corpus, frame_idx, band) at per-frame Hamming <= 3 — the frame-level
+    EVIDENCE a true near-dup pair must produce (total <= 12 across 4
+    frames forces one frame to <= 3, the pigeonhole of
+    :func:`video_near_dups`), so the gate never misses a true pair.
+    The clip-level total-hamming verdict needs every frame of both
+    sides and therefore state; consumers route flagged pairs through
+    the batch scorer, same division of labor as the other gates'
+    ``distinct()`` contract."""
+    nb = _phash_bands(_video_fp_frame(new_media)).select(
+        F.col("doc_id").alias("new_doc_id"),
+        "frame_idx",
+        F.col("phash").alias("new_phash"),
+        "band",
+        "band_bits",
+    )
+    idx = corpus_bands.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        "frame_idx",
+        F.col("phash").alias("corpus_phash"),
+        "band",
+        "band_bits",
+    )
+    return (
+        nb.join(idx, ["frame_idx", "band", "band_bits"])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr("new_phash ^ corpus_phash")).cast("long"),
+        )
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.col("band").cast("long").alias("band"),
+            "hamming",
+        )
+    )
+
+
+def video_fp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming video-ingest gate: clips with doc_id
+    % 10 == 0 arrive 'new'; the rest are the indexed corpus.  The
+    stream==batch proof lives in tests/test_streaming.py."""
+    media = synth_video_noisy(spark, sf_dir)
+    new_media = media.filter(F.col("doc_id") % VIDEO_INGEST_MOD == 0)
+    corpus = _phash_bands(
+        _video_fp_frame(
+            media.filter(F.col("doc_id") % VIDEO_INGEST_MOD != 0)
+        )
+    )
+    return video_fp_ingest_join(new_media, corpus)
+
+
+ORACLES["video_fp_ingest"] = f"""
+WITH {_VIDEO_PH_CTE},
+vbands AS (
+  SELECT doc_id, frame_idx, phash, band,
+         (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
+           & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
+  FROM (SELECT doc_id, frame_idx, phash,
+               unnest(range({PHASH_BANDS})) AS band FROM vph)
+)
+SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+       n.frame_idx, n.band,
+       cast(bit_count(xor(n.phash, c.phash)) AS bigint) AS hamming
+FROM vbands n
+JOIN vbands c ON n.frame_idx = c.frame_idx AND n.band = c.band
+             AND n.band_bits = c.band_bits
+WHERE n.doc_id % {VIDEO_INGEST_MOD} = 0
+  AND c.doc_id % {VIDEO_INGEST_MOD} <> 0
+  AND bit_count(xor(n.phash, c.phash)) <= {PHASH_MAX_HAMMING}
+"""
+
+QUERIES["video_fp_ingest"] = video_fp_ingest
+
+
+def video_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate CLUSTERS: connected components over the
+    total-hamming pair graph via the shared min-label propagation
+    (:func:`dedup.min_label_components`), canonical = min doc_id — the
+    image/text cluster step on the video axis.  Oracle: recursive
+    transitive closure over the same banded pair set."""
+    from .dedup import min_label_components
+
+    return min_label_components(
+        video_near_dups(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+ORACLES["video_dedup_clusters"] = f"""
+WITH RECURSIVE {_VIDEO_PH_CTE},
+vbands AS (
+  SELECT doc_id, frame_idx, band,
+         (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
+           & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
+  FROM (SELECT doc_id, frame_idx, phash,
+               unnest(range({PHASH_BANDS})) AS band FROM vph)
+),
+vcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM vbands a
+  JOIN vbands b ON a.frame_idx = b.frame_idx AND a.band = b.band
+               AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+),
+vpairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM vcand c
+  JOIN vph fa ON fa.doc_id = c.doc_a
+  JOIN vph fb ON fb.doc_id = c.doc_b AND fb.frame_idx = fa.frame_idx
+  GROUP BY c.doc_a, c.doc_b
+  HAVING sum(bit_count(xor(fa.phash, fb.phash))) <= {VIDEO_MAX_HAMMING}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM vpairs
+  UNION
+  SELECT doc_b, doc_a FROM vpairs
+),
+reach(s, d) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, min(d) AS cluster_id, s <> min(d) AS is_duplicate
+FROM reach GROUP BY s
+"""
+
+QUERIES["video_dedup_clusters"] = video_dedup_clusters
+
+
+def audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate CLUSTERS: connected components over the
+    acoustic fingerprint pair graph via the shared min-label
+    propagation, canonical = min doc_id — completing cluster parity
+    across text/image/audio/video."""
+    from .dedup import min_label_components
+
+    return min_label_components(
+        audio_near_dups(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+ORACLES["audio_dedup_clusters"] = f"""
+WITH RECURSIVE {_AUDIO_FP_CTE},
+abands AS (
+  SELECT doc_id, fp, band,
+         (fp >> (band * 8)) & 255 AS band_bits
+  FROM (SELECT doc_id, fp,
+               unnest(range({AUDIO_FP_BANDS})) AS band FROM afp)
+),
+acand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM abands a
+  JOIN abands b ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= {AUDIO_FP_MAX_HAMMING}
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM acand
+  UNION
+  SELECT doc_b, doc_a FROM acand
+),
+reach(s, d) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, min(d) AS cluster_id, s <> min(d) AS is_duplicate
+FROM reach GROUP BY s
+"""
+
+QUERIES["audio_dedup_clusters"] = audio_dedup_clusters

@@ -600,3 +600,36 @@ def test_multimodal_dedup_audit_oracle_parity_and_states(spark, oracle):
         # candidate carries a real score
         assert (r["text_verdict"] == "not_a_candidate") == (r["jaccard"] == -1.0)
         assert (r["image_verdict"] == "not_a_candidate") == (r["hamming"] == -1)
+
+
+def test_video_fp_ingest_oracle_parity(spark, oracle):
+    assert_parity(
+        spark, oracle, mm.video_fp_ingest, mm.ORACLES["video_fp_ingest"]
+    )
+
+
+def test_video_dedup_clusters_oracle_parity_and_invariants(spark, oracle):
+    assert_parity(
+        spark,
+        oracle,
+        mm.video_dedup_clusters,
+        mm.ORACLES["video_dedup_clusters"],
+    )
+    rows = mm.video_dedup_clusters(spark, SF_DIR).collect()
+    assert rows
+    # canonical = min member: every cluster_id labels itself non-duplicate
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert min(m["doc_id"] for m in members) == cid
+        assert all(m["is_duplicate"] == (m["doc_id"] != cid) for m in members)
+
+
+def test_audio_dedup_clusters_oracle_parity(spark, oracle):
+    assert_parity(
+        spark,
+        oracle,
+        mm.audio_dedup_clusters,
+        mm.ORACLES["audio_dedup_clusters"],
+    )

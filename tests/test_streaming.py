@@ -725,3 +725,50 @@ def test_audio_fp_ingest_stream_matches_batch(spark):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape, f"{g.shape} != {w.shape}"
     assert g.equals(w)
+
+
+def test_video_fp_ingest_stream_matches_batch(spark):
+    # the video gate (ingest parity across all four modalities): the
+    # per-frame hash is a stateless 1->k mapInPandas stage, banding is
+    # per-row, and the (frame_idx, band, band_bits) join against the
+    # precomputed per-frame index is stream-static; append-mode result
+    # must equal the batch twin
+    from pyspark.sql import types as T
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        multimodal as mm,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream_media = mm._noisy_video(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+        .filter(F.col("doc_id") % mm.VIDEO_INGEST_MOD == 0)
+    )
+    docs = load_table(spark, SF_DIR, "documents")
+    index = mm._phash_bands(
+        mm._video_fp_frame(
+            mm._noisy_video(
+                docs.filter(F.col("doc_id") % mm.VIDEO_INGEST_MOD != 0)
+            )
+        )
+    ).localCheckpoint()  # materialized index, as a deployment would have
+    got = se.run_stream_to_memory(
+        spark,
+        mm.video_fp_ingest_join(stream_media, index),
+        "video_fp_ingest_stream",
+        output_mode="append",
+    ).toPandas()
+    want = mm.video_fp_ingest(spark, SF_DIR).toPandas()
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
