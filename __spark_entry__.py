@@ -588,6 +588,8 @@ _PRIORITY_R13 = [
     "audio_fp_ingest",
     "audio_dedup_clusters",  # late r13
     "multimodal_dedup_audit",
+    "trimodal_dedup_audit",  # late r13: the full agreement matrix
+    "semantic_decontam",  # late r13: embedding-side benchmark decontam
     # (b) changed-since-green, family-grouped: image hash family (shared
     # phash leaf), audio family, the frame walker's keyframe pass
     "image_phash",
@@ -636,15 +638,15 @@ _PRIORITY_R13 = [
     "lsa_summary",
     "orc_roundtrip",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
 ]
 
 # Over-budget r13 queue, r14 leads with it: the r9-era greens past the
 # alphabetical cut (the rouge family groups back together here, so the
 # r14 window keeps the leaf/memo reuse when they rotate in).
 _PRIORITY_R13_SPILL = [
-    # displaced by the late-r13 family-symmetry trio (see _PRIORITY_R13)
+    # displaced by the late-r13 additions (see _PRIORITY_R13)
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "q8_market_share",
     "q9_product_profit",
     "rich_customers_sql",

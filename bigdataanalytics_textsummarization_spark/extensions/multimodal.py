@@ -1563,12 +1563,12 @@ def _audio_bands(fp: DataFrame) -> DataFrame:
     )
 
 
-def audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio near-duplicate pairs by fingerprint Hamming distance <= 3,
-    band-blocked: 4 bands of 8 bits over the 31-bit fingerprint, so any
-    pair at hamming <= 3 shares a band exactly (pigeonhole — zero
-    recall loss), and candidate generation is an equi-join.  Same
-    100 TB shape as ``image_near_dups``/``simhash_near_pairs``."""
+def _audio_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded audio CANDIDATE pair set with per-pair Hamming distance,
+    BEFORE the near-dup threshold cut — :func:`audio_near_dups` filters
+    it, the tri-modal audit reads it unfiltered (mirrors
+    :func:`_phash_candidate_pairs`).  The fingerprint table is leafed so
+    the wave parse runs once, not once per self-join side."""
     from ..functions import leaf
 
     fp = leaf(audio_fingerprint(spark, sf_dir).select("doc_id", "fp"))
@@ -1591,6 +1591,17 @@ def audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "fp_a", "fp_b")
         .distinct()
         .withColumn("hamming", F.bit_count(F.expr("fp_a ^ fp_b")).cast("long"))
+    )
+
+
+def audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by fingerprint Hamming distance <= 3,
+    band-blocked: 4 bands of 8 bits over the 31-bit fingerprint, so any
+    pair at hamming <= 3 shares a band exactly (pigeonhole — zero
+    recall loss), and candidate generation is an equi-join.  Same
+    100 TB shape as ``image_near_dups``/``simhash_near_pairs``."""
+    return (
+        _audio_candidate_pairs(spark, sf_dir)
         .filter(F.col("hamming") <= AUDIO_FP_MAX_HAMMING)
         .select("doc_a", "doc_b", "fp_a", "fp_b", "hamming")
     )
@@ -2311,3 +2322,124 @@ FROM reach GROUP BY s
 """
 
 QUERIES["audio_dedup_clusters"] = audio_dedup_clusters
+
+
+def trimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cross-modal agreement matrix: text MinHash-LSH, image
+    perceptual hash and acoustic fingerprint verdicts side by side for
+    every pair FLAGGED by at least one detector — the widened
+    :func:`multimodal_dedup_audit` a curation team reads before
+    deciding which modality's dedup signal to trust on a mixed corpus.
+    Three-state verdict per modality (flagged / below_threshold /
+    not_a_candidate), null-free sentinels (jaccard -1.0, hammings -1).
+
+    Scale shape: all three inputs are candidate-bounded (the
+    session-shared LSH pair leaf; the banded phash and fingerprint
+    candidates), and the audit is TWO full-outer equi-joins on the pair
+    key — O(candidates), never a new pairwise stage."""
+    from .dedup import CLUSTER_MIN_JACCARD, _lsh_pairs
+
+    text_c = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    img_c = _phash_candidate_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("hamming").alias("img_hamming")
+    )
+    aud_c = _audio_candidate_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.col("hamming").alias("audio_hamming")
+    )
+
+    def state(score, flagged_cond):
+        return (
+            F.when(score.isNull(), F.lit("not_a_candidate"))
+            .when(flagged_cond, F.lit("flagged"))
+            .otherwise(F.lit("below_threshold"))
+        )
+
+    j = F.col("jaccard")
+    ih = F.col("img_hamming")
+    ah = F.col("audio_hamming")
+    return (
+        text_c.join(img_c, ["doc_a", "doc_b"], "full_outer")
+        .join(aud_c, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            state(j, j >= CLUSTER_MIN_JACCARD).alias("text_verdict"),
+            state(ih, ih <= PHASH_MAX_HAMMING).alias("image_verdict"),
+            state(ah, ah <= AUDIO_FP_MAX_HAMMING).alias("audio_verdict"),
+            F.coalesce(j, F.lit(-1.0)).alias("jaccard"),
+            F.coalesce(ih, F.lit(-1).cast("long")).alias("img_hamming"),
+            F.coalesce(ah, F.lit(-1).cast("long")).alias("audio_hamming"),
+        )
+        .filter(
+            (F.col("text_verdict") == "flagged")
+            | (F.col("image_verdict") == "flagged")
+            | (F.col("audio_verdict") == "flagged")
+        )
+    )
+
+
+def _install_trimodal_oracle() -> None:
+    from .dedup import CLUSTER_MIN_JACCARD
+    from .dedup import ORACLES as _DEDUP_ORACLES
+
+    ORACLES["trimodal_dedup_audit"] = f"""
+WITH lex AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
+{_PHASH_CTE},
+{_AUDIO_FP_CTE},
+pbands AS (
+  SELECT doc_id, phash, band,
+         (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
+           & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
+  FROM (SELECT doc_id, phash,
+               unnest(range({PHASH_BANDS})) AS band FROM ph)
+),
+img AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(bit_count(xor(a.phash, b.phash)) AS bigint) AS img_hamming
+  FROM pbands a
+  JOIN pbands b ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+),
+abands AS (
+  SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS band_bits
+  FROM (SELECT doc_id, fp,
+               unnest(range({AUDIO_FP_BANDS})) AS band FROM afp)
+),
+aud AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(bit_count(xor(a.fp, b.fp)) AS bigint) AS audio_hamming
+  FROM abands a
+  JOIN abands b ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+),
+ti AS (
+  SELECT coalesce(l.doc_a, i.doc_a) AS doc_a,
+         coalesce(l.doc_b, i.doc_b) AS doc_b,
+         l.jaccard, i.img_hamming
+  FROM lex l
+  FULL OUTER JOIN img i ON l.doc_a = i.doc_a AND l.doc_b = i.doc_b
+)
+SELECT * FROM (
+  SELECT coalesce(t.doc_a, a.doc_a) AS doc_a,
+         coalesce(t.doc_b, a.doc_b) AS doc_b,
+         CASE WHEN t.jaccard IS NULL THEN 'not_a_candidate'
+              WHEN t.jaccard >= {CLUSTER_MIN_JACCARD} THEN 'flagged'
+              ELSE 'below_threshold' END AS text_verdict,
+         CASE WHEN t.img_hamming IS NULL THEN 'not_a_candidate'
+              WHEN t.img_hamming <= {PHASH_MAX_HAMMING} THEN 'flagged'
+              ELSE 'below_threshold' END AS image_verdict,
+         CASE WHEN a.audio_hamming IS NULL THEN 'not_a_candidate'
+              WHEN a.audio_hamming <= {AUDIO_FP_MAX_HAMMING} THEN 'flagged'
+              ELSE 'below_threshold' END AS audio_verdict,
+         coalesce(t.jaccard, -1.0) AS jaccard,
+         coalesce(t.img_hamming, cast(-1 AS bigint)) AS img_hamming,
+         coalesce(a.audio_hamming, cast(-1 AS bigint)) AS audio_hamming
+  FROM ti t
+  FULL OUTER JOIN aud a ON t.doc_a = a.doc_a AND t.doc_b = a.doc_b
+) WHERE text_verdict = 'flagged' OR image_verdict = 'flagged'
+     OR audio_verdict = 'flagged'
+"""
+
+
+_install_trimodal_oracle()
+QUERIES["trimodal_dedup_audit"] = trimodal_dedup_audit

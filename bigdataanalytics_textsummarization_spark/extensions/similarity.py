@@ -711,6 +711,99 @@ QUERIES = {
 }
 
 
+DECON_SEM_MOD = 17  # pseudo-benchmark membership, same slice convention
+# as dedup.benchmark_decontam (doc_id % 17 == 0) so the lexical and
+# semantic decontaminators audit the same benchmark
+SEM_DECON_THRESHOLD = 0.25  # deliberately LOWER than NEAR_DUP_THRESHOLD:
+# decontamination is asymmetric — a false positive deletes one training
+# document, a false negative corrupts an eval — so the semantic gate
+# casts a wider net than dedup does
+
+
+def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side benchmark decontamination — the semantic twin of
+    the shingle-based ``benchmark_decontam`` (dedup.py): a training
+    document is contaminated when its embedding sits in the same
+    sign-LSH bucket as a benchmark vector with cosine >= the near-dup
+    threshold.  Catches the contamination class lexical shingles miss
+    (paraphrases, translations, templated rewrites) — the second gate a
+    real eval-hygiene pass runs.
+
+    One row per contaminated train vector with its WORST (max-cosine,
+    then min-id) benchmark match — "what do I delete, and which
+    benchmark did it compromise", the same reporting contract as the
+    lexical twin.  Scale shape: candidate generation is the bucketed
+    equi-join (train x benchmark WITHIN a bucket, never all-pairs), and
+    the benchmark side is a small fraction of the corpus by definition;
+    the argmax is one window over O(candidates).  The cosine is the
+    order-fixed ``dot()`` fold (engine-exact), so both the threshold
+    gate and the argmax ordering are deterministic on raw doubles with
+    the id tie-break."""
+    emb = (
+        _embeddings(spark, sf_dir)
+        .withColumn("nrm", _norm(F.col("e")))
+        .withColumn("bucket", _bucket(F.col("e")))
+    )
+    bench = emb.filter(F.col("vec_id") % DECON_SEM_MOD == 0).select(
+        F.col("vec_id").alias("benchmark_id"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    train = emb.filter(F.col("vec_id") % DECON_SEM_MOD != 0).select(
+        "vec_id",
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    pairs = (
+        train.join(bench, "bucket")
+        .withColumn(
+            "sim_raw",
+            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("sim_raw") >= SEM_DECON_THRESHOLD)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_raw"), F.asc("benchmark_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "benchmark_id", r6(F.col("sim_raw")).alias("cosine"))
+    )
+
+
+ORACLES["semantic_decontam"] = f"""
+WITH {_EMB_CTE},
+bench AS (
+  SELECT vec_id AS benchmark_id, e, nrm, bucket FROM embn
+  WHERE vec_id % {DECON_SEM_MOD} = 0
+),
+train AS (
+  SELECT vec_id, e, nrm, bucket FROM embn
+  WHERE vec_id % {DECON_SEM_MOD} <> 0
+),
+pairs AS (
+  SELECT t.vec_id, b.benchmark_id,
+         list_dot_product(t.e, b.e) / (t.nrm * b.nrm) AS sim_raw
+  FROM train t JOIN bench b USING (bucket)
+  WHERE list_dot_product(t.e, b.e) / (t.nrm * b.nrm)
+          >= {SEM_DECON_THRESHOLD}
+),
+ranked AS (
+  SELECT vec_id, benchmark_id, sim_raw,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim_raw DESC, benchmark_id
+         ) AS rn
+  FROM pairs
+)
+SELECT vec_id, benchmark_id, (round(sim_raw, 6) + 0.0) AS cosine
+FROM ranked WHERE rn = 1
+"""
+QUERIES["semantic_decontam"] = semantic_decontam
+
+
 # ---------------------------------------------------------------------------
 # int8 scalar quantization of the embedding store
 # ---------------------------------------------------------------------------

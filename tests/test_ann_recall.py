@@ -722,3 +722,22 @@ def test_graph_index_on_disk_reproduces_in_session_search(spark, tmp_path):
     )
     assert "graph_index/edges" in plan
     assert "ExistingRDD" not in plan
+
+
+def test_semantic_decontam_oracle_parity_and_invariants(spark, oracle):
+    from tests.conftest import SF_DIR, assert_parity
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        similarity as sim,
+    )
+
+    assert_parity(
+        spark, oracle, sim.semantic_decontam, sim.ORACLES["semantic_decontam"]
+    )
+    rows = sim.semantic_decontam(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # a contaminated doc is never itself benchmark; its match is
+        assert r["vec_id"] % sim.DECON_SEM_MOD != 0
+        assert r["benchmark_id"] % sim.DECON_SEM_MOD == 0
+        assert r["cosine"] >= sim.SEM_DECON_THRESHOLD - 1e-6

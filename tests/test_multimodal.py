@@ -633,3 +633,26 @@ def test_audio_dedup_clusters_oracle_parity(spark, oracle):
         mm.audio_dedup_clusters,
         mm.ORACLES["audio_dedup_clusters"],
     )
+
+
+def test_trimodal_dedup_audit_oracle_parity_and_states(spark, oracle):
+    assert_parity(
+        spark,
+        oracle,
+        mm.trimodal_dedup_audit,
+        mm.ORACLES["trimodal_dedup_audit"],
+    )
+    rows = mm.trimodal_dedup_audit(spark, SF_DIR).collect()
+    assert rows
+    states = {"flagged", "below_threshold", "not_a_candidate"}
+    for r in rows:
+        vs = (r["text_verdict"], r["image_verdict"], r["audio_verdict"])
+        assert all(v in states for v in vs)
+        assert "flagged" in vs
+        assert (r["text_verdict"] == "not_a_candidate") == (r["jaccard"] == -1.0)
+        assert (r["image_verdict"] == "not_a_candidate") == (
+            r["img_hamming"] == -1
+        )
+        assert (r["audio_verdict"] == "not_a_candidate") == (
+            r["audio_hamming"] == -1
+        )
