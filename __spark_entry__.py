@@ -590,6 +590,7 @@ _PRIORITY_R13 = [
     "multimodal_dedup_audit",
     "trimodal_dedup_audit",  # late r13: the full agreement matrix
     "semantic_decontam",  # late r13: embedding-side benchmark decontam
+    "decontam_audit",  # late r13: lexical vs semantic decontam agreement
     # (b) changed-since-green, family-grouped: image hash family (shared
     # phash leaf), audio family, the frame walker's keyframe pass
     "image_phash",
@@ -637,7 +638,6 @@ _PRIORITY_R13 = [
     "lsa_concepts",
     "lsa_summary",
     "orc_roundtrip",
-    "q1_pricing_summary",
 ]
 
 # Over-budget r13 queue, r14 leads with it: the r9-era greens past the
@@ -645,6 +645,7 @@ _PRIORITY_R13 = [
 # r14 window keeps the leaf/memo reuse when they rotate in).
 _PRIORITY_R13_SPILL = [
     # displaced by the late-r13 additions (see _PRIORITY_R13)
+    "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q8_market_share",

@@ -1337,3 +1337,83 @@ FROM new_bk JOIN lm USING (b)
 GROUP BY doc_id
 """
 QUERIES["dsir_ingest"] = dsir_ingest
+
+
+# ---------------------------------------------------------------------------
+# Decontamination audit (late r13): lexical vs semantic benchmark
+# attribution on the same doc_ids — the eval-hygiene twin of
+# hybrid_dedup_audit.
+# ---------------------------------------------------------------------------
+
+
+def decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement audit between the two decontaminators — the question an
+    eval-hygiene pass answers before deleting anything: which training
+    documents does the shingle gate (``benchmark_decontam``) flag that
+    the embedding gate (``semantic_decontam``) misses, and vice versa?
+    Paraphrase contamination shows up as semantic-only; short verbatim
+    quotes as lexical-only; hard contamination as both.
+
+    One row per training document flagged by EITHER detector, carrying
+    each detector's worst-match attribution (benchmark id + score) with
+    null-free sentinels (-1 ids/counts, -1.0 cosine).  Both detectors
+    run on the same doc_id % 17 benchmark slice and the corpus's 1:1
+    doc_id<->vec_id keying bridges documents to embeddings, so the join
+    key IS the document.  Scale shape: both inputs are already
+    candidate-bounded AND argmax-reduced to one row per flagged doc, so
+    the audit is one full-outer equi-join over two tiny frames —
+    O(flagged docs)."""
+    from .dedup import benchmark_decontam
+    from .similarity import semantic_decontam
+
+    lex = benchmark_decontam(spark, sf_dir).select(
+        "doc_id",
+        F.col("bench_id").alias("lex_bench_id"),
+        "n_shared",
+    )
+    sem = semantic_decontam(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("benchmark_id").alias("sem_bench_id"),
+        "cosine",
+    )
+    return lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("n_shared").isNull(), F.lit("clean"))
+        .otherwise(F.lit("flagged"))
+        .alias("lexical"),
+        F.when(F.col("cosine").isNull(), F.lit("clean"))
+        .otherwise(F.lit("flagged"))
+        .alias("semantic"),
+        F.coalesce("lex_bench_id", F.lit(-1).cast("long")).alias(
+            "lex_bench_id"
+        ),
+        F.coalesce("n_shared", F.lit(-1).cast("long")).alias("n_shared"),
+        F.coalesce("sem_bench_id", F.lit(-1).cast("long")).alias(
+            "sem_bench_id"
+        ),
+        F.coalesce("cosine", F.lit(-1.0)).alias("cosine"),
+    )
+
+
+def _install_decontam_audit_oracle() -> None:
+    from .similarity import ORACLES as _SIM_ORACLES
+
+    ORACLES["decontam_audit"] = f"""
+WITH lex AS ({_DEDUP_ORACLES["benchmark_decontam"]}),
+sem AS ({_SIM_ORACLES["semantic_decontam"]})
+SELECT coalesce(l.doc_id, s.vec_id) AS doc_id,
+       CASE WHEN l.n_shared IS NULL THEN 'clean' ELSE 'flagged' END
+         AS lexical,
+       CASE WHEN s.cosine IS NULL THEN 'clean' ELSE 'flagged' END
+         AS semantic,
+       coalesce(l.bench_id, cast(-1 AS bigint)) AS lex_bench_id,
+       coalesce(l.n_shared, cast(-1 AS bigint)) AS n_shared,
+       coalesce(s.benchmark_id, cast(-1 AS bigint)) AS sem_bench_id,
+       coalesce(s.cosine, -1.0) AS cosine
+FROM lex l
+FULL OUTER JOIN sem s ON l.doc_id = s.vec_id
+"""
+
+
+_install_decontam_audit_oracle()
+QUERIES["decontam_audit"] = decontam_audit

@@ -571,3 +571,23 @@ def test_dsir_weights_steer_toward_target(spark):
     assert out.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_decontam_audit_oracle_parity_and_states(spark, oracle):
+    from tests.conftest import SF_DIR, assert_parity
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        curation as cu,
+    )
+
+    assert_parity(
+        spark, oracle, cu.decontam_audit, cu.ORACLES["decontam_audit"]
+    )
+    rows = cu.decontam_audit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert "flagged" in (r["lexical"], r["semantic"])
+        assert (r["lexical"] == "clean") == (r["n_shared"] == -1)
+        assert (r["lexical"] == "clean") == (r["lex_bench_id"] == -1)
+        assert (r["semantic"] == "clean") == (r["cosine"] == -1.0)
+        assert (r["semantic"] == "clean") == (r["sem_bench_id"] == -1)
