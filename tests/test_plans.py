@@ -493,3 +493,31 @@ def test_dsir_scans_corpus_once_via_leaf(spark):
         assert "ExistingRDD" in plan, name
         assert plan.count("Scan parquet") == 0, name
         assert "BroadcastExchange" in plan, name
+
+
+def test_semantic_decontam_bucketed_equijoin(spark):
+    """Candidates come from the sign-LSH bucket equi-join (never
+    all-pairs): the train x benchmark join is an equi-join — broadcast
+    of the small benchmark side at this scale (the deployment plan the
+    docstring promises), shuffled on bucket when nothing fits — with no
+    nested-loop fallback anywhere in the plan."""
+    plan = _plan(spark, "semantic_decontam")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_video_near_dups_rides_one_leaf(spark):
+    """The per-frame hash table is a leafed LogicalRDD consumed by both
+    the banded candidate join and the join-back scoring — the Arrow
+    decode runs once, and the final plan carries no file scan at all."""
+    plan = _plan(spark, "video_near_dups")
+    assert plan.count("Location: InMemoryFileIndex") == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_trimodal_audit_two_full_outer_joins(spark):
+    """The agreement matrix is exactly two pair-keyed full-outer joins
+    over candidate-bounded inputs — no new pairwise stage."""
+    plan = _plan(spark, "trimodal_dedup_audit")
+    # one "Join type:" detail block per join node in formatted explain
+    assert plan.count("Join type: FullOuter") == 2
