@@ -656,3 +656,20 @@ def test_trimodal_dedup_audit_oracle_parity_and_states(spark, oracle):
         assert (r["audio_verdict"] == "not_a_candidate") == (
             r["audio_hamming"] == -1
         )
+
+
+def test_video_phashes_rejects_corruption():
+    # a non-square frame inside an otherwise valid clip fails in the
+    # shared hash planes; truncated rasters and headers fail in the
+    # walker; a null payload fails loudly like every real decoder here
+    good = _ppm(4, 4, bytes(range(56, 56 + 48)))
+    with pytest.raises(ValueError, match="4x4"):
+        mm.video_phashes(good + _ppm(2, 2, bytes(12)))
+    with pytest.raises(ValueError, match="raster"):
+        mm.video_phashes(good + _ppm(4, 4, bytes(10)))
+    with pytest.raises(ValueError, match="header"):
+        mm.video_phashes(good + b"P6\n4 4")
+    with pytest.raises(ValueError, match="not a P6 frame"):
+        mm.video_phashes(b"P5\n4 4\n255\n" + bytes(48))
+    with pytest.raises(NotImplementedError):
+        mm.video_phashes(None)
