@@ -112,6 +112,15 @@ PROBE = [
     "phash_ingest",
     "audio_near_dups",
     "video_near_dups",
+    # late-r13: the embedding-side decontaminator (clone-adversarial
+    # like benchmark_decontam: every benchmark vector gains 9 cosine-1.0
+    # twins, so bucket candidates explode by design) and the agreement
+    # audits (each rides candidate-bounded inputs — their ratios should
+    # track their heaviest upstream detector, adding no pairwise stage
+    # of their own)
+    "semantic_decontam",
+    "trimodal_dedup_audit",
+    "decontam_audit",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default
@@ -141,6 +150,8 @@ PROBE_PATTERN_SCALE = {
     "phash_ingest": ("N_IMG_PATTERNS",),
     "audio_near_dups": ("AUDIO_PATTERNS",),
     "video_near_dups": ("N_VIDEO_PATTERNS",),
+    # the tri-modal audit rides the image AND audio candidate tables
+    "trimodal_dedup_audit": ("N_IMG_PATTERNS", "AUDIO_PATTERNS"),
 }
 
 
