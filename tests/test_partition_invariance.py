@@ -60,6 +60,15 @@ INVARIANCE_SLICE = [
     "graph_lpa_capped",
     "dedup_keep_best",
     "ann_graph_search",
+    # r13 additions: banded media pair generation + iterative min-label
+    # components (integer space end-to-end), the tri-modal full-outer
+    # agreement matrix, and the decontam argmax (raw-double ordering on
+    # the order-fixed dot fold with id tie-break) — each must survive a
+    # serialized reduction order
+    "video_near_dups",
+    "image_dedup_clusters",
+    "trimodal_dedup_audit",
+    "semantic_decontam",
 ]
 
 PARTITION_SETTINGS = ["1", "7", "32"]
