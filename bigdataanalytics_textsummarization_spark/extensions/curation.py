@@ -182,8 +182,12 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a free-double ``round()`` at a .5 boundary was the same latent
     flake class fixed there): sqrt (IEEE correctly-rounded, unlike pow)
     floor-quantized to integer micro-units, then bigint division.  The
-    descriptive ``p_raw``/``p_mix`` ratio columns stay r6-rounded
-    doubles — they gate nothing.
+    descriptive ``p_mix`` ratio derives from the SAME integer
+    ``pa_micro`` totals (ADVICE r13: a raw-double ``sum(pa)``
+    normalizer's fold order can vary with partitioning, so an r6
+    rounding-boundary flip vs the oracle was theoretically possible);
+    ``p_raw`` is a per-row double over an exact-integer bigint sum —
+    no distributed double fold remains anywhere in the query.
     """
     assert MIX_ALPHA == 0.5  # the quota chain's sqrt IS pow(·, MIX_ALPHA)
     docs = load_table(spark, sf_dir, "documents")
@@ -197,21 +201,17 @@ def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     based = (
         per.crossJoin(F.broadcast(total))
         .withColumn("p", F.col("n_docs") / F.col("_total_docs"))
-        .withColumn("pa", F.pow("p", F.lit(MIX_ALPHA)))
         .withColumn(
             "pa_micro",
             F.floor(F.sqrt("p") * F.lit(1_000_000.0)).cast("long"),
         )
     )
-    sums = based.agg(
-        F.sum("pa").alias("_sum_pa"),
-        F.sum("pa_micro").cast("long").alias("_sum_pa_micro"),
-    )
+    sums = based.agg(F.sum("pa_micro").cast("long").alias("_sum_pa_micro"))
     return based.crossJoin(F.broadcast(sums)).select(
         "source",
         "n_docs",
         r6(F.col("p")).alias("p_raw"),
-        r6(F.col("pa") / F.col("_sum_pa")).alias("p_mix"),
+        r6(F.col("pa_micro") / F.col("_sum_pa_micro")).alias("p_mix"),
         F.expr(f"(pa_micro * {MIX_BUDGET}) div _sum_pa_micro")
         .cast("long")
         .alias("quota"),
@@ -501,8 +501,6 @@ WITH per AS (
 shared AS (
   SELECT source, n_docs,
          n_docs / (SELECT cast(sum(n_docs) AS double) FROM per) AS p,
-         pow(n_docs / (SELECT cast(sum(n_docs) AS double) FROM per),
-             {MIX_ALPHA}) AS pa,
          cast(floor(sqrt(
              n_docs / (SELECT cast(sum(n_docs) AS double) FROM per)
          ) * 1000000.0) AS bigint) AS pa_micro
@@ -510,7 +508,8 @@ shared AS (
 )
 SELECT source, n_docs,
        (round(p, 6) + 0.0) AS p_raw,
-       (round(pa / (SELECT sum(pa) FROM shared), 6) + 0.0) AS p_mix,
+       (round(pa_micro / (SELECT cast(sum(pa_micro) AS double) FROM shared),
+              6) + 0.0) AS p_mix,
        cast((pa_micro * {MIX_BUDGET})
             // (SELECT cast(sum(pa_micro) AS bigint) FROM shared)
             AS bigint) AS quota

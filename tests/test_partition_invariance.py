@@ -69,6 +69,10 @@ INVARIANCE_SLICE = [
     "image_dedup_clusters",
     "trimodal_dedup_audit",
     "semantic_decontam",
+    # r14 addition (ADVICE r13): the mixture normalizers are now integer
+    # sums end-to-end (p_mix derives from pa_micro) — pin that the whole
+    # mixture frame survives a serialized reduction order
+    "source_mixture",
 ]
 
 PARTITION_SETTINGS = ["1", "7", "32"]
