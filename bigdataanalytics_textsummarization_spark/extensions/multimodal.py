@@ -1762,17 +1762,42 @@ QUERIES["audio_fp_ingest"] = audio_fp_ingest
 # of a multimodal training corpus has a first-class banded dedup path.
 
 N_VIDEO_PATTERNS = 125  # planted groups: doc_id % N shares a base clip
-VIDEO_FRAMES = 4  # fixed frame count per synthesized clip
-VIDEO_MAX_HAMMING = 12  # total across frames; see pigeonhole note below
+VIDEO_MIN_FRAMES = 3  # clip lengths vary 3..5 frames (variable-length corpora)
+VIDEO_FRAME_SPAN = 3
+# total-hamming budget scales with clip length (r14, VERDICT r13 task 4):
+# a pair at total <= 3 * n_frames has SOME frame at hamming <= 3
+# (pigeonhole over frames), which shares one of its 4 bands exactly
+# (pigeonhole over bands) — candidate-complete at any clip length.
+VIDEO_MAX_HAMMING_PER_FRAME = 3
+
+
+def _video_n_frames_col() -> "F.Column":
+    """Clip length as a column: pattern-keyed (same planted pattern, same
+    length) so planted near-dups stay length-compatible while the corpus
+    mixes 3/4/5-frame clips — the variable-length fixture VERDICT r13
+    task 4 asks for.  Different-length clips are never near-dup pairs
+    (containment across lengths is a different operator)."""
+    return (
+        F.lit(VIDEO_MIN_FRAMES)
+        + (F.col("doc_id") % N_VIDEO_PATTERNS) % VIDEO_FRAME_SPAN
+    ).cast("long")
+
+
+# the SQL twin of _video_n_frames_col, on a bare doc_id reference
+_VIDEO_N_FRAMES_SQL = (
+    f"({VIDEO_MIN_FRAMES} + (doc_id % {N_VIDEO_PATTERNS}) % {VIDEO_FRAME_SPAN})"
+)
 
 
 def _noisy_video(docs: DataFrame) -> DataFrame:
     """Synthesize a GENUINE multi-frame P6 clip per document with PLANTED
-    video near-duplicates: each of the VIDEO_FRAMES frames is a
+    video near-duplicates: each of the clip's frames is a
     4x4 P6 raster (the :func:`_noisy_media` byte scheme, keyed per
     (pattern, frame) for the base and per (doc, frame) for the noise),
     so same-pattern documents are true near-dups frame-by-frame while
-    different patterns are unrelated.  The concatenation is a fold over
+    different patterns are unrelated.  Clip LENGTH varies 3..5 frames,
+    keyed by pattern (:func:`_video_n_frames_col`) so the corpus is a
+    genuine mixed-length fixture.  The concatenation is a fold over
     the frame sequence (the :func:`synth_ppm_frames` container shape —
     back-to-back self-describing frames a real parser must walk); every
     byte is an exact integer function of doc_id the DuckDB oracle
@@ -1817,7 +1842,7 @@ def _noisy_video(docs: DataFrame) -> DataFrame:
         )
 
     payload = F.aggregate(
-        F.sequence(F.lit(0), F.lit(VIDEO_FRAMES - 1)),
+        F.sequence(F.lit(0), (_video_n_frames_col() - 1).cast("int")),
         F.lit(b""),
         lambda acc, f: F.concat(acc, header, frame_raster(f)),
     )
@@ -1845,6 +1870,7 @@ _VIDEO_FP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
         T.StructField("phash", T.LongType()),
     ]
 )
@@ -1852,16 +1878,19 @@ _VIDEO_FP_SCHEMA = T.StructType(
 
 def _video_fp_frame(media: DataFrame) -> DataFrame:
     """The per-frame hash map-stage over an arbitrary (doc_id, payload)
-    frame — 1 clip in, VIDEO_FRAMES rows out; stateless, so stream-legal
-    like its image/audio siblings."""
+    frame — 1 clip in, n_frames rows out, each carrying the clip length
+    the banding key needs (the walker COUNTS frames, nothing assumes a
+    fixed length); stateless, so stream-legal like its image/audio
+    siblings."""
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [
-                (int(did), fi, ph)
-                for did, payload in zip(pdf["doc_id"], pdf["payload"])
-                for fi, ph in enumerate(video_phashes(payload))
-            ]
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                phs = video_phashes(payload)
+                rows.extend(
+                    (int(did), fi, len(phs), ph) for fi, ph in enumerate(phs)
+                )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _VIDEO_FP_SCHEMA.fields]
             )
@@ -1872,35 +1901,50 @@ def _video_fp_frame(media: DataFrame) -> DataFrame:
 def video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-video fingerprint: one 40-bit perceptual hash per frame via
     mapInPandas (Arrow batches), all-long output, no shuffle — the
-    cheap map half of video dedup at any scale."""
+    cheap map half of video dedup at any scale.  Each row carries the
+    clip's frame count so variable-length corpora band correctly
+    downstream."""
     return _video_fp_frame(synth_video_noisy(spark, sf_dir))
 
 
 def video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicate pairs by TOTAL per-frame-hash Hamming
-    distance <= 12 across the clip, band-blocked per (frame_idx, band):
-    if a pair's total over 4 frames is <= 12, some frame sits at
-    hamming <= 3 (pigeonhole over frames), and that frame then agrees
-    exactly on one of its 4 10-bit bands (pigeonhole over bands) — so
-    the (frame_idx, band, band_bits) equi-join is candidate-complete
-    with ZERO recall loss, never an all-pairs stage.  Candidates join
+    distance <= 3 * n_frames across the clip, band-blocked per
+    (n_frames, frame_idx, band): if a pair's total is within its
+    per-frame budget, some frame sits at hamming <= 3 (pigeonhole over
+    frames), and that frame then agrees exactly on one of its 4 10-bit
+    bands (pigeonhole over bands) — so the (n_frames, frame_idx, band,
+    band_bits) equi-join is candidate-complete with ZERO recall loss,
+    never an all-pairs stage.  VARIABLE-length corpora are first-class
+    (VERDICT r13 task 4): n_frames in the band key means different-length
+    clips never even become candidates (the n-gram dedup's length-band
+    trick), and the threshold scales with clip length.  Candidates join
     back to the leafed per-frame hash table (the decode runs once) to
     score every frame; ``max_hamming`` rides along so consumers can
-    tighten to an all-frames criterion without re-scoring.  Equal-length
-    clips by construction here; variable-length corpora add n_frames to
-    the band key (same trick as the n-gram dedup's length band)."""
+    tighten to an all-frames criterion without re-scoring.  Production
+    deployments should prefer the 64-bit/16-bit-band twin
+    (:func:`video_near_dups_wide`) whose band space does not saturate
+    at corpus scale."""
     from ..functions import leaf
 
     fp = leaf(video_fingerprint(spark, sf_dir))
     bands = _phash_bands(fp)
     a = bands.select(
-        F.col("doc_id").alias("doc_a"), "frame_idx", "band", "band_bits"
+        F.col("doc_id").alias("doc_a"),
+        "n_frames",
+        "frame_idx",
+        "band",
+        "band_bits",
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"), "frame_idx", "band", "band_bits"
+        F.col("doc_id").alias("doc_b"),
+        "n_frames",
+        "frame_idx",
+        "band",
+        "band_bits",
     )
     cand = (
-        a.join(b, ["frame_idx", "band", "band_bits"])
+        a.join(b, ["n_frames", "frame_idx", "band", "band_bits"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -1925,7 +1969,10 @@ def video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ham").cast("long").alias("total_hamming"),
             F.max("ham").cast("long").alias("max_hamming"),
         )
-        .filter(F.col("total_hamming") <= VIDEO_MAX_HAMMING)
+        .filter(
+            F.col("total_hamming")
+            <= VIDEO_MAX_HAMMING_PER_FRAME * F.col("n_frames")
+        )
     )
 
 
@@ -1949,7 +1996,9 @@ vlum AS (
                          || ':' || cast(rf.f AS varchar) AS pk,
                  'vfr:' || cast(doc_id AS varchar)
                         || ':' || cast(rf.f AS varchar) AS nk
-          FROM documents, range({VIDEO_FRAMES}) rf(f)),
+          FROM documents,
+               range({VIDEO_MIN_FRAMES + VIDEO_FRAME_SPAN - 1}) rf(f)
+          WHERE rf.f < {_VIDEO_N_FRAMES_SQL}),
          range({PHASH_SIDE * PHASH_SIDE}) rp(p), range(3) rc(c)
   )
   GROUP BY doc_id, f, p
@@ -1986,28 +2035,30 @@ vdv AS (
 ),
 vph AS (
   SELECT doc_id, cast(f AS bigint) AS frame_idx,
+         cast({_VIDEO_N_FRAMES_SQL} AS bigint) AS n_frames,
          ahash + (dhash_h << 16) + (dhash_v << 28) AS phash
   FROM vah JOIN vdh USING (doc_id, f) JOIN vdv USING (doc_id, f)
 )"""
 
 ORACLES["video_fingerprint"] = f"""
 WITH {_VIDEO_PH_CTE}
-SELECT doc_id, frame_idx, phash FROM vph
+SELECT doc_id, frame_idx, n_frames, phash FROM vph
 """
 
 ORACLES["video_near_dups"] = f"""
 WITH {_VIDEO_PH_CTE},
 vbands AS (
-  SELECT doc_id, frame_idx, band,
+  SELECT doc_id, n_frames, frame_idx, band,
          (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
            & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
-  FROM (SELECT doc_id, frame_idx, phash,
+  FROM (SELECT doc_id, n_frames, frame_idx, phash,
                unnest(range({PHASH_BANDS})) AS band FROM vph)
 ),
 vcand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM vbands a
-  JOIN vbands b ON a.frame_idx = b.frame_idx AND a.band = b.band
+  JOIN vbands b ON a.n_frames = b.n_frames AND a.frame_idx = b.frame_idx
+               AND a.band = b.band
                AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
 ),
 vscored AS (
@@ -2023,7 +2074,8 @@ vscored AS (
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b, n_frames, total_hamming, max_hamming
-FROM vscored WHERE total_hamming <= {VIDEO_MAX_HAMMING}
+FROM vscored
+WHERE total_hamming <= {VIDEO_MAX_HAMMING_PER_FRAME} * n_frames
 """
 
 QUERIES["video_fingerprint"] = video_fingerprint
@@ -2147,13 +2199,13 @@ def video_fp_ingest_join(
 
     ``new_media`` may be a STREAM of (doc_id, payload): the per-frame
     hash is a stateless Arrow map stage (:func:`_video_fp_frame`, 1
-    clip -> 4 rows — mapInPandas row fan-out is stream-legal), banding
-    is per-row, and the (frame_idx, band, band_bits) equi-join against
-    the precomputed index is stream-static, so the gate runs append-mode
-    with zero streaming state.  One output row per matching (new,
-    corpus, frame_idx, band) at per-frame Hamming <= 3 — the frame-level
-    EVIDENCE a true near-dup pair must produce (total <= 12 across 4
-    frames forces one frame to <= 3, the pigeonhole of
+    clip -> n_frames rows — mapInPandas row fan-out is stream-legal),
+    banding is per-row, and the (n_frames, frame_idx, band, band_bits)
+    equi-join against the precomputed index is stream-static, so the
+    gate runs append-mode with zero streaming state.  One output row per
+    matching (new, corpus, frame_idx, band) at per-frame Hamming <= 3 —
+    the frame-level EVIDENCE a true near-dup pair must produce (total
+    <= 3 * n_frames forces one frame to <= 3, the pigeonhole of
     :func:`video_near_dups`), so the gate never misses a true pair.
     The clip-level total-hamming verdict needs every frame of both
     sides and therefore state; consumers route flagged pairs through
@@ -2161,6 +2213,7 @@ def video_fp_ingest_join(
     ``distinct()`` contract."""
     nb = _phash_bands(_video_fp_frame(new_media)).select(
         F.col("doc_id").alias("new_doc_id"),
+        "n_frames",
         "frame_idx",
         F.col("phash").alias("new_phash"),
         "band",
@@ -2168,13 +2221,14 @@ def video_fp_ingest_join(
     )
     idx = corpus_bands.select(
         F.col("doc_id").alias("corpus_doc_id"),
+        "n_frames",
         "frame_idx",
         F.col("phash").alias("corpus_phash"),
         "band",
         "band_bits",
     )
     return (
-        nb.join(idx, ["frame_idx", "band", "band_bits"])
+        nb.join(idx, ["n_frames", "frame_idx", "band", "band_bits"])
         .withColumn(
             "hamming",
             F.bit_count(F.expr("new_phash ^ corpus_phash")).cast("long"),
@@ -2207,18 +2261,18 @@ def video_fp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["video_fp_ingest"] = f"""
 WITH {_VIDEO_PH_CTE},
 vbands AS (
-  SELECT doc_id, frame_idx, phash, band,
+  SELECT doc_id, n_frames, frame_idx, phash, band,
          (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
            & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
-  FROM (SELECT doc_id, frame_idx, phash,
+  FROM (SELECT doc_id, n_frames, frame_idx, phash,
                unnest(range({PHASH_BANDS})) AS band FROM vph)
 )
 SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
        n.frame_idx, n.band,
        cast(bit_count(xor(n.phash, c.phash)) AS bigint) AS hamming
 FROM vbands n
-JOIN vbands c ON n.frame_idx = c.frame_idx AND n.band = c.band
-             AND n.band_bits = c.band_bits
+JOIN vbands c ON n.n_frames = c.n_frames AND n.frame_idx = c.frame_idx
+             AND n.band = c.band AND n.band_bits = c.band_bits
 WHERE n.doc_id % {VIDEO_INGEST_MOD} = 0
   AND c.doc_id % {VIDEO_INGEST_MOD} <> 0
   AND bit_count(xor(n.phash, c.phash)) <= {PHASH_MAX_HAMMING}
@@ -2243,16 +2297,17 @@ def video_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["video_dedup_clusters"] = f"""
 WITH RECURSIVE {_VIDEO_PH_CTE},
 vbands AS (
-  SELECT doc_id, frame_idx, band,
+  SELECT doc_id, n_frames, frame_idx, band,
          (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
            & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
-  FROM (SELECT doc_id, frame_idx, phash,
+  FROM (SELECT doc_id, n_frames, frame_idx, phash,
                unnest(range({PHASH_BANDS})) AS band FROM vph)
 ),
 vcand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM vbands a
-  JOIN vbands b ON a.frame_idx = b.frame_idx AND a.band = b.band
+  JOIN vbands b ON a.n_frames = b.n_frames AND a.frame_idx = b.frame_idx
+               AND a.band = b.band
                AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
 ),
 vpairs AS (
@@ -2261,7 +2316,8 @@ vpairs AS (
   JOIN vph fa ON fa.doc_id = c.doc_a
   JOIN vph fb ON fb.doc_id = c.doc_b AND fb.frame_idx = fa.frame_idx
   GROUP BY c.doc_a, c.doc_b
-  HAVING sum(bit_count(xor(fa.phash, fb.phash))) <= {VIDEO_MAX_HAMMING}
+  HAVING sum(bit_count(xor(fa.phash, fb.phash)))
+           <= {VIDEO_MAX_HAMMING_PER_FRAME} * min(fa.n_frames)
 ),
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM vpairs

@@ -527,17 +527,24 @@ def test_video_phashes_planted_near_dup_and_unrelated():
     assert len(ph) == len(ph_near) == 2
     total_near = sum(bin(a ^ b).count("1") for a, b in zip(ph, ph_near))
     total_far = sum(bin(a ^ b).count("1") for a, b in zip(ph, ph_far))
-    assert total_near <= mm.VIDEO_MAX_HAMMING
-    assert total_far > mm.VIDEO_MAX_HAMMING
+    assert total_near <= mm.VIDEO_MAX_HAMMING_PER_FRAME * 2
+    assert total_far > mm.VIDEO_MAX_HAMMING_PER_FRAME * 2
 
 
-def test_synth_video_noisy_payloads_are_valid_clips(spark):
-    rows = mm.synth_video_noisy(spark, SF_DIR).limit(10).collect()
+def test_synth_video_noisy_payloads_are_valid_mixed_length_clips(spark):
+    rows = mm.synth_video_noisy(spark, SF_DIR).limit(20).collect()
     assert rows
+    lengths = set()
     for r in rows:
         frames = mm._walk_ppm_frames(bytes(r["payload"]))
-        assert len(frames) == mm.VIDEO_FRAMES
+        want = mm.VIDEO_MIN_FRAMES + (
+            r["doc_id"] % mm.N_VIDEO_PATTERNS
+        ) % mm.VIDEO_FRAME_SPAN
+        assert len(frames) == want
+        lengths.add(len(frames))
         assert all((w, h) == (mm.PHASH_SIDE, mm.PHASH_SIDE) for w, h, _ in frames)
+    # the fixture is genuinely mixed-length (VERDICT r13 task 4)
+    assert len(lengths) >= 2
 
 
 def test_video_fingerprint_oracle_parity(spark, oracle):
@@ -550,36 +557,47 @@ def test_video_near_dups_oracle_parity_and_banding_complete(spark, oracle):
     assert_parity(
         spark, oracle, mm.video_near_dups, mm.ORACLES["video_near_dups"]
     )
-    # pigeonhole completeness: total <= 12 over 4 frames forces one frame
+    # pigeonhole completeness: total <= 3 * n_frames forces one frame
     # to hamming <= 3, which forces one exact 10-bit band match — the
-    # banded join finds EXACTLY the brute all-pairs total-hamming set
+    # banded join finds EXACTLY the brute all-pairs (equal-length,
+    # length-scaled total-hamming) set
     brute = oracle.sql(
         f"""
         WITH {mm._VIDEO_PH_CTE}
         SELECT count(*) FROM (
           SELECT a.doc_id, b.doc_id
           FROM vph a JOIN vph b ON b.doc_id > a.doc_id
+                                AND b.n_frames = a.n_frames
                                 AND b.frame_idx = a.frame_idx
           GROUP BY a.doc_id, b.doc_id
           HAVING sum(bit_count(xor(a.phash, b.phash)))
-                   <= {mm.VIDEO_MAX_HAMMING}
+                   <= {mm.VIDEO_MAX_HAMMING_PER_FRAME} * min(a.n_frames)
         )
         """
     ).fetchone()[0]
     assert mm.video_near_dups(spark, SF_DIR).count() == brute
 
 
-def test_video_near_dups_pairs_share_pattern(spark):
+def test_video_near_dups_pairs_share_pattern_and_mix_lengths(spark):
     # at test scale every surviving pair comes from a planted pattern
-    # group: unrelated 160-bit fingerprints sit near hamming ~80, far
-    # above the 12-bit total cut
+    # group: unrelated per-frame fingerprints sit near hamming ~20/frame,
+    # far above the 3-per-frame budget
     rows = mm.video_near_dups(spark, SF_DIR).collect()
     assert rows
     assert all(
         r["doc_a"] % mm.N_VIDEO_PATTERNS == r["doc_b"] % mm.N_VIDEO_PATTERNS
         for r in rows
     )
-    assert all(r["n_frames"] == mm.VIDEO_FRAMES for r in rows)
+    # n_frames is the pair's (shared) clip length, never mixed-length
+    assert all(
+        r["n_frames"]
+        == mm.VIDEO_MIN_FRAMES
+        + (r["doc_a"] % mm.N_VIDEO_PATTERNS) % mm.VIDEO_FRAME_SPAN
+        for r in rows
+    )
+    # pairs exist at more than one clip length — the variable-length
+    # fixture actually exercises the n_frames band key
+    assert len({r["n_frames"] for r in rows}) >= 2
 
 
 def test_multimodal_dedup_audit_oracle_parity_and_states(spark, oracle):
