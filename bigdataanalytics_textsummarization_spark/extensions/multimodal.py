@@ -2499,3 +2499,541 @@ SELECT * FROM (
 
 _install_trimodal_oracle()
 QUERIES["trimodal_dedup_audit"] = trimodal_dedup_audit
+
+
+# ---------------------------------------------------------------------------
+# Production-width fingerprints (r14, VERDICT r13 task 3).
+#
+# The narrow constants above (40-bit frame phash / 4x10-bit bands; 31-bit
+# acoustic fingerprint / 4x8-bit bands) are TOY widths kept as the small
+# fixture gate: their band key spaces (1024 / 256 values) saturate at
+# corpus scale — PLANS.md measured ~49 clips/bucket at x10 (video) and a
+# projected ~10^9 candidate pairs at 500k clips (audio).  The WIDE path
+# below is the production default: a 64-bit frame hash (8x8 aHash, the
+# classic aHash-64 raster) banded 4x16 bits, and a 64-bit acoustic
+# fingerprint (65 samples -> 64 sign-of-derivative bits) banded 4x16 —
+# 65,536 band values, so random bucket occupancy stays ~1 far past the
+# toy walls while the pigeonhole guarantee (hamming <= 3 shares one of 4
+# bands) is unchanged.  Same synthesis scheme, wider payloads; every
+# byte remains an exact integer function of doc_id the DuckDB oracles
+# replay closed-form (64-bit values ride HUGEINT intermediates and fold
+# to two's-complement BIGINT so Spark longs and DuckDB bigints agree
+# bit-for-bit, sign bit included).
+
+PHASH_WIDE_SIDE = 8  # 8x8 raster -> 64-pixel aHash
+PHASH_WIDE_BITS = 64
+PHASH_WIDE_BANDS = 4  # 16-bit bands: pigeonhole-complete at hamming <= 3
+PHASH_WIDE_BAND_W = PHASH_WIDE_BITS // PHASH_WIDE_BANDS
+AUDIO_FP_WIDE_SAMPLES = 65  # -> 64 sign-of-derivative bits
+AUDIO_FP_WIDE_BANDS = 4
+AUDIO_FP_WIDE_MAX_HAMMING = 3
+
+_HEX_SUFFIXES = ["", "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k"]
+
+
+def _signed64(v: int) -> int:
+    """Fold an unsigned 64-bit value into the signed two's-complement
+    long Spark/Arrow/DuckDB all use — bit 63 is a data bit here, not a
+    sign; xor/bit_count are representation-exact either way."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _hex_chain_col(key: "F.Column", n_digests: int) -> "F.Column":
+    """``md5(k) || md5(k||'a') || md5(k||'b') || ...`` — the narrow
+    synthesis' 3-digest chain generalized to any payload width (12
+    digests cover an 8x8 RGB raster, 5 cover 65 PCM samples)."""
+    parts = [
+        F.md5(F.concat(key, F.lit(s))) if s else F.md5(key)
+        for s in _HEX_SUFFIXES[:n_digests]
+    ]
+    return F.concat(*parts)
+
+
+def _hex_chain_sql(expr: str, n_digests: int) -> str:
+    """The DuckDB twin of :func:`_hex_chain_col`."""
+    parts = [f"md5({expr})"] + [
+        f"md5({expr} || '{s}')" for s in _HEX_SUFFIXES[1:n_digests]
+    ]
+    return " || ".join(parts)
+
+
+# two's-complement fold of a HUGEINT bit-sum into BIGINT, as SQL
+def _twos_complement_sql(expr: str) -> str:
+    return (
+        f"cast(CASE WHEN ({expr}) >= 9223372036854775808 "
+        f"THEN ({expr}) - 18446744073709551616 ELSE ({expr}) END AS bigint)"
+    )
+
+
+def _wide_bands(fp: DataFrame, hash_col: str) -> DataFrame:
+    """Explode a frame carrying ``hash_col`` into its 4 16-bit banding
+    keys, preserving the other columns — per-row expressions only,
+    stream-legal.  Arithmetic ``>>`` plus the 0xFFFF mask extracts bits
+    [16b, 16b+16) exactly even when bit 63 is set (the mask discards the
+    propagated sign bits), so no unsigned-shift builtin is needed."""
+    return fp.select(
+        "*",
+        F.explode(F.expr(f"sequence(0, {PHASH_WIDE_BANDS - 1})")).alias(
+            "band"
+        ),
+    ).withColumn(
+        "band_bits",
+        F.expr(f"({hash_col} >> (band * {PHASH_WIDE_BAND_W})) & 65535"),
+    )
+
+
+def ahash_wide(w: int, h: int, raster: bytes) -> int:
+    """64-bit aHash of one decoded 8x8 raster: bit p set iff pixel p's
+    luma (r+g+b, exact integers) is above the frame mean — the
+    production-width frame hash (aHash-64).  Returns the signed-long
+    representation (:func:`_signed64`)."""
+    if (w, h) != (PHASH_WIDE_SIDE, PHASH_WIDE_SIDE):
+        raise ValueError(
+            f"wide ahash expects {PHASH_WIDE_SIDE}x{PHASH_WIDE_SIDE}, "
+            f"got {w}x{h}"
+        )
+    n_px = w * h
+    lum = [
+        raster[3 * p] + raster[3 * p + 1] + raster[3 * p + 2]
+        for p in range(n_px)
+    ]
+    total = sum(lum)
+    return _signed64(
+        sum(1 << p for p in range(n_px) if n_px * lum[p] > total)
+    )
+
+
+# -- wide video -------------------------------------------------------------
+
+
+def _noisy_video_wide(docs: DataFrame) -> DataFrame:
+    """The :func:`_noisy_video` synthesis at production frame width:
+    8x8 P6 frames (192 raster bytes from a 12-digest chain), same
+    pattern/noise keying on distinct key prefixes, same pattern-keyed
+    3..5-frame variable lengths — per-row expressions only,
+    stream-legal."""
+    n_bytes = PHASH_WIDE_SIDE * PHASH_WIDE_SIDE * 3
+    n_digests = (n_bytes + 15) // 16
+    header = F.encode(
+        F.lit(f"P6\n{PHASH_WIDE_SIDE} {PHASH_WIDE_SIDE}\n255\n"), "UTF-8"
+    )
+    pat = (F.col("doc_id") % N_VIDEO_PATTERNS).cast("string")
+    did = F.col("doc_id").cast("string")
+
+    def frame_raster(f):
+        fs = f.cast("string")
+        bhx = _hex_chain_col(
+            F.concat(F.lit("vpatw:"), pat, F.lit(":"), fs), n_digests
+        )
+        nhx = _hex_chain_col(
+            F.concat(F.lit("vfrw:"), did, F.lit(":"), fs), n_digests
+        )
+
+        def byte_hex(i):
+            b = (
+                F.conv(F.substring(bhx, i * 2 + 1, F.lit(2)), 16, 10)
+                .cast("int")
+                % IMG_BASE_MOD
+                + IMG_BASE_LO
+                + F.conv(F.substring(nhx, i * 2 + 1, F.lit(2)), 16, 10)
+                .cast("int")
+                % IMG_NOISE_MOD
+                - (IMG_NOISE_MOD - 1) // 2
+            )
+            return F.lpad(F.hex(b), 2, "0")
+
+        return F.unhex(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bytes - 1)), byte_hex
+                ),
+                "",
+            )
+        )
+
+    payload = F.aggregate(
+        F.sequence(F.lit(0), (_video_n_frames_col() - 1).cast("int")),
+        F.lit(b""),
+        lambda acc, f: F.concat(acc, header, frame_raster(f)),
+    )
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def synth_video_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _noisy_video_wide(load_table(spark, sf_dir, "documents"))
+
+
+def video_phashes_wide(payload: bytes) -> list[int]:
+    """Per-frame 64-bit aHashes of a multi-frame P6 clip: the same REAL
+    sequential walker as the narrow path (:func:`_walk_ppm_frames`),
+    production hash width (:func:`ahash_wide`)."""
+    return [
+        ahash_wide(w, h, raster) for w, h, raster in _walk_ppm_frames(payload)
+    ]
+
+
+def _video_fp_wide_frame(media: DataFrame) -> DataFrame:
+    """Per-frame 64-bit hash map-stage — the wide twin of
+    :func:`_video_fp_frame`; stateless, stream-legal."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                phs = video_phashes_wide(payload)
+                rows.extend(
+                    (int(did), fi, len(phs), ph) for fi, ph in enumerate(phs)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _VIDEO_FP_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(hash_batches, schema=_VIDEO_FP_SCHEMA)
+
+
+def video_fingerprint_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width per-video fingerprint: one 64-bit aHash per
+    frame (8x8 raster) via mapInPandas, all-long output, no shuffle —
+    value-gates the full 64-bit surface including the sign bit."""
+    return _video_fp_wide_frame(synth_video_wide(spark, sf_dir))
+
+
+def video_near_dups_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-width video near-duplicate pairs: identical plan shape
+    to :func:`video_near_dups` (banded candidates, join-back scoring,
+    n_frames in the band key, total <= 3 * n_frames) with the 64-bit
+    frame hash and 16-bit bands — the band key space is 65,536 values
+    per (n_frames, frame_idx, band), so random bucket occupancy stays
+    ~1 at corpus scale instead of saturating at the toy 10-bit wall
+    (PLANS.md x10/x100 probes)."""
+    from ..functions import leaf
+
+    fp = leaf(video_fingerprint_wide(spark, sf_dir))
+    bands = _wide_bands(fp, "phash")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        "n_frames",
+        "frame_idx",
+        "band",
+        "band_bits",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        "n_frames",
+        "frame_idx",
+        "band",
+        "band_bits",
+    )
+    cand = (
+        a.join(b, ["n_frames", "frame_idx", "band", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        "frame_idx",
+        F.col("phash").alias("ph_a"),
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        "frame_idx",
+        F.col("phash").alias("ph_b"),
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "frame_idx"])
+        .withColumn("ham", F.bit_count(F.expr("ph_a ^ ph_b")).cast("long"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum("ham").cast("long").alias("total_hamming"),
+            F.max("ham").cast("long").alias("max_hamming"),
+        )
+        .filter(
+            F.col("total_hamming")
+            <= VIDEO_MAX_HAMMING_PER_FRAME * F.col("n_frames")
+        )
+    )
+
+
+_WVID_N_PX = PHASH_WIDE_SIDE * PHASH_WIDE_SIDE
+_WVID_CTE = f"""
+wvlum AS (
+  SELECT doc_id, f, p,
+         sum((cast(cast(concat('0x', substr(bhx, 6 * p + 2 * c + 1, 2))
+                   AS ubigint) AS bigint) % {IMG_BASE_MOD} + {IMG_BASE_LO})
+           + (cast(cast(concat('0x', substr(nhx, 6 * p + 2 * c + 1, 2))
+                   AS ubigint) AS bigint) % {IMG_NOISE_MOD}
+              - {(IMG_NOISE_MOD - 1) // 2})) AS g
+  FROM (
+    SELECT doc_id, f,
+           {_hex_chain_sql("pk", (_WVID_N_PX * 3 + 15) // 16)} AS bhx,
+           {_hex_chain_sql("nk", (_WVID_N_PX * 3 + 15) // 16)} AS nhx,
+           rp.p AS p, rc.c AS c
+    FROM (SELECT doc_id, rf.f AS f,
+                 'vpatw:' || cast(doc_id % {N_VIDEO_PATTERNS} AS varchar)
+                          || ':' || cast(rf.f AS varchar) AS pk,
+                 'vfrw:' || cast(doc_id AS varchar)
+                         || ':' || cast(rf.f AS varchar) AS nk
+          FROM documents,
+               range({VIDEO_MIN_FRAMES + VIDEO_FRAME_SPAN - 1}) rf(f)
+          WHERE rf.f < {_VIDEO_N_FRAMES_SQL}),
+         range({_WVID_N_PX}) rp(p), range(3) rc(c)
+  )
+  GROUP BY doc_id, f, p
+),
+wvtot AS (SELECT doc_id, f, sum(g) AS t FROM wvlum GROUP BY doc_id, f),
+wvph AS (
+  SELECT doc_id, cast(f AS bigint) AS frame_idx,
+         cast({_VIDEO_N_FRAMES_SQL} AS bigint) AS n_frames,
+         {_twos_complement_sql("h")} AS phash
+  FROM (
+    SELECT l.doc_id, l.f,
+           coalesce(sum(CASE WHEN {_WVID_N_PX} * l.g > t.t
+                             THEN cast(1 AS hugeint) << l.p END),
+                    0) AS h
+    FROM wvlum l JOIN wvtot t ON t.doc_id = l.doc_id AND t.f = l.f
+    GROUP BY l.doc_id, l.f
+  )
+)"""
+
+ORACLES["video_fingerprint_wide"] = f"""
+WITH {_WVID_CTE}
+SELECT doc_id, frame_idx, n_frames, phash FROM wvph
+"""
+
+ORACLES["video_near_dups_wide"] = f"""
+WITH {_WVID_CTE},
+wvbands AS (
+  SELECT doc_id, n_frames, frame_idx, band,
+         (phash >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits
+  FROM (SELECT doc_id, n_frames, frame_idx, phash,
+               unnest(range({PHASH_WIDE_BANDS})) AS band FROM wvph)
+),
+wvcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wvbands a
+  JOIN wvbands b ON a.n_frames = b.n_frames AND a.frame_idx = b.frame_idx
+               AND a.band = b.band
+               AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+),
+wvscored AS (
+  SELECT c.doc_a, c.doc_b,
+         cast(count(*) AS bigint) AS n_frames,
+         cast(sum(bit_count(xor(fa.phash, fb.phash))) AS bigint)
+           AS total_hamming,
+         cast(max(bit_count(xor(fa.phash, fb.phash))) AS bigint)
+           AS max_hamming
+  FROM wvcand c
+  JOIN wvph fa ON fa.doc_id = c.doc_a
+  JOIN wvph fb ON fb.doc_id = c.doc_b AND fb.frame_idx = fa.frame_idx
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, n_frames, total_hamming, max_hamming
+FROM wvscored
+WHERE total_hamming <= {VIDEO_MAX_HAMMING_PER_FRAME} * n_frames
+"""
+
+QUERIES["video_fingerprint_wide"] = video_fingerprint_wide
+QUERIES["video_near_dups_wide"] = video_near_dups_wide
+
+
+# -- wide audio -------------------------------------------------------------
+
+
+def _wav_header_wide() -> bytes:
+    """The constant 44-byte RIFF/PCM header for AUDIO_FP_WIDE_SAMPLES
+    mono 8-bit 8 kHz frames — same stdlib ``wave`` provenance as the
+    narrow :func:`_wav_header32`."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes(AUDIO_FP_WIDE_SAMPLES))
+    return buf.getvalue()[: -AUDIO_FP_WIDE_SAMPLES]
+
+
+def _noisy_wav_wide(docs: DataFrame) -> DataFrame:
+    """The :func:`_noisy_wav` synthesis at production fingerprint width:
+    65 PCM samples from 5-digest chains on distinct key prefixes —
+    per-row expressions only, stream-legal."""
+    n_digests = (AUDIO_FP_WIDE_SAMPLES + 15) // 16
+    keyed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("awavw:"),
+            (F.col("doc_id") % AUDIO_PATTERNS).cast("string"),
+        ).alias("pk"),
+        F.concat(F.lit("sndw:"), F.col("doc_id").cast("string")).alias("nk"),
+    ).select(
+        "doc_id",
+        _hex_chain_col(F.col("pk"), n_digests).alias("bhx"),
+        _hex_chain_col(F.col("nk"), n_digests).alias("nhx"),
+    )
+    samples = F.expr(
+        f"unhex(array_join(transform(sequence(0, {AUDIO_FP_WIDE_SAMPLES - 1}),"
+        " i -> lpad(hex("
+        f"cast(conv(substring(bhx, 2 * i + 1, 2), 16, 10) AS int)"
+        f" % {IMG_BASE_MOD} + {IMG_BASE_LO}"
+        f" + cast(conv(substring(nhx, 2 * i + 1, 2), 16, 10) AS int)"
+        f" % {IMG_NOISE_MOD} - {(IMG_NOISE_MOD - 1) // 2}"
+        "), 2, '0')), ''))"
+    )
+    return keyed.select(
+        "doc_id",
+        F.concat(F.lit(_wav_header_wide()), samples).alias("payload"),
+    )
+
+
+def synth_wav_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _noisy_wav_wide(load_table(spark, sf_dir, "documents"))
+
+
+def audio_fp_wide_wav(payload: bytes) -> tuple[int, int, int]:
+    """Production-width acoustic fingerprint of a RIFF/PCM WAV: the
+    :func:`audio_fp_wav` parse-and-derivative scheme over 65 samples ->
+    64 sign-of-derivative bits, returned signed (:func:`_signed64`)."""
+    import io
+    import wave as wave_mod
+
+    if payload is None:
+        raise NotImplementedError(
+            "real media decode not available in this container"
+        )
+    with wave_mod.open(io.BytesIO(bytes(payload))) as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 1:
+            raise ValueError("audio fp expects mono 8-bit PCM")
+        n = w.getnframes()
+        if n != AUDIO_FP_WIDE_SAMPLES:
+            raise ValueError(
+                f"wide audio fp expects {AUDIO_FP_WIDE_SAMPLES} samples, "
+                f"got {n}"
+            )
+        s = w.readframes(n)
+        rate = w.getframerate()
+    fp = _signed64(sum(1 << i for i in range(n - 1) if s[i] > s[i + 1]))
+    return rate, n, fp
+
+
+def _audio_fp_wide_frame(media: DataFrame) -> DataFrame:
+    """Wide twin of :func:`_audio_fp_frame` — stateless, stream-legal."""
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(did), *audio_fp_wide_wav(payload))
+                for did, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_FP_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(fp_batches, schema=_AUDIO_FP_SCHEMA)
+
+
+def audio_fingerprint_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width per-clip acoustic fingerprint (64 bits) via
+    mapInPandas — value-gates the full 64-bit surface including the
+    sign bit."""
+    return _audio_fp_wide_frame(synth_wav_wide(spark, sf_dir))
+
+
+def audio_near_dups_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-width audio near-duplicate pairs: identical plan shape
+    to :func:`audio_near_dups` (banded candidates, hamming <= 3) with
+    the 64-bit fingerprint and 16-bit bands — the band key space is
+    65,536 values, so the toy 8-bit wall (projected ~10^9 candidate
+    pairs at 500k clips, PLANS.md) is gone while the pigeonhole
+    completeness argument is unchanged."""
+    from ..functions import leaf
+
+    fp = leaf(audio_fingerprint_wide(spark, sf_dir).select("doc_id", "fp"))
+    bands = _wide_bands(fp, "fp")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("fp").alias("fp_a"),
+        "band",
+        "band_bits",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fp").alias("fp_b"),
+        "band",
+        "band_bits",
+    )
+    return (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("fp_a ^ fp_b")).cast("long"))
+        .filter(F.col("hamming") <= AUDIO_FP_WIDE_MAX_HAMMING)
+    )
+
+
+_WAUD_CTE = f"""
+wasnd AS (
+  SELECT doc_id, i,
+         (cast(cast(concat('0x', substr(bhx, 2 * i + 1, 2))
+               AS ubigint) AS bigint) % {IMG_BASE_MOD} + {IMG_BASE_LO})
+       + (cast(cast(concat('0x', substr(nhx, 2 * i + 1, 2))
+               AS ubigint) AS bigint) % {IMG_NOISE_MOD}
+          - {(IMG_NOISE_MOD - 1) // 2}) AS s
+  FROM (
+    SELECT doc_id,
+           {_hex_chain_sql("pk", (AUDIO_FP_WIDE_SAMPLES + 15) // 16)} AS bhx,
+           {_hex_chain_sql("nk", (AUDIO_FP_WIDE_SAMPLES + 15) // 16)} AS nhx,
+           ri.i AS i
+    FROM (SELECT doc_id,
+                 'awavw:' || cast(doc_id % {AUDIO_PATTERNS} AS varchar) AS pk,
+                 'sndw:' || cast(doc_id AS varchar) AS nk
+          FROM documents),
+         range({AUDIO_FP_WIDE_SAMPLES}) ri(i)
+  )
+),
+wafp AS (
+  SELECT doc_id, {_twos_complement_sql("h")} AS fp
+  FROM (
+    SELECT a.doc_id,
+           coalesce(sum(CASE WHEN a.s > b.s
+                             THEN cast(1 AS hugeint) << a.i END), 0) AS h
+    FROM wasnd a JOIN wasnd b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    GROUP BY a.doc_id
+  )
+)"""
+
+ORACLES["audio_fingerprint_wide"] = f"""
+WITH {_WAUD_CTE}
+SELECT doc_id, cast(8000 AS bigint) AS framerate,
+       cast({AUDIO_FP_WIDE_SAMPLES} AS bigint) AS n_samples, fp
+FROM wafp
+"""
+
+ORACLES["audio_near_dups_wide"] = f"""
+WITH {_WAUD_CTE},
+wabands AS (
+  SELECT doc_id, fp, band,
+         (fp >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits
+  FROM (SELECT doc_id, fp,
+               unnest(range({AUDIO_FP_WIDE_BANDS})) AS band FROM wafp)
+),
+wacand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.fp AS fp_a, b.fp AS fp_b
+  FROM wabands a
+  JOIN wabands b ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, fp_a, fp_b,
+       cast(bit_count(xor(fp_a, fp_b)) AS bigint) AS hamming
+FROM wacand
+WHERE bit_count(xor(fp_a, fp_b)) <= {AUDIO_FP_WIDE_MAX_HAMMING}
+"""
+
+QUERIES["audio_fingerprint_wide"] = audio_fingerprint_wide
+QUERIES["audio_near_dups_wide"] = audio_near_dups_wide

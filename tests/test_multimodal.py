@@ -691,3 +691,144 @@ def test_video_phashes_rejects_corruption():
         mm.video_phashes(b"P5\n4 4\n255\n" + bytes(48))
     with pytest.raises(NotImplementedError):
         mm.video_phashes(None)
+
+
+# -- production-width (wide) fingerprints (r14, VERDICT r13 task 3) ----------
+
+
+def test_wide_band_extraction_matches_python_reference(spark):
+    # arithmetic >> plus the 0xFFFF mask must extract bits [16b, 16b+16)
+    # exactly even with bit 63 set (negative long) — pin Spark's expr
+    # against the pure-Python unsigned reference
+    vals = [-(1 << 63), -1, 0, 1, (1 << 63) - 1, -(1 << 63) + 12345]
+    df = spark.createDataFrame([(v,) for v in vals], "phash: long")
+    rows = mm._wide_bands(df, "phash").collect()
+    for r in rows:
+        unsigned = r["phash"] % (1 << 64)
+        assert r["band_bits"] == (unsigned >> (r["band"] * 16)) & 0xFFFF
+
+
+def test_ahash_wide_rejects_narrow_raster_and_signs():
+    with pytest.raises(ValueError, match="8x8"):
+        mm.ahash_wide(4, 4, bytes(48))
+    # a dark-then-bright raster puts pixels 32..63 above the mean, so the
+    # hash carries bit 63 -> the signed fold must produce a negative
+    # long, not overflow
+    raster = bytes([0] * 96) + bytes([255] * 96)
+    ph = mm.ahash_wide(8, 8, raster)
+    assert ph < 0
+    assert ph == mm._signed64(sum(1 << p for p in range(32, 64)))
+
+
+def test_video_fingerprint_wide_oracle_parity_and_sign_bit(spark, oracle):
+    assert_parity(
+        spark,
+        oracle,
+        mm.video_fingerprint_wide,
+        mm.ORACLES["video_fingerprint_wide"],
+    )
+    rows = mm.video_fingerprint_wide(spark, SF_DIR).collect()
+    assert rows
+    # the 64-bit width is genuinely exercised: some frame hashes carry
+    # bit 63 (negative as signed longs)
+    assert any(r["phash"] < 0 for r in rows)
+    assert any(r["phash"] > 0 for r in rows)
+
+
+def test_audio_fingerprint_wide_oracle_parity_and_sign_bit(spark, oracle):
+    assert_parity(
+        spark,
+        oracle,
+        mm.audio_fingerprint_wide,
+        mm.ORACLES["audio_fingerprint_wide"],
+    )
+    rows = mm.audio_fingerprint_wide(spark, SF_DIR).collect()
+    assert rows
+    assert all(r["n_samples"] == mm.AUDIO_FP_WIDE_SAMPLES for r in rows)
+    assert any(r["fp"] < 0 for r in rows)
+    assert any(r["fp"] > 0 for r in rows)
+
+
+def test_audio_near_dups_wide_oracle_parity_and_banding_complete(
+    spark, oracle
+):
+    assert_parity(
+        spark,
+        oracle,
+        mm.audio_near_dups_wide,
+        mm.ORACLES["audio_near_dups_wide"],
+    )
+    # pigeonhole completeness at production width: hamming <= 3 forces an
+    # exact 16-bit band match — the banded join finds EXACTLY the brute
+    # all-pairs set
+    brute = oracle.sql(
+        f"""
+        WITH {mm._WAUD_CTE}
+        SELECT count(*) FROM wafp a JOIN wafp b
+          ON b.doc_id > a.doc_id
+         AND bit_count(xor(a.fp, b.fp)) <= {mm.AUDIO_FP_WIDE_MAX_HAMMING}
+        """
+    ).fetchone()[0]
+    assert mm.audio_near_dups_wide(spark, SF_DIR).count() == brute
+
+
+def test_video_near_dups_wide_oracle_parity_and_banding_complete(
+    spark, oracle
+):
+    assert_parity(
+        spark,
+        oracle,
+        mm.video_near_dups_wide,
+        mm.ORACLES["video_near_dups_wide"],
+    )
+    brute = oracle.sql(
+        f"""
+        WITH {mm._WVID_CTE}
+        SELECT count(*) FROM (
+          SELECT a.doc_id, b.doc_id
+          FROM wvph a JOIN wvph b ON b.doc_id > a.doc_id
+                                 AND b.n_frames = a.n_frames
+                                 AND b.frame_idx = a.frame_idx
+          GROUP BY a.doc_id, b.doc_id
+          HAVING sum(bit_count(xor(a.phash, b.phash)))
+                   <= {mm.VIDEO_MAX_HAMMING_PER_FRAME} * min(a.n_frames)
+        )
+        """
+    ).fetchone()[0]
+    assert mm.video_near_dups_wide(spark, SF_DIR).count() == brute
+
+
+def test_wide_near_dup_pairs_share_pattern(spark):
+    # planted structure survives the production width: every surviving
+    # pair comes from a planted pattern group on both axes
+    arows = mm.audio_near_dups_wide(spark, SF_DIR).collect()
+    vrows = mm.video_near_dups_wide(spark, SF_DIR).collect()
+    assert arows and vrows
+    assert all(
+        r["doc_a"] % mm.AUDIO_PATTERNS == r["doc_b"] % mm.AUDIO_PATTERNS
+        for r in arows
+    )
+    assert all(
+        r["doc_a"] % mm.N_VIDEO_PATTERNS == r["doc_b"] % mm.N_VIDEO_PATTERNS
+        for r in vrows
+    )
+    assert len({r["n_frames"] for r in vrows}) >= 2
+
+
+def test_wide_payloads_are_valid_files(spark):
+    import io
+    import wave as wave_mod
+
+    for r in mm.synth_wav_wide(spark, SF_DIR).limit(5).collect():
+        with wave_mod.open(io.BytesIO(bytes(r["payload"]))) as w:
+            assert w.getnframes() == mm.AUDIO_FP_WIDE_SAMPLES
+    for r in mm.synth_video_wide(spark, SF_DIR).limit(5).collect():
+        frames = mm._walk_ppm_frames(bytes(r["payload"]))
+        want = mm.VIDEO_MIN_FRAMES + (
+            r["doc_id"] % mm.N_VIDEO_PATTERNS
+        ) % mm.VIDEO_FRAME_SPAN
+        assert len(frames) == want
+        assert all(
+            (w, h) == (mm.PHASH_WIDE_SIDE, mm.PHASH_WIDE_SIDE)
+            for w, h, _ in frames
+        )
