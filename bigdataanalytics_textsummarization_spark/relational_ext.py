@@ -1352,6 +1352,126 @@ FROM base
 QUERIES["rfm_segments"] = rfm_segments
 
 
+RFM_APPROX_ACC = 10_000  # GK sketch accuracy (rank error <= n / ACC)
+# cutpoint certification is in RANK space, the guarantee GK actually
+# gives: the approx q-cutpoint must lie between the exact percentiles at
+# q +- RANK_TOL.  (A value-space rtol is wrong at small n, where adjacent
+# order statistics can sit far apart.)  RANK_TOL is 200x the sketch's
+# 1/ACC rank error, so the booleans are stably true at any partitioning.
+RFM_APPROX_RANK_TOL = 0.02
+
+
+def rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM scoring against APPROX-percentile cutpoints — the 100 TB twin
+    of :func:`rfm_segments` (VERDICT r13 task 6): exact quintiles need a
+    global rank over every customer, and that single total order is the
+    one stage of the exact query that cannot scale out.  Here each
+    metric's four quintile CUTPOINTS come from ``approx_percentile``
+    (Greenwald-Khanna summaries, merged map-side like any aggregate),
+    broadcast back over the per-customer frame, and each customer scores
+    1..5 by how many cutpoints its metric clears — plan: one shuffle to
+    the per-customer aggregate, one O(metrics) sketch aggregate, one
+    broadcast join.  NO global rank window anywhere (`WindowExec` absent
+    from the plan).
+
+    Cutpoint scoring also fixes the tie semantics rank-based quintiles
+    get wrong at scale: equal metric values always score equally here,
+    while row_number splits ties across buckets.
+
+    Sketch values are partition-dependent, so per the quantile_sketch /
+    distinct_sketch convention the CERTIFIED row is determinate facts
+    per metric: the exact customer count, monotonicity of the scoring
+    (every lower score's max goodness <= every higher score's min —
+    checked on the O(scores) frame via a tiny self-join, no window),
+    non-decreasing cutpoints, and four rank-tolerance booleans — each
+    approx cutpoint bracketed by the exact percentiles at q +-
+    ``RFM_APPROX_RANK_TOL`` (the ``percentile`` reference column exists
+    only for this certification; the production scoring path never
+    computes it).  Recency enters as
+    its NEGATION ("goodness") so all three metrics score ascending —
+    score 5 is the most recent / most frequent / highest spend, matching
+    :func:`rfm_segments`'s orientation."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    latest = orders.agg(F.max("o_orderdate").alias("latest"))
+    base = per.crossJoin(F.broadcast(latest)).select(
+        "custkey",
+        (-F.datediff("latest", "last_order")).cast("double").alias("recency"),
+        F.col("frequency").cast("double").alias("frequency"),
+        F.col("cents").cast("double").alias("monetary"),
+    )
+    long = base.selectExpr(
+        "custkey",
+        "stack(3, 'recency', recency, 'frequency', frequency,"
+        " 'monetary', monetary) AS (metric, v)",
+    )
+    qs = "array(0.2, 0.4, 0.6, 0.8)"
+    band = ", ".join(
+        f"{q - RFM_APPROX_RANK_TOL}, {q + RFM_APPROX_RANK_TOL}"
+        for q in (0.2, 0.4, 0.6, 0.8)
+    )
+    cuts = long.groupBy("metric").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.expr(f"approx_percentile(v, {qs}, {RFM_APPROX_ACC})").alias("ac"),
+        F.expr(f"percentile(v, array({band}))").alias("ex"),
+    )
+    score = F.lit(1)
+    for i in range(1, 5):
+        score = score + (F.col("v") > F.element_at("ac", i)).cast("int")
+    scored = long.join(F.broadcast(cuts.select("metric", "ac")), "metric")
+    per_score = scored.groupBy("metric", score.alias("score")).agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    a, b = per_score.alias("a"), per_score.alias("b")
+    mono = (
+        a.join(
+            b,
+            (F.col("a.metric") == F.col("b.metric"))
+            & (F.col("a.score") < F.col("b.score")),
+        )
+        .groupBy(F.col("a.metric").alias("metric"))
+        .agg(F.bool_and(F.col("a.mx") <= F.col("b.mn")).alias("monotone_ok"))
+    )
+
+    def ok(i: int):
+        lo, hi = F.element_at("ex", 2 * i - 1), F.element_at("ex", 2 * i)
+        return (lo <= F.element_at("ac", i)) & (F.element_at("ac", i) <= hi)
+
+    cuts_nondec = (
+        (F.element_at("ac", 1) <= F.element_at("ac", 2))
+        & (F.element_at("ac", 2) <= F.element_at("ac", 3))
+        & (F.element_at("ac", 3) <= F.element_at("ac", 4))
+    )
+    return cuts.join(mono, "metric", "left").select(
+        "metric",
+        "n_customers",
+        F.coalesce("monotone_ok", F.lit(True)).alias("monotone_ok"),
+        cuts_nondec.alias("cuts_nondecreasing_ok"),
+        ok(1).alias("q20_ok"),
+        ok(2).alias("q40_ok"),
+        ok(3).alias("q60_ok"),
+        ok(4).alias("q80_ok"),
+    )
+
+
+ORACLES["rfm_segments_approx"] = """
+WITH n AS (
+  SELECT cast(count(DISTINCT o_custkey) AS bigint) AS n_customers FROM orders
+)
+SELECT m.metric, n.n_customers,
+       true AS monotone_ok, true AS cuts_nondecreasing_ok,
+       true AS q20_ok, true AS q40_ok, true AS q60_ok, true AS q80_ok
+FROM n, (VALUES ('recency'), ('frequency'), ('monetary')) m(metric)
+"""
+QUERIES["rfm_segments_approx"] = rfm_segments_approx
+
+
 Z_BITS = 16  # bits per dimension (sized to the testdata key domains;
 # at larger domains widen — the construction is identical per bit)
 Z_BUCKET_SHIFT = 2 * Z_BITS - 6  # top 6 z-bits -> 64 clustering buckets

