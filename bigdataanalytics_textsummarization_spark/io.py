@@ -318,6 +318,17 @@ def read_reviews_tsv(
       raw line captured in ``_corrupt_record`` for quarantine;
     - ``DROPMALFORMED``: malformed rows silently dropped;
     - ``FAILFAST``: the reference's behavior, opt-in.
+
+    DELIBERATE divergence (header-row quirk, SURVEY §1.3): the
+    reference's LSA pipeline never strips the TSV header, so the header
+    LINE is parsed as a review and contributes one extra "sentence"
+    group per product file (BigdataProjectCode.py:43-45; only the eval
+    cell strips it, code:162-163).  This reader ALWAYS strips the header
+    (``option("header")``) — the quirk is a bug a user replaying product
+    files would not want bit-reproduced, and the typed schema could not
+    represent the header-as-review row anyway (its ``star_rating`` cell
+    is the literal string ``star_rating``).  Expect one fewer group than
+    the reference per product file on the LSA path.
     """
     schema = REVIEWS_SCHEMA
     if mode.upper() == "PERMISSIVE":
