@@ -555,23 +555,87 @@ _PRIORITY_R12 = [
     "q6_forecast_revenue",
 ]
 
-# Round-13 window (VERDICT r12 tasks 1-4+7): 50 slots composed straight
-# from the check_recert enumeration at r13 HEAD — (a) the four
-# never-certified r13 queries (video near-dup family, the acoustic
-# ingest gate, the cross-modal audit; all verified ALL MATCH by
-# driver_sim at sf0.01 before staging), (b) the 15 changed-since-green
-# rows (the image/audio families through the _phash_bands/_phash_planes/
-# _walk_ppm_frames refactors, the dedup-cluster family through the
-# min_label_components delegation, the mixture quartet through the
-# scalar-window retirement, ann_graph_search_indexed through the index
-# signature hardening — every one re-verified MATCH at sf0.01), then
-# (c) ALL 12 r8-era spill greens (the whole freshness debt named by the
-# r12 verdict), then (d) the alphabetically-first 19 of the 35 r9-era
-# greens (frame_sample, the 36th, rides in (b)).  4+15+12+19 = exactly
-# the 50-slot budget; the 16 r9-era leftovers queue in
-# _PRIORITY_R13_SPILL (the rouge family stays adjacent there for r14's
-# leaf reuse).  After r13 certifies, the oldest standing green is
-# r9-era.
+# Round-14 window (VERDICT r13 task 2): 50 slots — (a) ALL 22
+# _PRIORITY_R13_SPILL names (the whole r9-era freshness debt; the rouge
+# family stays adjacent for leaf reuse), (b) the 6 changed-since-green
+# rows (the narrow video family through the variable-length change:
+# n_frames in the band key, length-scaled threshold; the mixture pair
+# through the p_mix-from-pa_micro fold-order fix — every one re-verified
+# MATCH at sf0.01 by driver_sim before staging), (c) the 5 new r14
+# queries (the production-width media fingerprints/pairs of VERDICT r13
+# task 3, each full-SQL-gated with HUGEINT-interim oracles; the
+# rfm_segments_approx sketch-cutpoint twin of task 6), and (d) the
+# alphabetically-first 17 of the 46 r10-era greens.  22+6+5+17 = exactly
+# the 50-slot budget; the 29 r10-era leftovers stay queued via
+# _PRIORITY_R10 below.  After r14 certifies, the oldest standing green
+# is r10-era.
+_PRIORITY_R14 = [
+    # (a) the full r13 spill — oldest standing greens (r9-era)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "rich_customers_sql",
+    "rouge_l",
+    "rouge_n",
+    "rouge_n_relational",
+    "rouge_n_stemmed",
+    "rouge_sweep",
+    "rouge_sweep_stemmed",
+    "sales_cube",
+    "sales_grouping_sets",
+    "sales_rollup",
+    "stupid_backoff",
+    "tfidf_doc_topk",
+    "tokenizer_fertility",
+    "top_customers_per_nation",
+    "user_value_moving_avg",
+    "vocab_kl_drift",
+    "weighted_sample",
+    # (b) changed-since-green: the variable-length video family (shared
+    # fingerprint leaf), then the mixture pair (shared quota chain)
+    "video_fingerprint",
+    "video_near_dups",
+    "video_fp_ingest",
+    "video_dedup_clusters",
+    "source_mixture",
+    "mixture_sample",
+    # (c) new in r14: production-width media (fingerprint leaf shared
+    # within each modality), then the sketch-cutpoint RFM twin
+    "video_fingerprint_wide",
+    "video_near_dups_wide",
+    "audio_fingerprint_wide",
+    "audio_near_dups_wide",
+    "rfm_segments_approx",
+    # (d) r10-era greens, alphabetical up to the budget
+    "ann_ivf_recall",
+    "distinct_sketch",
+    "doc_chunks",
+    "doc_perplexity",
+    "dq_checks",
+    "embedding_pca",
+    "event_anomalies",
+    "event_funnel",
+    "events_typed_props",
+    "graph_khop",
+    "graph_lpa",
+    "graph_lpa_capped",
+    "graph_triangles",
+    "heavy_hitters_sketch",
+    "incremental_agg",
+    "key_skew_profile",
+    "length_outliers",
+]
+
+# Round-13 window (VERDICT r12 tasks 1-4+7): 50 slots composed from the
+# check_recert enumeration at r13 HEAD — (a) 10 never-certified r13
+# queries (the video family, acoustic gate, audits incl. the late-r13
+# family-symmetry additions), (b) 15 changed-since-green rows, (c) 12
+# r8-era spill greens, (d) 13 r9-era greens up to the 50-slot budget
+# (10+15+12+13; the late-r13 additions displaced the alphabetical tail
+# of (d) into _PRIORITY_R13_SPILL — ADVICE r13: this header previously
+# described the pre-displacement 4+15+12+19 arithmetic).
 _PRIORITY_R13 = [
     # (a) never certified — the video family first (shared fingerprint
     # leaf), then the acoustic gate beside its family, then the audit
@@ -824,7 +888,8 @@ _PRIORITY_R8_STAGED = [
 # insertion dedupes repeats), then the over-budget spill, then the older
 # lists so every still-staged name stays queued.
 _PRIORITY = (
-    _PRIORITY_R13
+    _PRIORITY_R14
+    + _PRIORITY_R13
     + _PRIORITY_R13_SPILL
     + _PRIORITY_R12
     + _PRIORITY_R12_SPILL

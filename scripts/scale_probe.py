@@ -121,6 +121,14 @@ PROBE = [
     "semantic_decontam",
     "trimodal_dedup_audit",
     "decontam_audit",
+    # r14 (VERDICT r13 tasks 3+4): the production-width pair queries —
+    # same banded O(candidates) shape as their narrow twins, but the
+    # 16-bit band space keeps RANDOM bucket occupancy ~1 where the toy
+    # 10-bit/8-bit spaces were already saturating at x10; and the
+    # narrow video pair re-probed under variable clip lengths (n_frames
+    # in the band key partitions the band space further)
+    "audio_near_dups_wide",
+    "video_near_dups_wide",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default
@@ -152,6 +160,9 @@ PROBE_PATTERN_SCALE = {
     "video_near_dups": ("N_VIDEO_PATTERNS",),
     # the tri-modal audit rides the image AND audio candidate tables
     "trimodal_dedup_audit": ("N_IMG_PATTERNS", "AUDIO_PATTERNS"),
+    # r14: the production-width pairs share the narrow pattern constants
+    "audio_near_dups_wide": ("AUDIO_PATTERNS",),
+    "video_near_dups_wide": ("N_VIDEO_PATTERNS",),
 }
 
 
@@ -222,6 +233,16 @@ PROBE_X100 = [
     # PLANS.md).
     "image_near_dups",
     "phash_ingest",
+    # r14 (VERDICT r13 task 7): the newest audit/media families one
+    # decade further — the production-width pairs (whose 16-bit bands
+    # are the fix for the narrow walls the r13 x100 tier measured), the
+    # tri-modal agreement audit (rides the candidate-bounded narrow
+    # detectors — its x100 ratio tracks the heaviest upstream), and the
+    # lexical-vs-semantic decontam audit (both inputs candidate-bounded)
+    "audio_near_dups_wide",
+    "video_near_dups_wide",
+    "trimodal_dedup_audit",
+    "decontam_audit",
 ]
 
 
