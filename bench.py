@@ -96,6 +96,11 @@ HEADLINE = [
     # query — per-frame hashes, banded candidates, join-back scoring —
     # the heaviest multimodal near-dup path
     "video_near_dups",
+    # round-14 widening (VERDICT r13 task 3): the PRODUCTION-width video
+    # pair — 64-bit frame hash, 16-bit bands — the multimodal path a
+    # deployment actually runs; its dominant cost is the Arrow hash map
+    # stage, so map-stage regressions stay visible round-over-round
+    "video_near_dups_wide",
 ]
 
 # the pre-r9 headline set (exactly BENCH_v1.json's rows), kept as an
