@@ -564,9 +564,10 @@ _PRIORITY_R12 = [
 # MATCH at sf0.01 by driver_sim before staging), (c) the 5 new r14
 # queries (the production-width media fingerprints/pairs of VERDICT r13
 # task 3, each full-SQL-gated with HUGEINT-interim oracles; the
-# rfm_segments_approx sketch-cutpoint twin of task 6), and (d) the
-# alphabetically-first 17 of the 46 r10-era greens.  22+6+5+17 = exactly
-# the 50-slot budget; the 29 r10-era leftovers stay queued via
+# rfm_segments_approx sketch-cutpoint twin of task 6; the late-r14 trio:
+# minhash_band_tuning / hard_negative_mining / ccnet_buckets), and (d)
+# the alphabetically-first 14 of the 46 r10-era greens.  22+6+8+14 =
+# exactly the 50-slot budget; the 32 r10-era leftovers stay queued via
 # _PRIORITY_R10 below.  After r14 certifies, the oldest standing green
 # is r10-era.
 _PRIORITY_R14 = [
@@ -602,12 +603,20 @@ _PRIORITY_R14 = [
     "source_mixture",
     "mixture_sample",
     # (c) new in r14: production-width media (fingerprint leaf shared
-    # within each modality), then the sketch-cutpoint RFM twin
+    # within each modality), the sketch-cutpoint RFM twin, then the
+    # late-r14 trio (LSH band-layout sweep beside its signature family,
+    # embedding hard negatives, CCNet terciles riding doc_perplexity —
+    # each verified ALL MATCH at sf0.01 by driver_sim before staging;
+    # each takes the slot of an alphabetically-last r10-era name that
+    # stays queued via _PRIORITY_R10, the r12/r13 late-round precedent)
     "video_fingerprint_wide",
     "video_near_dups_wide",
     "audio_fingerprint_wide",
     "audio_near_dups_wide",
     "rfm_segments_approx",
+    "minhash_band_tuning",
+    "hard_negative_mining",
+    "ccnet_buckets",
     # (d) r10-era greens, alphabetical up to the budget
     "ann_ivf_recall",
     "distinct_sketch",
@@ -623,9 +632,6 @@ _PRIORITY_R14 = [
     "graph_lpa_capped",
     "graph_triangles",
     "heavy_hitters_sketch",
-    "incremental_agg",
-    "key_skew_profile",
-    "length_outliers",
 ]
 
 # Round-13 window (VERDICT r12 tasks 1-4+7): 50 slots composed from the

@@ -1267,3 +1267,168 @@ SELECT l.doc_id, l.cluster_id, q.quality,
 FROM labels l JOIN q USING (doc_id)
 """
 QUERIES["dedup_keep_best"] = dedup_keep_best
+
+
+# ---------------------------------------------------------------------------
+# LSH band-layout tuning sweep
+# ---------------------------------------------------------------------------
+
+from ..functions import pin  # noqa: E402  (late import: tuning-only helper)
+
+TUNING_BAND_CONFIGS = (1, 2, 4, 8, 16)  # band counts over the 16-hash sig
+TUNING_J = 0.5  # exact-Jaccard ground-truth threshold for the sweep
+
+
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision curve over MinHash-LSH band layouts — the lexical
+    twin of ``similarity.ann_recall_sweep``: the table an operator reads
+    to pick bands x rows before committing a 100 TB dedup pass to one
+    S-curve.
+
+    Every layout re-bands the SAME {N_HASHES}-hash signature (bands b,
+    rows r = {N_HASHES}/b); candidates are band-collision pairs, scored
+    against the exact ground truth of shingle-Jaccard >= {TUNING_J}
+    pairs.  The truth set is COMPLETE despite blocking: a pair with
+    J >= t > 0 shares at least one shingle by definition, so the
+    shared-shingle equi-join loses nothing.  More bands / fewer rows =>
+    looser sieve (recall up, precision down); the emitted counts trace
+    that curve empirically rather than from the 1-(1-J^r)^b idealization.
+
+    Unlike the ANN sweeps (learned quantizers => determinate-fact gates),
+    everything here is deterministic — md5-derived MinHash, exact integer
+    counts, unrounded int/int ratios — so the sweep is FULL value-gated.
+
+    Scale shape: ONE signature build and ONE exact-truth build (both
+    pinned, reused by all {len(TUNING_BAND_CONFIGS)} layouts), then per
+    layout a slim (doc_id, band, band_sig) self-join and one scalar
+    aggregate.  In production the sweep runs on a bounded calibration
+    sample (ann_recall_sweep's N_QUERIES discipline), never the full
+    corpus.
+    """
+    sig = pin(_wide_sigs(spark, sf_dir))
+    pairs, sizes = _shared_shingle_pairs(
+        spark, sf_dir, "doc_a", "doc_b", symmetric=True
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    truth = pin(
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("isect") / (F.col("n_a") + F.col("n_b") - F.col("isect"))
+            >= TUNING_J
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("t"))
+    )
+    truth_n = truth.agg(F.count("*").cast("long").alias("n_truth"))
+    out = None
+    for b in TUNING_BAND_CONFIGS:
+        r = N_HASHES // b
+        bands = sig.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("band"),
+            "sigs",
+        ).select(
+            "doc_id",
+            "band",
+            F.concat_ws(
+                "|",
+                *[
+                    F.element_at(
+                        "sigs", F.col("band").cast("int") * r + j
+                    ).cast("string")
+                    for j in range(1, r + 1)
+                ],
+            ).alias("band_sig"),
+        )
+        x, y = bands.alias("x"), bands.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.band_sig") == F.col("y.band_sig"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        stats = (
+            cand.join(truth, ["doc_a", "doc_b"], "left")
+            .agg(
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.count("*").cast("long").alias("n_candidates"),
+                F.coalesce(F.sum("t"), F.lit(0)).cast("long").alias("n_hits"),
+            )
+            .crossJoin(F.broadcast(truth_n))
+        )
+        row = stats.select(
+            "bands",
+            "rows_per_band",
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits") / F.col("n_truth")).alias("recall"),
+            (
+                F.col("n_hits") / F.expr("nullif(n_candidates, 0)")
+            ).alias("precision"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+_TUNING_CFG_SQL = ", ".join(str(b) for b in TUNING_BAND_CONFIGS)
+
+ORACLES["minhash_band_tuning"] = f"""
+WITH {SHINGLES_CTE}, {MINHASH_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+isect AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+  FROM grams a JOIN grams b ON b.g = a.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b
+  FROM isect i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE i.isect * 1.0 / (na.n + nb.n - i.isect) >= {TUNING_J}
+),
+tn AS (SELECT count(*) AS n_truth FROM truth),
+cfg AS (SELECT unnest([{_TUNING_CFG_SQL}]) AS bands),
+bsig AS (
+  SELECT c.bands, m.doc_id,
+         cast(floor(m.seed / ({N_HASHES} / c.bands)) AS bigint) AS band,
+         string_agg(cast(m.minhash AS varchar), '|' ORDER BY m.seed)
+           AS band_sig
+  FROM mh m CROSS JOIN cfg c
+  GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT DISTINCT x.bands, x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bsig x
+  JOIN bsig y ON y.bands = x.bands AND y.band = x.band
+             AND y.band_sig = x.band_sig AND x.doc_id < y.doc_id
+),
+agg AS (
+  SELECT c.bands, count(*) AS n_candidates,
+         sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM cand c
+  LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+  GROUP BY 1
+)
+SELECT cast(cfg.bands AS bigint) AS bands,
+       cast({N_HASHES} // cfg.bands AS bigint) AS rows_per_band,
+       cast(tn.n_truth AS bigint) AS n_truth,
+       cast(coalesce(a.n_candidates, 0) AS bigint) AS n_candidates,
+       cast(coalesce(a.n_hits, 0) AS bigint) AS n_hits,
+       coalesce(a.n_hits, 0) / cast(tn.n_truth AS double) AS recall,
+       coalesce(a.n_hits, 0)
+         / cast(nullif(coalesce(a.n_candidates, 0), 0) AS double)
+         AS "precision"
+FROM cfg LEFT JOIN agg a USING (bands) CROSS JOIN tn
+"""
+QUERIES["minhash_band_tuning"] = minhash_band_tuning

@@ -2999,3 +2999,77 @@ FROM (
 )}
 """
 QUERIES["ann_graph_tuning"] = ann_graph_tuning
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 5  # hard negatives per anchor
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space hard negatives for a contrastive objective: for
+    each query anchor the top-{HARD_NEG_K} highest-cosine vectors whose
+    LABEL differs from the anchor's — the "confusable but wrong" pairs a
+    DPR/SimCSE-style trainer wants in-batch.  Complements
+    ``dedup.contrastive_pairs`` (lexical positives + random negatives)
+    with the similarity-ranked negative half of the recipe.
+
+    Same scale shape as :func:`ann_cosine_topk`: the anchor set is
+    bounded (``vec_id < {N_QUERIES}``) and broadcast, the corpus is
+    scanned ONCE, and the per-anchor top-k is a window partitioned by
+    anchor — at 100 TB this is a broadcast-nested-loop over one corpus
+    pass, or swap the candidate stage for the IVF/graph index when the
+    anchor set itself is large (mine from ``_ivf_search`` candidates
+    instead of the full scan; the ranking tail is identical).
+    """
+    emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = F.broadcast(q).join(
+        emb, F.col("label") != F.col("query_label")
+    ).withColumn(
+        "sim_raw", dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_raw"), F.asc("vec_id")
+    )
+    return (
+        pairs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= HARD_NEG_K)
+        .select(
+            "query_id",
+            "query_label",
+            "rk",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            r6(F.col("sim_raw")).alias("cosine"),
+        )
+    )
+
+
+ORACLES["hard_negative_mining"] = f"""
+WITH {_EMB_CTE},
+q AS (
+  SELECT vec_id AS query_id, label AS query_label, e AS qe, nrm AS qn
+  FROM embn WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+  SELECT q.query_id, q.query_label, c.vec_id, c.label,
+         list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS sim_raw
+  FROM q JOIN embn c ON c.label <> q.query_label
+)
+SELECT query_id, query_label, rk, vec_id AS negative_id,
+       label AS negative_label, (round(sim_raw, 6) + 0.0) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_raw DESC, vec_id ASC) AS rk
+  FROM pairs
+) WHERE rk <= {HARD_NEG_K}
+"""
+QUERIES["hard_negative_mining"] = hard_negative_mining

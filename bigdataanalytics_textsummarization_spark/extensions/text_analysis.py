@@ -3495,3 +3495,112 @@ SELECT cast(b.bucket AS bigint) AS bucket,
 FROM bt b LEFT JOIN nw n ON b.bucket = n.bucket
 """
 QUERIES["vocab_growth"] = vocab_growth
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+CCNET_ACC = 10_000  # GK sketch accuracy (rank error <= n / ACC)
+CCNET_RANK_TOL = 0.05  # certification band around each tercile
+CCNET_QS = (1.0 / 3.0, 2.0 / 3.0)
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per language,
+    docs bucket by LM perplexity TERCILES — head (lowest ppl) feeds the
+    clean mix, tail gets dropped or down-weighted.  Rides the
+    :func:`doc_perplexity` scores and the rfm_segments_approx cutpoint
+    discipline: each language's two tercile cutpoints come from
+    ``approx_percentile`` (mergeable sketch — no global sort, no rank
+    window; the per-lang grouping key makes the aggregate as wide as the
+    language mix, not the corpus), broadcast back, and every doc scores by
+    comparison against the cutpoints.
+
+    Sketch cutpoints are partition-dependent, so the certified row is
+    DETERMINATE facts per language (the rfm_segments_approx convention):
+    exact doc count; partition_ok (the three buckets tile the language —
+    structurally true for any cutpoints, checked); monotone_ok (bucket
+    ppl ranges are disjoint and ordered — a theorem of scoring by value
+    comparison, checked on the O(langs x 3) frame); non-decreasing
+    cutpoints; and two rank-tolerance booleans bracketing each approx
+    cutpoint by the exact percentiles at q +- {CCNET_RANK_TOL} (the
+    ``percentile`` reference column exists only for certification; the
+    production path never computes it)."""
+    ppl = doc_perplexity(spark, sf_dir).select("doc_id", "ppl")
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored0 = ppl.join(langs, "doc_id")
+    q1, q2 = CCNET_QS
+    band = ", ".join(
+        f"{q - CCNET_RANK_TOL}, {q + CCNET_RANK_TOL}" for q in CCNET_QS
+    )
+    cuts = scored0.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr(
+            f"approx_percentile(ppl, array({q1}, {q2}), {CCNET_ACC})"
+        ).alias("ac"),
+        F.expr(f"percentile(ppl, array({band}))").alias("ex"),
+    )
+    scored = scored0.join(F.broadcast(cuts.select("lang", "ac")), "lang")
+    bucket = (
+        F.when(F.col("ppl") <= F.element_at("ac", 1), F.lit(1))
+        .when(F.col("ppl") <= F.element_at("ac", 2), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    per_bucket = scored.groupBy("lang", bucket.alias("bkt")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.min("ppl").alias("mn"),
+        F.max("ppl").alias("mx"),
+    )
+    tiled = per_bucket.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("bucket_total")
+    )
+    a, b = per_bucket.alias("a"), per_bucket.alias("b")
+    mono = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bkt") < F.col("b.bkt")),
+        )
+        .groupBy(F.col("a.lang").alias("lang"))
+        .agg(F.bool_and(F.col("a.mx") <= F.col("b.mn")).alias("monotone_ok"))
+    )
+
+    def ok(i: int):
+        lo, hi = F.element_at("ex", 2 * i - 1), F.element_at("ex", 2 * i)
+        return (lo <= F.element_at("ac", i)) & (F.element_at("ac", i) <= hi)
+
+    return (
+        cuts.join(tiled, "lang")
+        .join(mono, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("bucket_total") == F.col("n_docs")).alias("partition_ok"),
+            F.coalesce("monotone_ok", F.lit(True)).alias("monotone_ok"),
+            (F.element_at("ac", 1) <= F.element_at("ac", 2)).alias(
+                "cuts_nondecreasing_ok"
+            ),
+            ok(1).alias("p33_ok"),
+            ok(2).alias("p67_ok"),
+        )
+    )
+
+
+# One row per language; every boolean is a determinate fact of the
+# construction (see docstring), so the oracle is the closed form.  The
+# n_docs predicate mirrors doc_perplexity's >= 2 whitespace tokens gate
+# (every such doc emits >= 1 bigram and exactly one ppl row).
+ORACLES["ccnet_buckets"] = """
+SELECT lang,
+       cast(count(*) AS bigint) AS n_docs,
+       true AS partition_ok,
+       true AS monotone_ok,
+       true AS cuts_nondecreasing_ok,
+       true AS p33_ok,
+       true AS p67_ok
+FROM documents
+WHERE len(string_split(lower(text), ' ')) >= 2
+GROUP BY lang
+"""
+QUERIES["ccnet_buckets"] = ccnet_buckets

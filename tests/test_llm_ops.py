@@ -591,3 +591,100 @@ def test_decontam_audit_oracle_parity_and_states(spark, oracle):
         assert (r["lexical"] == "clean") == (r["lex_bench_id"] == -1)
         assert (r["semantic"] == "clean") == (r["cosine"] == -1.0)
         assert (r["semantic"] == "clean") == (r["sem_bench_id"] == -1)
+
+
+def test_hard_negative_mining_brute_force(spark, oracle):
+    import numpy as np
+
+    from tests.conftest import SF_DIR, assert_parity
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        similarity as sim,
+    )
+
+    assert_parity(
+        spark,
+        oracle,
+        sim.hard_negative_mining,
+        sim.ORACLES["hard_negative_mining"],
+    )
+    out = sim.hard_negative_mining(spark, SF_DIR).toPandas()
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert (out["query_label"] != out["negative_label"]).all()
+    vecs = {i: np.asarray(e, dtype=np.float64) for i, e in emb["embedding"].items()}
+    for qid, grp in out.groupby("query_id"):
+        assert sorted(grp["rk"]) == list(range(1, sim.HARD_NEG_K + 1))
+        qv = vecs[qid]
+        qn = np.sqrt(qv @ qv)
+        cands = [
+            (-(qv @ vecs[i]) / (qn * np.sqrt(vecs[i] @ vecs[i])), i)
+            for i in emb.index
+            if emb.loc[i, "label"] != emb.loc[qid, "label"]
+        ]
+        want = [i for _, i in sorted(cands)[: sim.HARD_NEG_K]]
+        got = list(grp.sort_values("rk")["negative_id"])
+        assert got == want, f"anchor {qid}: {got} != brute {want}"
+
+
+def test_minhash_band_tuning_curve(spark, oracle):
+    from tests.conftest import SF_DIR, assert_parity
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        dedup as dd,
+    )
+
+    assert_parity(
+        spark,
+        oracle,
+        dd.minhash_band_tuning,
+        dd.ORACLES["minhash_band_tuning"],
+    )
+    out = (
+        dd.minhash_band_tuning(spark, SF_DIR)
+        .toPandas()
+        .sort_values("bands")
+        .reset_index(drop=True)
+    )
+    assert list(out["bands"]) == sorted(dd.TUNING_BAND_CONFIGS)
+    assert (out["bands"] * out["rows_per_band"] == dd.N_HASHES).all()
+    assert out["n_truth"].nunique() == 1 and out["n_truth"].iloc[0] > 0
+    assert (out["n_hits"] <= out[["n_truth", "n_candidates"]].min(axis=1)).all()
+    # more bands = looser sieve: candidate sets grow, recall never drops
+    assert out["n_candidates"].is_monotonic_increasing
+    assert out["recall"].is_monotonic_increasing
+    assert out["precision"].is_monotonic_decreasing
+    # the production 4x4 layout's candidate count equals the shipped LSH
+    # pass's pair table (same banding, same signature)
+    lsh_pairs = dd.dedup_minhash_lsh(spark, SF_DIR).count()
+    assert int(out.loc[out["bands"] == dd.N_BANDS, "n_candidates"].iloc[0]) == lsh_pairs
+    # exact ground truth cross-check against the blocked-exact query:
+    # truth at TUNING_J is the jaccard >= TUNING_J slice of the 0.2-floor
+    # exact pair table
+    exact = dd.dedup_ngram_jaccard(spark, SF_DIR).toPandas()
+    n_want = int((exact["jaccard"] >= dd.TUNING_J).sum())
+    assert int(out["n_truth"].iloc[0]) == n_want
+
+
+def test_ccnet_buckets_facts(spark, oracle):
+    from tests.conftest import SF_DIR, assert_parity
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    assert_parity(
+        spark, oracle, ta.ccnet_buckets, ta.ORACLES["ccnet_buckets"]
+    )
+    out = ta.ccnet_buckets(spark, SF_DIR).toPandas()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    eligible = docs[docs["text"].str.split(" ").str.len() >= 2]
+    want = eligible.groupby("lang").size()
+    assert len(out) == len(want)
+    for _, r in out.iterrows():
+        assert r["n_docs"] == want[r["lang"]]
+        assert r["partition_ok"] and r["monotone_ok"]
+        assert r["cuts_nondecreasing_ok"] and r["p33_ok"] and r["p67_ok"]
