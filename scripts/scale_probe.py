@@ -129,6 +129,16 @@ PROBE = [
     # in the band key partitions the band space further)
     "audio_near_dups_wide",
     "video_near_dups_wide",
+    # late-r14: the LSH layout sweep is clone-adversarial twice over —
+    # BOTH its truth set (exact-Jaccard pairs) and its loosest layout's
+    # candidates (16 bands of 1 hash) grow with the twin groups, so this
+    # is the sweep's worst case and O(candidates) is the claim; the hard
+    # negatives are one broadcast corpus scan (expect flat-linear); the
+    # CCNet terciles ride doc_perplexity's O(tokens) stages plus an
+    # O(langs) sketch aggregate (expect doc_perplexity-shaped)
+    "minhash_band_tuning",
+    "hard_negative_mining",
+    "ccnet_buckets",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default

@@ -73,6 +73,15 @@ INVARIANCE_SLICE = [
     # sums end-to-end (p_mix derives from pa_micro) — pin that the whole
     # mixture frame survives a serialized reduction order
     "source_mixture",
+    # late-r14 additions: the layout sweep reduces in integer space and
+    # its two ratios divide exact integers (never-round-a-rational);
+    # the hard-negative ranks order by the rounded cosine's RAW value
+    # with id tie-break over the order-fixed dot fold; the CCNet row is
+    # counts + tolerance booleans around a partition-dependent sketch
+    # (the quantile_sketch discipline)
+    "minhash_band_tuning",
+    "hard_negative_mining",
+    "ccnet_buckets",
 ]
 
 PARTITION_SETTINGS = ["1", "7", "32"]
