@@ -3604,3 +3604,92 @@ WHERE len(string_split(lower(text), ' ')) >= 2
 GROUP BY lang
 """
 QUERIES["ccnet_buckets"] = ccnet_buckets
+
+
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 boilerplate rule as a TRANSFORM, not just accounting: the
+    cleaned corpus with every repeated sentence removed except its first
+    corpus occurrence (Raffel et al. 2020 §2.2 keep-one discipline over
+    the engine's naive '.' sentence unit).  :func:`line_dedup` reports
+    the per-doc keep statistics; this emits the artifact a training
+    pipeline actually writes — ``clean_text`` reassembled from the kept
+    sentences in document order (trimmed, '.'-joined; original spacing
+    is not preserved, which is the C4 behavior too).
+
+    Same plan as line_dedup plus one order-fixed reassembly: one shuffle
+    on the sentence hash (the md5 rides, never the text), one shuffle
+    back on doc_id, and the rebuild is array_sort(collect_list(struct))
+    — pos is unique per doc, so the sort is total and the concat is
+    engine-exact.  Docs whose every sentence loses the keep-first race
+    emit an empty string, not a dropped row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\\.")).alias("pos", "sentence"),
+        )
+        .filter(F.trim("sentence") != "")
+        .select(
+            "doc_id",
+            "pos",
+            F.trim("sentence").alias("ts"),
+            F.md5(F.trim("sentence")).alias("key"),
+            (F.col("doc_id") * LINE_ENC + F.col("pos")).alias("enc"),
+        )
+    )
+    stats = occ.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.min("enc").alias("first_enc"),
+    )
+    kept = (F.col("n_occ") == 1) | (F.col("enc") == F.col("first_enc"))
+    return (
+        occ.join(stats, "key")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sents"),
+            F.sum(F.when(~kept, 1).otherwise(0)).cast("long").alias(
+                "n_removed"
+            ),
+            F.concat_ws(
+                ".",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct("pos", "ts"))
+                        )
+                    ),
+                    lambda s: s.ts,
+                ),
+            ).alias("clean_text"),
+        )
+    )
+
+
+ORACLES["boilerplate_strip"] = f"""
+WITH occ AS (
+  SELECT doc_id, pos, trim(sentence) AS ts, md5(trim(sentence)) AS key,
+         doc_id * {LINE_ENC} + pos AS enc
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, '.')) AS sentence,
+           unnest(range(len(string_split(text, '.')))) AS pos
+    FROM documents
+  )
+  WHERE trim(sentence) <> ''
+),
+stats AS (
+  SELECT key, cast(count(*) AS bigint) AS n_occ, min(enc) AS first_enc
+  FROM occ GROUP BY key
+)
+SELECT o.doc_id,
+       cast(count(*) AS bigint) AS n_sents,
+       cast(sum(CASE WHEN s.n_occ > 1 AND o.enc <> s.first_enc
+                     THEN 1 ELSE 0 END) AS bigint) AS n_removed,
+       coalesce(string_agg(CASE WHEN s.n_occ = 1 OR o.enc = s.first_enc
+                                THEN o.ts END, '.' ORDER BY o.pos), '')
+         AS clean_text
+FROM occ o JOIN stats s USING (key)
+GROUP BY o.doc_id
+"""
+QUERIES["boilerplate_strip"] = boilerplate_strip

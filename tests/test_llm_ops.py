@@ -688,3 +688,45 @@ def test_ccnet_buckets_facts(spark, oracle):
         assert r["n_docs"] == want[r["lang"]]
         assert r["partition_ok"] and r["monotone_ok"]
         assert r["cuts_nondecreasing_ok"] and r["p33_ok"] and r["p67_ok"]
+
+
+def test_boilerplate_strip_consistency(spark, oracle):
+    from tests.conftest import SF_DIR, assert_parity
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    assert_parity(
+        spark, oracle, ta.boilerplate_strip, ta.ORACLES["boilerplate_strip"]
+    )
+    out = ta.boilerplate_strip(spark, SF_DIR).toPandas().set_index("doc_id")
+    acct = ta.line_dedup(spark, SF_DIR).toPandas().set_index("doc_id")
+    # same doc set and the transform agrees with the accounting query
+    assert set(out.index) == set(acct.index)
+    joined = out.join(acct, lsuffix="_s")
+    assert (joined["n_sents_s"] == joined["n_sents"]).all()
+    assert (joined["n_removed"] == joined["n_sents"] - joined["n_kept"]).all()
+    # clean_text holds exactly n_kept sentences, in document order
+    for doc_id, r in out.iterrows():
+        sents = [s for s in r["clean_text"].split(".") if s != ""]
+        n_kept = int(acct.loc[doc_id, "n_kept"])
+        assert len(sents) == n_kept, doc_id
+    # every removed sentence survives somewhere (keep-FIRST, not drop-all)
+    corpus = " . ".join(out["clean_text"])
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    import itertools
+
+    all_sents = set(
+        itertools.chain.from_iterable(
+            (t.strip() for t in txt.split(".") if t.strip())
+            for txt in docs["text"]
+        )
+    )
+    kept_sents = set(
+        itertools.chain.from_iterable(
+            (t for t in ct.split(".") if t) for ct in out["clean_text"]
+        )
+    )
+    assert kept_sents == all_sents, "keep-first must retain every distinct sentence"
+    assert corpus  # non-degenerate
