@@ -3073,3 +3073,89 @@ FROM (
 ) WHERE rk <= {HARD_NEG_K}
 """
 QUERIES["hard_negative_mining"] = hard_negative_mining
+
+
+# ---------------------------------------------------------------------------
+# Ingest-time embedding near-dup gate (vector-store ingest parity)
+# ---------------------------------------------------------------------------
+
+EMB_INGEST_MOD = 10  # vec_id % 10 == 0 plays the arriving vector stream
+
+
+def embedding_ingest_join(
+    new_vecs: DataFrame, corpus_idx: DataFrame
+) -> DataFrame:
+    """Ingest-time embedding near-dup gate: arriving vectors vs a static
+    sign-bucket index — the vector-store member of the ingest-gate
+    family (text ``near_dup_ingest``, image ``phash_ingest``,
+    audio/video ``*_fp_ingest``, the perplexity/classifier gates),
+    closing the one modality that had batch dedup but no admission gate.
+
+    ``new_vecs`` may be a STREAM of (vec_id, embedding): the double
+    cast, the norm, and the sign bucket are all per-row expressions, and
+    the bucket equi-join against the precomputed ``corpus_idx`` is a
+    stateless stream-static join — the whole gate runs in append mode
+    with zero streaming state.  Single-probe (own bucket only), matching
+    ``embedding_near_dups``' blocking; a deployment wanting
+    ``ann_bucketed_topk``'s multi-probe recall explodes the d flip
+    buckets on the (small) arriving side only, leaving the corpus index
+    untouched.  At 100 TB the index is the bucket-partitioned on-disk
+    store the IVF path already writes — the join prunes to the arriving
+    vectors' buckets.
+    """
+    nv = (
+        new_vecs.select(
+            F.col("vec_id").alias("new_vec_id"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("ne"),
+        )
+        .withColumn("nn", _norm(F.col("ne")))
+        .withColumn("bucket", _bucket(F.col("ne")))
+    )
+    idx = corpus_idx.select(
+        F.col("vec_id").alias("corpus_vec_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "bucket",
+    )
+    sim = dot(F.col("ne"), F.col("ce")) / (F.col("nn") * F.col("cn"))
+    return (
+        nv.join(idx, "bucket")
+        .filter(sim >= NEAR_DUP_THRESHOLD)
+        .select(
+            "new_vec_id",
+            "corpus_vec_id",
+            r6(sim).alias("cosine"),
+        )
+    )
+
+
+def embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming embedding-ingest gate: vectors with
+    vec_id % {EMB_INGEST_MOD} == 0 arrive 'new'; the rest are the indexed
+    corpus.  The stream==batch proof lives in tests/test_streaming.py."""
+    emb = (
+        _embeddings(spark, sf_dir)
+        .withColumn("nrm", _norm(F.col("e")))
+        .withColumn("bucket", _bucket(F.col("e")))
+    )
+    new_vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % EMB_INGEST_MOD == 0)
+        .select("vec_id", "embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") % EMB_INGEST_MOD != 0)
+    return embedding_ingest_join(new_vecs, corpus)
+
+
+ORACLES["embedding_ingest"] = f"""
+WITH {_EMB_CTE}
+SELECT n.vec_id AS new_vec_id, c.vec_id AS corpus_vec_id,
+       (round(list_dot_product(n.e, c.e) / (n.nrm * c.nrm), 6) + 0.0)
+         AS cosine
+FROM embn n
+JOIN embn c ON n.bucket = c.bucket
+WHERE n.vec_id % {EMB_INGEST_MOD} = 0
+  AND c.vec_id % {EMB_INGEST_MOD} <> 0
+  AND list_dot_product(n.e, c.e) / (n.nrm * c.nrm) >= {NEAR_DUP_THRESHOLD}
+"""
+QUERIES["embedding_ingest"] = embedding_ingest

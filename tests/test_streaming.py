@@ -772,3 +772,48 @@ def test_video_fp_ingest_stream_matches_batch(spark):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape, f"{g.shape} != {w.shape}"
     assert g.equals(w)
+
+
+def test_embedding_ingest_stream_matches_batch(spark):
+    # the vector-store ingest gate (parity across every modality with a
+    # batch dedup path): per-row cast/norm/sign-bucket on the stream side
+    # vs the precomputed corpus bucket index; the stateless stream-static
+    # bucket join's append-mode result must equal the batch twin
+    from pyspark.sql import types as T
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        similarity as sim,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    stream_vecs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(SF_DIR)
+        .filter(F.col("vec_id") % sim.EMB_INGEST_MOD == 0)
+        .select("vec_id", "embedding")
+    )
+    index = (
+        sim._embeddings(spark, SF_DIR)
+        .withColumn("nrm", sim._norm(F.col("e")))
+        .withColumn("bucket", sim._bucket(F.col("e")))
+        .filter(F.col("vec_id") % sim.EMB_INGEST_MOD != 0)
+        .localCheckpoint()  # materialized index, as a deployment would have
+    )
+    got = se.run_stream_to_memory(
+        spark,
+        sim.embedding_ingest_join(stream_vecs, index),
+        "embedding_ingest_stream",
+        output_mode="append",
+    ).toPandas()
+    want = sim.embedding_ingest(spark, SF_DIR).toPandas()
+    assert len(want) > 0  # the gate must actually flag at the fixture scale
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
