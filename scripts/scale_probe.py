@@ -139,6 +139,15 @@ PROBE = [
     "minhash_band_tuning",
     "hard_negative_mining",
     "ccnet_buckets",
+    # late-r14 (2): boilerplate_strip is clone-adversarial (every
+    # sentence gains 9 verbatim copies, so ~90% of occurrences lose the
+    # keep-first race — the C4 workload at its heaviest) but adds only a
+    # concat to line_dedup's two shuffles; embedding_ingest's candidate
+    # mass is new-side x bucket occupancy (16 sign buckets at this
+    # fixture — the docstring's bucket-partitioned IVF store is the
+    # 100 TB layout, this probes the dense small-index shape)
+    "boilerplate_strip",
+    "embedding_ingest",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default
