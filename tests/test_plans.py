@@ -521,3 +521,35 @@ def test_trimodal_audit_two_full_outer_joins(spark):
     plan = _plan(spark, "trimodal_dedup_audit")
     # one "Join type:" detail block per join node in formatted explain
     assert plan.count("Join type: FullOuter") == 2
+
+
+def test_r14_trio_plan_shapes(spark):
+    """Plan pins for the late-r14 queries: no cartesian products beyond
+    the deliberate 1-row scalar broadcasts, no unpartitioned windows, and
+    the tuning sweep's signature/truth leaves materialize once."""
+    # the layout sweep: every join is equi-keyed (band keys / pair keys);
+    # the only nested-loop is the 1-row n_truth broadcast per layout
+    plan = _plan(spark, "minhash_band_tuning")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "InMemoryTableScan" in plan  # pinned signature/truth reuse
+    # hard negatives: broadcast anchors, per-anchor window (partitioned)
+    plan = _plan(spark, "hard_negative_mining")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" in plan  # label != label — deliberate,
+    # bounded by the broadcast anchor set (the ann_cosine_topk shape)
+    # ccnet terciles: sketch cutpoints broadcast back — no window at all
+    plan = _plan(spark, "ccnet_buckets")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # the C4 transform: two md5/doc-keyed shuffles, no window, no
+    # cartesian; reassembly is array_sort inside the aggregate
+    plan = _plan(spark, "boilerplate_strip")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # the vector ingest gate: one equi-join on the bucket key, stream-
+    # legal (no aggregation, no window)
+    plan = _plan(spark, "embedding_ingest")
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
