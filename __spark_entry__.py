@@ -566,9 +566,9 @@ _PRIORITY_R12 = [
 # task 3, each full-SQL-gated with HUGEINT-interim oracles; the
 # rfm_segments_approx sketch-cutpoint twin of task 6; the late-r14 trio:
 # minhash_band_tuning / hard_negative_mining / ccnet_buckets /
-# boilerplate_strip / embedding_ingest), and (d) the alphabetically-
-# first 12 of the 46 r10-era greens.  22+6+10+12 = exactly the 50-slot
-# budget; the 34 r10-era leftovers stay queued via
+# boilerplate_strip / embedding_ingest+wide), and (d) the
+# alphabetically-first 11 of the 46 r10-era greens.  22+6+11+11 =
+# exactly the 50-slot budget; the 35 r10-era leftovers stay queued via
 # _PRIORITY_R10 below.  After r14 certifies, the oldest standing green
 # is r10-era.
 _PRIORITY_R14 = [
@@ -620,6 +620,7 @@ _PRIORITY_R14 = [
     "ccnet_buckets",
     "boilerplate_strip",
     "embedding_ingest",
+    "embedding_ingest_wide",
     # (d) r10-era greens, alphabetical up to the budget
     "ann_ivf_recall",
     "distinct_sketch",
@@ -632,7 +633,6 @@ _PRIORITY_R14 = [
     "events_typed_props",
     "graph_khop",
     "graph_lpa",
-    "graph_lpa_capped",
 ]
 
 # Round-13 window (VERDICT r12 tasks 1-4+7): 50 slots composed from the

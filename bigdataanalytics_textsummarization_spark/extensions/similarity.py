@@ -3083,7 +3083,7 @@ EMB_INGEST_MOD = 10  # vec_id % 10 == 0 plays the arriving vector stream
 
 
 def embedding_ingest_join(
-    new_vecs: DataFrame, corpus_idx: DataFrame
+    new_vecs: DataFrame, corpus_idx: DataFrame, dims: int = SIGN_DIMS
 ) -> DataFrame:
     """Ingest-time embedding near-dup gate: arriving vectors vs a static
     sign-bucket index — the vector-store member of the ingest-gate
@@ -3109,7 +3109,7 @@ def embedding_ingest_join(
             F.transform("embedding", lambda x: x.cast("double")).alias("ne"),
         )
         .withColumn("nn", _norm(F.col("ne")))
-        .withColumn("bucket", _bucket(F.col("ne")))
+        .withColumn("bucket", _bucket_of(F.col("ne"), dims))
     )
     idx = corpus_idx.select(
         F.col("vec_id").alias("corpus_vec_id"),
@@ -3159,3 +3159,84 @@ WHERE n.vec_id % {EMB_INGEST_MOD} = 0
   AND list_dot_product(n.e, c.e) / (n.nrm * c.nrm) >= {NEAR_DUP_THRESHOLD}
 """
 QUERIES["embedding_ingest"] = embedding_ingest
+
+
+# The 4-hyperplane bucket space (16 buckets) is the small-fixture gate
+# constant; at 100x vectors the x100 probe measured the gate wall
+# (104.5x — candidate mass is new-side x occupancy, and occupancy grows
+# linearly at a fixed bucket count).  The production default below is a
+# 8-hyperplane bucket (256 buckets), the same move that fixed the
+# narrow media bands, and the rule is EXPLICIT: bucket dims scale as
+# ~log2(corpus) (8 at this fixture's 5-50k vectors; a 100 TB store sizes
+# dims so occupancy stays bounded, or — the real deployment — uses the
+# cell-PARTITIONED on-disk IVF index, where blocking width is the
+# trained cell count, not a constant).  The gate stays fully
+# value-gateable at any width because the oracle embeds the SAME
+# blocking (bucket width is part of the gate's semantics, not a learned
+# artifact).  At a real dedup threshold (cosine >= 0.95) sign agreement
+# per hyperplane is high, so the wider key costs little recall; at this
+# fixture's 0.35 threshold the wide gate flags fewer, looser matches —
+# measured, not asserted, by its own oracle row (1 at sf0.01, 10 at
+# sf0.1 — deliberately non-empty at both gate scales).
+SIGN_DIMS_WIDE = 8
+
+
+def _bucket_of(col: Column, dims: int) -> Column:
+    """Sign pattern of the first ``dims`` dims as a string key."""
+    return F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(col, i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(dims)
+        ],
+    )
+
+
+def embedding_ingest_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width embedding ingest gate: the SAME stream-legal join
+    as :func:`embedding_ingest` (shared :func:`embedding_ingest_join` —
+    per-row cast/norm/bucket on the arriving side, stateless
+    stream-static bucket equi-join, cosine >= threshold flags) over the
+    {SIGN_DIMS_WIDE}-hyperplane bucket key — the occupancy-bounded
+    variant the x100 probe rows contrast."""
+    emb = (
+        _embeddings(spark, sf_dir)
+        .withColumn("nrm", _norm(F.col("e")))
+        .withColumn("bucket", _bucket_of(F.col("e"), SIGN_DIMS_WIDE))
+    )
+    new_vecs = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % EMB_INGEST_MOD == 0)
+        .select("vec_id", "embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") % EMB_INGEST_MOD != 0)
+    return embedding_ingest_join(new_vecs, corpus, dims=SIGN_DIMS_WIDE)
+
+
+_WIDE_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN e[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+    for i in range(SIGN_DIMS_WIDE)
+) + ")"
+
+ORACLES["embedding_ingest_wide"] = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS e
+  FROM embeddings
+),
+embw AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+         {_WIDE_BUCKET_SQL} AS bucket
+  FROM emb
+)
+SELECT n.vec_id AS new_vec_id, c.vec_id AS corpus_vec_id,
+       (round(list_dot_product(n.e, c.e) / (n.nrm * c.nrm), 6) + 0.0)
+         AS cosine
+FROM embw n
+JOIN embw c ON n.bucket = c.bucket
+WHERE n.vec_id % {EMB_INGEST_MOD} = 0
+  AND c.vec_id % {EMB_INGEST_MOD} <> 0
+  AND list_dot_product(n.e, c.e) / (n.nrm * c.nrm) >= {NEAR_DUP_THRESHOLD}
+"""
+QUERIES["embedding_ingest_wide"] = embedding_ingest_wide

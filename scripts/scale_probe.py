@@ -148,6 +148,7 @@ PROBE = [
     # 100 TB layout, this probes the dense small-index shape)
     "boilerplate_strip",
     "embedding_ingest",
+    "embedding_ingest_wide",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default
@@ -262,6 +263,19 @@ PROBE_X100 = [
     "video_near_dups_wide",
     "trimodal_dedup_audit",
     "decontam_audit",
+    # late-r14: the flat members of the new family one decade further —
+    # the broadcast hard-negative scan, the CCNet tercile pass (rides
+    # doc_perplexity), the C4 transform (two md5-keyed shuffles under
+    # 100x verbatim duplication), and the sign-bucket ingest gate (the
+    # dense small-index shape; candidate mass = new x occupancy)
+    "hard_negative_mining",
+    "ccnet_buckets",
+    "boilerplate_strip",
+    "embedding_ingest",
+    # the production-width gate (8 hyperplanes / 256 buckets at this
+    # fixture; the rule is dims ~ log2(corpus)) — the occupancy-bounded
+    # contrast to the 16-bucket row above
+    "embedding_ingest_wide",
 ]
 
 

@@ -817,3 +817,26 @@ def test_embedding_ingest_stream_matches_batch(spark):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape, f"{g.shape} != {w.shape}"
     assert g.equals(w)
+    # the production-width gate rides the SAME join — prove stream==batch
+    # at the wide key too
+    index_w = (
+        sim._embeddings(spark, SF_DIR)
+        .withColumn("nrm", sim._norm(F.col("e")))
+        .withColumn(
+            "bucket", sim._bucket_of(F.col("e"), sim.SIGN_DIMS_WIDE)
+        )
+        .filter(F.col("vec_id") % sim.EMB_INGEST_MOD != 0)
+        .localCheckpoint()
+    )
+    got_w = se.run_stream_to_memory(
+        spark,
+        sim.embedding_ingest_join(
+            stream_vecs, index_w, dims=sim.SIGN_DIMS_WIDE
+        ),
+        "embedding_ingest_wide_stream",
+        output_mode="append",
+    ).toPandas()
+    want_w = sim.embedding_ingest_wide(spark, SF_DIR).toPandas()
+    g, w = normalize(got_w), normalize(want_w)
+    assert g.shape == w.shape, f"wide: {g.shape} != {w.shape}"
+    assert g.equals(w)
