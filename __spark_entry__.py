@@ -566,9 +566,10 @@ _PRIORITY_R12 = [
 # task 3, each full-SQL-gated with HUGEINT-interim oracles; the
 # rfm_segments_approx sketch-cutpoint twin of task 6; the late-r14 trio:
 # minhash_band_tuning / hard_negative_mining / ccnet_buckets /
-# boilerplate_strip / embedding_ingest+wide), and (d) the
-# alphabetically-first 11 of the 46 r10-era greens.  22+6+11+11 =
-# exactly the 50-slot budget; the 35 r10-era leftovers stay queued via
+# boilerplate_strip / embedding_ingest+wide / embedding_near_dups_wide),
+# and (d) the alphabetically-first 10 of the 46 r10-era greens.
+# 22+6+12+10 = exactly the 50-slot budget; the 36 r10-era leftovers
+# stay queued via
 # _PRIORITY_R10 below.  After r14 certifies, the oldest standing green
 # is r10-era.
 _PRIORITY_R14 = [
@@ -621,6 +622,7 @@ _PRIORITY_R14 = [
     "boilerplate_strip",
     "embedding_ingest",
     "embedding_ingest_wide",
+    "embedding_near_dups_wide",
     # (d) r10-era greens, alphabetical up to the budget
     "ann_ivf_recall",
     "distinct_sketch",
@@ -632,7 +634,6 @@ _PRIORITY_R14 = [
     "event_funnel",
     "events_typed_props",
     "graph_khop",
-    "graph_lpa",
 ]
 
 # Round-13 window (VERDICT r12 tasks 1-4+7): 50 slots composed from the

@@ -3240,3 +3240,60 @@ WHERE n.vec_id % {EMB_INGEST_MOD} = 0
   AND list_dot_product(n.e, c.e) / (n.nrm * c.nrm) >= {NEAR_DUP_THRESHOLD}
 """
 QUERIES["embedding_ingest_wide"] = embedding_ingest_wide
+
+
+def embedding_near_dups_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width batch embedding near-dup pairs: the same
+    same-bucket equi-join as :func:`embedding_near_dups` over the
+    {SIGN_DIMS_WIDE}-hyperplane key — completing the width-scaled story
+    for the BATCH side of the embedding family (the ingest gate's wide
+    twin already measures the narrow 16-bucket wall removed at x100; the
+    batch self-join walls a constant factor sooner, since candidate mass
+    is occupancy² per bucket).  Rule: key width scales ~log2(corpus), or
+    — the real deployment — blocking is the trained IVF cell partition
+    column the on-disk index already writes."""
+    emb = (
+        _embeddings(spark, sf_dir)
+        .withColumn("nrm", _norm(F.col("e")))
+        .withColumn("bucket", _bucket_of(F.col("e"), SIGN_DIMS_WIDE))
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", r6(sim).alias("cosine"))
+    )
+
+
+ORACLES["embedding_near_dups_wide"] = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS e
+  FROM embeddings
+),
+embw AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
+         {_WIDE_BUCKET_SQL} AS bucket
+  FROM emb
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       (round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) + 0.0)
+         AS cosine
+FROM embw a
+JOIN embw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+      >= {NEAR_DUP_THRESHOLD}
+"""
+QUERIES["embedding_near_dups_wide"] = embedding_near_dups_wide

@@ -149,6 +149,11 @@ PROBE = [
     "boilerplate_strip",
     "embedding_ingest",
     "embedding_ingest_wide",
+    # the batch self-join pair under both keys: candidate mass per
+    # bucket is occupancy², so the narrow 16-bucket key walls a factor
+    # sooner than the ingest gate; the wide key is the contrast
+    "embedding_near_dups",
+    "embedding_near_dups_wide",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default
@@ -276,6 +281,9 @@ PROBE_X100 = [
     # fixture; the rule is dims ~ log2(corpus)) — the occupancy-bounded
     # contrast to the 16-bucket row above
     "embedding_ingest_wide",
+    # the batch self-join under both keys (occupancy² per bucket)
+    "embedding_near_dups",
+    "embedding_near_dups_wide",
 ]
 
 
