@@ -101,6 +101,14 @@ HEADLINE = [
     # deployment actually runs; its dominant cost is the Arrow hash map
     # stage, so map-stage regressions stay visible round-over-round
     "video_near_dups_wide",
+    # late-r14 widening: the C4 transform (the shuffle-then-reassemble
+    # shape), the production-width vector ingest gate (stream-static
+    # bucket join), and embedding hard negatives (broadcast corpus scan)
+    # — one cheap representative per new family, so regressions in the
+    # text-transform / vector-gate / contrastive paths stay visible
+    "boilerplate_strip",
+    "embedding_ingest_wide",
+    "hard_negative_mining",
 ]
 
 # the pre-r9 headline set (exactly BENCH_v1.json's rows), kept as an
