@@ -30,7 +30,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import _owned_ckpt, _retire_ckpt, leaf, r6, session_memo
+from ..functions import (
+    _owned_ckpt,
+    _retire_ckpt,
+    leaf,
+    pin,
+    r6,
+    session_memo,
+)
 from ..io import load_table
 
 N_HASHES = 16
@@ -1272,8 +1279,6 @@ QUERIES["dedup_keep_best"] = dedup_keep_best
 # ---------------------------------------------------------------------------
 # LSH band-layout tuning sweep
 # ---------------------------------------------------------------------------
-
-from ..functions import pin  # noqa: E402  (late import: tuning-only helper)
 
 TUNING_BAND_CONFIGS = (1, 2, 4, 8, 16)  # band counts over the 16-hash sig
 TUNING_J = 0.5  # exact-Jaccard ground-truth threshold for the sweep
