@@ -561,15 +561,15 @@ _PRIORITY_R12 = [
 # rows (the narrow video family through the variable-length change:
 # n_frames in the band key, length-scaled threshold; the mixture pair
 # through the p_mix-from-pa_micro fold-order fix — every one re-verified
-# MATCH at sf0.01 by driver_sim before staging), (c) the 5 new r14
+# MATCH at sf0.01 by driver_sim before staging), (c) the 12 new r14
 # queries (the production-width media fingerprints/pairs of VERDICT r13
 # task 3, each full-SQL-gated with HUGEINT-interim oracles; the
-# rfm_segments_approx sketch-cutpoint twin of task 6; the late-r14 trio:
-# minhash_band_tuning / hard_negative_mining / ccnet_buckets /
-# boilerplate_strip / embedding_ingest+wide / embedding_near_dups_wide),
-# and (d) the alphabetically-first 10 of the 46 r10-era greens.
-# 22+6+12+10 = exactly the 50-slot budget; the 36 r10-era leftovers
-# stay queued via
+# rfm_segments_approx sketch-cutpoint twin of task 6; and the seven
+# late-r14 additions: minhash_band_tuning, hard_negative_mining,
+# ccnet_buckets, boilerplate_strip, embedding_ingest + its wide twin,
+# embedding_near_dups_wide), and (d) the alphabetically-first 10 of the
+# 46 r10-era greens.  22+6+12+10 = exactly the 50-slot budget; the 36
+# r10-era leftovers stay queued via
 # _PRIORITY_R10 below.  After r14 certifies, the oldest standing green
 # is r10-era.
 _PRIORITY_R14 = [

@@ -3504,6 +3504,13 @@ QUERIES["vocab_growth"] = vocab_growth
 CCNET_ACC = 10_000  # GK sketch accuracy (rank error <= n / ACC)
 CCNET_RANK_TOL = 0.05  # certification band around each tercile
 CCNET_QS = (1.0 / 3.0, 2.0 / 3.0)
+# Below this many docs the q +- TOL exact-percentile bracket spans < ~3
+# ranks, so it is NOT a guarantee of the sketch contract (a 3-doc
+# language's sketch cutpoint is an exact order statistic yet can sit
+# outside the interpolated band); small languages certify by min/max
+# containment instead, which IS a theorem (approx_percentile returns an
+# actual element of the group).
+CCNET_MIN_BRACKET_DOCS = 50
 
 
 def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3526,10 +3533,18 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutpoints; and two rank-tolerance booleans bracketing each approx
     cutpoint by the exact percentiles at q +- {CCNET_RANK_TOL} (the
     ``percentile`` reference column exists only for certification; the
-    production path never computes it)."""
+    production path never computes it).  Languages below
+    {CCNET_MIN_BRACKET_DOCS} docs certify the cutpoints by min/max
+    containment instead — the interpolated bracket is not a sketch
+    guarantee at tiny n (see the constant's comment), while containment
+    is, so the booleans stay theorems at every group size."""
     ppl = doc_perplexity(spark, sf_dir).select("doc_id", "ppl")
     langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    scored0 = ppl.join(langs, "doc_id")
+    # one pin: the doc_perplexity tail (two joins + per-doc rollup) feeds
+    # the cuts aggregate AND the bucket scoring — without it the diamond
+    # re-executes per branch (the same recompute doc_perplexity's own
+    # pin(doc_pair) exists for)
+    scored0 = pin(ppl.join(langs, "doc_id"))
     q1, q2 = CCNET_QS
     band = ", ".join(
         f"{q - CCNET_RANK_TOL}, {q + CCNET_RANK_TOL}" for q in CCNET_QS
@@ -3540,6 +3555,8 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"approx_percentile(ppl, array({q1}, {q2}), {CCNET_ACC})"
         ).alias("ac"),
         F.expr(f"percentile(ppl, array({band}))").alias("ex"),
+        F.min("ppl").alias("mn_all"),
+        F.max("ppl").alias("mx_all"),
     )
     scored = scored0.join(F.broadcast(cuts.select("lang", "ac")), "lang")
     bucket = (
@@ -3568,7 +3585,15 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ok(i: int):
         lo, hi = F.element_at("ex", 2 * i - 1), F.element_at("ex", 2 * i)
-        return (lo <= F.element_at("ac", i)) & (F.element_at("ac", i) <= hi)
+        bracket = (lo <= F.element_at("ac", i)) & (
+            F.element_at("ac", i) <= hi
+        )
+        contained = (F.col("mn_all") <= F.element_at("ac", i)) & (
+            F.element_at("ac", i) <= F.col("mx_all")
+        )
+        return F.when(
+            F.col("n_docs") < CCNET_MIN_BRACKET_DOCS, contained
+        ).otherwise(bracket)
 
     return (
         cuts.join(tiled, "lang")

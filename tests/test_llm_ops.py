@@ -717,9 +717,12 @@ def test_boilerplate_strip_consistency(spark, oracle):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
     import itertools
 
+    # strip SPACES only, mirroring Spark/DuckDB trim (str.strip() would
+    # also eat tabs/newlines and could diverge on a whitespace-edged
+    # sentence)
     all_sents = set(
         itertools.chain.from_iterable(
-            (t.strip() for t in txt.split(".") if t.strip())
+            (t.strip(" ") for t in txt.split(".") if t.strip(" "))
             for txt in docs["text"]
         )
     )
@@ -730,3 +733,52 @@ def test_boilerplate_strip_consistency(spark, oracle):
     )
     assert kept_sents == all_sents, "keep-first must retain every distinct sentence"
     assert corpus  # non-degenerate
+
+
+def test_ccnet_buckets_small_language_booleans_hold(spark, tmp_path):
+    # regression (late-r14 review): for a language with fewer than
+    # CCNET_MIN_BRACKET_DOCS docs the q +- TOL exact-percentile bracket
+    # is not a sketch guarantee (a 3-doc language's cutpoint is an exact
+    # order statistic that can sit OUTSIDE the interpolated band, e.g.
+    # ppl {1,2,3}: sketch p33 = 1.0 vs band [1.567, 1.767]); the
+    # certified booleans must dispatch to min/max containment there and
+    # stay true, or the driver gate would mismatch its constant-true
+    # oracle on any fixture with a rare language
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    docs = pa.Table.from_pylist(
+        [
+            # 3-doc rare language: distinct perplexities by construction
+            {"doc_id": 1, "text": "aa bb", "lang": "xx", "source": "s", "n_chars": 5},
+            {"doc_id": 2, "text": "aa bb aa bb", "lang": "xx", "source": "s", "n_chars": 11},
+            {"doc_id": 3, "text": "cc dd ee ff", "lang": "xx", "source": "s", "n_chars": 11},
+            # one bigger language so the query still exercises both arms
+            *[
+                {
+                    "doc_id": 100 + i,
+                    "text": f"w{i} w{i + 1} w{i + 2} common tail",
+                    "lang": "yy",
+                    "source": "s",
+                    "n_chars": 20,
+                }
+                for i in range(60)
+            ],
+        ]
+    )
+    d = tmp_path / "sf_tiny"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = ta.ccnet_buckets(spark, str(d)).toPandas().set_index("lang")
+    assert set(out.index) == {"xx", "yy"}
+    assert out.loc["xx", "n_docs"] == 3
+    assert out.loc["yy", "n_docs"] == 60
+    for lang in ("xx", "yy"):
+        r = out.loc[lang]
+        assert r["partition_ok"] and r["monotone_ok"], lang
+        assert r["cuts_nondecreasing_ok"], lang
+        assert r["p33_ok"] and r["p67_ok"], lang
