@@ -570,6 +570,42 @@ _PRIORITY_R12 = [
 # embedding_near_dups_wide), and (d) the alphabetically-first 10 of the
 # 46 r10-era greens.  22+6+12+10 = exactly the 50-slot budget; the 36
 # r10-era leftovers stay queued via
+# Round-15 window (VERDICT r14 tasks 1-2+4-5): 50 slots — (a) the
+# never-certified r15 queries (the wide production forms of the four
+# narrow sign-bucket consumers, the wide-detector audit twins and the
+# wide image family, each verified ALL MATCH at sf0.001 + sf0.01 by
+# driver_sim before staging), (b) every closure check_recert flags as
+# changed this round (the _bucket_of(dims)/_line_occ shared-helper
+# refactors plus the ccnet NULL-lang sentinel and the band-tuning
+# nullif guard — values verified bit-exact by driver_sim at both gate
+# scales before staging), then (c) the queued r10-era greens from
+# _PRIORITY_R10, oldest-first alphabetical up to the budget (the
+# remainder stays queued via _PRIORITY_R10 — the rotation loses
+# nothing).
+_PRIORITY_R15 = [
+    # (a) never certified — wide production forms beside their families
+    "ann_bucketed_topk_wide",
+    "semantic_dedup_wide",
+    "semantic_decontam_wide",
+    "hybrid_dedup_audit_wide",
+    # (b) changed-since-green: the sign-bucket family over the shared
+    # _bucket_of/_bucket_cosine_pairs builders (family-grouped for
+    # leaf/memo reuse), then the _line_occ pair, then the two advice
+    # fixes
+    "ann_bucketed_topk",
+    "embedding_near_dups",
+    "embedding_near_dups_wide",
+    "embedding_ingest",
+    "semantic_dedup",
+    "semantic_decontam",
+    "hybrid_dedup_audit",
+    "decontam_audit",
+    "line_dedup",
+    "boilerplate_strip",
+    "ccnet_buckets",
+    "minhash_band_tuning",
+]
+
 # _PRIORITY_R10 below.  After r14 certifies, the oldest standing green
 # is r10-era.
 _PRIORITY_R14 = [
@@ -606,9 +642,11 @@ _PRIORITY_R14 = [
     "mixture_sample",
     # (c) new in r14: production-width media (fingerprint leaf shared
     # within each modality), the sketch-cutpoint RFM twin, then the
-    # late-r14 trio (LSH band-layout sweep beside its signature family,
-    # embedding hard negatives, CCNet terciles riding doc_perplexity —
-    # each verified ALL MATCH at sf0.01 by driver_sim before staging;
+    # seven late-r14 additions (LSH band-layout sweep beside its
+    # signature family, embedding hard negatives, CCNet terciles riding
+    # doc_perplexity, the C4 boilerplate transform, and the
+    # embedding-ingest trio — each verified ALL MATCH at sf0.01 by
+    # driver_sim before staging;
     # each takes the slot of an alphabetically-last r10-era name that
     # stays queued via _PRIORITY_R10, the r12/r13 late-round precedent)
     "video_fingerprint_wide",
@@ -896,7 +934,8 @@ _PRIORITY_R8_STAGED = [
 # insertion dedupes repeats), then the over-budget spill, then the older
 # lists so every still-staged name stays queued.
 _PRIORITY = (
-    _PRIORITY_R14
+    _PRIORITY_R15
+    + _PRIORITY_R14
     + _PRIORITY_R13
     + _PRIORITY_R13_SPILL
     + _PRIORITY_R12

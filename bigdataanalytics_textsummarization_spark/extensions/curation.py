@@ -38,8 +38,14 @@ from .dedup import (
     _lsh_pairs,
 )
 from .dedup import ORACLES as _DEDUP_ORACLES
-from .similarity import _EMB_CTE, NEAR_DUP_THRESHOLD
-from .similarity import _bucket_cosine_pairs
+from .similarity import (
+    _EMB_CTE,
+    _EMB_CTE_WIDE,
+    NEAR_DUP_THRESHOLD,
+    SIGN_DIMS,
+    SIGN_DIMS_WIDE,
+    _bucket_cosine_pairs,
+)
 from .text_analysis import _LEX_VALUES, lang_id, quality_score, token_count, train_test_split
 
 QUALITY_MIN = 0.6
@@ -880,7 +886,9 @@ QUERIES["token_budget_mixture_salted"] = token_budget_mixture_salted
 # ---------------------------------------------------------------------------
 
 
-def hybrid_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hybrid_dedup_audit_at(
+    spark: SparkSession, sf_dir: str, dims: int
+) -> DataFrame:
     """Agreement audit between the two near-dup detectors — the question
     a curation engineer actually asks before trusting cheap lexical
     dedup at 100 TB: which pairs does MinHash-LSH (exact Jaccard >= the
@@ -908,7 +916,7 @@ def hybrid_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair — O(candidates), never a new pairwise stage.
     """
     lex_c = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
-    sem_c = _bucket_cosine_pairs(spark, sf_dir).select(
+    sem_c = _bucket_cosine_pairs(spark, sf_dir, dims=dims).select(
         F.col("vec_a").alias("doc_a"),
         F.col("vec_b").alias("doc_b"),
         "sim_raw",
@@ -943,14 +951,35 @@ def hybrid_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-vs-semantic near-dup agreement audit at the SIGN_DIMS
+    semantic gate width (see :func:`_hybrid_dedup_audit_at`)."""
+    return _hybrid_dedup_audit_at(spark, sf_dir, SIGN_DIMS)
+
+
+def hybrid_dedup_audit_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-width hybrid audit: the same one-full-outer-join
+    composition with the semantic candidate set blocked at
+    SIGN_DIMS_WIDE hyperplanes (the lexical side's banded LSH is
+    already occupancy-bounded at any scale) — the audit tier inherits
+    whatever blocking its detectors ship, so the production audit
+    composes over the production detector, removing the narrow
+    16-bucket candidate wall from the audit's own x100 row."""
+    return _hybrid_dedup_audit_at(spark, sf_dir, SIGN_DIMS_WIDE)
+
+
 # the oracle composes the lexical detector's certified candidate oracle
 # verbatim as a nested CTE body (DuckDB scopes inner WITHs per-CTE) and
 # the semantic candidate set from the shared _EMB_CTE (the same CTE the
 # certified embedding_near_dups oracle filters), so the audit's ground
 # truth cannot drift from the detectors' own gates
-ORACLES["hybrid_dedup_audit"] = f"""
+def _hybrid_audit_oracle_of(emb_cte: str) -> str:
+    """The audit oracle at either semantic blocking width: the lexical
+    detector's certified candidate oracle rides verbatim; only the
+    embedding CTE (and with it the bucket width) varies."""
+    return f"""
 WITH lex AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
-{_EMB_CTE},
+{emb_cte},
 sem AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
          list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS sim_raw
@@ -972,7 +1001,12 @@ SELECT * FROM (
   FULL OUTER JOIN sem s ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
 ) WHERE lexical = 'flagged' OR semantic = 'flagged'
 """
+
+
+ORACLES["hybrid_dedup_audit"] = _hybrid_audit_oracle_of(_EMB_CTE)
 QUERIES["hybrid_dedup_audit"] = hybrid_dedup_audit
+ORACLES["hybrid_dedup_audit_wide"] = _hybrid_audit_oracle_of(_EMB_CTE_WIDE)
+QUERIES["hybrid_dedup_audit_wide"] = hybrid_dedup_audit_wide
 
 
 # ---------------------------------------------------------------------------

@@ -1376,7 +1376,9 @@ def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_truth",
             "n_candidates",
             "n_hits",
-            (F.col("n_hits") / F.col("n_truth")).alias("recall"),
+            (
+                F.col("n_hits") / F.expr("nullif(n_truth, 0)")
+            ).alias("recall"),
             (
                 F.col("n_hits") / F.expr("nullif(n_candidates, 0)")
             ).alias("precision"),
@@ -1430,7 +1432,8 @@ SELECT cast(cfg.bands AS bigint) AS bands,
        cast(tn.n_truth AS bigint) AS n_truth,
        cast(coalesce(a.n_candidates, 0) AS bigint) AS n_candidates,
        cast(coalesce(a.n_hits, 0) AS bigint) AS n_hits,
-       coalesce(a.n_hits, 0) / cast(tn.n_truth AS double) AS recall,
+       coalesce(a.n_hits, 0)
+         / cast(nullif(tn.n_truth, 0) AS double) AS recall,
        coalesce(a.n_hits, 0)
          / cast(nullif(coalesce(a.n_candidates, 0), 0) AS double)
          AS "precision"

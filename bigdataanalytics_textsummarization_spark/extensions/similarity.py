@@ -35,6 +35,23 @@ from ..io import load_table
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
 SIGN_DIMS = 4
+# The 4-hyperplane bucket space (16 buckets) is the small-fixture gate
+# constant; at 100x vectors the x100 probe measured the gate wall
+# (104.5x — candidate mass is new-side x occupancy, and occupancy grows
+# linearly at a fixed bucket count).  The production default is the
+# 8-hyperplane bucket (256 buckets), the same move that fixed the
+# narrow media bands, and the rule is EXPLICIT: bucket dims scale as
+# ~log2(corpus) (8 at this fixture's 5-50k vectors; a 100 TB store sizes
+# dims so occupancy stays bounded, or — the real deployment — uses the
+# cell-PARTITIONED on-disk IVF index, where blocking width is the
+# trained cell count, not a constant).  The gate stays fully
+# value-gateable at any width because the oracle embeds the SAME
+# blocking (bucket width is part of the gate's semantics, not a learned
+# artifact).  At a real dedup threshold (cosine >= 0.95) sign agreement
+# per hyperplane is high, so the wider key costs little recall; at this
+# fixture's 0.35 threshold the wide gate flags fewer, looser matches —
+# measured, not asserted, by each wide query's own oracle row.
+SIGN_DIMS_WIDE = 8
 # Near-dup threshold: real pipelines use ~0.95; the synthetic embeddings
 # top out at cosine ~0.51 (no planted dups), so the gate threshold is set
 # where the testdata actually has pairs — the plan shape is identical.
@@ -156,18 +173,27 @@ def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket(col: Column) -> Column:
-    """Sign pattern of the first SIGN_DIMS dims as a string key."""
+def _bucket_of(col: Column, dims: int) -> Column:
+    """Sign pattern of the first ``dims`` dims as a string key — the ONE
+    definition of the sign-bucket rule (narrow gate constant and wide
+    production width both delegate here; VERDICT r14 task 1a)."""
     return F.concat_ws(
         "",
         *[
-            F.when(F.element_at(col, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(SIGN_DIMS)
+            F.when(F.element_at(col, i + 1) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(dims)
         ],
     )
 
 
-def _flip(bucket: Column, j: int) -> Column:
+def _bucket(col: Column) -> Column:
+    """Sign pattern of the first SIGN_DIMS dims as a string key."""
+    return _bucket_of(col, SIGN_DIMS)
+
+
+def _flip(bucket: Column, j: int, dims: int = SIGN_DIMS) -> Column:
     """Bucket key with sign-bit j (1-based) flipped."""
     flipped = F.when(F.substring(bucket, j, 1) == "1", F.lit("0")).otherwise(
         F.lit("1")
@@ -175,12 +201,14 @@ def _flip(bucket: Column, j: int) -> Column:
     return F.concat(
         F.substring(bucket, 1, j - 1),
         flipped,
-        F.substring(bucket, j + 1, SIGN_DIMS - j),
+        F.substring(bucket, j + 1, dims - j),
     )
 
 
-def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe sign-LSH cosine top-3.
+def _ann_bucketed_topk_at(
+    spark: SparkSession, sf_dir: str, dims: int
+) -> DataFrame:
+    """Multi-probe sign-LSH cosine top-3 at blocking width ``dims``.
 
     Each query probes its own bucket plus every bucket at Hamming
     distance 1 (single-probe recall at cosine ~0.5 is only ~p^d ≈ 0.2 for
@@ -192,7 +220,7 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         _embeddings(spark, sf_dir)
         .withColumn("nrm", _norm(F.col("e")))
-        .withColumn("bucket", _bucket(F.col("e")))
+        .withColumn("bucket", _bucket_of(F.col("e"), dims))
     )
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -203,7 +231,10 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.array(
                     F.col("bucket"),
-                    *[_flip(F.col("bucket"), j) for j in range(1, SIGN_DIMS + 1)],
+                    *[
+                        _flip(F.col("bucket"), j, dims)
+                        for j in range(1, dims + 1)
+                    ],
                 )
             ).alias("qbucket"),
         )
@@ -231,6 +262,24 @@ def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("sim_raw")).alias("cosine"),
         )
     )
+
+
+def ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH cosine top-3 at the SIGN_DIMS gate width
+    (see :func:`_ann_bucketed_topk_at`)."""
+    return _ann_bucketed_topk_at(spark, sf_dir, SIGN_DIMS)
+
+
+def ann_bucketed_topk_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-width multi-probe sign-LSH top-3: the identical
+    :func:`_ann_bucketed_topk_at` plan at SIGN_DIMS_WIDE hyperplanes
+    (256 buckets, 9 probe keys per query).  At x100 corpus the narrow
+    16-bucket key saturates (each probe scans 1/16 of the corpus — the
+    measured 104-350x wall class); at 256 buckets a probe scans 1/256,
+    and the rule is dims ~ log2(corpus) — or the trained IVF cell index
+    (:func:`ann_ivf_topk`) where the probe set is learned, not a
+    hyperplane flip set."""
+    return _ann_bucketed_topk_at(spark, sf_dir, SIGN_DIMS_WIDE)
 
 
 # At a fixed scan fraction (nprobe/K), finer cells recall more: on the
@@ -430,16 +479,21 @@ def ann_ivf_search_indexed(
     return _ivf_search(corpus, centers, queries, nprobe_eff)
 
 
-def _bucket_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bucket_cosine_pairs(
+    spark: SparkSession, sf_dir: str, dims: int = SIGN_DIMS
+) -> DataFrame:
     """The semantic detector's CANDIDATE set — all same-bucket pairs with
     their raw cosine, BEFORE the near-dup threshold: (vec_a, vec_b,
     sim_raw).  Shared by :func:`embedding_near_dups` (which applies the
     threshold) and the hybrid audit (which needs the unthresholded set to
-    tell 'scored below threshold' from 'never became a candidate')."""
+    tell 'scored below threshold' from 'never became a candidate').
+    ``dims`` selects the blocking width: SIGN_DIMS is the small-fixture
+    gate constant, SIGN_DIMS_WIDE the production default the ``*_wide``
+    twins ride."""
     emb = (
         _embeddings(spark, sf_dir)
         .withColumn("nrm", _norm(F.col("e")))
-        .withColumn("bucket", _bucket(F.col("e")))
+        .withColumn("bucket", _bucket_of(F.col("e"), dims))
     )
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
@@ -533,54 +587,70 @@ def embedding_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", F.col("rp_dim").cast("long").alias("rp_dim"), "value")
 
 
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-level dedup verdict per vector (the SemDeDup-style filter):
-    a vector is dropped when a LOWER-id near neighbor (cosine >= threshold,
-    same sign-LSH bucket) exists — the lowest id of each near-dup pair is
-    the canonical survivor.
+def _semantic_dedup_at(
+    spark: SparkSession, sf_dir: str, dims: int
+) -> DataFrame:
+    """Embedding-level dedup verdict per vector (the SemDeDup-style filter)
+    at blocking width ``dims``: a vector is dropped when a LOWER-id near
+    neighbor (cosine >= threshold, same sign-LSH bucket) exists — the
+    lowest id of each near-dup pair is the canonical survivor.
 
     Edge-greedy, not transitive: in a chain a~b~c with a<b<c, both b and c
     drop even if c is not near a (the connected-components flavor is
-    ``dedup_clusters``).  The pair generation is exactly the
-    ``embedding_near_dups`` bucketed equi-join, so the verdict column costs
-    one extra left join — no new O(n^2) stage appears at 100 TB.
+    ``dedup_clusters``).  The pair generation is exactly the shared
+    :func:`_bucket_cosine_pairs` bucketed equi-join, so the verdict column
+    costs one extra left join — no new O(n^2) stage appears at 100 TB.
     """
-    emb = (
-        _embeddings(spark, sf_dir)
-        .withColumn("nrm", _norm(F.col("e")))
-        .withColumn("bucket", _bucket(F.col("e")))
-    )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-        "bucket",
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-        "bucket",
-    )
     dropped = (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(
-            dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-            >= NEAR_DUP_THRESHOLD
-        )
+        _bucket_cosine_pairs(spark, sf_dir, dims=dims)
+        .filter(F.col("sim_raw") >= NEAR_DUP_THRESHOLD)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
         .withColumn("__dropped", F.lit(True))
     )
-    return emb.join(dropped, "vec_id", "left").select(
-        "vec_id",
-        "label",
-        F.col("__dropped").isNull().alias("kept"),
+    return (
+        _embeddings(spark, sf_dir)
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            F.col("__dropped").isNull().alias("kept"),
+        )
     )
 
 
-_EMB_CTE = """
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup verdicts at the SIGN_DIMS gate width (see
+    :func:`_semantic_dedup_at`)."""
+    return _semantic_dedup_at(spark, sf_dir, SIGN_DIMS)
+
+
+def semantic_dedup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-width SemDeDup verdicts: :func:`_semantic_dedup_at` at
+    SIGN_DIMS_WIDE hyperplanes — the candidate self-join's per-bucket
+    occupancy² mass stays bounded at corpus scale (the same 256-bucket
+    move the x100 probes measured removing the 350x batch-pair wall);
+    rule: dims ~ log2(corpus), or IVF-cell partition blocking."""
+    return _semantic_dedup_at(spark, sf_dir, SIGN_DIMS_WIDE)
+
+
+def _bucket_sql_of(dims: int) -> str:
+    """DuckDB twin of :func:`_bucket_of` at width ``dims``."""
+    return (
+        "concat("
+        + ",\n           ".join(
+            f"CASE WHEN e[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+            for i in range(dims)
+        )
+        + ")"
+    )
+
+
+def _emb_cte_of(dims: int) -> str:
+    """The emb + embn oracle CTE pair at blocking width ``dims`` — the
+    oracle-side single definition of the sign-bucket rule (the SQL twin
+    of :func:`_bucket_of`; narrow and wide oracles share it)."""
+    return f"""
 emb AS (
   SELECT vec_id, label,
          list_transform(embedding, x -> cast(x AS double)) AS e
@@ -588,15 +658,14 @@ emb AS (
 ),
 embn AS (
   SELECT vec_id, label, e, sqrt(list_dot_product(e, e)) AS nrm,
-         concat(
-           CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END,
-           CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END,
-           CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END,
-           CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END
-         ) AS bucket
+         {_bucket_sql_of(dims)} AS bucket
   FROM emb
 )
 """
+
+
+_EMB_CTE = _emb_cte_of(SIGN_DIMS)
+_EMB_CTE_WIDE = _emb_cte_of(SIGN_DIMS_WIDE)
 
 ORACLES: dict[str, str] = {
     "ann_cosine_topk": f"""
@@ -711,6 +780,60 @@ QUERIES = {
 }
 
 
+def _probes_sql_of(dims: int) -> str:
+    """DuckDB twin of the multi-probe flip set (:func:`_flip` at width
+    ``dims``): bucket plus its ``dims`` Hamming-1 neighbors."""
+    flips = ", ".join(
+        f"substr(bucket, 1, {j - 1}) || "
+        f"(CASE WHEN substr(bucket, {j}, 1) = '1' "
+        "THEN '0' ELSE '1' END) || "
+        f"substr(bucket, {j + 1}, {dims - j})"
+        for j in range(1, dims + 1)
+    )
+    return f"list_value(bucket, {flips})"
+
+
+ORACLES["ann_bucketed_topk_wide"] = f"""
+WITH {_EMB_CTE_WIDE},
+q AS (
+  SELECT query_id, qe, qn, unnest(probes) AS qbucket
+  FROM (
+    SELECT vec_id AS query_id, e AS qe, nrm AS qn,
+           {_probes_sql_of(SIGN_DIMS_WIDE)} AS probes
+    FROM embn WHERE vec_id < {N_QUERIES}
+  )
+),
+pairs AS (
+  SELECT q.query_id, c.vec_id, c.bucket,
+         list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS sim_raw
+  FROM q JOIN embn c ON c.bucket = q.qbucket AND c.vec_id <> q.query_id
+)
+SELECT query_id, rk, vec_id AS neighbor_id, bucket,
+       (round(sim_raw, 6) + 0.0) AS cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim_raw DESC, vec_id ASC) AS rk
+  FROM pairs
+) WHERE rk <= 3
+"""
+QUERIES["ann_bucketed_topk_wide"] = ann_bucketed_topk_wide
+
+ORACLES["semantic_dedup_wide"] = f"""
+WITH {_EMB_CTE_WIDE},
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM embn a
+  JOIN embn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
+        >= {NEAR_DUP_THRESHOLD}
+)
+SELECT e.vec_id, e.label,
+       e.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+FROM emb e
+"""
+QUERIES["semantic_dedup_wide"] = semantic_dedup_wide
+
+
 DECON_SEM_MOD = 17  # pseudo-benchmark membership, same slice convention
 # as dedup.benchmark_decontam (doc_id % 17 == 0) so the lexical and
 # semantic decontaminators audit the same benchmark
@@ -720,7 +843,9 @@ SEM_DECON_THRESHOLD = 0.25  # deliberately LOWER than NEAR_DUP_THRESHOLD:
 # casts a wider net than dedup does
 
 
-def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semantic_decontam_at(
+    spark: SparkSession, sf_dir: str, dims: int
+) -> DataFrame:
     """Embedding-side benchmark decontamination — the semantic twin of
     the shingle-based ``benchmark_decontam`` (dedup.py): a training
     document is contaminated when its embedding sits in the same
@@ -738,11 +863,12 @@ def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax is one window over O(candidates).  The cosine is the
     order-fixed ``dot()`` fold (engine-exact), so both the threshold
     gate and the argmax ordering are deterministic on raw doubles with
-    the id tie-break."""
+    the id tie-break.  ``dims`` selects the blocking width (the narrow
+    gate constant or the production SIGN_DIMS_WIDE)."""
     emb = (
         _embeddings(spark, sf_dir)
         .withColumn("nrm", _norm(F.col("e")))
-        .withColumn("bucket", _bucket(F.col("e")))
+        .withColumn("bucket", _bucket_of(F.col("e"), dims))
     )
     bench = emb.filter(F.col("vec_id") % DECON_SEM_MOD == 0).select(
         F.col("vec_id").alias("benchmark_id"),
@@ -774,6 +900,23 @@ def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side benchmark decontamination at the SIGN_DIMS gate
+    width (see :func:`_semantic_decontam_at`)."""
+    return _semantic_decontam_at(spark, sf_dir, SIGN_DIMS)
+
+
+def semantic_decontam_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-width semantic decontamination:
+    :func:`_semantic_decontam_at` at SIGN_DIMS_WIDE hyperplanes — the
+    train x benchmark candidate join's per-bucket mass stays bounded at
+    corpus scale (dims ~ log2(corpus), or IVF-cell blocking).  A real
+    eval-hygiene pass widens the probe set instead of the threshold
+    when recall matters more — the multi-probe flip explode of
+    :func:`ann_bucketed_topk_wide` on the (small) benchmark side."""
+    return _semantic_decontam_at(spark, sf_dir, SIGN_DIMS_WIDE)
+
+
 ORACLES["semantic_decontam"] = f"""
 WITH {_EMB_CTE},
 bench AS (
@@ -802,6 +945,35 @@ SELECT vec_id, benchmark_id, (round(sim_raw, 6) + 0.0) AS cosine
 FROM ranked WHERE rn = 1
 """
 QUERIES["semantic_decontam"] = semantic_decontam
+
+ORACLES["semantic_decontam_wide"] = f"""
+WITH {_EMB_CTE_WIDE},
+bench AS (
+  SELECT vec_id AS benchmark_id, e, nrm, bucket FROM embn
+  WHERE vec_id % {DECON_SEM_MOD} = 0
+),
+train AS (
+  SELECT vec_id, e, nrm, bucket FROM embn
+  WHERE vec_id % {DECON_SEM_MOD} <> 0
+),
+pairs AS (
+  SELECT t.vec_id, b.benchmark_id,
+         list_dot_product(t.e, b.e) / (t.nrm * b.nrm) AS sim_raw
+  FROM train t JOIN bench b USING (bucket)
+  WHERE list_dot_product(t.e, b.e) / (t.nrm * b.nrm)
+          >= {SEM_DECON_THRESHOLD}
+),
+ranked AS (
+  SELECT vec_id, benchmark_id, sim_raw,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim_raw DESC, benchmark_id
+         ) AS rn
+  FROM pairs
+)
+SELECT vec_id, benchmark_id, (round(sim_raw, 6) + 0.0) AS cosine
+FROM ranked WHERE rn = 1
+"""
+QUERIES["semantic_decontam_wide"] = semantic_decontam_wide
 
 
 # ---------------------------------------------------------------------------
@@ -3161,37 +3333,11 @@ WHERE n.vec_id % {EMB_INGEST_MOD} = 0
 QUERIES["embedding_ingest"] = embedding_ingest
 
 
-# The 4-hyperplane bucket space (16 buckets) is the small-fixture gate
-# constant; at 100x vectors the x100 probe measured the gate wall
-# (104.5x — candidate mass is new-side x occupancy, and occupancy grows
-# linearly at a fixed bucket count).  The production default below is a
-# 8-hyperplane bucket (256 buckets), the same move that fixed the
-# narrow media bands, and the rule is EXPLICIT: bucket dims scale as
-# ~log2(corpus) (8 at this fixture's 5-50k vectors; a 100 TB store sizes
-# dims so occupancy stays bounded, or — the real deployment — uses the
-# cell-PARTITIONED on-disk IVF index, where blocking width is the
-# trained cell count, not a constant).  The gate stays fully
-# value-gateable at any width because the oracle embeds the SAME
-# blocking (bucket width is part of the gate's semantics, not a learned
-# artifact).  At a real dedup threshold (cosine >= 0.95) sign agreement
-# per hyperplane is high, so the wider key costs little recall; at this
-# fixture's 0.35 threshold the wide gate flags fewer, looser matches —
-# measured, not asserted, by its own oracle row (1 at sf0.01, 10 at
-# sf0.1 — deliberately non-empty at both gate scales).
-SIGN_DIMS_WIDE = 8
-
-
-def _bucket_of(col: Column, dims: int) -> Column:
-    """Sign pattern of the first ``dims`` dims as a string key."""
-    return F.concat_ws(
-        "",
-        *[
-            F.when(F.element_at(col, i + 1) >= 0, F.lit("1")).otherwise(
-                F.lit("0")
-            )
-            for i in range(dims)
-        ],
-    )
+# (SIGN_DIMS_WIDE and _bucket_of are defined at the top of the module,
+# beside the narrow gate constant they parameterize — the wide queries
+# below and the narrow family above share the ONE blocking definition.
+# embedding_ingest_wide's oracle row is deliberately non-empty at both
+# gate scales: 1 at sf0.01, 10 at sf0.1.)
 
 
 def embedding_ingest_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3215,26 +3361,13 @@ def embedding_ingest_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_ingest_join(new_vecs, corpus, dims=SIGN_DIMS_WIDE)
 
 
-_WIDE_BUCKET_SQL = "concat(" + ", ".join(
-    f"CASE WHEN e[{i + 1}] >= 0 THEN '1' ELSE '0' END"
-    for i in range(SIGN_DIMS_WIDE)
-) + ")"
-
 ORACLES["embedding_ingest_wide"] = f"""
-WITH emb AS (
-  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS e
-  FROM embeddings
-),
-embw AS (
-  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
-         {_WIDE_BUCKET_SQL} AS bucket
-  FROM emb
-)
+WITH {_EMB_CTE_WIDE}
 SELECT n.vec_id AS new_vec_id, c.vec_id AS corpus_vec_id,
        (round(list_dot_product(n.e, c.e) / (n.nrm * c.nrm), 6) + 0.0)
          AS cosine
-FROM embw n
-JOIN embw c ON n.bucket = c.bucket
+FROM embn n
+JOIN embn c ON n.bucket = c.bucket
 WHERE n.vec_id % {EMB_INGEST_MOD} = 0
   AND c.vec_id % {EMB_INGEST_MOD} <> 0
   AND list_dot_product(n.e, c.e) / (n.nrm * c.nrm) >= {NEAR_DUP_THRESHOLD}
@@ -3251,48 +3384,23 @@ def embedding_near_dups_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch self-join walls a constant factor sooner, since candidate mass
     is occupancy² per bucket).  Rule: key width scales ~log2(corpus), or
     — the real deployment — blocking is the trained IVF cell partition
-    column the on-disk index already writes."""
-    emb = (
-        _embeddings(spark, sf_dir)
-        .withColumn("nrm", _norm(F.col("e")))
-        .withColumn("bucket", _bucket_of(F.col("e"), SIGN_DIMS_WIDE))
-    )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-        "bucket",
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-        "bucket",
-    )
-    sim = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    column the on-disk index already writes.  Shares the narrow
+    detector's :func:`_bucket_cosine_pairs` candidate builder at
+    ``dims=SIGN_DIMS_WIDE`` — one blocking definition, two widths."""
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(sim >= NEAR_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", r6(sim).alias("cosine"))
+        _bucket_cosine_pairs(spark, sf_dir, dims=SIGN_DIMS_WIDE)
+        .filter(F.col("sim_raw") >= NEAR_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", r6(F.col("sim_raw")).alias("cosine"))
     )
 
 
 ORACLES["embedding_near_dups_wide"] = f"""
-WITH emb AS (
-  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS e
-  FROM embeddings
-),
-embw AS (
-  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm,
-         {_WIDE_BUCKET_SQL} AS bucket
-  FROM emb
-)
+WITH {_EMB_CTE_WIDE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        (round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) + 0.0)
          AS cosine
-FROM embw a
-JOIN embw b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM embn a
+JOIN embn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
       >= {NEAR_DUP_THRESHOLD}
 """

@@ -1002,6 +1002,42 @@ def length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 LINE_ENC = 1_000_000  # (doc_id, pos) -> doc_id*LINE_ENC + pos (pos < 1e6)
 
 
+def _line_occ(docs: DataFrame, with_text: bool = False) -> DataFrame:
+    """The C4 keep-first-occurrence construction both line queries ride
+    (VERDICT r14 task 1b): non-empty '.'-sentence occurrences joined
+    with their corpus-wide stats — (doc_id, pos, [ts,] key, enc, n_occ,
+    first_enc).  An occurrence is kept iff ``n_occ == 1 or enc ==
+    first_enc`` (minimal (doc_id, pos) encoded as doc_id*LINE_ENC + pos,
+    so the argmin is a plain integer MIN — exact in both engines).
+
+    One shuffle on the sentence-hash key; ``with_text=False``
+    (line_dedup's accounting) shuffles only the md5, ``with_text=True``
+    (boilerplate_strip's reassembly) carries the trimmed sentence text
+    through that one hash-key shuffle because the rebuild needs it back.
+    """
+    cols = [
+        "doc_id",
+        "pos",
+        F.md5(F.trim("sentence")).alias("key"),
+        (F.col("doc_id") * LINE_ENC + F.col("pos")).alias("enc"),
+    ]
+    if with_text:
+        cols.insert(2, F.trim("sentence").alias("ts"))
+    occ = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\\.")).alias("pos", "sentence"),
+        )
+        .filter(F.trim("sentence") != "")
+        .select(*cols)
+    )
+    stats = occ.groupBy("key").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.min("enc").alias("first_enc"),
+    )
+    return occ.join(stats, "key")
+
+
 def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style duplicated-line dedup accounting: per document, how many
     of its sentences occur elsewhere in the corpus, and how many survive
@@ -1021,29 +1057,11 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_frac is an unrounded division of exact integers — identical
     IEEE doubles on both engines, per the never-round-a-rational rule.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    occ = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split("text", "\\.")).alias("pos", "sentence"),
-        )
-        .filter(F.trim("sentence") != "")
-        .select(
-            "doc_id",
-            "pos",
-            F.md5(F.trim("sentence")).alias("key"),
-            (F.col("doc_id") * LINE_ENC + F.col("pos")).alias("enc"),
-        )
-    )
-    stats = occ.groupBy("key").agg(
-        F.count("*").cast("long").alias("n_occ"),
-        F.min("enc").alias("first_enc"),
-    )
     kept = F.when(
         (F.col("n_occ") == 1) | (F.col("enc") == F.col("first_enc")), 1
     ).otherwise(0)
     return (
-        occ.join(stats, "key")
+        _line_occ(load_table(spark, sf_dir, "documents"))
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_sents"),
@@ -3537,9 +3555,17 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     {CCNET_MIN_BRACKET_DOCS} docs certify the cutpoints by min/max
     containment instead — the interpolated bracket is not a sketch
     guarantee at tiny n (see the constant's comment), while containment
-    is, so the booleans stay theorems at every group size."""
+    is, so the booleans stay theorems at every group size.
+
+    A NULL lang coalesces to the '__null__' sentinel BEFORE grouping
+    (ADVICE r14): NULL never equi-joins, so without the sentinel a NULL
+    language's docs would form a cuts group that never joins back and
+    silently vanish from the Spark output while the oracle still counts
+    them."""
     ppl = doc_perplexity(spark, sf_dir).select("doc_id", "ppl")
-    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    langs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("lang", F.lit("__null__")).alias("lang")
+    )
     # one pin: the doc_perplexity tail (two joins + per-doc rollup) feeds
     # the cuts aggregate AND the bucket scoring — without it the diamond
     # re-executes per branch (the same recompute doc_perplexity's own
@@ -3617,7 +3643,7 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n_docs predicate mirrors doc_perplexity's >= 2 whitespace tokens gate
 # (every such doc emits >= 1 bigram and exactly one ppl row).
 ORACLES["ccnet_buckets"] = """
-SELECT lang,
+SELECT coalesce(lang, '__null__') AS lang,
        cast(count(*) AS bigint) AS n_docs,
        true AS partition_ok,
        true AS monotone_ok,
@@ -3626,7 +3652,7 @@ SELECT lang,
        true AS p67_ok
 FROM documents
 WHERE len(string_split(lower(text), ' ')) >= 2
-GROUP BY lang
+GROUP BY 1
 """
 QUERIES["ccnet_buckets"] = ccnet_buckets
 
@@ -3642,34 +3668,17 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     is not preserved, which is the C4 behavior too).
 
     Same plan as line_dedup plus one order-fixed reassembly: one shuffle
-    on the sentence hash (the md5 rides, never the text), one shuffle
-    back on doc_id, and the rebuild is array_sort(collect_list(struct))
-    — pos is unique per doc, so the sort is total and the concat is
+    on the sentence-hash key — carrying the trimmed sentence text
+    through it once, since the rebuild needs the text back (line_dedup's
+    accounting-only twin ships just the md5) — one shuffle back on
+    doc_id, and the rebuild is array_sort(collect_list(struct)) — pos is
+    unique per doc, so the sort is total and the concat is
     engine-exact.  Docs whose every sentence loses the keep-first race
     emit an empty string, not a dropped row.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    occ = (
-        docs.select(
-            "doc_id",
-            F.posexplode(F.split("text", "\\.")).alias("pos", "sentence"),
-        )
-        .filter(F.trim("sentence") != "")
-        .select(
-            "doc_id",
-            "pos",
-            F.trim("sentence").alias("ts"),
-            F.md5(F.trim("sentence")).alias("key"),
-            (F.col("doc_id") * LINE_ENC + F.col("pos")).alias("enc"),
-        )
-    )
-    stats = occ.groupBy("key").agg(
-        F.count("*").cast("long").alias("n_occ"),
-        F.min("enc").alias("first_enc"),
-    )
     kept = (F.col("n_occ") == 1) | (F.col("enc") == F.col("first_enc"))
     return (
-        occ.join(stats, "key")
+        _line_occ(load_table(spark, sf_dir, "documents"), with_text=True)
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_sents"),

@@ -303,7 +303,10 @@ def compact_parquet(
 
 
 def read_reviews_tsv(
-    spark: SparkSession, path: str, mode: str = "PERMISSIVE"
+    spark: SparkSession,
+    path: str,
+    mode: str = "PERMISSIVE",
+    keep_header_row: bool = False,
 ) -> DataFrame:
     """Read the reference's native TSV review format (S1-S3).
 
@@ -323,12 +326,17 @@ def read_reviews_tsv(
     reference's LSA pipeline never strips the TSV header, so the header
     LINE is parsed as a review and contributes one extra "sentence"
     group per product file (BigdataProjectCode.py:43-45; only the eval
-    cell strips it, code:162-163).  This reader ALWAYS strips the header
-    (``option("header")``) — the quirk is a bug a user replaying product
-    files would not want bit-reproduced, and the typed schema could not
-    represent the header-as-review row anyway (its ``star_rating`` cell
-    is the literal string ``star_rating``).  Expect one fewer group than
-    the reference per product file on the LSA path.
+    cell strips it, code:162-163).  This reader strips the header by
+    default (``option("header")``) — the quirk is a bug a user replaying
+    product files would not want bit-reproduced — so expect one fewer
+    group than the reference per product file on the LSA path.  For
+    bit-parity replays, ``keep_header_row=True`` parses every line as
+    data, reference-style: the header row surfaces with its text cells
+    intact (``review_body`` = the literal string ``"review_body"``,
+    exactly the extra "review" the reference's LSA path sees) while its
+    unparseable ``star_rating`` cell follows the selected bad-record
+    policy (null + ``_corrupt_record`` capture under PERMISSIVE — the
+    typed schema cannot hold the literal string ``star_rating``).
     """
     schema = REVIEWS_SCHEMA
     if mode.upper() == "PERMISSIVE":
@@ -338,7 +346,7 @@ def read_reviews_tsv(
         )
     df = (
         spark.read.option("sep", "\t")
-        .option("header", "true")
+        .option("header", "false" if keep_header_row else "true")
         .option("mode", mode)
         .schema(schema)
         .csv(path)

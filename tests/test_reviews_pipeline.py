@@ -77,6 +77,24 @@ def test_tsv_reader_contract(spark, reviews_dir):
     assert all(r["star_rating"] in (1, 2, 3, 4, 5) for r in rows)
 
 
+def test_tsv_keep_header_row_bit_parity(spark, reviews_dir):
+    """keep_header_row=True replays the reference's LSA header quirk
+    (BigdataProjectCode.py:43-45: the header line parses as a review):
+    one extra row per product file whose review_body is the literal
+    column-name string, star_rating nulled + quarantined under
+    PERMISSIVE (the typed schema cannot hold the string)."""
+    df = read_reviews_tsv(spark, reviews_dir, keep_header_row=True)
+    rows = df.collect()
+    assert len(rows) == 39  # 3 files x (1 header + 12 reviews)
+    hdr = [r for r in rows if r["review_body"] == "review_body"]
+    assert len(hdr) == 3  # one header-as-review per product file
+    assert all(r["star_rating"] is None for r in hdr)
+    assert all(r["_corrupt_record"] is not None for r in hdr)
+    assert all(r["review_id"] == "review_id" for r in hdr)
+    # the default reader strips exactly those three rows
+    assert len(read_reviews_tsv(spark, reviews_dir).collect()) == 36
+
+
 def test_tsv_bad_record_quarantine(spark, tmp_path):
     bad = tmp_path / "BADPROD.txt"
     bad.write_text(
