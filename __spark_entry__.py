@@ -583,15 +583,23 @@ _PRIORITY_R12 = [
 # remainder stays queued via _PRIORITY_R10 — the rotation loses
 # nothing).
 _PRIORITY_R15 = [
-    # (a) never certified — wide production forms beside their families
+    # (a) never certified (8) — wide production forms beside their
+    # families: the four sign-bucket consumers' wide twins, the wide
+    # image detector pair, and the wide-detector audit twins
     "ann_bucketed_topk_wide",
     "semantic_dedup_wide",
     "semantic_decontam_wide",
     "hybrid_dedup_audit_wide",
-    # (b) changed-since-green: the sign-bucket family over the shared
-    # _bucket_of/_bucket_cosine_pairs builders (family-grouped for
-    # leaf/memo reuse), then the _line_occ pair, then the two advice
-    # fixes
+    "image_phash_wide",
+    "image_near_dups_wide",
+    "multimodal_dedup_audit_wide",
+    "trimodal_dedup_audit_wide",
+    # (b) changed-since-green (19, the full check_recert enumeration):
+    # the sign-bucket family over the shared _bucket_of /
+    # _bucket_cosine_pairs builders (family-grouped for leaf/memo
+    # reuse), the _banded_pairs image/audio candidate families and the
+    # audits composed over them, the _line_occ pair, then the two
+    # advice fixes
     "ann_bucketed_topk",
     "embedding_near_dups",
     "embedding_near_dups_wide",
@@ -600,10 +608,44 @@ _PRIORITY_R15 = [
     "semantic_decontam",
     "hybrid_dedup_audit",
     "decontam_audit",
+    "image_near_dups",
+    "image_dedup_clusters",
+    "audio_near_dups",
+    "audio_near_dups_wide",
+    "audio_dedup_clusters",
+    "multimodal_dedup_audit",
+    "trimodal_dedup_audit",
     "line_dedup",
     "boilerplate_strip",
     "ccnet_buckets",
     "minhash_band_tuning",
+    # (c) r10-era greens from the _PRIORITY_R10 queue, alphabetical up
+    # to the 50-slot budget (8 + 19 + 23; the graph/textrank family
+    # tail past the cut — snapshot_diff..zorder_stats and the
+    # textrank/term_stats group — stays queued via _PRIORITY_R10)
+    "graph_lpa",
+    "graph_lpa_capped",
+    "graph_triangles",
+    "heavy_hitters_sketch",
+    "incremental_agg",
+    "key_skew_profile",
+    "length_outliers",
+    "lsa_concepts_distributed",
+    "minhash_lsh_mllib_recall",
+    "multimodal_features",
+    "ngram_novelty",
+    "pack_sequences",
+    "partition_rewrite_plan",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q16_parts_supplier_count",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "quantile_sketch",
+    "salted_heavy_agg",
+    "salted_join",
+    "shard_shuffle",
+    "similarity_edges",
 ]
 
 # _PRIORITY_R10 below.  After r14 certifies, the oldest standing green

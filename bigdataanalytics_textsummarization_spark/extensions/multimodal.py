@@ -1136,6 +1136,40 @@ def _phash_bands(fp: DataFrame) -> DataFrame:
     )
 
 
+def _banded_pairs(
+    bands: DataFrame, hash_col: str, a_name: str, b_name: str
+) -> DataFrame:
+    """Distinct cross-doc same-(band, band_bits) candidate pairs with
+    both hashes and their Hamming distance — the ONE banded-LSH pair
+    construction every whole-hash modality rides (narrow/wide image and
+    audio; the per-frame video path adds frame keys and keeps its own
+    join).  Input is any (doc_id, ``hash_col``, band, band_bits) frame;
+    output (doc_a, doc_b, ``a_name``, ``b_name``, hamming), unfiltered —
+    callers apply their modality's threshold."""
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col(hash_col).alias(a_name),
+        "band",
+        "band_bits",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col(hash_col).alias(b_name),
+        "band",
+        "band_bits",
+    )
+    return (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", a_name, b_name)
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.expr(f"{a_name} ^ {b_name}")).cast("long"),
+        )
+    )
+
+
 def _phash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The banded image CANDIDATE pair set with per-pair Hamming distance,
     BEFORE the near-dup threshold cut — :func:`image_near_dups` filters
@@ -1146,26 +1180,7 @@ def _phash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import leaf
 
     fp = leaf(image_phash(spark, sf_dir).select("doc_id", "phash"))
-    bands = _phash_bands(fp)
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("phash").alias("ph_a"),
-        "band",
-        "band_bits",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("phash").alias("ph_b"),
-        "band",
-        "band_bits",
-    )
-    return (
-        a.join(b, ["band", "band_bits"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "ph_a", "ph_b")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.expr("ph_a ^ ph_b")).cast("long"))
-    )
+    return _banded_pairs(_phash_bands(fp), "phash", "ph_a", "ph_b")
 
 
 def image_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1572,26 +1587,7 @@ def _audio_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import leaf
 
     fp = leaf(audio_fingerprint(spark, sf_dir).select("doc_id", "fp"))
-    bands = _audio_bands(fp)
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("fp").alias("fp_a"),
-        "band",
-        "band_bits",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("fp").alias("fp_b"),
-        "band",
-        "band_bits",
-    )
-    return (
-        a.join(b, ["band", "band_bits"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.expr("fp_a ^ fp_b")).cast("long"))
-    )
+    return _banded_pairs(_audio_bands(fp), "fp", "fp_a", "fp_b")
 
 
 def audio_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2089,7 +2085,9 @@ QUERIES["video_near_dups"] = video_near_dups
 # the same doc_ids.
 
 
-def multimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _multimodal_dedup_audit_over(
+    spark: SparkSession, sf_dir: str, img_c: DataFrame
+) -> DataFrame:
     """Agreement audit between the text and image near-dup detectors on
     the same documents: one row per pair FLAGGED by either text
     MinHash-LSH (exact Jaccard >= 0.2) or image perceptual hash
@@ -2098,7 +2096,9 @@ def multimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     not_a_candidate — a pair the detector scored under its cut is a
     genuine disagreement; a pair its blocking never surfaced is a
     recall artifact).  Sentinels keep the row null-free for the typed
-    gate: jaccard -1.0, hamming -1.
+    gate: jaccard -1.0, hamming -1.  ``img_c`` is the image detector's
+    unfiltered candidate set — the audit composes over whichever
+    blocking width its detector ships.
 
     Scale shape: both inputs are already candidate-bounded (the
     session-shared LSH pair leaf; the banded phash candidates), and the
@@ -2107,9 +2107,7 @@ def multimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import CLUSTER_MIN_JACCARD, _lsh_pairs
 
     text_c = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
-    img_c = _phash_candidate_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", "hamming"
-    )
+    img_c = img_c.select("doc_a", "doc_b", "hamming")
     text_state = (
         F.when(F.col("jaccard").isNull(), F.lit("not_a_candidate"))
         .when(F.col("jaccard") >= CLUSTER_MIN_JACCARD, F.lit("flagged"))
@@ -2137,29 +2135,42 @@ def multimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _install_audit_oracle() -> None:
-    # deferred so the module keeps zero import-time coupling beyond the
-    # oracle string itself (dedup does not import multimodal back)
+def multimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-vs-image near-dup agreement audit over the narrow (toy
+    gate-width) image detector (see
+    :func:`_multimodal_dedup_audit_over`)."""
+    return _multimodal_dedup_audit_over(
+        spark, sf_dir, _phash_candidate_pairs(spark, sf_dir)
+    )
+
+
+def multimodal_dedup_audit_wide(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PRODUCTION-width text-vs-image audit: the same one-full-outer-join
+    composition over the wide (aHash-64, 16-bit-band) image candidate
+    set — the audit tier inherits whatever blocking its detectors ship,
+    so the production audit composes over the production detector and
+    the narrow 10-bit band wall never enters the audit's own x100 row
+    (the lexical side's banded LSH is occupancy-bounded at any
+    scale)."""
+    return _multimodal_dedup_audit_over(
+        spark, sf_dir, _phash_wide_candidate_pairs(spark, sf_dir)
+    )
+
+
+def _audit_oracle_of(img_block: str, img_cte: str) -> str:
+    """The text-vs-image audit oracle over either image detector width:
+    ``img_block`` must define a CTE ``img(doc_a, doc_b, hamming)`` —
+    the lexical detector's certified oracle rides verbatim either
+    way."""
     from .dedup import CLUSTER_MIN_JACCARD
     from .dedup import ORACLES as _DEDUP_ORACLES
 
-    ORACLES["multimodal_dedup_audit"] = f"""
+    return f"""
 WITH lex AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
-{_PHASH_CTE},
-pbands AS (
-  SELECT doc_id, phash, band,
-         (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
-           & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
-  FROM (SELECT doc_id, phash,
-               unnest(range({PHASH_BANDS})) AS band FROM ph)
-),
-img AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         cast(bit_count(xor(a.phash, b.phash)) AS bigint) AS hamming
-  FROM pbands a
-  JOIN pbands b ON a.band = b.band AND a.band_bits = b.band_bits
-               AND a.doc_id < b.doc_id
-)
+{img_cte},
+{img_block}
 SELECT * FROM (
   SELECT coalesce(l.doc_a, i.doc_a) AS doc_a,
          coalesce(l.doc_b, i.doc_b) AS doc_b,
@@ -2177,8 +2188,25 @@ SELECT * FROM (
 """
 
 
-_install_audit_oracle()
-QUERIES["multimodal_dedup_audit"] = multimodal_dedup_audit
+_IMG_NARROW_PAIRS_SQL = f"""
+pbands AS (
+  SELECT doc_id, phash, band,
+         (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
+           & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
+  FROM (SELECT doc_id, phash,
+               unnest(range({PHASH_BANDS})) AS band FROM ph)
+),
+img AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(bit_count(xor(a.phash, b.phash)) AS bigint) AS hamming
+  FROM pbands a
+  JOIN pbands b ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+)"""
+
+# (the wide pair blocks, the ORACLES installs for both audit widths,
+# and the QUERIES registrations live at the END of the module, after
+# the wide-width constants and _WIMG_CTE they splice in are defined)
 
 
 # ---------------------------------------------------------------------------
@@ -2380,7 +2408,13 @@ FROM reach GROUP BY s
 QUERIES["audio_dedup_clusters"] = audio_dedup_clusters
 
 
-def trimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _trimodal_dedup_audit_over(
+    spark: SparkSession,
+    sf_dir: str,
+    img_c: DataFrame,
+    aud_c: DataFrame,
+    audio_max_hamming: int,
+) -> DataFrame:
     """The full cross-modal agreement matrix: text MinHash-LSH, image
     perceptual hash and acoustic fingerprint verdicts side by side for
     every pair FLAGGED by at least one detector — the widened
@@ -2388,6 +2422,9 @@ def trimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciding which modality's dedup signal to trust on a mixed corpus.
     Three-state verdict per modality (flagged / below_threshold /
     not_a_candidate), null-free sentinels (jaccard -1.0, hammings -1).
+    ``img_c``/``aud_c`` are the detectors' unfiltered candidate sets —
+    the audit composes over whichever blocking width its detectors
+    ship.
 
     Scale shape: all three inputs are candidate-bounded (the
     session-shared LSH pair leaf; the banded phash and fingerprint
@@ -2396,10 +2433,10 @@ def trimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import CLUSTER_MIN_JACCARD, _lsh_pairs
 
     text_c = _lsh_pairs(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
-    img_c = _phash_candidate_pairs(spark, sf_dir).select(
+    img_c = img_c.select(
         "doc_a", "doc_b", F.col("hamming").alias("img_hamming")
     )
-    aud_c = _audio_candidate_pairs(spark, sf_dir).select(
+    aud_c = aud_c.select(
         "doc_a", "doc_b", F.col("hamming").alias("audio_hamming")
     )
 
@@ -2421,7 +2458,7 @@ def trimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             state(j, j >= CLUSTER_MIN_JACCARD).alias("text_verdict"),
             state(ih, ih <= PHASH_MAX_HAMMING).alias("image_verdict"),
-            state(ah, ah <= AUDIO_FP_MAX_HAMMING).alias("audio_verdict"),
+            state(ah, ah <= audio_max_hamming).alias("audio_verdict"),
             F.coalesce(j, F.lit(-1.0)).alias("jaccard"),
             F.coalesce(ih, F.lit(-1).cast("long")).alias("img_hamming"),
             F.coalesce(ah, F.lit(-1).cast("long")).alias("audio_hamming"),
@@ -2434,40 +2471,34 @@ def trimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _install_trimodal_oracle() -> None:
+def trimodal_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full cross-modal agreement matrix over the narrow (toy
+    gate-width) image and audio detectors (see
+    :func:`_trimodal_dedup_audit_over`)."""
+    return _trimodal_dedup_audit_over(
+        spark,
+        sf_dir,
+        _phash_candidate_pairs(spark, sf_dir),
+        _audio_candidate_pairs(spark, sf_dir),
+        AUDIO_FP_MAX_HAMMING,
+    )
+
+
+def _trimodal_oracle_of(
+    media_ctes: str, img_block: str, aud_block: str, audio_max: int
+) -> str:
+    """The trimodal audit oracle over either detector width:
+    ``img_block``/``aud_block`` must define CTEs ``img(doc_a, doc_b,
+    img_hamming)`` and ``aud(doc_a, doc_b, audio_hamming)``; the
+    lexical detector's certified oracle rides verbatim either way."""
     from .dedup import CLUSTER_MIN_JACCARD
     from .dedup import ORACLES as _DEDUP_ORACLES
 
-    ORACLES["trimodal_dedup_audit"] = f"""
+    return f"""
 WITH lex AS ({_DEDUP_ORACLES["dedup_minhash_lsh"]}),
-{_PHASH_CTE},
-{_AUDIO_FP_CTE},
-pbands AS (
-  SELECT doc_id, phash, band,
-         (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
-           & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits
-  FROM (SELECT doc_id, phash,
-               unnest(range({PHASH_BANDS})) AS band FROM ph)
-),
-img AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         cast(bit_count(xor(a.phash, b.phash)) AS bigint) AS img_hamming
-  FROM pbands a
-  JOIN pbands b ON a.band = b.band AND a.band_bits = b.band_bits
-               AND a.doc_id < b.doc_id
-),
-abands AS (
-  SELECT doc_id, fp, band, (fp >> (band * 8)) & 255 AS band_bits
-  FROM (SELECT doc_id, fp,
-               unnest(range({AUDIO_FP_BANDS})) AS band FROM afp)
-),
-aud AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         cast(bit_count(xor(a.fp, b.fp)) AS bigint) AS audio_hamming
-  FROM abands a
-  JOIN abands b ON a.band = b.band AND a.band_bits = b.band_bits
-               AND a.doc_id < b.doc_id
-),
+{media_ctes},
+{img_block},
+{aud_block},
 ti AS (
   SELECT coalesce(l.doc_a, i.doc_a) AS doc_a,
          coalesce(l.doc_b, i.doc_b) AS doc_b,
@@ -2485,7 +2516,7 @@ SELECT * FROM (
               WHEN t.img_hamming <= {PHASH_MAX_HAMMING} THEN 'flagged'
               ELSE 'below_threshold' END AS image_verdict,
          CASE WHEN a.audio_hamming IS NULL THEN 'not_a_candidate'
-              WHEN a.audio_hamming <= {AUDIO_FP_MAX_HAMMING} THEN 'flagged'
+              WHEN a.audio_hamming <= {audio_max} THEN 'flagged'
               ELSE 'below_threshold' END AS audio_verdict,
          coalesce(t.jaccard, -1.0) AS jaccard,
          coalesce(t.img_hamming, cast(-1 AS bigint)) AS img_hamming,
@@ -2495,6 +2526,48 @@ SELECT * FROM (
 ) WHERE text_verdict = 'flagged' OR image_verdict = 'flagged'
      OR audio_verdict = 'flagged'
 """
+
+
+_IMG_NARROW_TRI_SQL = f"""img AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(bit_count(xor(a.phash, b.phash)) AS bigint) AS img_hamming
+  FROM (SELECT doc_id, phash,
+               (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
+                 & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits,
+               band
+        FROM (SELECT doc_id, phash,
+                     unnest(range({PHASH_BANDS})) AS band FROM ph)) a
+  JOIN (SELECT doc_id, phash,
+               (phash >> (band * {PHASH_BITS // PHASH_BANDS}))
+                 & {(1 << (PHASH_BITS // PHASH_BANDS)) - 1} AS band_bits,
+               band
+        FROM (SELECT doc_id, phash,
+                     unnest(range({PHASH_BANDS})) AS band FROM ph)) b
+    ON a.band = b.band AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id
+)"""
+
+_AUD_NARROW_TRI_SQL = f"""aud AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(bit_count(xor(a.fp, b.fp)) AS bigint) AS audio_hamming
+  FROM (SELECT doc_id, fp, (fp >> (band * 8)) & 255 AS band_bits, band
+        FROM (SELECT doc_id, fp,
+                     unnest(range({AUDIO_FP_BANDS})) AS band FROM afp)) a
+  JOIN (SELECT doc_id, fp, (fp >> (band * 8)) & 255 AS band_bits, band
+        FROM (SELECT doc_id, fp,
+                     unnest(range({AUDIO_FP_BANDS})) AS band FROM afp)) b
+    ON a.band = b.band AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id
+)"""
+
+
+def _install_trimodal_oracle() -> None:
+    ORACLES["trimodal_dedup_audit"] = _trimodal_oracle_of(
+        f"{_PHASH_CTE},\n{_AUDIO_FP_CTE}",
+        _IMG_NARROW_TRI_SQL,
+        _AUD_NARROW_TRI_SQL,
+        AUDIO_FP_MAX_HAMMING,
+    )
 
 
 _install_trimodal_oracle()
@@ -2943,6 +3016,18 @@ def audio_fingerprint_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _audio_fp_wide_frame(synth_wav_wide(spark, sf_dir))
 
 
+def _audio_wide_candidate_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wide twin of :func:`_audio_candidate_pairs` — the unfiltered
+    banded candidate set the wide near-dup query and the wide audit
+    both read."""
+    from ..functions import leaf
+
+    fp = leaf(audio_fingerprint_wide(spark, sf_dir).select("doc_id", "fp"))
+    return _banded_pairs(_wide_bands(fp, "fp"), "fp", "fp_a", "fp_b")
+
+
 def audio_near_dups_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCTION-width audio near-duplicate pairs: identical plan shape
     to :func:`audio_near_dups` (banded candidates, hamming <= 3) with
@@ -2950,29 +3035,8 @@ def audio_near_dups_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     65,536 values, so the toy 8-bit wall (projected ~10^9 candidate
     pairs at 500k clips, PLANS.md) is gone while the pigeonhole
     completeness argument is unchanged."""
-    from ..functions import leaf
-
-    fp = leaf(audio_fingerprint_wide(spark, sf_dir).select("doc_id", "fp"))
-    bands = _wide_bands(fp, "fp")
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("fp").alias("fp_a"),
-        "band",
-        "band_bits",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("fp").alias("fp_b"),
-        "band",
-        "band_bits",
-    )
-    return (
-        a.join(b, ["band", "band_bits"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.expr("fp_a ^ fp_b")).cast("long"))
-        .filter(F.col("hamming") <= AUDIO_FP_WIDE_MAX_HAMMING)
+    return _audio_wide_candidate_pairs(spark, sf_dir).filter(
+        F.col("hamming") <= AUDIO_FP_WIDE_MAX_HAMMING
     )
 
 
@@ -3037,3 +3101,288 @@ WHERE bit_count(xor(fp_a, fp_b)) <= {AUDIO_FP_WIDE_MAX_HAMMING}
 
 QUERIES["audio_fingerprint_wide"] = audio_fingerprint_wide
 QUERIES["audio_near_dups_wide"] = audio_near_dups_wide
+
+
+# -- wide image ---------------------------------------------------------------
+# Completes four-modality production width (VERDICT r14 task 4): image was
+# the one modality whose only detector ran at the toy 40-bit/10-bit-band
+# width (1024 band values — a measured wall class at corpus scale).  Same
+# aHash-64 / 4x16-bit-band layout as the wide video frames.
+
+
+def _noisy_media_wide(docs: DataFrame) -> DataFrame:
+    """The :func:`_noisy_media` synthesis at production raster width:
+    one 8x8 P6 image per document (192 raster bytes from a 12-digest
+    chain), pattern/noise keying on distinct key prefixes — per-row
+    expressions only, stream-legal."""
+    n_bytes = PHASH_WIDE_SIDE * PHASH_WIDE_SIDE * 3
+    n_digests = (n_bytes + 15) // 16
+    keyed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("patw:"),
+            (F.col("doc_id") % N_IMG_PATTERNS).cast("string"),
+        ).alias("pk"),
+        F.concat(F.lit("imgw:"), F.col("doc_id").cast("string")).alias("nk"),
+    ).select(
+        "doc_id",
+        _hex_chain_col(F.col("pk"), n_digests).alias("bhx"),
+        _hex_chain_col(F.col("nk"), n_digests).alias("nhx"),
+    )
+    header = F.encode(
+        F.lit(f"P6\n{PHASH_WIDE_SIDE} {PHASH_WIDE_SIDE}\n255\n"), "UTF-8"
+    )
+    raster = F.expr(
+        f"unhex(array_join(transform(sequence(0, {n_bytes - 1}), i -> "
+        "lpad(hex("
+        f"cast(conv(substring(bhx, 2 * i + 1, 2), 16, 10) AS int)"
+        f" % {IMG_BASE_MOD} + {IMG_BASE_LO}"
+        f" + cast(conv(substring(nhx, 2 * i + 1, 2), 16, 10) AS int)"
+        f" % {IMG_NOISE_MOD} - {(IMG_NOISE_MOD - 1) // 2}"
+        "), 2, '0')), ''))"
+    )
+    return keyed.select("doc_id", F.concat(header, raster).alias("payload"))
+
+
+def synth_ppm_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _noisy_media_wide(load_table(spark, sf_dir, "documents"))
+
+
+def phash_ppm_wide(payload: bytes) -> tuple[int, int, int]:
+    """Production-width perceptual hash of a binary P6 PPM: the same
+    REAL format parse as the narrow path (:func:`_parse_ppm` — corrupt
+    payloads fail loudly), production hash width (:func:`ahash_wide`)."""
+    w, h, raster = _parse_ppm(payload)
+    return w, h, ahash_wide(w, h, raster)
+
+
+_PHASH_WIDE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _phash_wide_frame(media: DataFrame) -> DataFrame:
+    """Wide twin of :func:`_phash_frame` — stateless, stream-legal."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(did), *phash_ppm_wide(payload))
+                for did, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PHASH_WIDE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(hash_batches, schema=_PHASH_WIDE_SCHEMA)
+
+
+def image_phash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width per-image perceptual hash: one 64-bit aHash per
+    8x8 image via mapInPandas, all-long output, no shuffle —
+    value-gates the full 64-bit surface including the sign bit."""
+    return _phash_wide_frame(synth_ppm_wide(spark, sf_dir))
+
+
+def _phash_wide_candidate_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Wide twin of :func:`_phash_candidate_pairs` — the unfiltered
+    banded candidate set the wide near-dup query and the wide audit
+    both read."""
+    from ..functions import leaf
+
+    fp = leaf(image_phash_wide(spark, sf_dir).select("doc_id", "phash"))
+    return _banded_pairs(_wide_bands(fp, "phash"), "phash", "ph_a", "ph_b")
+
+
+def image_near_dups_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-width image near-duplicate pairs: identical plan shape
+    to :func:`image_near_dups` (banded candidates, hamming <= 3) with
+    the 64-bit hash and 16-bit bands — 65,536 band values, so random
+    bucket occupancy stays ~1 at corpus scale instead of saturating at
+    the toy 10-bit wall, pigeonhole completeness unchanged."""
+    return _phash_wide_candidate_pairs(spark, sf_dir).filter(
+        F.col("hamming") <= PHASH_MAX_HAMMING
+    )
+
+
+_WIMG_N_PX = PHASH_WIDE_SIDE * PHASH_WIDE_SIDE
+_WIMG_CTE = f"""
+wilum AS (
+  SELECT doc_id, p,
+         sum((cast(cast(concat('0x', substr(bhx, 6 * p + 2 * c + 1, 2))
+                   AS ubigint) AS bigint) % {IMG_BASE_MOD} + {IMG_BASE_LO})
+           + (cast(cast(concat('0x', substr(nhx, 6 * p + 2 * c + 1, 2))
+                   AS ubigint) AS bigint) % {IMG_NOISE_MOD}
+              - {(IMG_NOISE_MOD - 1) // 2})) AS g
+  FROM (
+    SELECT doc_id,
+           {_hex_chain_sql("pk", (_WIMG_N_PX * 3 + 15) // 16)} AS bhx,
+           {_hex_chain_sql("nk", (_WIMG_N_PX * 3 + 15) // 16)} AS nhx,
+           rp.p AS p, rc.c AS c
+    FROM (SELECT doc_id,
+                 'patw:' || cast(doc_id % {N_IMG_PATTERNS} AS varchar) AS pk,
+                 'imgw:' || cast(doc_id AS varchar) AS nk
+          FROM documents),
+         range({_WIMG_N_PX}) rp(p), range(3) rc(c)
+  )
+  GROUP BY doc_id, p
+),
+witot AS (SELECT doc_id, sum(g) AS t FROM wilum GROUP BY doc_id),
+wiph AS (
+  SELECT doc_id, {_twos_complement_sql("h")} AS phash
+  FROM (
+    SELECT l.doc_id,
+           coalesce(sum(CASE WHEN {_WIMG_N_PX} * l.g > t.t
+                             THEN cast(1 AS hugeint) << l.p END),
+                    0) AS h
+    FROM wilum l JOIN witot t USING (doc_id)
+    GROUP BY l.doc_id
+  )
+)"""
+
+# the wide banded-pair block, parameterized by hash CTE/column so the
+# image and audio wide audits compose the SAME candidate SQL their
+# detectors gate on
+def _wide_pairs_sql_of(src_cte: str, hash_col: str, a: str, b: str) -> str:
+    return f"""
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         cast(bit_count(xor(x.{hash_col}, y.{hash_col})) AS bigint)
+           AS hamming
+  FROM (SELECT doc_id, {hash_col}, unnest(range({PHASH_WIDE_BANDS})) AS band
+        FROM {src_cte}) x
+  JOIN (SELECT doc_id, {hash_col}, unnest(range({PHASH_WIDE_BANDS})) AS band
+        FROM {src_cte}) y
+    ON y.band = x.band
+   AND ((y.{hash_col} >> (y.band * {PHASH_WIDE_BAND_W})) & 65535)
+     = ((x.{hash_col} >> (x.band * {PHASH_WIDE_BAND_W})) & 65535)
+   AND x.doc_id < y.doc_id
+"""
+
+
+ORACLES["image_phash_wide"] = f"""
+WITH {_WIMG_CTE}
+SELECT doc_id, cast({PHASH_WIDE_SIDE} AS bigint) AS width,
+       cast({PHASH_WIDE_SIDE} AS bigint) AS height, phash
+FROM wiph
+"""
+
+ORACLES["image_near_dups_wide"] = f"""
+WITH {_WIMG_CTE},
+wibands AS (
+  SELECT doc_id, phash, band,
+         (phash >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits
+  FROM (SELECT doc_id, phash,
+               unnest(range({PHASH_WIDE_BANDS})) AS band FROM wiph)
+),
+wicand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash AS ph_a, b.phash AS ph_b
+  FROM wibands a
+  JOIN wibands b ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ph_a, ph_b,
+       cast(bit_count(xor(ph_a, ph_b)) AS bigint) AS hamming
+FROM wicand
+WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_MAX_HAMMING}
+"""
+
+QUERIES["image_phash_wide"] = image_phash_wide
+QUERIES["image_near_dups_wide"] = image_near_dups_wide
+
+
+# -- production-width audits (VERDICT r14 task 4) -----------------------------
+# The audit tier composes over the wide detectors, so its x100 row is no
+# longer gated by the narrow-audio candidate wall (the measured 4.85e9
+# pairs at 500k clips, PLANS.md).
+
+
+def trimodal_dedup_audit_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-width trimodal audit: the same two-full-outer-join
+    composition (:func:`_trimodal_dedup_audit_over`) over the wide
+    (64-bit hash, 16-bit band) image and audio candidate sets — the
+    production audit composes over the production detectors, and every
+    input's per-band occupancy stays ~1 at corpus scale."""
+    return _trimodal_dedup_audit_over(
+        spark,
+        sf_dir,
+        _phash_wide_candidate_pairs(spark, sf_dir),
+        _audio_wide_candidate_pairs(spark, sf_dir),
+        AUDIO_FP_WIDE_MAX_HAMMING,
+    )
+
+
+_IMG_WIDE_PAIRS_SQL = f"""
+pbands AS (
+  SELECT doc_id, phash, band,
+         (phash >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits
+  FROM (SELECT doc_id, phash,
+               unnest(range({PHASH_WIDE_BANDS})) AS band FROM wiph)
+),
+img AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(bit_count(xor(a.phash, b.phash)) AS bigint) AS hamming
+  FROM pbands a
+  JOIN pbands b ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+)"""
+
+_IMG_WIDE_TRI_SQL = f"""img AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(bit_count(xor(a.phash, b.phash)) AS bigint) AS img_hamming
+  FROM (SELECT doc_id, phash,
+               (phash >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits,
+               band
+        FROM (SELECT doc_id, phash,
+                     unnest(range({PHASH_WIDE_BANDS})) AS band FROM wiph)) a
+  JOIN (SELECT doc_id, phash,
+               (phash >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits,
+               band
+        FROM (SELECT doc_id, phash,
+                     unnest(range({PHASH_WIDE_BANDS})) AS band FROM wiph)) b
+    ON a.band = b.band AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id
+)"""
+
+_AUD_WIDE_TRI_SQL = f"""aud AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(bit_count(xor(a.fp, b.fp)) AS bigint) AS audio_hamming
+  FROM (SELECT doc_id, fp,
+               (fp >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits,
+               band
+        FROM (SELECT doc_id, fp,
+                     unnest(range({AUDIO_FP_WIDE_BANDS})) AS band
+              FROM wafp)) a
+  JOIN (SELECT doc_id, fp,
+               (fp >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits,
+               band
+        FROM (SELECT doc_id, fp,
+                     unnest(range({AUDIO_FP_WIDE_BANDS})) AS band
+              FROM wafp)) b
+    ON a.band = b.band AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id
+)"""
+
+
+ORACLES["multimodal_dedup_audit"] = _audit_oracle_of(
+    _IMG_NARROW_PAIRS_SQL, _PHASH_CTE
+)
+ORACLES["multimodal_dedup_audit_wide"] = _audit_oracle_of(
+    _IMG_WIDE_PAIRS_SQL, _WIMG_CTE
+)
+ORACLES["trimodal_dedup_audit_wide"] = _trimodal_oracle_of(
+    f"{_WIMG_CTE},\n{_WAUD_CTE}",
+    _IMG_WIDE_TRI_SQL,
+    _AUD_WIDE_TRI_SQL,
+    AUDIO_FP_WIDE_MAX_HAMMING,
+)
+QUERIES["multimodal_dedup_audit"] = multimodal_dedup_audit
+QUERIES["multimodal_dedup_audit_wide"] = multimodal_dedup_audit_wide
+QUERIES["trimodal_dedup_audit_wide"] = trimodal_dedup_audit_wide

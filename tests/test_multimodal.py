@@ -832,3 +832,99 @@ def test_wide_payloads_are_valid_files(spark):
             (w, h) == (mm.PHASH_WIDE_SIDE, mm.PHASH_WIDE_SIDE)
             for w, h, _ in frames
         )
+
+
+# -- wide image + production-width audits (r15, VERDICT r14 task 4) ----------
+
+
+def test_image_phash_wide_oracle_parity_and_sign_bit(spark, oracle):
+    assert_parity(
+        spark,
+        oracle,
+        mm.image_phash_wide,
+        mm.ORACLES["image_phash_wide"],
+    )
+    rows = mm.image_phash_wide(spark, SF_DIR).collect()
+    assert rows
+    assert all(
+        (r["width"], r["height"]) == (mm.PHASH_WIDE_SIDE, mm.PHASH_WIDE_SIDE)
+        for r in rows
+    )
+    # the 64-bit width is genuinely exercised (bit 63 set on some hashes)
+    assert any(r["phash"] < 0 for r in rows)
+    assert any(r["phash"] > 0 for r in rows)
+
+
+def test_image_near_dups_wide_oracle_parity_and_banding_complete(
+    spark, oracle
+):
+    assert_parity(
+        spark,
+        oracle,
+        mm.image_near_dups_wide,
+        mm.ORACLES["image_near_dups_wide"],
+    )
+    brute = oracle.sql(
+        f"""
+        WITH {mm._WIMG_CTE}
+        SELECT count(*) FROM wiph a JOIN wiph b
+          ON b.doc_id > a.doc_id
+         AND bit_count(xor(a.phash, b.phash)) <= {mm.PHASH_MAX_HAMMING}
+        """
+    ).fetchone()[0]
+    assert mm.image_near_dups_wide(spark, SF_DIR).count() == brute
+    rows = mm.image_near_dups_wide(spark, SF_DIR).collect()
+    assert rows
+    assert all(
+        r["doc_a"] % mm.N_IMG_PATTERNS == r["doc_b"] % mm.N_IMG_PATTERNS
+        for r in rows
+    )
+
+
+def test_wide_image_payloads_are_valid_ppms(spark):
+    for r in mm.synth_ppm_wide(spark, SF_DIR).limit(5).collect():
+        w, h, raster = mm._parse_ppm(bytes(r["payload"]))
+        assert (w, h) == (mm.PHASH_WIDE_SIDE, mm.PHASH_WIDE_SIDE)
+        assert len(raster) == 3 * w * h
+
+
+def test_wide_audits_oracle_parity(spark, oracle):
+    assert_parity(
+        spark,
+        oracle,
+        mm.multimodal_dedup_audit_wide,
+        mm.ORACLES["multimodal_dedup_audit_wide"],
+    )
+    assert_parity(
+        spark,
+        oracle,
+        mm.trimodal_dedup_audit_wide,
+        mm.ORACLES["trimodal_dedup_audit_wide"],
+    )
+
+
+def test_wide_audit_composes_over_wide_detectors(spark):
+    # every image-flagged row of the wide audit IS a wide-detector pair
+    # (same blocking, same threshold) — the audit inherits its
+    # detectors' production width rather than re-deriving its own
+    audit = mm.multimodal_dedup_audit_wide(spark, SF_DIR)
+    flagged = {
+        (r["doc_a"], r["doc_b"])
+        for r in audit.filter("image_verdict = 'flagged'").collect()
+    }
+    detector = {
+        (r["doc_a"], r["doc_b"])
+        for r in mm.image_near_dups_wide(spark, SF_DIR).collect()
+    }
+    assert flagged == detector
+    # and the trimodal audio axis agrees with the wide audio detector
+    tri = mm.trimodal_dedup_audit_wide(spark, SF_DIR)
+    aud_flagged = {
+        (r["doc_a"], r["doc_b"])
+        for r in tri.filter("audio_verdict = 'flagged'").collect()
+    }
+    aud_detector = {
+        (r["doc_a"], r["doc_b"])
+        for r in mm.audio_near_dups_wide(spark, SF_DIR).collect()
+    }
+    assert aud_flagged == aud_detector

@@ -82,6 +82,20 @@ INVARIANCE_SLICE = [
     "minhash_band_tuning",
     "hard_negative_mining",
     "ccnet_buckets",
+    # r15 additions (ADVICE r14 / VERDICT r14 task 7): the wide-family
+    # production forms — same integer band/bucket spaces at 64-bit/
+    # 8-hyperplane width, the wide-detector audit composition, and the
+    # wide multi-probe top-k (raw-double ordering over the order-fixed
+    # dot fold with id tie-break) — each must survive a serialized
+    # reduction order
+    "video_near_dups_wide",
+    "audio_near_dups_wide",
+    "image_near_dups_wide",
+    "embedding_near_dups_wide",
+    "embedding_ingest_wide",
+    "ann_bucketed_topk_wide",
+    "semantic_dedup_wide",
+    "trimodal_dedup_audit_wide",
 ]
 
 PARTITION_SETTINGS = ["1", "7", "32"]
