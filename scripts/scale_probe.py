@@ -154,6 +154,24 @@ PROBE = [
     # sooner than the ingest gate; the wide key is the contrast
     "embedding_near_dups",
     "embedding_near_dups_wide",
+    # r15 (VERDICT r14 tasks 2+4): the remaining narrow sign-bucket
+    # consumers and their production-width twins — the narrow rows
+    # measure the 16-bucket wall ON the consumer itself (not inferred
+    # from the embedding twins), the wide rows measure it removed; plus
+    # the wide image family and the audits recomposed over the wide
+    # detectors (each audit's ratio should track its heaviest upstream
+    # detector, adding no pairwise stage of its own)
+    "semantic_dedup",
+    "semantic_dedup_wide",
+    "semantic_decontam_wide",
+    "ann_bucketed_topk",
+    "ann_bucketed_topk_wide",
+    "hybrid_dedup_audit",
+    "hybrid_dedup_audit_wide",
+    "image_phash_wide",
+    "image_near_dups_wide",
+    "multimodal_dedup_audit_wide",
+    "trimodal_dedup_audit_wide",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default
@@ -188,6 +206,10 @@ PROBE_PATTERN_SCALE = {
     # r14: the production-width pairs share the narrow pattern constants
     "audio_near_dups_wide": ("AUDIO_PATTERNS",),
     "video_near_dups_wide": ("N_VIDEO_PATTERNS",),
+    # r15: the wide image family and the wide-detector audits
+    "image_near_dups_wide": ("N_IMG_PATTERNS",),
+    "multimodal_dedup_audit_wide": ("N_IMG_PATTERNS",),
+    "trimodal_dedup_audit_wide": ("N_IMG_PATTERNS", "AUDIO_PATTERNS"),
 }
 
 
@@ -284,6 +306,20 @@ PROBE_X100 = [
     # the batch self-join under both keys (occupancy² per bucket)
     "embedding_near_dups",
     "embedding_near_dups_wide",
+    # r15 (VERDICT r14 tasks 2+4): the production-width forms one decade
+    # further — the wide sign-bucket consumers (256 buckets; the narrow
+    # 16-bucket walls were measured at 104-350x on this blocking), the
+    # wide image pair (16-bit bands, pattern-scaled), and the audits
+    # recomposed over the wide detectors (feasible at x100 exactly
+    # because every upstream candidate set now is)
+    "semantic_dedup_wide",
+    "semantic_decontam_wide",
+    "ann_bucketed_topk_wide",
+    "hybrid_dedup_audit_wide",
+    "image_phash_wide",
+    "image_near_dups_wide",
+    "multimodal_dedup_audit_wide",
+    "trimodal_dedup_audit_wide",
 ]
 
 
