@@ -619,10 +619,27 @@ _PRIORITY_R15 = [
     "boilerplate_strip",
     "ccnet_buckets",
     "minhash_band_tuning",
+    # (b cont., late r15) production-width lifecycle symmetry: the six
+    # wide cluster/ingest queries (never certified) ride beside their
+    # families, and the three narrow gates whose shared
+    # _ingest_gate_join closure changed re-certify with them — each
+    # verified ALL MATCH at sf0.001 + sf0.01 by driver_sim before
+    # staging; each takes the slot of an alphabetically-last r10-era
+    # name that stays queued via _PRIORITY_R10 (the r12-r14 late-round
+    # precedent, the rotation loses nothing)
+    "image_dedup_clusters_wide",
+    "audio_dedup_clusters_wide",
+    "video_dedup_clusters_wide",
+    "phash_ingest_wide",
+    "audio_fp_ingest_wide",
+    "video_fp_ingest_wide",
+    "phash_ingest",
+    "audio_fp_ingest",
+    "video_fp_ingest",
     # (c) r10-era greens from the _PRIORITY_R10 queue, alphabetical up
-    # to the 50-slot budget (8 + 19 + 23; the graph/textrank family
-    # tail past the cut — snapshot_diff..zorder_stats and the
-    # textrank/term_stats group — stays queued via _PRIORITY_R10)
+    # to the 50-slot budget (8 + 19 + 9 + 14; the tail past the cut —
+    # q13_customer_distribution..zorder_stats and the textrank/
+    # term_stats group — stays queued via _PRIORITY_R10)
     "graph_lpa",
     "graph_lpa_capped",
     "graph_triangles",
@@ -637,15 +654,6 @@ _PRIORITY_R15 = [
     "pack_sequences",
     "partition_rewrite_plan",
     "q12_late_shipments",
-    "q13_customer_distribution",
-    "q16_parts_supplier_count",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "quantile_sketch",
-    "salted_heavy_agg",
-    "salted_join",
-    "shard_shuffle",
-    "similarity_edges",
 ]
 
 # _PRIORITY_R10 below.  After r14 certifies, the oldest standing green

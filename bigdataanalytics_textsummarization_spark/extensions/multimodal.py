@@ -1170,6 +1170,47 @@ def _banded_pairs(
     )
 
 
+def _ingest_gate_join(
+    new_bands: DataFrame,
+    corpus_bands: DataFrame,
+    hash_col: str,
+    max_hamming: int,
+) -> DataFrame:
+    """The stream-static band-gate join every whole-hash modality's
+    ingest gate rides (narrow/wide image and audio; the per-frame video
+    gate adds frame keys and keeps its own join): new-side bands
+    equi-joined against the precomputed corpus band index, Hamming
+    scored row-local from the two hashes riding the join, thresholded.
+    One output row per matching (new, corpus, band) — deliberately no
+    pair-level dedup, which would need watermark state the gate has no
+    event time for (consumers ``distinct()`` if they want pairs)."""
+    nb = new_bands.select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col(hash_col).alias("new_h"),
+        "band",
+        "band_bits",
+    )
+    idx = corpus_bands.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col(hash_col).alias("corpus_h"),
+        "band",
+        "band_bits",
+    )
+    return (
+        nb.join(idx, ["band", "band_bits"])
+        .withColumn(
+            "hamming", F.bit_count(F.expr("new_h ^ corpus_h")).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            "new_doc_id",
+            "corpus_doc_id",
+            F.col("band").cast("long").alias("band"),
+            "hamming",
+        )
+    )
+
+
 def _phash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The banded image CANDIDATE pair set with per-pair Hamming distance,
     BEFORE the near-dup threshold cut — :func:`image_near_dups` filters
@@ -1295,46 +1336,23 @@ IMG_INGEST_MOD = 10  # doc_id % 10 == 0 plays the arriving image stream
 
 
 def phash_ingest_join(
-    new_media: DataFrame, corpus_bands: DataFrame
+    new_media: DataFrame, corpus_bands: DataFrame, wide: bool = False
 ) -> DataFrame:
     """Ingest-time image near-dup gate: new images vs a static hash index.
 
     ``new_media`` may be a STREAM of (doc_id, payload) — the perceptual
-    hash is a stateless Arrow map stage (:func:`_phash_frame`), banding
-    is per-row expressions, and the band equi-join against the
-    precomputed ``corpus_bands`` index is a stateless stream-static
-    join, so the whole gate runs in append mode with zero streaming
-    state (the ``near_dup_ingest`` shape on the multimodal store).  One
-    output row per matching (new, corpus, band); the Hamming distance
-    is row-local from the two full hashes riding the join —
-    deliberately no pair-level dedup, which would need watermark state
-    the gate has no event time for."""
-    nb = _phash_bands(_phash_frame(new_media)).select(
-        F.col("doc_id").alias("new_doc_id"),
-        F.col("phash").alias("new_phash"),
-        "band",
-        "band_bits",
-    )
-    idx = corpus_bands.select(
-        F.col("doc_id").alias("corpus_doc_id"),
-        F.col("phash").alias("corpus_phash"),
-        "band",
-        "band_bits",
-    )
-    return (
-        nb.join(idx, ["band", "band_bits"])
-        .withColumn(
-            "hamming",
-            F.bit_count(F.expr("new_phash ^ corpus_phash")).cast("long"),
-        )
-        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
-        .select(
-            "new_doc_id",
-            "corpus_doc_id",
-            F.col("band").cast("long").alias("band"),
-            "hamming",
-        )
-    )
+    hash is a stateless Arrow map stage (:func:`_phash_frame`, or the
+    aHash-64 :func:`_phash_wide_frame` when ``wide``), banding is
+    per-row expressions, and the band equi-join against the precomputed
+    ``corpus_bands`` index (the shared :func:`_ingest_gate_join`) is a
+    stateless stream-static join, so the whole gate runs in append mode
+    with zero streaming state (the ``near_dup_ingest`` shape on the
+    multimodal store)."""
+    if wide:
+        nb = _wide_bands(_phash_wide_frame(new_media), "phash")
+    else:
+        nb = _phash_bands(_phash_frame(new_media))
+    return _ingest_gate_join(nb, corpus_bands, "phash", PHASH_MAX_HAMMING)
 
 
 def phash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1668,7 +1686,7 @@ AUDIO_INGEST_MOD = 10  # doc_id % 10 == 0 plays the arriving audio stream
 
 
 def audio_fp_ingest_join(
-    new_media: DataFrame, corpus_bands: DataFrame
+    new_media: DataFrame, corpus_bands: DataFrame, wide: bool = False
 ) -> DataFrame:
     """Ingest-time audio near-dup gate: new clips vs a static
     fingerprint index — the acoustic twin of :func:`phash_ingest_join`
@@ -1685,35 +1703,17 @@ def audio_fp_ingest_join(
     the join — deliberately no pair-level dedup, which would need
     watermark state the gate has no event time for (consumers
     ``distinct()`` if they want pairs, same contract as the image
-    gate)."""
-    nb = _audio_bands(
-        _audio_fp_frame(new_media).select("doc_id", "fp")
-    ).select(
-        F.col("doc_id").alias("new_doc_id"),
-        F.col("fp").alias("new_fp"),
-        "band",
-        "band_bits",
-    )
-    idx = corpus_bands.select(
-        F.col("doc_id").alias("corpus_doc_id"),
-        F.col("fp").alias("corpus_fp"),
-        "band",
-        "band_bits",
-    )
-    return (
-        nb.join(idx, ["band", "band_bits"])
-        .withColumn(
-            "hamming",
-            F.bit_count(F.expr("new_fp ^ corpus_fp")).cast("long"),
+    gate).  ``wide`` selects the production 64-bit fingerprint path
+    (:func:`_audio_fp_wide_frame`, 16-bit bands)."""
+    if wide:
+        nb = _wide_bands(
+            _audio_fp_wide_frame(new_media).select("doc_id", "fp"), "fp"
         )
-        .filter(F.col("hamming") <= AUDIO_FP_MAX_HAMMING)
-        .select(
-            "new_doc_id",
-            "corpus_doc_id",
-            F.col("band").cast("long").alias("band"),
-            "hamming",
-        )
-    )
+        max_h = AUDIO_FP_WIDE_MAX_HAMMING
+    else:
+        nb = _audio_bands(_audio_fp_frame(new_media).select("doc_id", "fp"))
+        max_h = AUDIO_FP_MAX_HAMMING
+    return _ingest_gate_join(nb, corpus_bands, "fp", max_h)
 
 
 def audio_fp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2218,7 +2218,7 @@ VIDEO_INGEST_MOD = 10  # doc_id % 10 == 0 plays the arriving clip stream
 
 
 def video_fp_ingest_join(
-    new_media: DataFrame, corpus_bands: DataFrame
+    new_media: DataFrame, corpus_bands: DataFrame, wide: bool = False
 ) -> DataFrame:
     """Ingest-time video near-dup gate: new clips vs a static per-frame
     hash index — completes ingest-gating parity across all four
@@ -2238,8 +2238,13 @@ def video_fp_ingest_join(
     The clip-level total-hamming verdict needs every frame of both
     sides and therefore state; consumers route flagged pairs through
     the batch scorer, same division of labor as the other gates'
-    ``distinct()`` contract."""
-    nb = _phash_bands(_video_fp_frame(new_media)).select(
+    ``distinct()`` contract.  ``wide`` selects the production 64-bit
+    frame hash path (:func:`_video_fp_wide_frame`, 16-bit bands)."""
+    if wide:
+        nb0 = _wide_bands(_video_fp_wide_frame(new_media), "phash")
+    else:
+        nb0 = _phash_bands(_video_fp_frame(new_media))
+    nb = nb0.select(
         F.col("doc_id").alias("new_doc_id"),
         "n_frames",
         "frame_idx",
@@ -3386,3 +3391,231 @@ ORACLES["trimodal_dedup_audit_wide"] = _trimodal_oracle_of(
 QUERIES["multimodal_dedup_audit"] = multimodal_dedup_audit
 QUERIES["multimodal_dedup_audit_wide"] = multimodal_dedup_audit_wide
 QUERIES["trimodal_dedup_audit_wide"] = trimodal_dedup_audit_wide
+
+
+# -- production-width lifecycle symmetry (r15) --------------------------------
+# Every modality's full dedup lifecycle (fingerprint -> pairs -> clusters
+# -> ingest gate) now exists at BOTH widths: the narrow gate constants
+# and the production 64-bit/16-bit-band path a deployment actually runs.
+
+
+_COMPONENTS_SQL_TAIL = """,
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM wcand
+  UNION
+  SELECT doc_b, doc_a FROM wcand
+),
+reach(s, d) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+)
+SELECT s AS doc_id, min(d) AS cluster_id, s <> min(d) AS is_duplicate
+FROM reach GROUP BY s
+"""
+
+
+def image_dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width image near-dup CLUSTERS: the shared iterative
+    min-label propagation over the wide (aHash-64, 16-bit-band) pair
+    graph — same component semantics as :func:`image_dedup_clusters`,
+    production detector."""
+    from .dedup import min_label_components
+
+    return min_label_components(
+        image_near_dups_wide(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+ORACLES["image_dedup_clusters_wide"] = f"""
+WITH RECURSIVE {_WIMG_CTE},
+wibands AS (
+  SELECT doc_id, phash, band,
+         (phash >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits
+  FROM (SELECT doc_id, phash,
+               unnest(range({PHASH_WIDE_BANDS})) AS band FROM wiph)
+),
+wcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wibands a
+  JOIN wibands b ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_MAX_HAMMING}
+){_COMPONENTS_SQL_TAIL}
+"""
+QUERIES["image_dedup_clusters_wide"] = image_dedup_clusters_wide
+
+
+def audio_dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width audio near-dup CLUSTERS over the 64-bit
+    fingerprint pair graph (see :func:`audio_dedup_clusters`)."""
+    from .dedup import min_label_components
+
+    return min_label_components(
+        audio_near_dups_wide(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+ORACLES["audio_dedup_clusters_wide"] = f"""
+WITH RECURSIVE {_WAUD_CTE},
+wabands AS (
+  SELECT doc_id, fp, band,
+         (fp >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits
+  FROM (SELECT doc_id, fp,
+               unnest(range({AUDIO_FP_WIDE_BANDS})) AS band FROM wafp)
+),
+wcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wabands a
+  JOIN wabands b ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.fp, b.fp)) <= {AUDIO_FP_WIDE_MAX_HAMMING}
+){_COMPONENTS_SQL_TAIL}
+"""
+QUERIES["audio_dedup_clusters_wide"] = audio_dedup_clusters_wide
+
+
+def video_dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-width video near-dup CLUSTERS over the 64-bit
+    per-frame pair graph (see :func:`video_dedup_clusters`)."""
+    from .dedup import min_label_components
+
+    return min_label_components(
+        video_near_dups_wide(spark, sf_dir).select("doc_a", "doc_b")
+    )
+
+
+ORACLES["video_dedup_clusters_wide"] = f"""
+WITH RECURSIVE {_WVID_CTE},
+wvbands AS (
+  SELECT doc_id, n_frames, frame_idx, band,
+         (phash >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits
+  FROM (SELECT doc_id, n_frames, frame_idx, phash,
+               unnest(range({PHASH_WIDE_BANDS})) AS band FROM wvph)
+),
+wvcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wvbands a
+  JOIN wvbands b ON a.n_frames = b.n_frames AND a.frame_idx = b.frame_idx
+               AND a.band = b.band
+               AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+),
+wcand AS (
+  SELECT c.doc_a, c.doc_b
+  FROM wvcand c
+  JOIN wvph fa ON fa.doc_id = c.doc_a
+  JOIN wvph fb ON fb.doc_id = c.doc_b AND fb.frame_idx = fa.frame_idx
+  GROUP BY c.doc_a, c.doc_b
+  HAVING sum(bit_count(xor(fa.phash, fb.phash)))
+           <= {VIDEO_MAX_HAMMING_PER_FRAME} * min(fa.n_frames)
+){_COMPONENTS_SQL_TAIL}
+"""
+QUERIES["video_dedup_clusters_wide"] = video_dedup_clusters_wide
+
+
+def phash_ingest_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the production-width streaming image-ingest gate:
+    the shared :func:`phash_ingest_join` at ``wide=True`` (aHash-64 map
+    stage, 16-bit bands, 65,536 band values — the corpus index a real
+    deployment partitions by the band key)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    new_media = _noisy_media_wide(
+        docs.filter(F.col("doc_id") % IMG_INGEST_MOD == 0)
+    )
+    corpus = _wide_bands(
+        _phash_wide_frame(
+            _noisy_media_wide(
+                docs.filter(F.col("doc_id") % IMG_INGEST_MOD != 0)
+            )
+        ).select("doc_id", "phash"),
+        "phash",
+    )
+    return phash_ingest_join(new_media, corpus, wide=True)
+
+
+ORACLES["phash_ingest_wide"] = f"""
+WITH {_WIMG_CTE},
+wibands AS (
+  SELECT doc_id, phash, band,
+         (phash >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits
+  FROM (SELECT doc_id, phash,
+               unnest(range({PHASH_WIDE_BANDS})) AS band FROM wiph)
+)
+SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id, n.band,
+       cast(bit_count(xor(n.phash, c.phash)) AS bigint) AS hamming
+FROM wibands n
+JOIN wibands c ON n.band = c.band AND n.band_bits = c.band_bits
+WHERE n.doc_id % {IMG_INGEST_MOD} = 0
+  AND c.doc_id % {IMG_INGEST_MOD} <> 0
+  AND bit_count(xor(n.phash, c.phash)) <= {PHASH_MAX_HAMMING}
+"""
+QUERIES["phash_ingest_wide"] = phash_ingest_wide
+
+
+def audio_fp_ingest_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the production-width streaming audio-ingest gate
+    (:func:`audio_fp_ingest_join` at ``wide=True``)."""
+    media = synth_wav_wide(spark, sf_dir)
+    new_media = media.filter(F.col("doc_id") % AUDIO_INGEST_MOD == 0)
+    corpus = _wide_bands(
+        _audio_fp_wide_frame(
+            media.filter(F.col("doc_id") % AUDIO_INGEST_MOD != 0)
+        ).select("doc_id", "fp"),
+        "fp",
+    )
+    return audio_fp_ingest_join(new_media, corpus, wide=True)
+
+
+ORACLES["audio_fp_ingest_wide"] = f"""
+WITH {_WAUD_CTE},
+wabands AS (
+  SELECT doc_id, fp, band,
+         (fp >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits
+  FROM (SELECT doc_id, fp,
+               unnest(range({AUDIO_FP_WIDE_BANDS})) AS band FROM wafp)
+)
+SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id, n.band,
+       cast(bit_count(xor(n.fp, c.fp)) AS bigint) AS hamming
+FROM wabands n
+JOIN wabands c ON n.band = c.band AND n.band_bits = c.band_bits
+WHERE n.doc_id % {AUDIO_INGEST_MOD} = 0
+  AND c.doc_id % {AUDIO_INGEST_MOD} <> 0
+  AND bit_count(xor(n.fp, c.fp)) <= {AUDIO_FP_WIDE_MAX_HAMMING}
+"""
+QUERIES["audio_fp_ingest_wide"] = audio_fp_ingest_wide
+
+
+def video_fp_ingest_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the production-width streaming video-ingest gate
+    (:func:`video_fp_ingest_join` at ``wide=True``; per-frame evidence
+    rows, same pigeonhole completeness as the narrow gate)."""
+    media = synth_video_wide(spark, sf_dir)
+    new_media = media.filter(F.col("doc_id") % VIDEO_INGEST_MOD == 0)
+    corpus = _wide_bands(
+        _video_fp_wide_frame(
+            media.filter(F.col("doc_id") % VIDEO_INGEST_MOD != 0)
+        ),
+        "phash",
+    )
+    return video_fp_ingest_join(new_media, corpus, wide=True)
+
+
+ORACLES["video_fp_ingest_wide"] = f"""
+WITH {_WVID_CTE},
+wvbands AS (
+  SELECT doc_id, n_frames, frame_idx, phash, band,
+         (phash >> (band * {PHASH_WIDE_BAND_W})) & 65535 AS band_bits
+  FROM (SELECT doc_id, n_frames, frame_idx, phash,
+               unnest(range({PHASH_WIDE_BANDS})) AS band FROM wvph)
+)
+SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+       n.frame_idx, n.band,
+       cast(bit_count(xor(n.phash, c.phash)) AS bigint) AS hamming
+FROM wvbands n
+JOIN wvbands c ON n.n_frames = c.n_frames AND n.frame_idx = c.frame_idx
+              AND n.band = c.band AND n.band_bits = c.band_bits
+WHERE n.doc_id % {VIDEO_INGEST_MOD} = 0
+  AND c.doc_id % {VIDEO_INGEST_MOD} <> 0
+  AND bit_count(xor(n.phash, c.phash)) <= {PHASH_MAX_HAMMING}
+"""
+QUERIES["video_fp_ingest_wide"] = video_fp_ingest_wide

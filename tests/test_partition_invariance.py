@@ -96,6 +96,10 @@ INVARIANCE_SLICE = [
     "ann_bucketed_topk_wide",
     "semantic_dedup_wide",
     "trimodal_dedup_audit_wide",
+    # late-r15 lifecycle symmetry: wide components (integer min-label
+    # loop) and the wide stream-static gate
+    "audio_dedup_clusters_wide",
+    "phash_ingest_wide",
 ]
 
 PARTITION_SETTINGS = ["1", "7", "32"]

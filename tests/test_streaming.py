@@ -840,3 +840,50 @@ def test_embedding_ingest_stream_matches_batch(spark):
     g, w = normalize(got_w), normalize(want_w)
     assert g.shape == w.shape, f"wide: {g.shape} != {w.shape}"
     assert g.equals(w)
+
+
+def test_phash_ingest_wide_stream_matches_batch(spark):
+    # the production-width image gate (r15): the SAME shared join
+    # builder at wide=True — aHash-64 Arrow map stage + 16-bit banding
+    # on the stream side vs the precomputed wide corpus index;
+    # append-mode result must equal the batch twin
+    from pyspark.sql import types as T
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        multimodal as mm,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream_media = mm._noisy_media_wide(
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+        .filter(F.col("doc_id") % mm.IMG_INGEST_MOD == 0)
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    index = mm._wide_bands(
+        mm._phash_wide_frame(
+            mm._noisy_media_wide(
+                docs.filter(F.col("doc_id") % mm.IMG_INGEST_MOD != 0)
+            )
+        ).select("doc_id", "phash"),
+        "phash",
+    ).localCheckpoint()  # materialized index, as a deployment would have
+    got = se.run_stream_to_memory(
+        spark,
+        mm.phash_ingest_join(stream_media, index, wide=True),
+        "phash_ingest_wide_stream",
+        output_mode="append",
+    ).toPandas()
+    want = mm.phash_ingest_wide(spark, SF_DIR).toPandas()
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
