@@ -172,6 +172,14 @@ PROBE = [
     "image_near_dups_wide",
     "multimodal_dedup_audit_wide",
     "trimodal_dedup_audit_wide",
+    # late-r15 lifecycle symmetry: wide components ride their pair
+    # queries' candidate shape plus O(diameter) min-label rounds; wide
+    # gates are the stream-static band join (expect flat-linear)
+    "image_dedup_clusters_wide",
+    "audio_dedup_clusters_wide",
+    "phash_ingest_wide",
+    "audio_fp_ingest_wide",
+    "video_fp_ingest_wide",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default
@@ -210,6 +218,12 @@ PROBE_PATTERN_SCALE = {
     "image_near_dups_wide": ("N_IMG_PATTERNS",),
     "multimodal_dedup_audit_wide": ("N_IMG_PATTERNS",),
     "trimodal_dedup_audit_wide": ("N_IMG_PATTERNS", "AUDIO_PATTERNS"),
+    # late-r15 lifecycle symmetry
+    "image_dedup_clusters_wide": ("N_IMG_PATTERNS",),
+    "audio_dedup_clusters_wide": ("AUDIO_PATTERNS",),
+    "phash_ingest_wide": ("N_IMG_PATTERNS",),
+    "audio_fp_ingest_wide": ("AUDIO_PATTERNS",),
+    "video_fp_ingest_wide": ("N_VIDEO_PATTERNS",),
 }
 
 
