@@ -636,10 +636,15 @@ _PRIORITY_R15 = [
     "phash_ingest",
     "audio_fp_ingest",
     "video_fp_ingest",
+    # (b cont., late r15) margin-criterion bitext mining, both widths
+    # (never certified; ALL MATCH at sf0.001 + sf0.01 before staging;
+    # same displacement rule as above)
+    "bitext_mining",
+    "bitext_mining_wide",
     # (c) r10-era greens from the _PRIORITY_R10 queue, alphabetical up
-    # to the 50-slot budget (8 + 19 + 9 + 14; the tail past the cut —
-    # q13_customer_distribution..zorder_stats and the textrank/
-    # term_stats group — stays queued via _PRIORITY_R10)
+    # to the 50-slot budget (8 + 19 + 11 + 12; the tail past the cut —
+    # partition_rewrite_plan..zorder_stats and the textrank/term_stats
+    # group — stays queued via _PRIORITY_R10)
     "graph_lpa",
     "graph_lpa_capped",
     "graph_triangles",
@@ -652,8 +657,6 @@ _PRIORITY_R15 = [
     "multimodal_features",
     "ngram_novelty",
     "pack_sequences",
-    "partition_rewrite_plan",
-    "q12_late_shipments",
 ]
 
 # _PRIORITY_R10 below.  After r14 certifies, the oldest standing green

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..functions import _owned_ckpt, _retire_ckpt, dot, r6, session_memo
+from ..functions import _owned_ckpt, _retire_ckpt, dot, pin, r6, session_memo
 from ..io import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -3405,3 +3405,193 @@ WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm)
       >= {NEAR_DUP_THRESHOLD}
 """
 QUERIES["embedding_near_dups_wide"] = embedding_near_dups_wide
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining — margin-based cross-lingual pair extraction (r15)
+# ---------------------------------------------------------------------------
+# The Artetxe & Schwenk (2019) ratio-margin criterion LASER/ParaCrawl-
+# style corpora are mined with: a candidate translation pair (a, b)
+# scores cos(a, b) normalized by the mean cosine of each side's k
+# nearest neighbors in the candidate pool — raw cosine over-accepts in
+# dense "hubness" regions, the margin cancels that density out.  The
+# corpus's 1:1 doc_id<->vec_id keying supplies each vector's language.
+
+BITEXT_SRC_LANG = "en"  # mining direction: en -> every other language
+BITEXT_K = 4  # k-NN pool for the margin denominators
+BITEXT_MARGIN_T = 1.05  # ratio-margin acceptance threshold
+
+
+def _bitext_mining_at(
+    spark: SparkSession, sf_dir: str, dims: int
+) -> DataFrame:
+    """Margin-based bitext mining at sign-bucket blocking width
+    ``dims``: one row per {BITEXT_SRC_LANG} document whose best
+    cross-lingual match clears the margin threshold — (src_id, tgt_id,
+    tgt_lang, cosine, margin).
+
+    Scale shape: the candidate pool is the bucket equi-join (src x tgt
+    WITHIN a bucket, never all-pairs — margins are defined
+    BUCKET-LOCALLY, so the kNN denominators need no second corpus
+    pass); both kNN means are one window + one order-fixed fold over
+    O(candidates); the final argmax one more window.  The margin ratio
+    divides engine-exact doubles (order-fixed cosine folds, id-sorted
+    denominator sums), so the threshold and the argmax ordering are
+    deterministic cross-engine, with id tie-breaks.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    emb = (
+        _embeddings(spark, sf_dir)
+        .join(docs, "vec_id")
+        .withColumn("nrm", _norm(F.col("e")))
+        .withColumn("bucket", _bucket_of(F.col("e"), dims))
+    )
+    src = emb.filter(F.col("lang") == BITEXT_SRC_LANG).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("e").alias("es"),
+        F.col("nrm").alias("ns"),
+        "bucket",
+    )
+    tgt = emb.filter(F.col("lang") != BITEXT_SRC_LANG).select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("lang").alias("tgt_lang"),
+        F.col("e").alias("et"),
+        F.col("nrm").alias("nt"),
+        "bucket",
+    )
+    # one pin: the scored candidate pool feeds both kNN means AND the
+    # final margin join — without it the bucket join re-executes thrice
+    pairs = pin(
+        src.join(tgt, "bucket")
+        .withColumn(
+            "cos_raw",
+            dot(F.col("es"), F.col("et")) / (F.col("ns") * F.col("nt")),
+        )
+        .select("src_id", "tgt_id", "tgt_lang", "cos_raw")
+    )
+
+    def _knn_mean(key: str, other: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(
+            F.desc("cos_raw"), F.asc(other)
+        )
+        return (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= BITEXT_K)
+            .groupBy(key)
+            .agg(
+                (
+                    F.aggregate(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct(other, "cos_raw"))
+                            ),
+                            lambda s: s["cos_raw"],
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.count("*")
+                ).alias(out)
+            )
+        )
+
+    sm = _knn_mean("src_id", "tgt_id", "src_knn_mean")
+    tm = _knn_mean("tgt_id", "src_id", "tgt_knn_mean")
+    margin = F.col("cos_raw") / (
+        (F.col("src_knn_mean") + F.col("tgt_knn_mean")) / 2
+    )
+    scored = (
+        pairs.join(sm, "src_id")
+        .join(tm, "tgt_id")
+        .withColumn("margin_raw", margin)
+    )
+    best = Window.partitionBy("src_id").orderBy(
+        F.desc("margin_raw"), F.asc("tgt_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(best))
+        .filter((F.col("rk") == 1) & (F.col("margin_raw") >= BITEXT_MARGIN_T))
+        .select(
+            "src_id",
+            "tgt_id",
+            "tgt_lang",
+            r6(F.col("cos_raw")).alias("cosine"),
+            r6(F.col("margin_raw")).alias("margin"),
+        )
+    )
+
+
+def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining at the SIGN_DIMS gate width (see
+    :func:`_bitext_mining_at`)."""
+    return _bitext_mining_at(spark, sf_dir, SIGN_DIMS)
+
+
+def bitext_mining_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-width bitext mining: :func:`_bitext_mining_at` at
+    SIGN_DIMS_WIDE hyperplanes — the pool join's per-bucket mass stays
+    bounded at corpus scale (dims ~ log2(corpus); a real LASER-style
+    mining run blocks on the trained IVF cell column and explodes
+    flip-probes on the smaller language's side for recall)."""
+    return _bitext_mining_at(spark, sf_dir, SIGN_DIMS_WIDE)
+
+
+def _bitext_oracle_of(emb_cte: str) -> str:
+    return f"""
+WITH {emb_cte},
+embl AS (
+  SELECT n.vec_id, n.e, n.nrm, n.bucket, d.lang
+  FROM embn n JOIN documents d ON d.doc_id = n.vec_id
+),
+pairs AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id, t.lang AS tgt_lang,
+         list_dot_product(s.e, t.e) / (s.nrm * t.nrm) AS cos_raw
+  FROM embl s JOIN embl t ON t.bucket = s.bucket
+  WHERE s.lang = '{BITEXT_SRC_LANG}' AND t.lang <> '{BITEXT_SRC_LANG}'
+),
+sr AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY src_id ORDER BY cos_raw DESC, tgt_id) AS rk
+  FROM pairs
+),
+sm AS (
+  SELECT src_id,
+         list_aggregate(list(cos_raw ORDER BY tgt_id), 'sum') / count(*)
+           AS src_knn_mean
+  FROM sr WHERE rk <= {BITEXT_K} GROUP BY src_id
+),
+tr AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY tgt_id ORDER BY cos_raw DESC, src_id) AS rk
+  FROM pairs
+),
+tm AS (
+  SELECT tgt_id,
+         list_aggregate(list(cos_raw ORDER BY src_id), 'sum') / count(*)
+           AS tgt_knn_mean
+  FROM tr WHERE rk <= {BITEXT_K} GROUP BY tgt_id
+),
+scored AS (
+  SELECT p.src_id, p.tgt_id, p.tgt_lang, p.cos_raw,
+         p.cos_raw / ((sm.src_knn_mean + tm.tgt_knn_mean) / 2)
+           AS margin_raw
+  FROM pairs p JOIN sm USING (src_id) JOIN tm USING (tgt_id)
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY src_id ORDER BY margin_raw DESC, tgt_id) AS rk
+  FROM scored
+)
+SELECT src_id, tgt_id, tgt_lang,
+       (round(cos_raw, 6) + 0.0) AS cosine,
+       (round(margin_raw, 6) + 0.0) AS margin
+FROM best WHERE rk = 1 AND margin_raw >= {BITEXT_MARGIN_T}
+"""
+
+
+ORACLES["bitext_mining"] = _bitext_oracle_of(_EMB_CTE)
+QUERIES["bitext_mining"] = bitext_mining
+ORACLES["bitext_mining_wide"] = _bitext_oracle_of(_EMB_CTE_WIDE)
+QUERIES["bitext_mining_wide"] = bitext_mining_wide

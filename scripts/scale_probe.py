@@ -180,6 +180,12 @@ PROBE = [
     "phash_ingest_wide",
     "audio_fp_ingest_wide",
     "video_fp_ingest_wide",
+    # late-r15: margin-criterion bitext mining — the candidate pool is
+    # the bucket equi-join and the margins are bucket-local, so both
+    # widths should track bucket occupancy (narrow: occupancy grows
+    # linearly at 16 buckets; wide: the contrast)
+    "bitext_mining",
+    "bitext_mining_wide",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default
@@ -334,6 +340,9 @@ PROBE_X100 = [
     "image_near_dups_wide",
     "multimodal_dedup_audit_wide",
     "trimodal_dedup_audit_wide",
+    # late-r15: the wide bitext pool one decade further (the narrow
+    # pool's occupancy² candidate mass is the measured 16-bucket class)
+    "bitext_mining_wide",
 ]
 
 

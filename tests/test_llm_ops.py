@@ -782,3 +782,46 @@ def test_ccnet_buckets_small_language_booleans_hold(spark, tmp_path):
         assert r["partition_ok"] and r["monotone_ok"], lang
         assert r["cuts_nondecreasing_ok"], lang
         assert r["p33_ok"] and r["p67_ok"], lang
+
+
+# -- bitext mining (r15): margin-criterion invariants on the real fixture ----
+
+
+def test_bitext_mining_contract(spark):
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        similarity as sim,
+    )
+
+    out = sim.bitext_mining(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    # mining direction: targets are never the source language, and at
+    # most one row (the argmax) per source document
+    assert (out["tgt_lang"] != sim.BITEXT_SRC_LANG).all()
+    assert out["src_id"].is_unique
+    # every accepted pair clears the margin threshold (rounded value may
+    # sit a hair under the raw-value cut, hence the 1e-6 slack)
+    assert (out["margin"] >= sim.BITEXT_MARGIN_T - 1e-6).all()
+    # the margin criterion is a RE-RANKING, not a cosine cut: it must be
+    # able to reject some hub pairs a raw-cosine argmax would keep
+    # (src docs with candidates but no accepted row exist on this
+    # fixture — the criterion is doing work)
+    docs = sim.load_table(spark, SF_DIR, "documents")
+    n_src = docs.filter(f"lang = '{sim.BITEXT_SRC_LANG}'").count()
+    assert len(out) < n_src
+
+
+def test_bitext_mining_wide_blocks_narrower(spark):
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        similarity as sim,
+    )
+
+    narrow = sim.bitext_mining(spark, SF_DIR).toPandas()
+    wide = sim.bitext_mining_wide(spark, SF_DIR).toPandas()
+    assert len(wide) > 0
+    # the wide key is a refinement of the narrow key (first 4 sign bits
+    # are a prefix of the first 8), so every wide candidate pool is a
+    # subset of a narrow pool — accepted wide pairs whose (src, tgt)
+    # the narrow run also accepted must agree on the cosine
+    m = narrow.merge(wide, on=["src_id", "tgt_id"], suffixes=("_n", "_w"))
+    if len(m):
+        assert (m["cosine_n"] == m["cosine_w"]).all()

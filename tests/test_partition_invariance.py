@@ -100,6 +100,10 @@ INVARIANCE_SLICE = [
     # loop) and the wide stream-static gate
     "audio_dedup_clusters_wide",
     "phash_ingest_wide",
+    # late-r15 bitext mining: margins divide order-fixed cosine folds by
+    # id-sorted denominator sums — the whole chain must survive a
+    # serialized reduction order
+    "bitext_mining",
 ]
 
 PARTITION_SETTINGS = ["1", "7", "32"]
