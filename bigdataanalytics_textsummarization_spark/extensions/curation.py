@@ -951,9 +951,23 @@ def _hybrid_dedup_audit_at(
     )
 
 
-def hybrid_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexical-vs-semantic near-dup agreement audit at the SIGN_DIMS
-    semantic gate width (see :func:`_hybrid_dedup_audit_at`)."""
+def hybrid_dedup_audit(
+    spark: SparkSession, sf_dir: str, dims: int = SIGN_DIMS_WIDE
+) -> DataFrame:
+    """Lexical-vs-semantic near-dup agreement audit (see
+    :func:`_hybrid_dedup_audit_at`).
+
+    The public default is the PRODUCTION semantic blocking width
+    (``SIGN_DIMS_WIDE``; dims ~ log2(corpus)) — the narrow ``SIGN_DIMS``
+    width is an oracle-gate constant, pinned expressly by the registered
+    query (:func:`hybrid_dedup_audit_gate`; VERDICT r15 task 3)."""
+    return _hybrid_dedup_audit_at(spark, sf_dir, dims)
+
+
+def hybrid_dedup_audit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered ``hybrid_dedup_audit`` oracle gate: the identical plan
+    with the narrow SIGN_DIMS semantic width pinned expressly (the
+    public API defaults to production width)."""
     return _hybrid_dedup_audit_at(spark, sf_dir, SIGN_DIMS)
 
 
@@ -1004,7 +1018,7 @@ SELECT * FROM (
 
 
 ORACLES["hybrid_dedup_audit"] = _hybrid_audit_oracle_of(_EMB_CTE)
-QUERIES["hybrid_dedup_audit"] = hybrid_dedup_audit
+QUERIES["hybrid_dedup_audit"] = hybrid_dedup_audit_gate
 ORACLES["hybrid_dedup_audit_wide"] = _hybrid_audit_oracle_of(_EMB_CTE_WIDE)
 QUERIES["hybrid_dedup_audit_wide"] = hybrid_dedup_audit_wide
 
@@ -1397,14 +1411,17 @@ def decontam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit is one full-outer equi-join over two tiny frames —
     O(flagged docs)."""
     from .dedup import benchmark_decontam
-    from .similarity import semantic_decontam
+    from .similarity import semantic_decontam_gate
 
     lex = benchmark_decontam(spark, sf_dir).select(
         "doc_id",
         F.col("bench_id").alias("lex_bench_id"),
         "n_shared",
     )
-    sem = semantic_decontam(spark, sf_dir).select(
+    # the semantic side pins the narrow oracle-gate width expressly (the
+    # public semantic_decontam defaults to production width since r16;
+    # this audit's DuckDB oracle composes the narrow detector oracle)
+    sem = semantic_decontam_gate(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"),
         F.col("benchmark_id").alias("sem_bench_id"),
         "cosine",

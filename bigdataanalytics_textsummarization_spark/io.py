@@ -337,7 +337,19 @@ def read_reviews_tsv(
     unparseable ``star_rating`` cell follows the selected bad-record
     policy (null + ``_corrupt_record`` capture under PERMISSIVE — the
     typed schema cannot hold the literal string ``star_rating``).
+    ``keep_header_row=True`` is incompatible with ``FAILFAST`` (the
+    header row's ``star_rating`` cell can never satisfy the typed
+    schema, so the whole read would abort on the header itself) and
+    raises ``ValueError`` — the replay path works under PERMISSIVE or
+    DROPMALFORMED only (ADVICE r15).
     """
+    if keep_header_row and mode.upper() == "FAILFAST":
+        raise ValueError(
+            "keep_header_row=True cannot be combined with mode='FAILFAST': "
+            "the header row's star_rating cell never satisfies the typed "
+            "schema, so FAILFAST aborts the read on the header itself; "
+            "use PERMISSIVE or DROPMALFORMED"
+        )
     schema = REVIEWS_SCHEMA
     if mode.upper() == "PERMISSIVE":
         schema = T.StructType(

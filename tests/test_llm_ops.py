@@ -17,7 +17,7 @@ from bigdataanalytics_textsummarization_spark.extensions.curation import (
 )
 from bigdataanalytics_textsummarization_spark.extensions.similarity import (
     embedding_near_dups,
-    semantic_dedup,
+    semantic_dedup_gate,
 )
 from bigdataanalytics_textsummarization_spark.extensions.text_analysis import (
     PPL_SMOOTH_K,
@@ -125,7 +125,9 @@ def test_semantic_dedup_consistent_with_near_dups(spark):
     dropped = {
         r["vec_b"] for r in embedding_near_dups(spark, SF_DIR).collect()
     }
-    verdicts = semantic_dedup(spark, SF_DIR).collect()
+    # narrow gate width: embedding_near_dups (the comparison set) is the
+    # narrow detector; the public API defaults to production width
+    verdicts = semantic_dedup_gate(spark, SF_DIR).collect()
     assert len(verdicts) > 0
     for r in verdicts:
         assert r["kept"] == (r["vec_id"] not in dropped)
@@ -500,7 +502,7 @@ def test_hybrid_dedup_audit_three_state_contract(spark):
     threshold; 'not_a_candidate' implies the -1.0 sentinel; and the
     flagged sets reproduce the certified detectors exactly."""
     from bigdataanalytics_textsummarization_spark.extensions.curation import (
-        hybrid_dedup_audit,
+        hybrid_dedup_audit_gate,
     )
     from bigdataanalytics_textsummarization_spark.extensions.dedup import (
         CLUSTER_MIN_JACCARD,
@@ -511,7 +513,9 @@ def test_hybrid_dedup_audit_three_state_contract(spark):
         embedding_near_dups,
     )
 
-    out = hybrid_dedup_audit(spark, SF_DIR).toPandas()
+    # narrow gate width (the flagged-set comparisons below are against
+    # the narrow detectors' own outputs)
+    out = hybrid_dedup_audit_gate(spark, SF_DIR).toPandas()
     states = {"flagged", "below_threshold", "not_a_candidate"}
     assert set(out["lexical"]) <= states and set(out["semantic"]) <= states
     assert (
@@ -792,7 +796,7 @@ def test_bitext_mining_contract(spark):
         similarity as sim,
     )
 
-    out = sim.bitext_mining(spark, SF_DIR).toPandas()
+    out = sim.bitext_mining_gate(spark, SF_DIR).toPandas()
     assert len(out) > 0
     # mining direction: targets are never the source language, and at
     # most one row (the argmax) per source document
@@ -815,7 +819,7 @@ def test_bitext_mining_wide_blocks_narrower(spark):
         similarity as sim,
     )
 
-    narrow = sim.bitext_mining(spark, SF_DIR).toPandas()
+    narrow = sim.bitext_mining_gate(spark, SF_DIR).toPandas()
     wide = sim.bitext_mining_wide(spark, SF_DIR).toPandas()
     assert len(wide) > 0
     # the wide key is a refinement of the narrow key (first 4 sign bits
@@ -823,5 +827,47 @@ def test_bitext_mining_wide_blocks_narrower(spark):
     # subset of a narrow pool — accepted wide pairs whose (src, tgt)
     # the narrow run also accepted must agree on the cosine
     m = narrow.merge(wide, on=["src_id", "tgt_id"], suffixes=("_n", "_w"))
-    if len(m):
-        assert (m["cosine_n"] == m["cosine_w"]).all()
+    # the refinement property guarantees overlap on this fixture; an
+    # empty merge would make the agreement check vacuous (ADVICE r15)
+    assert len(m) > 0
+    assert (m["cosine_n"] == m["cosine_w"]).all()
+
+
+def test_public_width_default_is_production(spark):
+    """VERDICT r15 task 3: every un-suffixed public sign-bucket builder
+    defaults to the PRODUCTION blocking width — the signature default is
+    SIGN_DIMS_WIDE for all five, and the default-width frame is
+    identical to the _wide twin's (spot-checked on the cheapest pair)."""
+    import inspect
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        curation as cur,
+    )
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        similarity as sim,
+    )
+
+    for fn in (
+        sim.semantic_dedup,
+        sim.ann_bucketed_topk,
+        sim.semantic_decontam,
+        sim.bitext_mining,
+        cur.hybrid_dedup_audit,
+    ):
+        assert (
+            inspect.signature(fn).parameters["dims"].default
+            == sim.SIGN_DIMS_WIDE
+        ), fn.__name__
+    default = (
+        sim.semantic_decontam(spark, SF_DIR)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    wide = (
+        sim.semantic_decontam_wide(spark, SF_DIR)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(default, wide)

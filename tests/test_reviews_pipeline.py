@@ -95,6 +95,18 @@ def test_tsv_keep_header_row_bit_parity(spark, reviews_dir):
     assert len(read_reviews_tsv(spark, reviews_dir).collect()) == 36
 
 
+def test_tsv_keep_header_row_rejects_failfast(spark, reviews_dir):
+    """keep_header_row=True + FAILFAST is a contradiction — the header
+    row itself can never satisfy the typed schema, so the read would
+    abort on every file (ADVICE r15): reject it loudly up front."""
+    import pytest
+
+    with pytest.raises(ValueError, match="FAILFAST"):
+        read_reviews_tsv(
+            spark, reviews_dir, mode="FAILFAST", keep_header_row=True
+        )
+
+
 def test_tsv_bad_record_quarantine(spark, tmp_path):
     bad = tmp_path / "BADPROD.txt"
     bad.write_text(
