@@ -68,410 +68,72 @@ _MODULES = [
 
 # Individual queries that MUST land inside the driver's 50-query budget
 # window this round, ahead of their module's position: new this round or
-# changed-since-last-green (as now mechanically enforced by
+# changed-since-last-green (as mechanically enforced by
 # scripts/check_recert.py — it diffs each query's cross-module AST
 # closure against the tree its last green artifact was committed on).
 #
-# Round-7 rotation (VERDICT r6 task 3): r6 burned all 50 slots
-# re-certifying r5's exact window, so this round the window is rebuilt
-# as (a) the queries whose BEHAVIOR changed this round — the -0.0
-# convention fix (embedding_cov, red in r5+r6), the pagerank lazy
-# checkpoint (textrank_*), the LSA dispatch-memo fix (lsa_summary), the
-# recall-gate loud-fail/coalesce fixes (ann_recall_sweep,
-# knn_graph_recall) — then (b) every query whose last green row is
-# OLDEST: the single r1 row (sales_pivot), all 27 r2-era rows, and the
-# alphabetically-first r3-era rows up to the 50 budget.  44 of 50 names
-# are disjoint from r6's window.  (The +0.0 oracle sweep technically
-# touched all 165 closures; value-wise it is the identity everywhere
-# except -0.0, verified by scripts/driver_sim.py's bit-exact 165/165
-# sweep at sf0.01 — so re-certification is prioritized by staleness,
-# not by that mechanical diff.)
-# Round-8 window (VERDICT r7 task 1): 50 slots = (a) the four queries NEW
-# this round, (b) every query whose closure changed this round (the
-# leaf()/session_memo construct-time work in text/graph/pagerank — values
-# verified bit-exact vs the pre-leaf plans by driver_sim at sf0.01 AND
-# sf0.1 — plus rfm_segments' r2 routing), then (c) the staged
-# _PRIORITY_R7_OVERFLOW queue OLDEST-FIRST (r3-era names first, exactly
-# the order the r7 verdict prescribed) up to the budget.  48/50 names are
-# disjoint from the r7 window (only textrank_ranks/textrank_top5 repeat —
-# their closures changed again).  Stragglers remain staged for r9 via the
-# overflow list below.
-_PRIORITY_R8 = [
-    # (a) new this round
-    "embedding_cov_gram_check",  # 100 TB Gramian covariance, driver-gated
-    "ppm_files_decode",  # file-system ingest edges (real files on disk)
-    "wav_files_decode",
-    "tar_shards_roundtrip",
-    # (b) closure changed this round (scripts/check_recert.py list)
-    "sentences",
-    "tokens_lsa",
-    "tokens_textrank",
-    "tokens_wordnet",
-    "tf_map",
-    "vocabulary",
-    "term_stats",
-    "top_keywords",
-    "similarity_edges",
-    "graph_triangles",
-    "graph_khop",
-    "graph_lpa",
-    "textrank_ranks",
-    "textrank_top5",
-    "rfm_segments",
-    # (c) staged overflow, oldest-first (r3-era)
-    "embedding_quantize",
-    "gopher_rules",
-    "mixture_sample",
-    "ppl_ingest",
-    "source_mixture",
-    "substring_dedup",
-    "tfidf_topk_mllib",
-    "ann_ivfpq_recall",
-    "ann_pq_recall",
-    "asof_click_attribution",
-    "basket_lift",
-    "centroid_eval",
-    "contrastive_pairs",
-    "dedup_containment",
-    "event_transitions",
-    "events_in_sessions",
-    "knn_accuracy",
-    "lineitem_stats",
-    "pmi_edges",
-    "price_percentiles",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-]
-
-_PRIORITY_R7 = [
-    # (a) new this round: real RIFF/PCM WAV decode (stdlib wave parser),
-    # the audio twin of multimodal_decode's PPM path
-    "wav_decode",
-    # behavior changed this round
-    "embedding_cov",
-    "textrank_ranks",
-    "textrank_top5",
-    "lsa_summary",
-    "ann_recall_sweep",
-    "knn_graph_recall",
-    # (b) oldest standing rows: r1
-    "sales_pivot",
-    # r2-era rows (last green: CORRECTNESS_r02)
+# Round-16 window (VERDICT r15 tasks 2-3+6): 50 slots = (a) the one
+# never-certified r16 query (the within-doc repeated-span trim), (b) the
+# seven rows touched by the public width-default flip — the five narrow
+# sign-bucket gates re-registered through explicitly-pinned *_gate
+# wrappers (values bit-identical, verified ALL MATCH at sf0.001 + sf0.01
+# by driver_sim before staging), plus decontam_audit (now composes
+# semantic_decontam_gate) and bitext_mining_wide (the shared
+# _bitext_mining_at gained the ADVICE r15 denominator guard — an
+# identity on this fixture, verified MATCH) — then (c) the ENTIRE
+# r10-era freshness queue (22 names, the oldest standing greens; the
+# text diamond family grouped for leaf/memo reuse), and (d) the
+# alphabetically-first 20 of the 40 r11-era greens.  1+7+22+20 = exactly
+# the 50-slot budget; after r16 certifies, the oldest standing green is
+# r11-era and the 20 r11-era names past the cut lead the r17 rotation
+# (recompute eras from CORRECTNESS_r*.json, or read REGISTRY.md's
+# last-green column).
+_PRIORITY_R16 = [
+    # (a) never certified
+    "doc_repetition_strip",
+    # (b) the width-default flip closures, family-grouped (shared
+    # _embeddings leaf; the audits ride the sign-bucket candidate leafs)
     "ann_bucketed_topk",
+    "semantic_dedup",
+    "semantic_decontam",
+    "hybrid_dedup_audit",
+    "decontam_audit",
+    "bitext_mining",
+    "bitext_mining_wide",
+    # (c) the full r10-era queue — text diamond family first (shared
+    # sentence/token leafs), then the rest alphabetical
+    "similarity_edges",
+    "term_stats",
+    "textrank_ranks",
+    "textrank_top5",
+    "top_keywords",
+    "partition_rewrite_plan",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q16_parts_supplier_count",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "quantile_sketch",
+    "salted_heavy_agg",
+    "salted_join",
+    "shard_shuffle",
+    "snapshot_diff",
+    "snapshot_drift",
+    "table_profile",
+    "text_normalize",
+    "timeseries_fill",
+    "typo_pairs",
+    "zorder_stats",
+    # (d) r11-era greens, alphabetical up to the 50-slot budget (the ANN
+    # family groups naturally and shares the _embeddings leaf with (b))
     "ann_cosine_topk",
     "ann_cosine_topk_arrow",
-    "bigram_lm",
-    "dedup_clusters",
-    "dedup_minhash_lsh",
-    "doc_fingerprint",
-    "doc_repetition",
-    "embedding_near_dups",
-    "events_by_segment",
-    "events_dedup",
-    "events_sliding",
-    "frame_sample",
-    "image_resize",
-    "lang_id",
-    "minhash_signatures",
-    "multimodal_features",
-    "near_dup_ingest",
-    "pii_scrub",
-    "quality_score",
-    "simhash_fingerprints",
-    "simhash_near_pairs",
-    "stratified_sample",
-    "token_count",
-    "topk_ngrams",
-    "user_sessions",
-    "view_click_pairs",
-    # r3-era rows (alphabetical; the rest of r3 rotates to round 8)
-    "ann_sq_topk",
-    "audio_resample",
-    "bloom_semijoin",
-    "bm25_search",
-    "bpe_encode",
-    "bpe_vocab",
-    "char_entropy",
-    "classifier_score",
-    "clf_ingest",
-    "cohort_retention",
-    "compression_ratio",
-    "contamination_check",
-    "curation_pipeline",
-    "doc_perplexity",
-    "embedding_rp",
-]
-
-_PRIORITY_R6 = [
-    # new this round: genuine PPM payload + real format-parsing decode
-    "multimodal_decode",
-    # new this round: train/eval n-gram decontamination gate + per-domain
-    # admission caps (Common-Crawl per-host cap shape)
-    "benchmark_decontam",
-    "domain_caps",
-    # new this round: covariance (SQL-gated) + PCA projection
-    # (golden-gated) for the embedding store
-    "embedding_cov",
-    "embedding_pca",
-    # new this round: IVF recall-vs-nprobe tuning curve (determinate facts:
-    # monotone by theorem, exhaustive row identically brute force)
-    "ann_recall_sweep",
-    # new this round: per-language subwords-per-word under the learned BPE
-    "tokenizer_fertility",
-    # new this round: NN-Descent kNN graph (golden) + its recall gate
-    "knn_graph_descent",
-    "knn_graph_recall",
-    # new this round: label-propagation communities (unrolled-CTE oracle)
-    "graph_lpa",
-    # new this round: row-level MERGE INTO (merge == target is the gate)
-    "merge_upsert",
-    # changed this round: size-dispatched LSA (applyInPandas vs MLlib SVD
-    # routed per-source by matrix cells) — golden oracles unchanged
-    "lsa_concepts",
-    "lsa_summary",
-    "lsa_concepts_distributed",
-    # changed this round: quintile numerator now casts to long BEFORE the
-    # multiply (ADVICE.md 32-bit wrap past ~429M customers)
-    "rfm_segments",
-    # changed in r4 AFTER their last green rows (recall-verdict coalesce
-    # fix) — the drift the judge caught by hand and check_recert.py now
-    # catches mechanically
-    "ann_ivf_recall",
-    "minhash_lsh_mllib_recall",
-    # flagged by check_recert.py: closure drifted since their r1/r2 rows
-    # (shared-helper changes in later rounds); re-certify
-    "dedup_ngram_jaccard",
-    "train_test_split",
-    "similarity_edges",
-    "textrank_ranks",
-    "textrank_top5",
-    "top_keywords",
-]
-
-# Staged overflow (r7): the +0.0 -0.0-guard sweep mechanically changed
-# these queries' closures too, but the 50-slot driver budget is already
-# spent on the rotation window above.  They are STAGED here — behind the
-# window, age-ordered — so check_recert sees them queued and rounds 8+
-# rotate them in.  Interim evidence they did not regress: the bit-exact
-# 165/165 driver_sim sweep at sf0.01 after the sweep (the +0.0 guard is
-# the identity on every value except -0.0 by IEEE-754).
-_PRIORITY_R7_OVERFLOW = [
-    "embedding_quantize",  # displaced from the window by wav_decode
-    "gopher_rules",
-    "mixture_sample",
-    "ppl_ingest",
-    "source_mixture",
-    "substring_dedup",
-    "tfidf_topk_mllib",
-    "ann_ivfpq_recall",
-    "ann_pq_recall",
-    "asof_click_attribution",
-    "basket_lift",
-    "centroid_eval",
-    "contrastive_pairs",
-    "dedup_containment",
-    "event_transitions",
-    "events_in_sessions",
-    "knn_accuracy",
-    "lineitem_stats",
-    "pmi_edges",
-    "price_percentiles",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "rich_customers_sql",
-    "sales_cube",
-    "sales_grouping_sets",
-    "stupid_backoff",
-    "tfidf_doc_topk",
-    "user_value_moving_avg",
-    "vocab_kl_drift",
-    "weighted_sample",
-    "ann_ivf_recall",
-    "dedup_ngram_jaccard",
-    "embedding_pca",
-    "events_hourly",
-    "events_json_stats",
-    "knn_graph_descent",
-    "lsa_concepts",
-    "lsa_concepts_distributed",
-    "minhash_lsh_mllib_recall",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "rouge_l",
-    "rouge_n",
-    "rouge_n_relational",
-    "rouge_n_stemmed",
-    "rouge_sweep",
-    "rouge_sweep_stemmed",
-    "sales_rollup",
-    "similarity_edges",
-    "term_stats",
-    "top_customers_per_nation",
-    "top_keywords",
-]
-
-# Round-9 window (VERDICT r8 tasks 1+6): 50 slots = (a) the four
-# never-driver-certified rows (the three r8-staged round-trips plus
-# graph_lpa_capped, new this round), (b) the rest of _PRIORITY_R8_STAGED,
-# (c) every query whose closure changed under this round's code — the
-# multimodal real-decode graduation, embedding_pca's Gramian routing, the
-# leaf() session-keying + mid-loop checkpoint retirement (graph/pagerank/
-# text/lsa families — values verified bit-exact by driver_sim at sf0.01
-# before staging), then (d) the changed-since-green overflow OLDEST-first
-# (r4-era greens before r6-era).  Four twins/recall-companions spill past
-# the budget to _PRIORITY_R9_SPILL (still staged, r10 certifies them).
-_PRIORITY_R9 = [
-    # (a) never certified
-    "bpe_roundtrip",
-    "jsonl_roundtrip",
-    "orc_roundtrip",
-    "graph_lpa_capped",
-    # (b) r8-staged remainder
-    "tokenizer_fertility",
-    "tfidf_doc_topk",
-    "dedup_clusters",
-    "bpe_vocab",
-    "knn_graph_descent",
-    "curation_pipeline",
-    "bpe_encode",
-    # (c) closure changed by r9 code (grouped by family for leaf/memo
-    # reuse in the driver's single-session sweep)
-    "image_resize",
-    "frame_sample",
-    "audio_resample",
-    "embedding_pca",
-    "embedding_cov_gram_check",
-    "similarity_edges",
-    "graph_triangles",
-    "graph_khop",
-    "graph_lpa",
-    "knn_graph_recall",
-    "textrank_ranks",
-    "textrank_top5",
-    "term_stats",
-    "top_keywords",
-    "lsa_summary",
-    "lsa_concepts",
-    "dedup_ngram_jaccard",
-    # (d) changed-since-green overflow, oldest green first (r4-era)
-    "q8_market_share",
-    "q9_product_profit",
-    "rich_customers_sql",
-    "sales_cube",
-    "sales_grouping_sets",
-    "stupid_backoff",
-    "user_value_moving_avg",
-    "vocab_kl_drift",
-    "weighted_sample",
-    # (d) r6-era greens
-    "events_hourly",
-    "events_json_stats",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "rouge_l",
-    "rouge_n",
-    "rouge_n_relational",
-    "rouge_n_stemmed",
-    "rouge_sweep",
-    "rouge_sweep_stemmed",
-    "sales_rollup",
-    "top_customers_per_nation",
-]
-
-# Round-10 window (VERDICT r9 tasks 1+4): 50 slots, composed straight
-# from the check_recert enumeration at r10 HEAD — (a) the four
-# never-driver-certified rows (the r9 spill), (b) the four r9-spill
-# changed-since-green rows, (c) every query whose closure changed under
-# r10 code (the graph-ANN multi-entry/symmetrized rewrite, the
-# multimodal_features real-parse graduation, embedding_pca's empty
-# guard, the leaf()-session-identity + ranks_from retire edits reaching
-# the graph/textrank/term_stats families — all verified bit-exact at
-# sf0.01 by driver_sim before staging), then (d) the 17 r3-era and (e)
-# the 14 r4-era oldest standing greens.  4+4+11+17+14 = exactly the
-# 50-slot budget; after r10 no registered query's newest driver row
-# predates r6.
-# Round-11 window (VERDICT r10 task 1): lead with the four r10-spill
-# never-certified rows, then the new r11 query, then everything whose
-# closure changed under the r11 code (graph-ANN budget scaling + descent
-# early-exit + the near-dup candidate-set refactor), then the oldest
-# standing greens — all 10 r6-era rows and the oldest 29 of the r7-era
-# rows (the remaining 7 r7 rows queue in _PRIORITY_R11_SPILL for r12).
-_PRIORITY_R11 = [
-    # (a) never certified (r10 spill, __spark_entry__.py r10 note)
-    "corpus_diversity",
-    "vocab_growth",
-    "token_budget_mixture",
-    "hybrid_dedup_audit",
-    # (b) new in r11 (VERDICT r10 tasks 3 and 6)
-    "corpus_diversity_sketch",
-    "token_budget_mixture_salted",
-    # (c) closure changed by r11 code: the beam family (width/entry
-    # scaling), the descent family (convergence early-exit), the
-    # bucket-pair refactor behind the hybrid audit, and the mixture pair
-    # (quota hardened to the order-fixed integer chain — quota gates
-    # mixture_sample's membership, the token_budget_mixture flake class)
-    "source_mixture",
-    "mixture_sample",
-    "knn_graph_descent",
-    "knn_graph_recall",
     "ann_graph_search",
     "ann_graph_search_recall",
     "ann_graph_tuning",
-    "embedding_near_dups",
-    # (c cont.) the dedup family over the now leaf-shared LSH pair table
-    "dedup_clusters",
-    "dedup_keep_best",
-    "contrastive_pairs",
-    "curation_pipeline",
-    # (d) r6-era greens — the oldest standing rows in the registry
-    "benchmark_decontam",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "dedup_exact",
-    "domain_caps",
-    "merge_upsert",
-    "multimodal_decode",
-    "order_priority_check",
-    "segment_custkey_setops",
-    "train_test_split",
-    # (e) r7-era greens, family-grouped for leaf/memo reuse in the
-    # driver's single-session sweep: embedding/ANN family first (shares
-    # the _embeddings leaf with (c)), then dedup, text, events
-    "ann_bucketed_topk",
-    "ann_cosine_topk",
-    "ann_cosine_topk_arrow",
     "ann_recall_sweep",
     "ann_sq_topk",
-    "embedding_cov",
-    "embedding_rp",
-    "minhash_signatures",
-    "dedup_minhash_lsh",
-    "near_dup_ingest",
-    "simhash_fingerprints",
-    "contamination_check",
-    "doc_fingerprint",
+    "benchmark_decontam",
     "bigram_lm",
     "bloom_semijoin",
     "bm25_search",
@@ -479,97 +141,13 @@ _PRIORITY_R11 = [
     "classifier_score",
     "clf_ingest",
     "compression_ratio",
-    "doc_repetition",
-    "lang_id",
+    "contamination_check",
+    "contrastive_pairs",
+    "corpus_diversity",
+    "corpus_diversity_sketch",
+    "customers_with_open_orders",
 ]
 
-# Round-12 window (VERDICT r11 tasks 1-3+5): 50 slots = (a) the six
-# never-certified rows — the DSIR trio (led the r11 spill; the LM
-# scalar-total windows were replaced by a 1-row agg broadcast this round
-# and the trio re-verified ALL MATCH by driver_sim at sf0.01 before
-# staging), the on-disk graph-ANN search (build -> persist -> search,
-# same beam-CTE oracle as the in-session path), and the new image
-# perceptual-hash near-dup pair — then (b) ALL 14 r7-era greens (the 8
-# the r11 verdict named plus the 6 other _PRIORITY_R11_SPILL leftovers),
-# then (c) the alphabetically-first 30 of the 38 r8-era greens (the r7
-# precedent's tie-break within an era).  6 + 14 + 30 = exactly the
-# 50-slot budget; the 8 r8-era leftovers queue in _PRIORITY_R12_SPILL
-# for r13, after which the oldest standing green is r8-era.
-_PRIORITY_R12 = [
-    # (a) never certified
-    "dsir_weights",
-    "dsir_sample",
-    "dsir_ingest",
-    "ann_graph_search_indexed",
-    "image_phash",
-    "image_near_dups",
-    "phash_ingest",  # late-r12: the streaming image-ingest gate's batch
-    # twin (stream==batch proof in tests/test_streaming.py)
-    "image_dedup_clusters",  # late-r12: components over the phash pairs
-    "audio_fingerprint",  # late-r12: the acoustic dedup twin (sign-of-
-    "audio_near_dups",    # derivative fp over real wave-parsed PCM)
-    # (each late-r12 query takes the slot of an alphabetically-last
-    # r8-era name, which moves to the spill so the rotation loses
-    # nothing)
-    # (b) r7-era greens — the oldest standing rows in the registry
-    "pii_scrub",
-    "quality_score",
-    "sales_pivot",
-    "cohort_retention",
-    "events_by_segment",
-    "events_dedup",
-    "events_sliding",
-    "simhash_near_pairs",
-    "stratified_sample",
-    "token_count",
-    "topk_ngrams",
-    "user_sessions",
-    "view_click_pairs",
-    "wav_decode",
-    # (c) r8-era greens, alphabetical up to the budget
-    "ann_ivfpq_recall",
-    "ann_pq_recall",
-    "asof_click_attribution",
-    "basket_lift",
-    "centroid_eval",
-    "dedup_containment",
-    "embedding_quantize",
-    "event_transitions",
-    "events_in_sessions",
-    "gopher_rules",
-    "knn_accuracy",
-    "lineitem_stats",
-    "pmi_edges",
-    "ppl_ingest",
-    "ppm_files_decode",
-    "price_percentiles",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-]
-
-# Round-14 window (VERDICT r13 task 2): 50 slots — (a) ALL 22
-# _PRIORITY_R13_SPILL names (the whole r9-era freshness debt; the rouge
-# family stays adjacent for leaf reuse), (b) the 6 changed-since-green
-# rows (the narrow video family through the variable-length change:
-# n_frames in the band key, length-scaled threshold; the mixture pair
-# through the p_mix-from-pa_micro fold-order fix — every one re-verified
-# MATCH at sf0.01 by driver_sim before staging), (c) the 12 new r14
-# queries (the production-width media fingerprints/pairs of VERDICT r13
-# task 3, each full-SQL-gated with HUGEINT-interim oracles; the
-# rfm_segments_approx sketch-cutpoint twin of task 6; and the seven
-# late-r14 additions: minhash_band_tuning, hard_negative_mining,
-# ccnet_buckets, boilerplate_strip, embedding_ingest + its wide twin,
-# embedding_near_dups_wide), and (d) the alphabetically-first 10 of the
-# 46 r10-era greens.  22+6+12+10 = exactly the 50-slot budget; the 36
-# r10-era leftovers stay queued via
 # Round-15 window (VERDICT r14 tasks 1-2+4-5): 50 slots — (a) the
 # never-certified r15 queries (the wide production forms of the four
 # narrow sign-bucket consumers, the wide-detector audit twins and the
@@ -578,10 +156,9 @@ _PRIORITY_R12 = [
 # changed this round (the _bucket_of(dims)/_line_occ shared-helper
 # refactors plus the ccnet NULL-lang sentinel and the band-tuning
 # nullif guard — values verified bit-exact by driver_sim at both gate
-# scales before staging), then (c) the queued r10-era greens from
-# _PRIORITY_R10, oldest-first alphabetical up to the budget (the
-# remainder stays queued via _PRIORITY_R10 — the rotation loses
-# nothing).
+# scales before staging), then (c) the queued r10-era greens from the
+# r10 rotation queue, oldest-first alphabetical up to the budget (the
+# remainder was drained by the r16 window above).
 _PRIORITY_R15 = [
     # (a) never certified (8) — wide production forms beside their
     # families: the four sign-bucket consumers' wide twins, the wide
@@ -659,8 +236,21 @@ _PRIORITY_R15 = [
     "pack_sequences",
 ]
 
-# _PRIORITY_R10 below.  After r14 certifies, the oldest standing green
-# is r10-era.
+# Round-14 window (VERDICT r13 task 2): 50 slots — (a) ALL 22
+# _PRIORITY_R13_SPILL names (the whole r9-era freshness debt; the rouge
+# family stays adjacent for leaf reuse), (b) the 6 changed-since-green
+# rows (the narrow video family through the variable-length change:
+# n_frames in the band key, length-scaled threshold; the mixture pair
+# through the p_mix-from-pa_micro fold-order fix — every one re-verified
+# MATCH at sf0.01 by driver_sim before staging), (c) the 12 new r14
+# queries (the production-width media fingerprints/pairs of VERDICT r13
+# task 3, each full-SQL-gated with HUGEINT-interim oracles; the
+# rfm_segments_approx sketch-cutpoint twin of task 6; and the seven
+# late-r14 additions: minhash_band_tuning, hard_negative_mining,
+# ccnet_buckets, boilerplate_strip, embedding_ingest + its wide twin,
+# embedding_near_dups_wide), and (d) the alphabetically-first 10 of the
+# 46 r10-era greens (the leftovers stayed queued via the r10 rotation
+# queue — retired below — until the r15/r16 windows drained it).
 _PRIORITY_R14 = [
     # (a) the full r13 spill — oldest standing greens (r9-era)
     "q1_pricing_summary",
@@ -727,14 +317,6 @@ _PRIORITY_R14 = [
     "graph_khop",
 ]
 
-# Round-13 window (VERDICT r12 tasks 1-4+7): 50 slots composed from the
-# check_recert enumeration at r13 HEAD — (a) 10 never-certified r13
-# queries (the video family, acoustic gate, audits incl. the late-r13
-# family-symmetry additions), (b) 15 changed-since-green rows, (c) 12
-# r8-era spill greens, (d) 13 r9-era greens up to the 50-slot budget
-# (10+15+12+13; the late-r13 additions displaced the alphabetical tail
-# of (d) into _PRIORITY_R13_SPILL — ADVICE r13: this header previously
-# described the pre-displacement 4+15+12+19 arithmetic).
 _PRIORITY_R13 = [
     # (a) never certified — the video family first (shared fingerprint
     # leaf), then the acoustic gate beside its family, then the audit
@@ -803,9 +385,6 @@ _PRIORITY_R13 = [
     "orc_roundtrip",
 ]
 
-# Over-budget r13 queue, r14 leads with it: the r9-era greens past the
-# alphabetical cut (the rouge family groups back together here, so the
-# r14 window keeps the leaf/memo reuse when they rotate in).
 _PRIORITY_R13_SPILL = [
     # displaced by the late-r13 additions (see _PRIORITY_R13)
     "q1_pricing_summary",
@@ -832,9 +411,66 @@ _PRIORITY_R13_SPILL = [
     "weighted_sample",
 ]
 
-# Over-budget r12 queue, r13 leads with it: the r8-era greens past the
-# alphabetical cut (text-family names group back together here, so the
-# r13 window keeps the leaf/memo reuse when they rotate in).
+_PRIORITY_R12 = [
+    # (a) never certified
+    "dsir_weights",
+    "dsir_sample",
+    "dsir_ingest",
+    "ann_graph_search_indexed",
+    "image_phash",
+    "image_near_dups",
+    "phash_ingest",  # late-r12: the streaming image-ingest gate's batch
+    # twin (stream==batch proof in tests/test_streaming.py)
+    "image_dedup_clusters",  # late-r12: components over the phash pairs
+    "audio_fingerprint",  # late-r12: the acoustic dedup twin (sign-of-
+    "audio_near_dups",    # derivative fp over real wave-parsed PCM)
+    # (each late-r12 query takes the slot of an alphabetically-last
+    # r8-era name, which moves to the spill so the rotation loses
+    # nothing)
+    # (b) r7-era greens — the oldest standing rows in the registry
+    "pii_scrub",
+    "quality_score",
+    "sales_pivot",
+    "cohort_retention",
+    "events_by_segment",
+    "events_dedup",
+    "events_sliding",
+    "simhash_near_pairs",
+    "stratified_sample",
+    "token_count",
+    "topk_ngrams",
+    "user_sessions",
+    "view_click_pairs",
+    "wav_decode",
+    # (c) r8-era greens, alphabetical up to the budget
+    "ann_ivfpq_recall",
+    "ann_pq_recall",
+    "asof_click_attribution",
+    "basket_lift",
+    "centroid_eval",
+    "dedup_containment",
+    "embedding_quantize",
+    "event_transitions",
+    "events_in_sessions",
+    "gopher_rules",
+    "knn_accuracy",
+    "lineitem_stats",
+    "pmi_edges",
+    "ppl_ingest",
+    "ppm_files_decode",
+    "price_percentiles",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+]
+
 _PRIORITY_R12_SPILL = [
     "q7_volume_shipping",
     "rfm_segments",
@@ -850,159 +486,26 @@ _PRIORITY_R12_SPILL = [
     "wav_files_decode",
 ]
 
-# Over-budget r11 queue, r12 leads with it: first the new-in-r11
-# never-certified pair (DSIR importance weights + resampled epoch, both
-# full-SQL-gated and verified bit-exact at sf0.001/0.01/0.1 by
-# driver_sim before staging), then the r7-era greens the 50-slot budget
-# displaced — oldest-first rotation continues from here.
-_PRIORITY_R11_SPILL = [
-    "dsir_weights",
-    "dsir_sample",
-    "dsir_ingest",
-    "pii_scrub",
-    "quality_score",
-    "sales_pivot",
-    "cohort_retention",
-    "events_by_segment",
-    "events_dedup",
-    "events_sliding",
-    "simhash_near_pairs",
-    "stratified_sample",
-    "token_count",
-    "topk_ngrams",
-    "user_sessions",
-    "view_click_pairs",
-    "wav_decode",
-]
+# Retired rotation history (r6-r11 windows, the r7 overflow, the
+# r8-r11 staging/spill queues, and the r10-era rotation queue): every
+# name those ~600 lines staged has been re-certified in a later round's
+# window — the r16 window drains the last of the r10-era queue — and the
+# dict-dedupe in queries() made the lists inert long before that.  The
+# full per-round composition arithmetic lives in git history (any tree
+# at or before the r15 artifact commit) and in PLANS.md's round notes;
+# per-query last-green rounds are generated into REGISTRY.md.
 
-_PRIORITY_R10 = [
-    # (a) never certified
-    "dedup_keep_best",
-    "ann_graph_search",
-    "ann_graph_search_recall",
-    "ann_graph_tuning",
-    # (b) r9-spill changed-since-green
-    "doc_perplexity",
-    "ann_ivf_recall",
-    "minhash_lsh_mllib_recall",
-    "lsa_concepts_distributed",
-    # (c) closure changed by r10 code (family-grouped for leaf/memo
-    # reuse in the driver's single-session sweep)
-    "multimodal_features",
-    "embedding_pca",
-    "similarity_edges",
-    "graph_triangles",
-    "graph_khop",
-    "graph_lpa",
-    "graph_lpa_capped",
-    "textrank_ranks",
-    "textrank_top5",
-    "term_stats",
-    "top_keywords",
-    # (d) r3-era greens, oldest standing rows in the registry
-    "event_anomalies",
-    "event_funnel",
-    "heavy_hitters_sketch",
-    "length_outliers",
-    "line_dedup",
-    "ngram_novelty",
-    "pack_sequences",
-    "partition_rewrite_plan",
-    "quantile_sketch",
-    "semantic_dedup",
-    "shard_shuffle",
-    "snapshot_diff",
-    "snapshot_drift",
-    "table_profile",
-    "text_normalize",
-    "timeseries_fill",
-    "typo_pairs",
-    # (e) r4-era greens
-    "distinct_sketch",
-    "doc_chunks",
-    "dq_checks",
-    "events_typed_props",
-    "incremental_agg",
-    "key_skew_profile",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q16_parts_supplier_count",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "salted_heavy_agg",
-    "salted_join",
-    "zorder_stats",
-]
-
-# New-in-r10 queries that did not displace the verdict-prescribed window
-# composition (the 50 slots above are exactly the never-certified +
-# changed-since-green + oldest-green rotation): staged here so
-# check_recert sees them queued; round 11 leads with them.  Both are
-# full-SQL-gated and verified bit-exact at sf0.001 + sf0.01 by
-# driver_sim before staging.
-_PRIORITY_R10_SPILL = [
-    "corpus_diversity",  # distinct-1/2/3 (Li et al.) in exact milli-units
-    "vocab_growth",  # Heaps'-law curve over nested md5-bucket prefixes
-    "token_budget_mixture",  # token-quota epoch cut (mixtures are tokens)
-    "hybrid_dedup_audit",  # lexical-vs-semantic near-dup agreement pairs
-]
-
-# Changed-since-green names that did not fit the 50-slot budget: twins and
-# recall companions whose drift is the mechanical shared-helper kind (their
-# primaries ARE in the window).  Staged here so check_recert sees them
-# queued; round 10 leads with them.
-_PRIORITY_R9_SPILL = [
-    "dedup_keep_best",  # NEW late-r9 (quality-canonical fuzzy dedup):
-    # bit-exact locally at sf0.01 + sf0.1, staged for its first driver row
-    "ann_graph_search",  # NEW late-r9 (HNSW-style beam search over the
-    "ann_graph_search_recall",  # kNN graph): gate-verified locally
-    "ann_graph_tuning",  # NEW late-r9: recall-vs-beam-width curve
-    "doc_perplexity",
-    "ann_ivf_recall",
-    "minhash_lsh_mllib_recall",
-    "lsa_concepts_distributed",
-]
-
-# Staged for the r9 window (behind the r8 budget): new-this-round queries
-# that did not displace the verdict-prescribed oldest-first rotation.
-_PRIORITY_R8_STAGED = [
-    "jsonl_roundtrip",  # JSONL ingest edge, pytest + full oracle ready
-    # closure changed late in r8 (checkpoint-ownership pass + the
-    # tfidf_doc_topk pin): values verified bit-exact at sf0.01 + sf0.1
-    "tokenizer_fertility",
-    "tfidf_doc_topk",
-    "dedup_clusters",
-    "bpe_vocab",
-    "knn_graph_descent",
-    "curation_pipeline",
-    # BPE decode certificate (new late r8): pieces must concatenate back
-    # to each vocab word — the lossless-segmentation gate bpe_encode's
-    # count gate cannot see
-    "bpe_roundtrip",
-    "bpe_encode",  # closure changed by the _bpe_apply_pieces refactor
-    "orc_roundtrip",  # ORC twin of jsonl_roundtrip
-]
-
-# r11 window first (the driver's 50-slot budget reads front-to-back, dict
-# insertion dedupes repeats), then the over-budget spill, then the older
-# lists so every still-staged name stays queued.
+# r16 window first (the driver's 50-slot budget reads front-to-back, dict
+# insertion dedupes repeats), then the recent windows so every
+# still-staged name stays queued for check_recert.
 _PRIORITY = (
-    _PRIORITY_R15
+    _PRIORITY_R16
+    + _PRIORITY_R15
     + _PRIORITY_R14
     + _PRIORITY_R13
     + _PRIORITY_R13_SPILL
     + _PRIORITY_R12
     + _PRIORITY_R12_SPILL
-    + _PRIORITY_R11
-    + _PRIORITY_R11_SPILL
-    + _PRIORITY_R10
-    + _PRIORITY_R10_SPILL
-    + _PRIORITY_R9
-    + _PRIORITY_R9_SPILL
-    + _PRIORITY_R8
-    + _PRIORITY_R8_STAGED
-    + _PRIORITY_R7
-    + _PRIORITY_R7_OVERFLOW
 )
 
 

@@ -186,6 +186,10 @@ PROBE = [
     # linearly at 16 buckets; wide: the contrast)
     "bitext_mining",
     "bitext_mining_wide",
+    # r16: the within-doc repeated-span trim is a pure zero-shuffle
+    # row-local projection (expect flat-linear; replication clones are
+    # IRRELEVANT to it — the rule never looks across documents)
+    "doc_repetition_strip",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default
@@ -230,6 +234,29 @@ PROBE_PATTERN_SCALE = {
     "phash_ingest_wide": ("N_IMG_PATTERNS",),
     "audio_fp_ingest_wide": ("AUDIO_PATTERNS",),
     "video_fp_ingest_wide": ("N_VIDEO_PATTERNS",),
+}
+
+
+# r16 (VERDICT r15 task 1): CONSTANT-DENSITY replication for the lexical
+# LSH leaf — the document-side analogue of PROBE_PATTERN_SCALE.  Verbatim
+# replication makes every document a `replicas`-clique member, so the
+# LSH truth set manufactures C(100,2)/C(10,2) = 110x the x10 pair mass
+# at x100 — a workload artifact a real corpus does not have, and the
+# reason the wide audits' x100 reps blew the probe budget on their
+# lexical leaf (PLANS.md r15).  The fix is an injective PER-REPLICA
+# TOKEN RENAMING (suffix every space-token with the replica index): a
+# corpus isomorphism, so within-replica word-3-gram shingle sets map
+# bijectively (per-group duplicate density EXACTLY constant, Jaccard
+# values preserved) while cross-replica shingle sets become disjoint
+# (zero manufactured clone pairs) — the lexical truth set grows O(n),
+# which is the engine shape under test.  Queries listed here run their
+# big rep against the salted-documents corpus; embeddings/events still
+# replicate verbatim (the semantic side's clone shape is measured
+# feasible separately: embedding_near_dups_wide 50.4x).
+PROBE_CONST_DENSITY = {
+    "hybrid_dedup_audit_wide",
+    "multimodal_dedup_audit_wide",
+    "trimodal_dedup_audit_wide",
 }
 
 
@@ -346,19 +373,34 @@ PROBE_X100 = [
 ]
 
 
-def build_replicated(spark, replicas: int) -> str:
-    out = os.path.join(WORK_DIR, f"x{replicas}")
+def build_replicated(spark, replicas: int, salt_docs: bool = False) -> str:
+    out = os.path.join(WORK_DIR, f"x{replicas}_cd" if salt_docs else f"x{replicas}")
     if os.path.exists(out):
         shutil.rmtree(out)
     os.makedirs(out)
     docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
-    rep = (
-        docs.withColumn(
-            "r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+    rep = docs.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+    ).withColumn("doc_id", F.col("doc_id") + F.col("r") * F.lit(ID_STRIDE))
+    if salt_docs:
+        # constant-density mode (PROBE_CONST_DENSITY): suffix every
+        # space-token with the replica index — an injective per-replica
+        # token renaming, so within-replica shingle/duplicate structure
+        # is exactly preserved and cross-replica lexical mass is zero.
+        # n_chars is left as-is (no probed query reads it here).
+        rep = rep.withColumn(
+            "text",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split("text", " ", -1),
+                    lambda t: F.concat(
+                        t, F.lit("~"), F.col("r").cast("string")
+                    ),
+                ),
+            ),
         )
-        .withColumn("doc_id", F.col("doc_id") + F.col("r") * F.lit(ID_STRIDE))
-        .drop("r")
-    )
+    rep = rep.drop("r")
     rep.write.parquet(f"{out}/documents.parquet")
     ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
     rep_ev = (
@@ -409,37 +451,47 @@ def main() -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    big_dir = build_replicated(spark, replicas)
     queries = entry_mod.queries()
     probe = PROBE_X100 if replicas >= 100 else PROBE
     if len(sys.argv) > 2:  # optional name filter: probe only these rows
         only = set(sys.argv[2:])
         probe = [n for n in probe if n in only]
+    big_dir = (
+        build_replicated(spark, replicas)
+        if any(n not in PROBE_CONST_DENSITY for n in probe)
+        else None
+    )
+    cd_dir = (
+        build_replicated(spark, replicas, salt_docs=True)
+        if any(n in PROBE_CONST_DENSITY for n in probe)
+        else None
+    )
     print(f"{'query':24} {'sf0.1':>8} {'x' + str(replicas):>8} {'ratio':>7}")
     for name in probe:
         fn = queries[name]
         mode = PROBE_MODES.get(name)
+        rep_dir = cd_dir if name in PROBE_CONST_DENSITY else big_dir
         if mode == "rebuild":
             time_query(spark, fn, BASE_SF)  # JVM/codegen warm
             release_pins()
             base = time_query(spark, fn, BASE_SF)
             release_pins()
-            big = time_query(spark, fn, big_dir)
+            big = time_query(spark, fn, rep_dir)
         elif mode == "prewarm":
             time_query(spark, fn, BASE_SF)  # builds the base index memo
             base = time_query(spark, fn, BASE_SF)
-            time_query(spark, fn, big_dir)  # builds the big index memo
-            big = time_query(spark, fn, big_dir)
+            time_query(spark, fn, rep_dir)  # builds the big index memo
+            big = time_query(spark, fn, rep_dir)
         elif name in PROBE_PATTERN_SCALE:
             time_query(spark, fn, BASE_SF)  # warm
             base = time_query(spark, fn, BASE_SF)
             release_pins()  # the phash/fp leaf is pattern-dependent
             with _scaled_patterns(PROBE_PATTERN_SCALE[name], replicas):
-                big = time_query(spark, fn, big_dir)
+                big = time_query(spark, fn, rep_dir)
         else:
             time_query(spark, fn, BASE_SF)  # warm
             base = time_query(spark, fn, BASE_SF)
-            big = time_query(spark, fn, big_dir)
+            big = time_query(spark, fn, rep_dir)
         print(f"{name:24} {base:8.2f} {big:8.2f} {big / base:7.1f}x")
         # pins are per-query: without the release, ~20 probed queries x
         # (sf0.1 + 10x) cached aggregates accumulate in one executor JVM

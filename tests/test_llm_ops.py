@@ -739,6 +739,53 @@ def test_boilerplate_strip_consistency(spark, oracle):
     assert corpus  # non-degenerate
 
 
+def test_doc_repetition_strip_semantics(spark, oracle, tmp_path):
+    """Within-doc keep-first on a hand fixture: later repeats of a
+    sentence drop INSIDE a document, but cross-document repeats are
+    untouched (that is boilerplate_strip's corpus-level job); sentence
+    order is preserved; a doc with no non-empty sentence emits (0,0,'');
+    plus oracle parity on the real corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import assert_parity
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        text_analysis as ta,
+    )
+
+    assert_parity(
+        spark,
+        oracle,
+        ta.doc_repetition_strip,
+        ta.ORACLES["doc_repetition_strip"],
+    )
+    docs = pa.Table.from_pylist(
+        [
+            # loop: 'spam ham' repeats 3x around a unique middle
+            {"doc_id": 0, "text": "spam ham. unique middle. spam ham.spam ham", "lang": "en", "source": "s", "n_chars": 43},
+            # cross-doc repeat of doc 0's sentence: kept here (within-doc rule)
+            {"doc_id": 1, "text": "spam ham. other text", "lang": "en", "source": "s", "n_chars": 20},
+            # degenerate: only dots and blanks
+            {"doc_id": 2, "text": ". .. .", "lang": "en", "source": "s", "n_chars": 6},
+        ]
+    )
+    d = tmp_path / "sf_reps"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = (
+        ta.doc_repetition_strip(spark, str(d))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_sents"] == 4 and out.loc[0, "n_removed"] == 2
+    assert out.loc[0, "clean_text"] == "spam ham.unique middle"
+    assert out.loc[1, "n_sents"] == 2 and out.loc[1, "n_removed"] == 0
+    assert out.loc[1, "clean_text"] == "spam ham.other text"
+    assert out.loc[2, "n_sents"] == 0 and out.loc[2, "n_removed"] == 0
+    assert out.loc[2, "clean_text"] == ""
+
+
 def test_ccnet_buckets_small_language_booleans_hold(spark, tmp_path):
     # regression (late-r14 review): for a language with fewer than
     # CCNET_MIN_BRACKET_DOCS docs the q +- TOL exact-percentile bracket
