@@ -83,14 +83,21 @@ _MODULES = [
 # identity on this fixture, verified MATCH) — then (c) the ENTIRE
 # r10-era freshness queue (22 names, the oldest standing greens; the
 # text diamond family grouped for leaf/memo reuse), and (d) the
-# alphabetically-first 20 of the 40 r11-era greens.  1+7+22+20 = exactly
-# the 50-slot budget; after r16 certifies, the oldest standing green is
-# r11-era and the 20 r11-era names past the cut lead the r17 rotation
-# (recompute eras from CORRECTNESS_r*.json, or read REGISTRY.md's
-# last-green column).
+# alphabetically-first 18 of the 40 r11-era greens, plus the two
+# late-r16 BLEU queries (never certified; ALL MATCH at sf0.001 + sf0.01
+# by driver_sim before staging; each takes the slot of an
+# alphabetically-last r11-era name — corpus_diversity_sketch and
+# customers_with_open_orders stay queued for r17, the rotation loses
+# nothing).  1+7+22+18+2 = exactly the 50-slot budget; after r16
+# certifies, the oldest standing green is r11-era and the 22 r11-era
+# names past the cut lead the r17 rotation (recompute eras from
+# CORRECTNESS_r*.json, or read REGISTRY.md's last-green column).
 _PRIORITY_R16 = [
     # (a) never certified
     "doc_repetition_strip",
+    # (a cont., late r16) BLEU beside the rouge family it extends
+    "bleu_pairs",
+    "bleu_corpus",
     # (b) the width-default flip closures, family-grouped (shared
     # _embeddings leaf; the audits ride the sign-bucket candidate leafs)
     "ann_bucketed_topk",
@@ -144,8 +151,6 @@ _PRIORITY_R16 = [
     "contamination_check",
     "contrastive_pairs",
     "corpus_diversity",
-    "corpus_diversity_sketch",
-    "customers_with_open_orders",
 ]
 
 # Round-15 window (VERDICT r14 tasks 1-2+4-5): 50 slots — (a) the

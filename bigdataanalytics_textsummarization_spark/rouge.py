@@ -663,3 +663,252 @@ QUERIES = {
     "rouge_sweep_stemmed": rouge_sweep_stemmed,
     "rouge_l": rouge_l,  # gated: LCS as a recursive-CTE wavefront
 }
+
+
+# ---------------------------------------------------------------------------
+# BLEU (r16): the standard companion metric to ROUGE — modified n-gram
+# PRECISION (n=1..4, reference-clipped) with a brevity penalty, instead
+# of ROUGE's recall orientation.  Same pair construction, same
+# tokenization, same Arrow-kernel production path as rouge_n.
+# ---------------------------------------------------------------------------
+
+_BLEU_MAX_N = 4
+
+_BLEU_COMPONENTS_SCHEMA = T.StructType(
+    [T.StructField("pair_id", T.LongType())]
+    + [
+        T.StructField(f"m{n}", T.LongType())
+        for n in range(1, _BLEU_MAX_N + 1)
+    ]
+    + [
+        T.StructField(f"t{n}", T.LongType())
+        for n in range(1, _BLEU_MAX_N + 1)
+    ]
+    + [T.StructField("r_len", T.LongType())]
+)
+
+
+def _bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair BLEU components via an Arrow-batched row-local kernel
+    (the rouge_n production-path precedent): clipped n-gram matches
+    ``m_n`` and candidate n-gram totals ``t_n`` for n=1..4, plus the
+    reference length — ALL exact integers, so the downstream score is
+    one deterministic expression and the gate certifies the integer
+    surface bit-exactly.  Zero shuffle beyond the pair equi-join;
+    O(tokens) per pair; embarrassingly parallel at any corpus size."""
+    import re
+
+    from collections import Counter
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = re.compile(r"[a-z0-9]+")
+
+        for pdf in batches:
+            rows = []
+            for pid, cand, ref in zip(
+                pdf["pair_id"], pdf["cand_text"], pdf["ref_text"]
+            ):
+                a = tok.findall(cand.lower())
+                b = tok.findall(ref.lower())
+                ms, ts = [], []
+                for n in range(1, _BLEU_MAX_N + 1):
+                    ga = (
+                        [" ".join(a[i : i + n]) for i in range(len(a) - n + 1)]
+                        if len(a) >= n
+                        else []
+                    )
+                    gb = (
+                        [" ".join(b[i : i + n]) for i in range(len(b) - n + 1)]
+                        if len(b) >= n
+                        else []
+                    )
+                    cb = Counter(gb)
+                    ms.append(
+                        sum(
+                            min(c, cb[g])
+                            for g, c in Counter(ga).items()
+                            if g in cb
+                        )
+                    )
+                    ts.append(len(ga))
+                rows.append((pid, *ms, *ts, len(b)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _BLEU_COMPONENTS_SCHEMA.fields]
+            )
+
+    return _pairs(spark, sf_dir).mapInPandas(
+        score, schema=_BLEU_COMPONENTS_SCHEMA
+    )
+
+
+def _bleu_expr(smooth: bool):
+    """The BLEU score as one Catalyst expression over (m1..m4, t1..t4,
+    r_len) attribute columns — identical operand ORDER to the oracle SQL
+    so the IEEE double chain is reproducible cross-engine (the
+    doc_perplexity log/exp precedent; candidate length is t1).
+
+    ``smooth=True`` is the sentence form: add-one smoothing on the
+    higher-order precisions (p̃_n = (m_n+1)/(t_n+1) for n>=2 — a
+    candidate shorter than n tokens contributes p̃_n = 1, i.e. no
+    penalty from orders it cannot express), zero iff the candidate is
+    empty or shares no unigram.  ``smooth=False`` is the corpus form:
+    zero iff any order has no match (the standard corpus-BLEU cut)."""
+    c_len, r_len = F.col("t1"), F.col("r_len")
+    if smooth:
+        lns = [F.log(F.col("m1") / F.col("t1"))] + [
+            F.log((F.col(f"m{n}") + F.lit(1)) / (F.col(f"t{n}") + F.lit(1)))
+            for n in range(2, _BLEU_MAX_N + 1)
+        ]
+        degenerate = (F.col("t1") == 0) | (F.col("m1") == 0)
+    else:
+        lns = [
+            F.log(F.col(f"m{n}") / F.col(f"t{n}"))
+            for n in range(1, _BLEU_MAX_N + 1)
+        ]
+        degenerate = None
+        for n in range(1, _BLEU_MAX_N + 1):
+            cond = (F.col(f"t{n}") == 0) | (F.col(f"m{n}") == 0)
+            degenerate = cond if degenerate is None else (degenerate | cond)
+    ln_sum = lns[0]
+    for ln in lns[1:]:
+        ln_sum = ln_sum + ln
+    bp = F.when(c_len > r_len, F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - r_len / c_len)
+    )
+    return F.when(degenerate, F.lit(0.0)).otherwise(
+        bp * F.exp(F.lit(0.25) * ln_sum)
+    )
+
+
+def bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair smoothed sentence BLEU with its exact integer components
+    (clipped matches m1..m4, candidate totals t1..t4, reference length)
+    — the per-example eval artifact; `bleu_corpus` is the corpus roll-up
+    over the same components."""
+    comp = _bleu_components(spark, sf_dir)
+    return comp.select(
+        "pair_id",
+        *[f"m{n}" for n in range(1, _BLEU_MAX_N + 1)],
+        *[f"t{n}" for n in range(1, _BLEU_MAX_N + 1)],
+        "r_len",
+        r6(_bleu_expr(smooth=True)).alias("bleu_smooth"),
+    )
+
+
+def bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU (Papineni et al. 2002): clipped matches and totals
+    summed over ALL pairs before the precision ratios (the micro-average
+    that makes corpus BLEU robust to short candidates), brevity penalty
+    on the corpus lengths.  One row; every component an exact integer.
+
+    Scale shape: the kernel is a zero-shuffle map stage and the roll-up
+    is ONE partial-aggregated global sum of 9 longs — the cheapest
+    possible reduction at any corpus size."""
+    comp = _bleu_components(spark, sf_dir)
+    sums = comp.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        *[
+            F.sum(f"m{n}").cast("long").alias(f"m{n}")
+            for n in range(1, _BLEU_MAX_N + 1)
+        ],
+        *[
+            F.sum(f"t{n}").cast("long").alias(f"t{n}")
+            for n in range(1, _BLEU_MAX_N + 1)
+        ],
+        F.sum("r_len").cast("long").alias("r_len"),
+    )
+    return sums.select(
+        "n_pairs",
+        *[f"m{n}" for n in range(1, _BLEU_MAX_N + 1)],
+        *[f"t{n}" for n in range(1, _BLEU_MAX_N + 1)],
+        "r_len",
+        r6(_bleu_expr(smooth=False)).alias("bleu"),
+    )
+
+
+def _bleu_sql(smooth: bool) -> str:
+    """The oracle twin of :func:`_bleu_expr` — identical operand order."""
+    if smooth:
+        lns = ["ln(m1 * 1.0 / t1)"] + [
+            f"ln((m{n} + 1) * 1.0 / (t{n} + 1))"
+            for n in range(2, _BLEU_MAX_N + 1)
+        ]
+        degenerate = "t1 = 0 OR m1 = 0"
+    else:
+        lns = [
+            f"ln(m{n} * 1.0 / t{n})" for n in range(1, _BLEU_MAX_N + 1)
+        ]
+        degenerate = " OR ".join(
+            f"t{n} = 0 OR m{n} = 0" for n in range(1, _BLEU_MAX_N + 1)
+        )
+    ln_sum = " + ".join(lns)
+    return f"""(round(CASE WHEN {degenerate} THEN 0.0
+       ELSE (CASE WHEN t1 > r_len THEN 1.0
+                  ELSE exp(1.0 - r_len * 1.0 / t1) END)
+            * exp(0.25 * ({ln_sum})) END, 6) + 0.0)"""
+
+
+def _bleu_components_cte() -> str:
+    """Per-pair (m1..m4, t1..t4, r_len) as DuckDB CTEs, reusing the
+    certified rouge gram machinery for all four orders."""
+    grams = ", ".join(
+        f"{_ngram_cte(side, n)}"
+        for n in range(1, _BLEU_MAX_N + 1)
+        for side in ("cand", "ref")
+    )
+    per_n = ", ".join(
+        f"""bm{n} AS (
+  SELECT c.pair_id, sum(least(c.cnt, r.cnt)) AS m
+  FROM cand{n}_grams c JOIN ref{n}_grams r
+    ON c.pair_id = r.pair_id AND c.g = r.g
+  GROUP BY c.pair_id
+),
+bt{n} AS (SELECT pair_id, sum(cnt) AS t FROM cand{n}_grams GROUP BY pair_id)"""
+        for n in range(1, _BLEU_MAX_N + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN bm{n} ON p.pair_id = bm{n}.pair_id "
+        f"LEFT JOIN bt{n} ON p.pair_id = bt{n}.pair_id"
+        for n in range(1, _BLEU_MAX_N + 1)
+    )
+    cols = ", ".join(
+        f"cast(coalesce(bm{n}.m, 0) AS bigint) AS m{n}, "
+        f"cast(coalesce(bt{n}.t, 0) AS bigint) AS t{n}"
+        for n in range(1, _BLEU_MAX_N + 1)
+    )
+    return f"""{grams},
+{per_n},
+rlen AS (SELECT pair_id, sum(cnt) AS t FROM ref1_grams GROUP BY pair_id),
+comp AS (
+  SELECT p.pair_id, {cols},
+         cast(coalesce(rlen.t, 0) AS bigint) AS r_len
+  FROM pairs p {joins} LEFT JOIN rlen ON p.pair_id = rlen.pair_id
+)"""
+
+
+ORACLES["bleu_pairs"] = f"""
+WITH {PAIRS_CTE},
+{_bleu_components_cte()}
+SELECT pair_id, m1, m2, m3, m4, t1, t2, t3, t4, r_len,
+       {_bleu_sql(smooth=True)} AS bleu_smooth
+FROM comp
+"""
+QUERIES["bleu_pairs"] = bleu_pairs
+
+ORACLES["bleu_corpus"] = f"""
+WITH {PAIRS_CTE},
+{_bleu_components_cte()},
+agg AS (
+  SELECT cast(count(*) AS bigint) AS n_pairs,
+         cast(sum(m1) AS bigint) AS m1, cast(sum(m2) AS bigint) AS m2,
+         cast(sum(m3) AS bigint) AS m3, cast(sum(m4) AS bigint) AS m4,
+         cast(sum(t1) AS bigint) AS t1, cast(sum(t2) AS bigint) AS t2,
+         cast(sum(t3) AS bigint) AS t3, cast(sum(t4) AS bigint) AS t4,
+         cast(sum(r_len) AS bigint) AS r_len
+  FROM comp
+)
+SELECT n_pairs, m1, m2, m3, m4, t1, t2, t3, t4, r_len,
+       {_bleu_sql(smooth=False)} AS bleu
+FROM agg
+"""
+QUERIES["bleu_corpus"] = bleu_corpus

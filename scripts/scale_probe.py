@@ -190,6 +190,9 @@ PROBE = [
     # row-local projection (expect flat-linear; replication clones are
     # IRRELEVANT to it — the rule never looks across documents)
     "doc_repetition_strip",
+    # late-r16: per-pair BLEU is the same zero-shuffle Arrow map shape
+    # as rouge_n (the corpus roll-up adds one 9-long global sum)
+    "bleu_pairs",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default

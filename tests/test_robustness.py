@@ -212,3 +212,75 @@ def test_leafed_query_paths_on_empty_corpus(spark, tmp_path):
         assert text.top_keywords(spark, sf).count() == 0
     finally:
         release_pins()
+
+
+def test_bleu_hand_computed_semantics(spark, tmp_path):
+    """BLEU pins on a hand-computable fixture: an identical pair scores
+    exactly 1.0 (all precisions 1, BP 1); a known partial-overlap pair
+    matches the closed form; an empty candidate and a no-overlap pair
+    score 0.0; and the corpus row's components are the column sums of
+    the pair rows (micro-average, not a mean of pair scores)."""
+    import math
+
+    import pandas as pd
+
+    from bigdataanalytics_textsummarization_spark import rouge as R
+
+    texts = [
+        # pair 0: identical 6-token texts -> bleu_smooth exactly 1.0
+        "the quick brown fox jumps high",
+        "the quick brown fox jumps high",
+        # pair 1: candidate shares a 4-token prefix with the reference
+        "the quick brown fox sleeps now",
+        "the quick brown fox jumps high",
+        # pair 2: empty candidate -> 0.0
+        "",
+        "anything at all",
+        # pair 3: zero unigram overlap -> 0.0
+        "alpha beta gamma",
+        "delta epsilon zeta",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "bleu",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = R.bleu_pairs(spark, sf).toPandas().set_index("pair_id")
+    assert out.loc[0, "bleu_smooth"] == 1.0
+    # pair 1 by hand: 6 tokens, m1=4 ("the quick brown fox"), m2=3,
+    # m3=2, m4=1; t_n = 7-n; smoothing on n>=2; equal lengths -> BP=1
+    assert [out.loc[1, f"m{n}"] for n in (1, 2, 3, 4)] == [4, 3, 2, 1]
+    assert [out.loc[1, f"t{n}"] for n in (1, 2, 3, 4)] == [6, 5, 4, 3]
+    want = math.exp(
+        0.25
+        * (
+            math.log(4 / 6)
+            + math.log((3 + 1) / (5 + 1))
+            + math.log((2 + 1) / (4 + 1))
+            + math.log((1 + 1) / (3 + 1))
+        )
+    )
+    assert out.loc[1, "bleu_smooth"] == round(want, 6)
+    assert out.loc[2, "bleu_smooth"] == 0.0
+    assert out.loc[3, "bleu_smooth"] == 0.0
+    corpus = R.bleu_corpus(spark, sf).toPandas().iloc[0]
+    assert corpus["n_pairs"] == 4
+    for col in [f"m{n}" for n in (1, 2, 3, 4)] + [
+        f"t{n}" for n in (1, 2, 3, 4)
+    ] + ["r_len"]:
+        assert corpus[col] == out[col].sum(), col
+    # corpus lengths: c=15 < r=18 -> BP = exp(1 - 18/15)
+    m = [corpus[f"m{n}"] for n in (1, 2, 3, 4)]
+    t = [corpus[f"t{n}"] for n in (1, 2, 3, 4)]
+    want_c = math.exp(1 - corpus["r_len"] / t[0]) * math.exp(
+        0.25 * sum(math.log(mi / ti) for mi, ti in zip(m, t))
+    )
+    assert corpus["bleu"] == round(want_c, 6)
