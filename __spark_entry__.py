@@ -83,21 +83,26 @@ _MODULES = [
 # identity on this fixture, verified MATCH) — then (c) the ENTIRE
 # r10-era freshness queue (22 names, the oldest standing greens; the
 # text diamond family grouped for leaf/memo reuse), and (d) the
-# alphabetically-first 18 of the 40 r11-era greens, plus the two
-# late-r16 BLEU queries (never certified; ALL MATCH at sf0.001 + sf0.01
-# by driver_sim before staging; each takes the slot of an
-# alphabetically-last r11-era name — corpus_diversity_sketch and
+# alphabetically-first 16 of the 40 r11-era greens, plus the four
+# late-r16 eval-metric queries (BLEU and chrF at pair and corpus
+# granularity — never certified; ALL MATCH at sf0.001 + sf0.01 by
+# driver_sim before staging; each takes the slot of an
+# alphabetically-last r11-era name — contrastive_pairs,
+# corpus_diversity, corpus_diversity_sketch and
 # customers_with_open_orders stay queued for r17, the rotation loses
-# nothing).  1+7+22+18+2 = exactly the 50-slot budget; after r16
-# certifies, the oldest standing green is r11-era and the 22 r11-era
+# nothing).  1+7+22+16+4 = exactly the 50-slot budget; after r16
+# certifies, the oldest standing green is r11-era and the 24 r11-era
 # names past the cut lead the r17 rotation (recompute eras from
 # CORRECTNESS_r*.json, or read REGISTRY.md's last-green column).
 _PRIORITY_R16 = [
     # (a) never certified
     "doc_repetition_strip",
-    # (a cont., late r16) BLEU beside the rouge family it extends
+    # (a cont., late r16) BLEU and chrF beside the rouge family they
+    # extend (shared pair leafs)
     "bleu_pairs",
     "bleu_corpus",
+    "chrf_pairs",
+    "chrf_corpus",
     # (b) the width-default flip closures, family-grouped (shared
     # _embeddings leaf; the audits ride the sign-bucket candidate leafs)
     "ann_bucketed_topk",
@@ -149,8 +154,6 @@ _PRIORITY_R16 = [
     "clf_ingest",
     "compression_ratio",
     "contamination_check",
-    "contrastive_pairs",
-    "corpus_diversity",
 ]
 
 # Round-15 window (VERDICT r14 tasks 1-2+4-5): 50 slots — (a) the

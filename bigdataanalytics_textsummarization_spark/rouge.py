@@ -895,6 +895,233 @@ FROM comp
 """
 QUERIES["bleu_pairs"] = bleu_pairs
 
+# ---------------------------------------------------------------------------
+# chrF2 (r16): character n-gram F-score (Popović 2015) — the third
+# standard MT/summarization metric beside BLEU and ROUGE.  Tokenization-
+# free by design (robust to morphology and segmentation): both texts are
+# reduced to their [a-z0-9] character stream and scored on character
+# n-grams n=1..6.  Per order: clipped precision and recall; chrP/chrR
+# are the arithmetic means over the six orders; chrF2 weights recall
+# twice (beta=2): (1+4)PR / (4P + R).  Every component is an exact
+# integer and the score needs only divisions and one ratio — no
+# transcendental calls at all, the most parity-robust shape available.
+# ---------------------------------------------------------------------------
+
+_CHRF_MAX_N = 6
+_CHRF_BETA2 = 4  # beta = 2
+
+_CHRF_COMPONENTS_SCHEMA = T.StructType(
+    [T.StructField("pair_id", T.LongType())]
+    + [
+        T.StructField(f"{p}{n}", T.LongType())
+        for p in ("cm", "ct", "cr")
+        for n in range(1, _CHRF_MAX_N + 1)
+    ]
+)
+
+
+def _chrf_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair chrF components via the Arrow row-local kernel: clipped
+    char-n-gram matches cm_n, candidate totals ct_n, reference totals
+    cr_n for n=1..6.  Zero shuffle beyond the pair equi-join."""
+    import re
+
+    from collections import Counter
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        alnum = re.compile(r"[a-z0-9]")
+
+        def grams(s: str, n: int) -> list[str]:
+            return (
+                [s[i : i + n] for i in range(len(s) - n + 1)]
+                if len(s) >= n
+                else []
+            )
+
+        for pdf in batches:
+            rows = []
+            for pid, cand, ref in zip(
+                pdf["pair_id"], pdf["cand_text"], pdf["ref_text"]
+            ):
+                cs = "".join(alnum.findall(cand.lower()))
+                rs = "".join(alnum.findall(ref.lower()))
+                cm, ct, cr = [], [], []
+                for n in range(1, _CHRF_MAX_N + 1):
+                    ga, gb = grams(cs, n), grams(rs, n)
+                    cb = Counter(gb)
+                    cm.append(
+                        sum(
+                            min(c, cb[g])
+                            for g, c in Counter(ga).items()
+                            if g in cb
+                        )
+                    )
+                    ct.append(len(ga))
+                    cr.append(len(gb))
+                rows.append((pid, *cm, *ct, *cr))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _CHRF_COMPONENTS_SCHEMA.fields]
+            )
+
+    return _pairs(spark, sf_dir).mapInPandas(
+        score, schema=_CHRF_COMPONENTS_SCHEMA
+    )
+
+
+def _chrf_expr():
+    """chrF2 as one Catalyst expression over the component columns —
+    identical operand order to the oracle SQL; divisions of exact
+    integers only (a per-order ratio is 0 when its denominator is 0, the
+    sacrebleu convention for short strings)."""
+    ns = range(1, _CHRF_MAX_N + 1)
+
+    def ratio(m, t):
+        return F.when(F.col(t) > 0, F.col(m) / F.col(t)).otherwise(F.lit(0.0))
+
+    p_sum = None
+    r_sum = None
+    for n in ns:
+        p_n = ratio(f"cm{n}", f"ct{n}")
+        r_n = ratio(f"cm{n}", f"cr{n}")
+        p_sum = p_n if p_sum is None else (p_sum + p_n)
+        r_sum = r_n if r_sum is None else (r_sum + r_n)
+    chr_p = p_sum / _CHRF_MAX_N
+    chr_r = r_sum / _CHRF_MAX_N
+    denom = _CHRF_BETA2 * chr_p + chr_r
+    return F.when(
+        denom > 0,
+        (1 + _CHRF_BETA2) * chr_p * chr_r / denom,
+    ).otherwise(F.lit(0.0))
+
+
+def chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair chrF2 with its exact integer components (clipped char
+    n-gram matches and both totals, n=1..6)."""
+    return _chrf_components(spark, sf_dir).select(
+        "pair_id",
+        *[
+            f"{p}{n}"
+            for p in ("cm", "ct", "cr")
+            for n in range(1, _CHRF_MAX_N + 1)
+        ],
+        r6(_chrf_expr()).alias("chrf2"),
+    )
+
+
+def chrf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus chrF2 as the macro-average of the per-pair scores (the
+    sacrebleu reporting convention) — averaged over the ROUNDED per-pair
+    values through exact integer micro-units (the rouge_sweep
+    discipline), so the mean is bit-identical cross-engine."""
+    per = chrf_pairs(spark, sf_dir)
+    return per.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        (
+            F.sum(F.round(F.col("chrf2") * 1e6).cast("long"))
+            / (F.count("*") * F.lit(1e6))
+        ).alias("avg_chrf2"),
+    )
+
+
+def _chrf_cgram_cte(side: str, n: int) -> str:
+    """DuckDB CTE of character n-grams with counts over the [a-z0-9]
+    stream of one side (the char twin of _ngram_cte)."""
+    col = "cs" if side == "cand" else "rs"
+    return f"""{side}{n}_cgrams AS (
+  SELECT pair_id, substring({col}, pos + 1, {n}) AS g, count(*) AS cnt
+  FROM (
+    SELECT pair_id, {col}, unnest(range(len({col}) - {n} + 1)) AS pos
+    FROM cstrs
+  ) GROUP BY pair_id, substring({col}, pos + 1, {n})
+)"""
+
+
+def _chrf_components_cte() -> str:
+    grams = ",\n".join(
+        _chrf_cgram_cte(side, n)
+        for n in range(1, _CHRF_MAX_N + 1)
+        for side in ("cand", "ref")
+    )
+    per_n = ",\n".join(
+        f"""cm{n} AS (
+  SELECT c.pair_id, sum(least(c.cnt, r.cnt)) AS m
+  FROM cand{n}_cgrams c JOIN ref{n}_cgrams r
+    ON c.pair_id = r.pair_id AND c.g = r.g
+  GROUP BY c.pair_id
+),
+ct{n} AS (SELECT pair_id, sum(cnt) AS t FROM cand{n}_cgrams GROUP BY pair_id),
+cr{n} AS (SELECT pair_id, sum(cnt) AS t FROM ref{n}_cgrams GROUP BY pair_id)"""
+        for n in range(1, _CHRF_MAX_N + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN cm{n} ON p.pair_id = cm{n}.pair_id "
+        f"LEFT JOIN ct{n} ON p.pair_id = ct{n}.pair_id "
+        f"LEFT JOIN cr{n} ON p.pair_id = cr{n}.pair_id"
+        for n in range(1, _CHRF_MAX_N + 1)
+    )
+    cols = ", ".join(
+        f"cast(coalesce(cm{n}.m, 0) AS bigint) AS cm{n}, "
+        f"cast(coalesce(ct{n}.t, 0) AS bigint) AS ct{n}, "
+        f"cast(coalesce(cr{n}.t, 0) AS bigint) AS cr{n}"
+        for n in range(1, _CHRF_MAX_N + 1)
+    )
+    return f"""cstrs AS MATERIALIZED (
+  SELECT pair_id,
+         array_to_string(regexp_extract_all(lower(cand_text), '[a-z0-9]'), '')
+           AS cs,
+         array_to_string(regexp_extract_all(lower(ref_text), '[a-z0-9]'), '')
+           AS rs
+  FROM pairs
+),
+{grams},
+{per_n},
+ccomp AS (
+  SELECT p.pair_id, {cols}
+  FROM pairs p {joins}
+)"""
+
+
+def _chrf_sql() -> str:
+    ns = range(1, _CHRF_MAX_N + 1)
+    p_sum = " + ".join(
+        f"(CASE WHEN ct{n} > 0 THEN cm{n} * 1.0 / ct{n} ELSE 0.0 END)"
+        for n in ns
+    )
+    r_sum = " + ".join(
+        f"(CASE WHEN cr{n} > 0 THEN cm{n} * 1.0 / cr{n} ELSE 0.0 END)"
+        for n in ns
+    )
+    p = f"(({p_sum}) / {_CHRF_MAX_N})"
+    r = f"(({r_sum}) / {_CHRF_MAX_N})"
+    return f"""(round(CASE WHEN {_CHRF_BETA2} * {p} + {r} > 0
+       THEN (1 + {_CHRF_BETA2}) * {p} * {r} / ({_CHRF_BETA2} * {p} + {r})
+       ELSE 0.0 END, 6) + 0.0)"""
+
+
+ORACLES["chrf_pairs"] = f"""
+WITH {PAIRS_CTE},
+{_chrf_components_cte()}
+SELECT pair_id,
+       {", ".join(f"{p}{n}" for p in ("cm", "ct", "cr") for n in range(1, _CHRF_MAX_N + 1))},
+       {_chrf_sql()} AS chrf2
+FROM ccomp
+"""
+QUERIES["chrf_pairs"] = chrf_pairs
+
+ORACLES["chrf_corpus"] = f"""
+WITH {PAIRS_CTE},
+{_chrf_components_cte()},
+scored AS (
+  SELECT pair_id, {_chrf_sql()} AS chrf2 FROM ccomp
+)
+SELECT cast(count(*) AS bigint) AS n_pairs,
+       sum(cast(round(chrf2 * 1000000) AS bigint)) / (count(*) * 1000000.0)
+         AS avg_chrf2
+FROM scored
+"""
+QUERIES["chrf_corpus"] = chrf_corpus
+
+
 ORACLES["bleu_corpus"] = f"""
 WITH {PAIRS_CTE},
 {_bleu_components_cte()},

@@ -190,9 +190,10 @@ PROBE = [
     # row-local projection (expect flat-linear; replication clones are
     # IRRELEVANT to it — the rule never looks across documents)
     "doc_repetition_strip",
-    # late-r16: per-pair BLEU is the same zero-shuffle Arrow map shape
-    # as rouge_n (the corpus roll-up adds one 9-long global sum)
+    # late-r16: per-pair BLEU and chrF are the same zero-shuffle Arrow
+    # map shape as rouge_n (the corpus roll-ups add one global sum)
     "bleu_pairs",
+    "chrf_pairs",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default

@@ -104,6 +104,12 @@ INVARIANCE_SLICE = [
     # id-sorted denominator sums — the whole chain must survive a
     # serialized reduction order
     "bitext_mining",
+    # r16 additions: the within-doc trim is row-local (trivially
+    # invariant — this pins it stays that way); corpus BLEU's integer
+    # component sums and its log/exp chain over them must survive a
+    # serialized reduction order
+    "doc_repetition_strip",
+    "bleu_corpus",
 ]
 
 PARTITION_SETTINGS = ["1", "7", "32"]

@@ -553,3 +553,29 @@ def test_r14_trio_plan_shapes(spark):
     assert "Window" not in plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_doc_repetition_strip_zero_shuffle(spark):
+    """The within-doc trim is document-LOCAL: the plan must be a pure
+    projection over the parquet scan — no key-partitioned exchange, no
+    aggregate, no join anywhere (load_table's round-robin spread of the
+    single test parquet file is the one allowed Exchange), and column
+    pruning down to (doc_id, text)."""
+    plan = _plan(spark, "doc_repetition_strip")
+    assert "HashPartitioning" not in plan and "RangePartitioning" not in plan
+    assert "HashAggregate" not in plan and "Join" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_bleu_single_pair_join_shuffle(spark):
+    """Per-pair BLEU's only shuffle is the small candidate/reference pair
+    equi-join (the rouge_n shape): no aggregation exchange, no explode —
+    the metric itself is the Arrow map stage."""
+    plan = _plan(spark, "bleu_pairs")
+    assert "Generate" not in plan  # no explode anywhere
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    # the pair join may sort-merge (two exchanges, one per side, or
+    # broadcast with none) — but there must be no exchange AFTER the
+    # Arrow kernel: everything downstream of mapInPandas is row-local
+    after = plan.split("ArrowEvalPython")[-1] if "ArrowEvalPython" in plan else plan.split("MapInPandas")[-1]
+    assert "Exchange" not in after

@@ -284,3 +284,40 @@ def test_bleu_hand_computed_semantics(spark, tmp_path):
         0.25 * sum(math.log(mi / ti) for mi, ti in zip(m, t))
     )
     assert corpus["bleu"] == round(want_c, 6)
+
+
+def test_chrf_hand_computed_semantics(spark, tmp_path):
+    """chrF2 pins: identical pair scores exactly 1.0; a hand-computable
+    short pair matches the closed form (cand 'ab' vs ref 'abc': chrP =
+    (1+1)/6, chrR = (2/3+1/2)/6, chrF2 = 5PR/(4P+R) = 7/33); disjoint
+    chars score 0.0; the corpus row is the macro mean of the rounded
+    per-pair scores."""
+    import pandas as pd
+
+    from bigdataanalytics_textsummarization_spark import rouge as R
+
+    texts = [
+        "same text here", "same text here",   # pair 0 -> 1.0
+        "ab", "abc",                           # pair 1 -> 7/33
+        "aaa", "bbb",                          # pair 2 -> 0.0
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "chrf",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = R.chrf_pairs(spark, sf).toPandas().set_index("pair_id")
+    assert out.loc[0, "chrf2"] == 1.0
+    assert out.loc[1, "chrf2"] == round(7 / 33, 6)
+    assert out.loc[2, "chrf2"] == 0.0
+    corpus = R.chrf_corpus(spark, sf).toPandas().iloc[0]
+    assert corpus["n_pairs"] == 3
+    assert corpus["avg_chrf2"] == (1000000 + round(7 / 33 * 1e6)) / 3e6
