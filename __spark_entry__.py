@@ -83,17 +83,18 @@ _MODULES = [
 # identity on this fixture, verified MATCH) — then (c) the ENTIRE
 # r10-era freshness queue (22 names, the oldest standing greens; the
 # text diamond family grouped for leaf/memo reuse), and (d) the
-# alphabetically-first 16 of the 40 r11-era greens, plus the four
+# alphabetically-first 15 of the 40 r11-era greens, plus the five
 # late-r16 eval-metric queries (BLEU and chrF at pair and corpus
-# granularity — never certified; ALL MATCH at sf0.001 + sf0.01 by
-# driver_sim before staging; each takes the slot of an
-# alphabetically-last r11-era name — contrastive_pairs,
-# corpus_diversity, corpus_diversity_sketch and
-# customers_with_open_orders stay queued for r17, the rotation loses
-# nothing).  1+7+22+16+4 = exactly the 50-slot budget; after r16
-# certifies, the oldest standing green is r11-era and the 24 r11-era
-# names past the cut lead the r17 rotation (recompute eras from
-# CORRECTNESS_r*.json, or read REGISTRY.md's last-green column).
+# granularity, and the ANN nDCG@3 ranking gate — never certified;
+# ALL MATCH at sf0.001 + sf0.01 by driver_sim before staging; each
+# takes the slot of an alphabetically-last r11-era name —
+# contamination_check, contrastive_pairs, corpus_diversity,
+# corpus_diversity_sketch and customers_with_open_orders stay queued
+# for r17, the rotation loses nothing).  1+7+22+15+5 = exactly the
+# 50-slot budget; after r16 certifies, the oldest standing green is
+# r11-era and the 25 r11-era names past the cut lead the r17 rotation
+# (recompute eras from CORRECTNESS_r*.json, or read REGISTRY.md's
+# last-green column).
 _PRIORITY_R16 = [
     # (a) never certified
     "doc_repetition_strip",
@@ -103,6 +104,9 @@ _PRIORITY_R16 = [
     "bleu_corpus",
     "chrf_pairs",
     "chrf_corpus",
+    # (a cont., late r16) the ANN ranking gate beside the ANN family in
+    # (d) (shared _embeddings leaf)
+    "ann_ndcg",
     # (b) the width-default flip closures, family-grouped (shared
     # _embeddings leaf; the audits ride the sign-bucket candidate leafs)
     "ann_bucketed_topk",
@@ -153,7 +157,6 @@ _PRIORITY_R16 = [
     "classifier_score",
     "clf_ingest",
     "compression_ratio",
-    "contamination_check",
 ]
 
 # Round-15 window (VERDICT r14 tasks 1-2+4-5): 50 slots — (a) the

@@ -3658,3 +3658,93 @@ ORACLES["bitext_mining"] = _bitext_oracle_of(_EMB_CTE)
 QUERIES["bitext_mining"] = bitext_mining_gate
 ORACLES["bitext_mining_wide"] = _bitext_oracle_of(_EMB_CTE_WIDE)
 QUERIES["bitext_mining_wide"] = bitext_mining_wide
+
+
+# ---------------------------------------------------------------------------
+# ANN ranking quality: nDCG@3 (late r16) — the recall gates certify SET
+# overlap with the brute-force truth; nDCG certifies the RANKING, with
+# each neighbor's true cosine as its graded relevance.  The eval a
+# vector-store team actually reports beside recall.
+# ---------------------------------------------------------------------------
+
+
+def ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@3 of the multi-probe sign-LSH ANN (the narrow oracle-gate
+    width, so the score composes two CERTIFIED plans) against the
+    brute-force ideal ranking, per query vector.
+
+    Gains are the (rounded, engine-equal) cosines; discounts are
+    1/log2(rank+1); both DCG folds are order-fixed (rank-sorted
+    collect -> fold), so the sums are bit-reproducible cross-engine.
+    A query whose probes found nothing contributes dcg 0 (never a
+    dropped row).  Scale shape: two already-bounded top-k plans plus
+    one N_QUERIES-row join — the metric adds nothing super-linear."""
+    ann = _ann_bucketed_topk_at(spark, sf_dir, SIGN_DIMS).select(
+        "query_id", "rk", "cosine"
+    )
+    ideal = ann_cosine_topk(spark, sf_dir).filter(F.col("rk") <= 3).select(
+        "query_id", "rk", "cosine"
+    )
+
+    def dcg_of(df: DataFrame, out: str, with_count: bool = False) -> DataFrame:
+        staged = df.withColumn(
+            "term", F.col("cosine") / F.log2(F.col("rk") + 1)
+        )
+        aggs = [
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "term"))),
+                    lambda s: s["term"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(out)
+        ]
+        if with_count:
+            aggs.insert(0, F.count("*").cast("long").alias("n_ann"))
+        return staged.groupBy("query_id").agg(*aggs)
+
+    d = dcg_of(ann, "dcg", with_count=True)
+    i = dcg_of(ideal, "idcg")
+    return i.join(d, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_ann", F.lit(0).cast("long")).alias("n_ann"),
+        r6(F.coalesce("dcg", F.lit(0.0))).alias("dcg"),
+        r6(F.col("idcg")).alias("idcg"),
+        r6(
+            F.when(
+                F.col("idcg") > 0,
+                F.coalesce("dcg", F.lit(0.0)) / F.col("idcg"),
+            ).otherwise(F.lit(0.0))
+        ).alias("ndcg"),
+    )
+
+
+# composes the two certified top-k oracles verbatim as nested CTE bodies
+# (DuckDB scopes inner WITHs per-CTE — the hybrid-audit precedent), so
+# the ranking ground truth cannot drift from the detectors' own gates
+ORACLES["ann_ndcg"] = f"""
+WITH ann AS ({ORACLES["ann_bucketed_topk"]}),
+ideal AS ({ORACLES["ann_cosine_topk"]}),
+d AS (
+  SELECT query_id, cast(count(*) AS bigint) AS n_ann,
+         list_aggregate(list(cosine / log2(rk + 1) ORDER BY rk), 'sum')
+           AS dcg
+  FROM ann GROUP BY query_id
+),
+i AS (
+  SELECT query_id,
+         list_aggregate(list(cosine / log2(rk + 1) ORDER BY rk), 'sum')
+           AS idcg
+  FROM ideal WHERE rk <= 3 GROUP BY query_id
+)
+SELECT i.query_id,
+       coalesce(d.n_ann, 0) AS n_ann,
+       (round(coalesce(d.dcg, 0.0), 6) + 0.0) AS dcg,
+       (round(i.idcg, 6) + 0.0) AS idcg,
+       (round(CASE WHEN i.idcg > 0
+                   THEN coalesce(d.dcg, 0.0) / i.idcg ELSE 0.0 END, 6)
+        + 0.0) AS ndcg
+FROM i LEFT JOIN d ON d.query_id = i.query_id
+"""
+QUERIES["ann_ndcg"] = ann_ndcg

@@ -191,9 +191,12 @@ PROBE = [
     # IRRELEVANT to it — the rule never looks across documents)
     "doc_repetition_strip",
     # late-r16: per-pair BLEU and chrF are the same zero-shuffle Arrow
-    # map shape as rouge_n (the corpus roll-ups add one global sum)
+    # map shape as rouge_n (the corpus roll-ups add one global sum);
+    # nDCG composes two bounded top-k plans + one N_QUERIES-row join,
+    # so its ratio should track ann_bucketed_topk's
     "bleu_pairs",
     "chrf_pairs",
+    "ann_ndcg",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default

@@ -747,3 +747,38 @@ def test_semantic_decontam_oracle_parity_and_invariants(spark, oracle):
         assert r["vec_id"] % sim.DECON_SEM_MOD != 0
         assert r["benchmark_id"] % sim.DECON_SEM_MOD == 0
         assert r["cosine"] >= sim.SEM_DECON_THRESHOLD - 1e-6
+
+
+def test_ann_ndcg_properties(spark, oracle):
+    """nDCG@3 invariants: oracle parity; every score in [0,1]; DCG never
+    exceeds the ideal DCG (the ANN candidate set is a subset of the
+    corpus, so the brute-force ranking is the optimum); n_ann <= 3; and
+    a query whose ANN list equals the ideal top-3 scores exactly 1.0."""
+    from tests.conftest import SF_DIR, assert_parity
+
+    from bigdataanalytics_textsummarization_spark.extensions import (
+        similarity as sim,
+    )
+
+    assert_parity(spark, oracle, sim.ann_ndcg, sim.ORACLES["ann_ndcg"])
+    out = sim.ann_ndcg(spark, SF_DIR).toPandas().set_index("query_id")
+    assert len(out) == sim.N_QUERIES
+    assert ((out["ndcg"] >= 0) & (out["ndcg"] <= 1)).all()
+    assert (out["dcg"] <= out["idcg"] + 1e-9).all()
+    assert (out["n_ann"] <= 3).all()
+    ann = (
+        sim.ann_bucketed_topk_gate(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["query_id", "rk"])
+    )
+    ideal = (
+        sim.ann_cosine_topk(spark, SF_DIR)
+        .toPandas()
+        .query("rk <= 3")
+        .sort_values(["query_id", "rk"])
+    )
+    for qid in out.index:
+        a = ann[ann["query_id"] == qid]["neighbor_id"].tolist()
+        b = ideal[ideal["query_id"] == qid]["neighbor_id"].tolist()
+        if a == b:
+            assert out.loc[qid, "ndcg"] == 1.0, qid
