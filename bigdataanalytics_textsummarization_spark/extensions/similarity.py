@@ -3743,8 +3743,8 @@ SELECT i.query_id,
        (round(coalesce(d.dcg, 0.0), 6) + 0.0) AS dcg,
        (round(i.idcg, 6) + 0.0) AS idcg,
        (round(CASE WHEN i.idcg > 0
-                   THEN coalesce(d.dcg, 0.0) / i.idcg ELSE 0.0 END, 6)
-        + 0.0) AS ndcg
+                   THEN coalesce(d.dcg, 0.0) / i.idcg
+                   ELSE 0.0 END, 6) + 0.0) AS ndcg
 FROM i LEFT JOIN d ON d.query_id = i.query_id
 """
 QUERIES["ann_ndcg"] = ann_ndcg
