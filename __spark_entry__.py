@@ -83,16 +83,17 @@ _MODULES = [
 # identity on this fixture, verified MATCH) — then (c) the ENTIRE
 # r10-era freshness queue (22 names, the oldest standing greens; the
 # text diamond family grouped for leaf/memo reuse), and (d) the
-# alphabetically-first 15 of the 40 r11-era greens, plus the five
+# alphabetically-first 14 of the 40 r11-era greens, plus the six
 # late-r16 eval-metric queries (BLEU and chrF at pair and corpus
-# granularity, and the ANN nDCG@3 ranking gate — never certified;
-# ALL MATCH at sf0.001 + sf0.01 by driver_sim before staging; each
-# takes the slot of an alphabetically-last r11-era name —
+# granularity, WER via the recursive-CTE Levenshtein wavefront, and
+# the ANN nDCG@3 ranking gate — never certified; ALL MATCH at
+# sf0.001 + sf0.01 by driver_sim before staging; each takes the slot
+# of an alphabetically-last r11-era name — compression_ratio,
 # contamination_check, contrastive_pairs, corpus_diversity,
 # corpus_diversity_sketch and customers_with_open_orders stay queued
-# for r17, the rotation loses nothing).  1+7+22+15+5 = exactly the
+# for r17, the rotation loses nothing).  1+7+22+14+6 = exactly the
 # 50-slot budget; after r16 certifies, the oldest standing green is
-# r11-era and the 25 r11-era names past the cut lead the r17 rotation
+# r11-era and the 26 r11-era names past the cut lead the r17 rotation
 # (recompute eras from CORRECTNESS_r*.json, or read REGISTRY.md's
 # last-green column).
 _PRIORITY_R16 = [
@@ -104,6 +105,7 @@ _PRIORITY_R16 = [
     "bleu_corpus",
     "chrf_pairs",
     "chrf_corpus",
+    "wer_pairs",
     # (a cont., late r16) the ANN ranking gate beside the ANN family in
     # (d) (shared _embeddings leaf)
     "ann_ndcg",
@@ -156,7 +158,6 @@ _PRIORITY_R16 = [
     "char_entropy",
     "classifier_score",
     "clf_ingest",
-    "compression_ratio",
 ]
 
 # Round-15 window (VERDICT r14 tasks 1-2+4-5): 50 slots — (a) the

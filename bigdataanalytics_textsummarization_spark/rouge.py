@@ -896,6 +896,129 @@ FROM comp
 QUERIES["bleu_pairs"] = bleu_pairs
 
 # ---------------------------------------------------------------------------
+# WER (late r16): word error rate — Levenshtein word edits / reference
+# length, the standard ASR/transcription metric (the eval a multimodal
+# audio pipeline reports; candidate plays the hypothesis role).  Like
+# ROUGE-L, the edit distance is not relational: the kernel is an
+# Arrow-batched pandas UDF (O(m*n) per pair, O(min) memory), and the
+# oracle runs the SAME DP as a recursive-CTE anti-diagonal wavefront
+# (the rouge_l precedent, with `least`+boundary d where LCS had
+# `greatest`+boundary 0).  Every emitted component is an exact integer;
+# wer is one division.
+# ---------------------------------------------------------------------------
+
+_WER_SCHEMA = T.StructType(
+    [
+        T.StructField("pair_id", T.LongType()),
+        T.StructField("n_cand", T.LongType()),
+        T.StructField("n_ref", T.LongType()),
+        T.StructField("edits", T.LongType()),
+        T.StructField("wer", T.DoubleType()),
+    ]
+)
+
+
+def _levenshtein_words(a: list[str], b: list[str]) -> int:
+    """Classic O(len(a)*len(b)) word-level Levenshtein, O(min) memory."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, y in enumerate(b, 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (0 if x == y else 1),
+            )
+        prev = cur
+    return prev[-1]
+
+
+def wer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair word error rate: Levenshtein word edits between the
+    candidate (hypothesis) and reference token streams, normalized by
+    the reference length (0.0 on an empty reference — a convention, and
+    unreachable on the gate corpus).  Distributed by pair; zero shuffle
+    beyond the pair equi-join."""
+    import re
+
+    pairs = _pairs(spark, sf_dir)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            rows = []
+            for pid, cand, ref in zip(
+                pdf["pair_id"], pdf["cand_text"], pdf["ref_text"]
+            ):
+                a = tok.findall(cand.lower())
+                b = tok.findall(ref.lower())
+                e = _levenshtein_words(a, b)
+                wer = (round(e / len(b), 6) + 0.0) if b else 0.0
+                rows.append((pid, len(a), len(b), e, wer))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _WER_SCHEMA.fields]
+            )
+
+    return pairs.mapInPandas(score, schema=_WER_SCHEMA)
+
+
+# Anti-diagonal wavefront: diagonal d holds D[i][d-i] for i in
+# [max(0, d-n), min(m, d)]; boundary rows/columns are D = d itself
+# (D[0][j] = j, D[i][0] = i); interior cells take the min over the
+# three neighbors (diag d-1 at i-1 and i; diag d-2 at i-1).  The 1e9
+# coalesce sentinel is defensive only — interior neighbors are always
+# inside the previous diagonals' ranges.
+ORACLES["wer_pairs"] = f"""
+WITH RECURSIVE {PAIRS_CTE},
+ltoks AS MATERIALIZED (
+  SELECT pair_id,
+         regexp_extract_all(lower(cand_text), '[a-z0-9]+') AS ca,
+         regexp_extract_all(lower(ref_text), '[a-z0-9]+') AS ra,
+         len(regexp_extract_all(lower(cand_text), '[a-z0-9]+')) AS m,
+         len(regexp_extract_all(lower(ref_text), '[a-z0-9]+')) AS n
+  FROM pairs
+),
+dp(pair_id, d, lo, vd, lo1, vd1) AS (
+  SELECT pair_id, 0, 0, [0], 0, cast([] AS integer[]) FROM ltoks
+  UNION ALL
+  SELECT s.pair_id, s.d + 1,
+         greatest(0, s.d + 1 - t.n),
+         list_transform(
+           range(greatest(0, s.d + 1 - t.n), least(t.m, s.d + 1) + 1),
+           i -> CASE WHEN i = 0 OR s.d + 1 - i = 0 THEN s.d + 1
+                ELSE least(
+                  coalesce(s.vd[i - 1 - s.lo + 1], 1000000000) + 1,
+                  coalesce(s.vd[i - s.lo + 1], 1000000000) + 1,
+                  coalesce(s.vd1[i - 1 - s.lo1 + 1], 1000000000)
+                    + CASE WHEN t.ca[i] = t.ra[s.d + 1 - i]
+                           THEN 0 ELSE 1 END)
+                END),
+         s.lo, s.vd
+  FROM dp s JOIN ltoks t USING (pair_id)
+  WHERE s.d + 1 <= t.m + t.n
+),
+lev_out AS (
+  SELECT t.pair_id, t.m, t.n,
+         CASE WHEN t.m + t.n = 0 THEN 0
+              ELSE coalesce(f.vd[t.m - f.lo + 1], 0) END AS edits
+  FROM ltoks t
+  LEFT JOIN dp f ON f.pair_id = t.pair_id AND f.d = t.m + t.n
+)
+SELECT pair_id,
+       cast(m AS bigint) AS n_cand,
+       cast(n AS bigint) AS n_ref,
+       cast(edits AS bigint) AS edits,
+       (round(CASE WHEN n > 0
+                   THEN edits * 1.0 / n
+                   ELSE 0.0 END, 6) + 0.0) AS wer
+FROM lev_out
+"""
+QUERIES["wer_pairs"] = wer_pairs
+
+
+# ---------------------------------------------------------------------------
 # chrF2 (r16): character n-gram F-score (Popović 2015) — the third
 # standard MT/summarization metric beside BLEU and ROUGE.  Tokenization-
 # free by design (robust to morphology and segmentation): both texts are

@@ -197,6 +197,9 @@ PROBE = [
     "bleu_pairs",
     "chrf_pairs",
     "ann_ndcg",
+    # late-r16: WER is the rouge_l shape (O(m*n) Arrow DP per pair,
+    # zero shuffle beyond the pair join) — expect ~linear
+    "wer_pairs",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default

@@ -321,3 +321,38 @@ def test_chrf_hand_computed_semantics(spark, tmp_path):
     corpus = R.chrf_corpus(spark, sf).toPandas().iloc[0]
     assert corpus["n_pairs"] == 3
     assert corpus["avg_chrf2"] == (1000000 + round(7 / 33 * 1e6)) / 3e6
+
+
+def test_wer_hand_computed_semantics(spark, tmp_path):
+    """WER pins: identical pair -> 0 edits; two substitutions -> 2/6;
+    empty candidate -> edits = ref length, wer = 1.0; one deletion ->
+    1/3 against the 3-token reference."""
+    import pandas as pd
+
+    from bigdataanalytics_textsummarization_spark import rouge as R
+
+    texts = [
+        "the quick brown fox", "the quick brown fox",      # pair 0
+        "the quick brown fox sleeps now",
+        "the quick brown fox jumps high",                  # pair 1: 2 subs
+        "", "one two three",                               # pair 2: empty cand
+        "a b c d", "a c d",                                # pair 3: 1 insertion vs ref
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "wer",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = R.wer_pairs(spark, sf).toPandas().set_index("pair_id")
+    assert out.loc[0, "edits"] == 0 and out.loc[0, "wer"] == 0.0
+    assert out.loc[1, "edits"] == 2 and out.loc[1, "wer"] == round(2 / 6, 6)
+    assert out.loc[2, "edits"] == 3 and out.loc[2, "wer"] == 1.0
+    assert out.loc[3, "edits"] == 1 and out.loc[3, "wer"] == round(1 / 3, 6)
