@@ -214,8 +214,9 @@ _PRIORITY_R15 = [
     # _ingest_gate_join closure changed re-certify with them — each
     # verified ALL MATCH at sf0.001 + sf0.01 by driver_sim before
     # staging; each takes the slot of an alphabetically-last r10-era
-    # name that stays queued via _PRIORITY_R10 (the r12-r14 late-round
-    # precedent, the rotation loses nothing)
+    # name that stayed queued via the r10 rotation queue (retired; see git
+    # history — the r12-r14 late-round precedent, the rotation loses
+    # nothing)
     "image_dedup_clusters_wide",
     "audio_dedup_clusters_wide",
     "video_dedup_clusters_wide",
@@ -230,10 +231,11 @@ _PRIORITY_R15 = [
     # same displacement rule as above)
     "bitext_mining",
     "bitext_mining_wide",
-    # (c) r10-era greens from the _PRIORITY_R10 queue, alphabetical up
+    # (c) r10-era greens from the r10 rotation queue (retired; see git
+    # history), alphabetical up
     # to the 50-slot budget (8 + 19 + 11 + 12; the tail past the cut —
     # partition_rewrite_plan..zorder_stats and the textrank/term_stats
-    # group — stays queued via _PRIORITY_R10)
+    # group — stayed queued via the retired r10 rotation queue)
     "graph_lpa",
     "graph_lpa_capped",
     "graph_triangles",
@@ -303,7 +305,8 @@ _PRIORITY_R14 = [
     # embedding-ingest trio — each verified ALL MATCH at sf0.01 by
     # driver_sim before staging;
     # each takes the slot of an alphabetically-last r10-era name that
-    # stays queued via _PRIORITY_R10, the r12/r13 late-round precedent)
+    # stayed queued via the retired r10 rotation queue, the r12/r13
+    # late-round precedent)
     "video_fingerprint_wide",
     "video_near_dups_wide",
     "audio_fingerprint_wide",

@@ -1,6 +1,13 @@
 """REGISTRY.md freshness + shape pins (VERDICT r15 task 7): the index is
 generated, never hand-edited — a drifted file fails here, and the fix is
-one `python scripts/make_registry.py` run."""
+one `python scripts/make_registry.py` run.
+
+STANDING ROUND-START RULE (VERDICT r16 task 1): the driver writes
+CORRECTNESS_r{N}.json AFTER the builder's final r{N} commit, so the
+committed REGISTRY.md's last-green column is always exactly one round
+stale when round N+1 opens — this test is then red BY DESIGN.  The
+first commit of every round runs `python scripts/make_registry.py` to
+fold the driver's fresh greens into the index."""
 
 from __future__ import annotations
 
