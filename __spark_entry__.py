@@ -72,6 +72,82 @@ _MODULES = [
 # scripts/check_recert.py — it diffs each query's cross-module AST
 # closure against the tree its last green artifact was committed on).
 #
+# Round-17 window (VERDICT r16 tasks 3+5-6): 50 slots = (a) the two
+# never-certified r17 queries — wer_corpus (the micro-average corpus
+# roll-up completing the eval family's pair/corpus symmetry) and
+# summary_eval (the eval metrics scored on ENGINE-PRODUCED summaries:
+# LSA summary vs TextRank top-5 per source, the reference's own
+# machine-vs-machine pseudo-golden pattern M4/M5) — staged beside the
+# three eval rows whose kernels were refactored into *_from variants
+# this round (wer_pairs — its oracle also gained the shared-CTE
+# extraction, whitespace-only; bleu_pairs, bleu_corpus — component
+# kernel now routes through _bleu_components_from; check_recert flags
+# none of them, re-staged as prudence, all verified ALL MATCH at
+# sf0.001 + sf0.01 by driver_sim before staging), then (b) the ENTIRE
+# r11-era freshness queue (26 names, the oldest standing greens) and
+# (c) the alphabetically-first 19 of the 43 r12-era greens (the
+# events family groups naturally; events_sliding — the r16 bench
+# anomaly row — re-certifies here).  2+3+26+19 = exactly the 50-slot
+# budget; after r17 certifies, the oldest standing green is r12-era
+# and the 24 r12-era names past the cut lead the r18 rotation.
+_PRIORITY_R17 = [
+    # (a) never certified + the refactored eval family (shared pair
+    # leafs; summary_eval composes the lsa/textrank plans)
+    "wer_pairs",
+    "wer_corpus",
+    "bleu_pairs",
+    "bleu_corpus",
+    "summary_eval",
+    # (b) the full r11-era queue, alphabetical
+    "compression_ratio",
+    "contamination_check",
+    "contrastive_pairs",
+    "corpus_diversity",
+    "corpus_diversity_sketch",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "doc_fingerprint",
+    "doc_repetition",
+    "domain_caps",
+    "embedding_cov",
+    "embedding_rp",
+    "knn_graph_descent",
+    "knn_graph_recall",
+    "lang_id",
+    "merge_upsert",
+    "minhash_signatures",
+    "multimodal_decode",
+    "near_dup_ingest",
+    "order_priority_check",
+    "segment_custkey_setops",
+    "simhash_fingerprints",
+    "train_test_split",
+    "vocab_growth",
+    # (c) r12-era greens, alphabetical up to the budget (the 24 past the
+    # cut — pii_scrub .. wav_decode — lead the r18 rotation)
+    "ann_ivfpq_recall",
+    "ann_pq_recall",
+    "asof_click_attribution",
+    "basket_lift",
+    "centroid_eval",
+    "cohort_retention",
+    "dedup_containment",
+    "dsir_ingest",
+    "dsir_sample",
+    "dsir_weights",
+    "embedding_quantize",
+    "event_transitions",
+    "events_by_segment",
+    "events_dedup",
+    "events_in_sessions",
+    "events_sliding",
+    "gopher_rules",
+    "knn_accuracy",
+    "lineitem_stats",
+]
+
 # Round-16 window (VERDICT r15 tasks 2-3+6): 50 slots = (a) the one
 # never-certified r16 query (the within-doc repeated-span trim), (b) the
 # seven rows touched by the public width-default flip — the five narrow
@@ -514,7 +590,8 @@ _PRIORITY_R12_SPILL = [
 # insertion dedupes repeats), then the recent windows so every
 # still-staged name stays queued for check_recert.
 _PRIORITY = (
-    _PRIORITY_R16
+    _PRIORITY_R17
+    + _PRIORITY_R16
     + _PRIORITY_R15
     + _PRIORITY_R14
     + _PRIORITY_R13

@@ -696,9 +696,21 @@ def _bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     one deterministic expression and the gate certifies the integer
     surface bit-exactly.  Zero shuffle beyond the pair equi-join;
     O(tokens) per pair; embarrassingly parallel at any corpus size."""
+    return _bleu_components_from(_pairs(spark, sf_dir))
+
+
+def _bleu_components_from(pairs: DataFrame) -> DataFrame:
+    """The BLEU component kernel over any (pair_id, cand_text, ref_text)
+    frame; pair_id may be any type (passed through unchanged — the
+    rouge_n_from precedent)."""
     import re
 
     from collections import Counter
+
+    key_field = pairs.schema["pair_id"]
+    out_schema = T.StructType(
+        [key_field] + _BLEU_COMPONENTS_SCHEMA.fields[1:]
+    )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tok = re.compile(r"[a-z0-9]+")
@@ -733,11 +745,11 @@ def _bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ts.append(len(ga))
                 rows.append((pid, *ms, *ts, len(b)))
             yield pd.DataFrame(
-                rows, columns=[f.name for f in _BLEU_COMPONENTS_SCHEMA.fields]
+                rows, columns=[f.name for f in out_schema]
             )
 
-    return _pairs(spark, sf_dir).mapInPandas(
-        score, schema=_BLEU_COMPONENTS_SCHEMA
+    return pairs.select("pair_id", "cand_text", "ref_text").mapInPandas(
+        score, schema=out_schema
     )
 
 
@@ -941,9 +953,17 @@ def wer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference length (0.0 on an empty reference — a convention, and
     unreachable on the gate corpus).  Distributed by pair; zero shuffle
     beyond the pair equi-join."""
+    return wer_from(_pairs(spark, sf_dir))
+
+
+def wer_from(pairs: DataFrame) -> DataFrame:
+    """The WER kernel over any (pair_id, cand_text, ref_text) frame;
+    pair_id may be any type (passed through unchanged — the
+    rouge_n_from precedent)."""
     import re
 
-    pairs = _pairs(spark, sf_dir)
+    key_field = pairs.schema["pair_id"]
+    out_schema = T.StructType([key_field] + _WER_SCHEMA.fields[1:])
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tok = re.compile(r"[a-z0-9]+")
@@ -958,10 +978,12 @@ def wer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 wer = (round(e / len(b), 6) + 0.0) if b else 0.0
                 rows.append((pid, len(a), len(b), e, wer))
             yield pd.DataFrame(
-                rows, columns=[f.name for f in _WER_SCHEMA.fields]
+                rows, columns=[f.name for f in out_schema]
             )
 
-    return pairs.mapInPandas(score, schema=_WER_SCHEMA)
+    return pairs.select("pair_id", "cand_text", "ref_text").mapInPandas(
+        score, schema=out_schema
+    )
 
 
 # Anti-diagonal wavefront: diagonal d holds D[i][d-i] for i in
@@ -969,9 +991,9 @@ def wer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (D[0][j] = j, D[i][0] = i); interior cells take the min over the
 # three neighbors (diag d-1 at i-1 and i; diag d-2 at i-1).  The 1e9
 # coalesce sentinel is defensive only — interior neighbors are always
-# inside the previous diagonals' ranges.
-ORACLES["wer_pairs"] = f"""
-WITH RECURSIVE {PAIRS_CTE},
+# inside the previous diagonals' ranges.  The chain from ltoks through
+# lev_out is shared by the pair and corpus oracles (r17).
+_WER_LEV_CTES = """
 ltoks AS MATERIALIZED (
   SELECT pair_id,
          regexp_extract_all(lower(cand_text), '[a-z0-9]+') AS ca,
@@ -1005,7 +1027,11 @@ lev_out AS (
               ELSE coalesce(f.vd[t.m - f.lo + 1], 0) END AS edits
   FROM ltoks t
   LEFT JOIN dp f ON f.pair_id = t.pair_id AND f.d = t.m + t.n
-)
+)"""
+
+ORACLES["wer_pairs"] = f"""
+WITH RECURSIVE {PAIRS_CTE},
+{_WER_LEV_CTES}
 SELECT pair_id,
        cast(m AS bigint) AS n_cand,
        cast(n AS bigint) AS n_ref,
@@ -1016,6 +1042,50 @@ SELECT pair_id,
 FROM lev_out
 """
 QUERIES["wer_pairs"] = wer_pairs
+
+
+def wer_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus WER — the standard micro-average Σedits / Σref_len (NOT
+    the mean of the per-pair rates; long references weigh more, exactly
+    as an ASR leaderboard reports it), completing the pair/corpus
+    symmetry BLEU and chrF already have (VERDICT r16 task 5).
+
+    Scale shape: the per-pair kernel is the same zero-shuffle Arrow map
+    stage as `wer_pairs`; the roll-up is ONE partial-aggregated global
+    sum of 3 longs — the cheapest possible reduction at any corpus
+    size."""
+    comp = wer_pairs(spark, sf_dir)
+    sums = comp.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("n_cand").cast("long").alias("n_cand"),
+        F.sum("n_ref").cast("long").alias("n_ref"),
+        F.sum("edits").cast("long").alias("edits"),
+    )
+    wer = F.when(
+        F.col("n_ref") > 0, F.col("edits") / F.col("n_ref")
+    ).otherwise(F.lit(0.0))
+    return sums.select(
+        "n_pairs",
+        "n_cand",
+        "n_ref",
+        "edits",
+        r6(wer).alias("wer"),
+    )
+
+
+ORACLES["wer_corpus"] = f"""
+WITH RECURSIVE {PAIRS_CTE},
+{_WER_LEV_CTES}
+SELECT cast(count(*) AS bigint) AS n_pairs,
+       cast(sum(m) AS bigint) AS n_cand,
+       cast(sum(n) AS bigint) AS n_ref,
+       cast(sum(edits) AS bigint) AS edits,
+       (round(CASE WHEN sum(n) > 0
+                   THEN sum(edits) * 1.0 / sum(n)
+                   ELSE 0.0 END, 6) + 0.0) AS wer
+FROM lev_out
+"""
+QUERIES["wer_corpus"] = wer_corpus
 
 
 # ---------------------------------------------------------------------------
@@ -1094,8 +1164,12 @@ def _chrf_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _chrf_expr():
     """chrF2 as one Catalyst expression over the component columns —
     identical operand order to the oracle SQL; divisions of exact
-    integers only (a per-order ratio is 0 when its denominator is 0, the
-    sacrebleu convention for short strings)."""
+    integers only.  Zero-denominator orders score 0 and ALL 6 orders are
+    always averaged — this repo's fixed-order convention; sacrebleu
+    instead divides by the count of orders with statistics
+    (effective-order averaging), so scores differ from sacrebleu on
+    texts shorter than 6 chars.  Internal oracle parity is unaffected
+    (the oracle uses the same fixed-order convention)."""
     ns = range(1, _CHRF_MAX_N + 1)
 
     def ratio(m, t):
@@ -1262,3 +1336,144 @@ SELECT n_pairs, m1, m2, m3, m4, t1, t2, t3, t4, r_len,
 FROM agg
 """
 QUERIES["bleu_corpus"] = bleu_corpus
+
+
+# ---------------------------------------------------------------------------
+# summary_eval (r17): the eval family over ENGINE-PRODUCED summaries —
+# the reference's own machine-vs-machine pattern (it scores its LSA
+# summaries against pytldr output as a pseudo-golden,
+# BigdataProjectCode.py:184-202 / SURVEY M4-M5).  Here the LSA summary
+# (M3) plays the candidate and the TextRank top-5 (O2+J3) plays the
+# reference, per source; the metric kernels are the exact certified
+# rouge_n_from / _bleu_components_from / wer_from paths, so this query
+# exercises every eval operator end-to-end on real pipeline output
+# instead of the synthetic `documents` pair fixture.
+# ---------------------------------------------------------------------------
+
+
+def summary_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROUGE-1/2 F, smoothed BLEU and WER of the LSA summary
+    (candidate) against the TextRank top-5 summary (reference).
+
+    Sentence concatenation is ORDER-FIXED on both engines (LSA: by
+    (concept, rk); TextRank: by rk), so the pair texts are deterministic
+    strings and the downstream kernels need no further tie-breaking.
+
+    Scale shape: both upstream plans are already bounded (5x3 and 5
+    sentences per source); the eval adds three zero-shuffle Arrow map
+    stages over one row per source plus tiny key equi-joins — nothing
+    super-linear at any corpus size."""
+    from .lsa import lsa_summary
+    from .pagerank import textrank_top5
+
+    cand = (
+        lsa_summary(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_cand_sents"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("concept", "rk", "sentence"))
+                    ),
+                    lambda s: s["sentence"],
+                ),
+            ).alias("cand_text"),
+        )
+    )
+    ref = (
+        textrank_top5(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_ref_sents"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "sentence"))),
+                    lambda s: s["sentence"],
+                ),
+            ).alias("ref_text"),
+        )
+    )
+    pairs = cand.join(ref, "source").select(
+        F.col("source").alias("pair_id"),
+        "cand_text",
+        "ref_text",
+        "n_cand_sents",
+        "n_ref_sents",
+    )
+    rouge = rouge_n_from(pairs).select("pair_id", "rouge1_f", "rouge2_f")
+    bleu = _bleu_components_from(pairs).select(
+        "pair_id", r6(_bleu_expr(smooth=True)).alias("bleu_smooth")
+    )
+    wer = wer_from(pairs).select("pair_id", "edits", "wer")
+    return (
+        pairs.select("pair_id", "n_cand_sents", "n_ref_sents")
+        .join(rouge, "pair_id")
+        .join(bleu, "pair_id")
+        .join(wer, "pair_id")
+        .select(
+            F.col("pair_id").alias("source"),
+            "n_cand_sents",
+            "n_ref_sents",
+            "rouge1_f",
+            "rouge2_f",
+            "bleu_smooth",
+            "edits",
+            "wer",
+        )
+    )
+
+
+def _summary_eval_oracle() -> str:
+    """Composes the two certified upstream oracles verbatim as nested
+    CTE bodies (the ann_ndcg precedent — DuckDB scopes inner WITHs
+    per-CTE, so the textrank oracle's own `pairs` CTE shadows nothing),
+    then reuses the certified metric CTE generators over the composed
+    pair texts."""
+    from .lsa import ORACLES as _lsa_oracles
+    from .pagerank import ORACLES as _pr_oracles
+
+    return f"""
+WITH RECURSIVE
+cand_raw AS ({_lsa_oracles["lsa_summary"]}),
+ref_raw AS ({_pr_oracles["textrank_top5"]}),
+cand AS (
+  SELECT source, cast(count(*) AS bigint) AS n_cand_sents,
+         string_agg(sentence, ' ' ORDER BY concept, rk) AS cand_text
+  FROM cand_raw GROUP BY source
+),
+ref AS (
+  SELECT source, cast(count(*) AS bigint) AS n_ref_sents,
+         string_agg(sentence, ' ' ORDER BY rk) AS ref_text
+  FROM ref_raw GROUP BY source
+),
+pairs AS (
+  SELECT c.source AS pair_id, c.cand_text, r.ref_text
+  FROM cand c JOIN ref r ON c.source = r.source
+),
+{_bleu_components_cte()},
+{_rouge_n_sql(1)},
+{_rouge_n_sql(2)},
+{_WER_LEV_CTES}
+SELECT p.pair_id AS source,
+       c.n_cand_sents, r.n_ref_sents,
+       r1_out.rouge1_f, r2_out.rouge2_f,
+       {_bleu_sql(smooth=True)} AS bleu_smooth,
+       cast(lev_out.edits AS bigint) AS edits,
+       (round(CASE WHEN lev_out.n > 0
+                   THEN lev_out.edits * 1.0 / lev_out.n
+                   ELSE 0.0 END, 6) + 0.0) AS wer
+FROM pairs p
+JOIN cand c ON c.source = p.pair_id
+JOIN ref r ON r.source = p.pair_id
+JOIN r1_out ON r1_out.pair_id = p.pair_id
+JOIN r2_out ON r2_out.pair_id = p.pair_id
+JOIN comp ON comp.pair_id = p.pair_id
+JOIN lev_out ON lev_out.pair_id = p.pair_id
+"""
+
+
+ORACLES["summary_eval"] = _summary_eval_oracle()
+QUERIES["summary_eval"] = summary_eval

@@ -200,6 +200,13 @@ PROBE = [
     # late-r16: WER is the rouge_l shape (O(m*n) Arrow DP per pair,
     # zero shuffle beyond the pair join) — expect ~linear
     "wer_pairs",
+    # r17: the corpus WER roll-up adds one 3-long global sum to the
+    # wer_pairs shape; summary_eval composes the lsa + textrank plans
+    # (both bounded per source) and three zero-shuffle Arrow map stages
+    # over ONE row per source — its ratio should track the heavier
+    # upstream (the LSA/TextRank text diamond), not the metric stages
+    "wer_corpus",
+    "summary_eval",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default
@@ -427,13 +434,53 @@ def build_replicated(spark, replicas: int, salt_docs: bool = False) -> str:
     # for the kNN graph (every vector gains 9 cosine-1.0 twins, clone
     # cliques), like the document replication is for dedup.
     emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
-    rep_emb = (
-        emb.withColumn(
-            "r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+    rep_emb = emb.withColumn(
+        "r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+    ).withColumn("vec_id", F.col("vec_id") + F.col("r") * F.lit(ID_STRIDE))
+    if salt_docs:
+        # constant-density mode, EMBEDDING side (r17, VERDICT r16 task
+        # 4): verbatim vector replication hands every vector
+        # `replicas`-1 cosine-1.0 twins — C(reps,2)x manufactured
+        # semantic clone mass, the same artifact token renaming removes
+        # on the lexical side.  The analog here is a PER-REPLICA
+        # ISOMETRY: a signed coordinate permutation (roll the 64 dims by
+        # 7*r positions, then flip each coordinate's sign by a
+        # crc32(r, i) bit).  Isometries preserve norms and pairwise dot
+        # products EXACTLY, so within-replica cosine structure — the
+        # semantic truth set — maps bijectively onto each replica, while
+        # a cross-replica pair (x, P_s y) measures <P_r^T P_s y, x>,
+        # a sign-scrambled rotation of y against x: decorrelated to
+        # ~N(0, 1/64) cosine mass for these dense synthetic vectors,
+        # far below every detector threshold.  Replica 0 is left
+        # byte-identical (the base corpus embeds unchanged).
+        dims = 64  # embeddings.parquet fixture width
+        idx = F.sequence(F.lit(0), F.lit(dims - 1))
+        rolled = F.transform(
+            idx,
+            lambda i: (
+                F.element_at(
+                    F.col("embedding"),
+                    ((i + F.col("r") * F.lit(7)) % F.lit(dims)) + F.lit(1),
+                )
+                * F.when(
+                    F.crc32(
+                        F.concat_ws(
+                            "_",
+                            F.col("r").cast("string"),
+                            i.cast("string"),
+                        )
+                    )
+                    % 2
+                    == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+            ).cast("float"),
         )
-        .withColumn("vec_id", F.col("vec_id") + F.col("r") * F.lit(ID_STRIDE))
-        .drop("r")
-    )
+        rep_emb = rep_emb.withColumn(
+            "embedding",
+            F.when(F.col("r") == 0, F.col("embedding")).otherwise(rolled),
+        )
+    rep_emb = rep_emb.drop("r")
     rep_emb.write.parquet(f"{out}/embeddings.parquet")
     for t in (
         "region nation customer supplier part orders lineitem"

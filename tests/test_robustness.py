@@ -356,3 +356,94 @@ def test_wer_hand_computed_semantics(spark, tmp_path):
     assert out.loc[1, "edits"] == 2 and out.loc[1, "wer"] == round(2 / 6, 6)
     assert out.loc[2, "edits"] == 3 and out.loc[2, "wer"] == 1.0
     assert out.loc[3, "edits"] == 1 and out.loc[3, "wer"] == round(1 / 3, 6)
+    # corpus row: the micro-average Σedits/Σref_len (NOT the mean of the
+    # per-pair rates — that would be (0 + 1/3 + 1 + 1/3)/4)
+    corpus = R.wer_corpus(spark, sf).toPandas().iloc[0]
+    assert corpus["n_pairs"] == 4
+    assert corpus["n_cand"] == out["n_cand"].sum() == 14
+    assert corpus["n_ref"] == out["n_ref"].sum() == 16
+    assert corpus["edits"] == out["edits"].sum() == 6
+    assert corpus["wer"] == 0.375
+
+
+def test_summary_eval_machine_vs_machine(spark):
+    """summary_eval scores the LSA summary against the TextRank top-5
+    per source (the reference's pseudo-golden pattern, M4/M5).  The test
+    recomputes every metric independently in plain Python from the two
+    upstream query outputs — tokenization, clipped n-gram overlap,
+    smoothed BLEU and word-Levenshtein are all re-derived here, not
+    imported from the engine."""
+    import math
+    import re
+    from collections import Counter
+
+    from bigdataanalytics_textsummarization_spark import rouge as R
+    from bigdataanalytics_textsummarization_spark.lsa import lsa_summary
+    from bigdataanalytics_textsummarization_spark.pagerank import (
+        textrank_top5,
+    )
+
+    from conftest import SF_DIR
+
+    out = R.summary_eval(spark, SF_DIR).toPandas().set_index("source")
+    cand_df = lsa_summary(spark, SF_DIR).toPandas()
+    ref_df = textrank_top5(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert set(out.index) == set(cand_df["source"]) & set(ref_df["source"])
+
+    tok = re.compile(r"[a-z0-9]+")
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, y in enumerate(b, 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (0 if x == y else 1),
+                )
+            prev = cur
+        return prev[-1]
+
+    def grams(ws, n):
+        return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+    def clipped(a, b):
+        cb = Counter(b)
+        return sum(min(c, cb[g]) for g, c in Counter(a).items() if g in cb)
+
+    for source, row in out.iterrows():
+        c_rows = cand_df[cand_df["source"] == source]
+        c_rows = c_rows.sort_values(["concept", "rk"])
+        r_rows = ref_df[ref_df["source"] == source].sort_values("rk")
+        assert row["n_cand_sents"] == len(c_rows)
+        assert row["n_ref_sents"] == len(r_rows) <= 5
+        cand_text = " ".join(c_rows["sentence"])
+        ref_text = " ".join(r_rows["sentence"])
+        a = tok.findall(cand_text.lower())
+        b = tok.findall(ref_text.lower())
+        # ROUGE-1/2 F
+        for n, col in ((1, "rouge1_f"), (2, "rouge2_f")):
+            ga, gb = grams(a, n), grams(b, n)
+            m = clipped(ga, gb)
+            p = m / len(ga) if ga else 0.0
+            r = m / len(gb) if gb else 0.0
+            f = 2 * p * r / (p + r) if (p + r) > 0 else 0.0
+            assert row[col] == round(f, 6), (source, col)
+        # smoothed sentence BLEU
+        ms = [clipped(grams(a, n), grams(b, n)) for n in (1, 2, 3, 4)]
+        ts = [len(grams(a, n)) for n in (1, 2, 3, 4)]
+        if ts[0] == 0 or ms[0] == 0:
+            want = 0.0
+        else:
+            lns = [math.log(ms[0] / ts[0])] + [
+                math.log((ms[n] + 1) / (ts[n] + 1)) for n in (1, 2, 3)
+            ]
+            bp = 1.0 if ts[0] > len(b) else math.exp(1 - len(b) / ts[0])
+            want = bp * math.exp(0.25 * sum(lns))
+        assert row["bleu_smooth"] == round(want, 6), source
+        # WER
+        e = lev(a, b)
+        assert row["edits"] == e, source
+        assert row["wer"] == (round(e / len(b), 6) if b else 0.0), source
