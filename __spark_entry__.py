@@ -72,9 +72,10 @@ _MODULES = [
 # scripts/check_recert.py — it diffs each query's cross-module AST
 # closure against the tree its last green artifact was committed on).
 #
-# Round-17 window (VERDICT r16 tasks 3+5-6): 50 slots = (a) the two
+# Round-17 window (VERDICT r16 tasks 3+5-6): 50 slots = (a) the
 # never-certified r17 queries — wer_corpus (the micro-average corpus
-# roll-up completing the eval family's pair/corpus symmetry) and
+# roll-up completing the eval family's pair/corpus symmetry), the CER
+# pair (below), and
 # summary_eval (the eval metrics scored on ENGINE-PRODUCED summaries:
 # LSA summary vs TextRank top-5 per source, the reference's own
 # machine-vs-machine pseudo-golden pattern M4/M5) — staged beside the
@@ -85,16 +86,23 @@ _MODULES = [
 # none of them, re-staged as prudence, all verified ALL MATCH at
 # sf0.001 + sf0.01 by driver_sim before staging), then (b) the ENTIRE
 # r11-era freshness queue (26 names, the oldest standing greens) and
-# (c) the alphabetically-first 19 of the 43 r12-era greens (the
+# (c) the alphabetically-first 17 of the 43 r12-era greens (the
 # events family groups naturally; events_sliding — the r16 bench
-# anomaly row — re-certifies here).  2+3+26+19 = exactly the 50-slot
-# budget; after r17 certifies, the oldest standing green is r12-era
-# and the 24 r12-era names past the cut lead the r18 rotation.
+# anomaly row — re-certifies here).  Late r17 adds the CER pair
+# (cer_pairs/cer_corpus — the character-level WER twin, never
+# certified; ALL MATCH at sf0.001 + sf0.01 by driver_sim before
+# staging), each taking the slot of an alphabetically-last r12-era
+# name (knn_accuracy and lineitem_stats stay queued for r18, the
+# rotation loses nothing).  4+3+26+17 = exactly the 50-slot budget;
+# after r17 certifies, the oldest standing green is r12-era and the
+# 26 r12-era names past the cut lead the r18 rotation.
 _PRIORITY_R17 = [
     # (a) never certified + the refactored eval family (shared pair
     # leafs; summary_eval composes the lsa/textrank plans)
     "wer_pairs",
     "wer_corpus",
+    "cer_pairs",
+    "cer_corpus",
     "bleu_pairs",
     "bleu_corpus",
     "summary_eval",
@@ -125,8 +133,8 @@ _PRIORITY_R17 = [
     "simhash_fingerprints",
     "train_test_split",
     "vocab_growth",
-    # (c) r12-era greens, alphabetical up to the budget (the 24 past the
-    # cut — pii_scrub .. wav_decode — lead the r18 rotation)
+    # (c) r12-era greens, alphabetical up to the budget (the 26 past the
+    # cut — knn_accuracy .. wav_decode — lead the r18 rotation)
     "ann_ivfpq_recall",
     "ann_pq_recall",
     "asof_click_attribution",
@@ -144,8 +152,6 @@ _PRIORITY_R17 = [
     "events_in_sessions",
     "events_sliding",
     "gopher_rules",
-    "knn_accuracy",
-    "lineitem_stats",
 ]
 
 # Round-16 window (VERDICT r15 tasks 2-3+6): 50 slots = (a) the one

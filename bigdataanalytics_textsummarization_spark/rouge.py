@@ -993,7 +993,14 @@ def wer_from(pairs: DataFrame) -> DataFrame:
 # coalesce sentinel is defensive only — interior neighbors are always
 # inside the previous diagonals' ranges.  The chain from ltoks through
 # lev_out is shared by the pair and corpus oracles (r17).
-_WER_LEV_CTES = """
+def _lev_ctes(pattern: str) -> str:
+    """The wavefront chain parameterized by the unit regex: '[a-z0-9]+'
+    gives word-level edits (WER), '[a-z0-9]' character-level (CER) —
+    everything after ltoks is unit-agnostic."""
+    return _WER_LEV_CTES_BODY.replace("[a-z0-9]+", pattern)
+
+
+_WER_LEV_CTES_BODY = """
 ltoks AS MATERIALIZED (
   SELECT pair_id,
          regexp_extract_all(lower(cand_text), '[a-z0-9]+') AS ca,
@@ -1028,6 +1035,8 @@ lev_out AS (
   FROM ltoks t
   LEFT JOIN dp f ON f.pair_id = t.pair_id AND f.d = t.m + t.n
 )"""
+
+_WER_LEV_CTES = _lev_ctes("[a-z0-9]+")  # word units (identity substitution)
 
 ORACLES["wer_pairs"] = f"""
 WITH RECURSIVE {PAIRS_CTE},
@@ -1086,6 +1095,116 @@ SELECT cast(count(*) AS bigint) AS n_pairs,
 FROM lev_out
 """
 QUERIES["wer_corpus"] = wer_corpus
+
+
+# ---------------------------------------------------------------------------
+# CER (r17): character error rate — the WER twin an ASR/OCR eval
+# reports beside it (edits over the character stream are robust to
+# tokenization and compounding where word edits are not).  Unit chars
+# are the [a-z0-9] stream, the same normalization chrF uses; every
+# stage downstream of tokenization is shared with WER (the kernel's DP
+# and the oracle's recursive wavefront are unit-agnostic).
+# ---------------------------------------------------------------------------
+
+_CER_SCHEMA = T.StructType(
+    [
+        T.StructField("pair_id", T.LongType()),
+        T.StructField("n_cand", T.LongType()),
+        T.StructField("n_ref", T.LongType()),
+        T.StructField("edits", T.LongType()),
+        T.StructField("cer", T.DoubleType()),
+    ]
+)
+
+
+def cer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair character error rate: Levenshtein edits between the
+    [a-z0-9] character streams, normalized by the reference length.
+    Same zero-shuffle Arrow map shape as wer_pairs; O(m*n) per pair on
+    character counts (documents here are short; production bounds the
+    DP with a length cutoff upstream, the quality-filter stage)."""
+    return cer_from(_pairs(spark, sf_dir))
+
+
+def cer_from(pairs: DataFrame) -> DataFrame:
+    """The CER kernel over any (pair_id, cand_text, ref_text) frame."""
+    import re
+
+    key_field = pairs.schema["pair_id"]
+    out_schema = T.StructType([key_field] + _CER_SCHEMA.fields[1:])
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = re.compile(r"[a-z0-9]")
+        for pdf in batches:
+            rows = []
+            for pid, cand, ref in zip(
+                pdf["pair_id"], pdf["cand_text"], pdf["ref_text"]
+            ):
+                a = tok.findall(cand.lower())
+                b = tok.findall(ref.lower())
+                e = _levenshtein_words(a, b)
+                cer = (round(e / len(b), 6) + 0.0) if b else 0.0
+                rows.append((pid, len(a), len(b), e, cer))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema]
+            )
+
+    return pairs.select("pair_id", "cand_text", "ref_text").mapInPandas(
+        score, schema=out_schema
+    )
+
+
+def cer_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus CER — the micro-average Σedits / Σref_chars (the exact
+    wer_corpus shape one unit down)."""
+    comp = cer_pairs(spark, sf_dir)
+    sums = comp.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("n_cand").cast("long").alias("n_cand"),
+        F.sum("n_ref").cast("long").alias("n_ref"),
+        F.sum("edits").cast("long").alias("edits"),
+    )
+    cer = F.when(
+        F.col("n_ref") > 0, F.col("edits") / F.col("n_ref")
+    ).otherwise(F.lit(0.0))
+    return sums.select(
+        "n_pairs",
+        "n_cand",
+        "n_ref",
+        "edits",
+        r6(cer).alias("cer"),
+    )
+
+
+_CER_LEV_CTES = _lev_ctes("[a-z0-9]")  # character units
+
+ORACLES["cer_pairs"] = f"""
+WITH RECURSIVE {PAIRS_CTE},
+{_CER_LEV_CTES}
+SELECT pair_id,
+       cast(m AS bigint) AS n_cand,
+       cast(n AS bigint) AS n_ref,
+       cast(edits AS bigint) AS edits,
+       (round(CASE WHEN n > 0
+                   THEN edits * 1.0 / n
+                   ELSE 0.0 END, 6) + 0.0) AS cer
+FROM lev_out
+"""
+QUERIES["cer_pairs"] = cer_pairs
+
+ORACLES["cer_corpus"] = f"""
+WITH RECURSIVE {PAIRS_CTE},
+{_CER_LEV_CTES}
+SELECT cast(count(*) AS bigint) AS n_pairs,
+       cast(sum(m) AS bigint) AS n_cand,
+       cast(sum(n) AS bigint) AS n_ref,
+       cast(sum(edits) AS bigint) AS edits,
+       (round(CASE WHEN sum(n) > 0
+                   THEN sum(edits) * 1.0 / sum(n)
+                   ELSE 0.0 END, 6) + 0.0) AS cer
+FROM lev_out
+"""
+QUERIES["cer_corpus"] = cer_corpus
 
 
 # ---------------------------------------------------------------------------

@@ -207,6 +207,11 @@ PROBE = [
     # upstream (the LSA/TextRank text diamond), not the metric stages
     "wer_corpus",
     "summary_eval",
+    # late-r17: CER is WER one unit down — the same zero-shuffle Arrow
+    # DP per pair, ~6x the sequence lengths (chars vs words), so the
+    # per-pair constant is larger but the shape identical
+    "cer_pairs",
+    "cer_corpus",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default
@@ -450,9 +455,15 @@ def build_replicated(spark, replicas: int, salt_docs: bool = False) -> str:
         # semantic truth set — maps bijectively onto each replica, while
         # a cross-replica pair (x, P_s y) measures <P_r^T P_s y, x>,
         # a sign-scrambled rotation of y against x: decorrelated to
-        # ~N(0, 1/64) cosine mass for these dense synthetic vectors,
-        # far below every detector threshold.  Replica 0 is left
-        # byte-identical (the base corpus embeds unchanged).
+        # ~N(0, 1/64) cosine mass (sigma ~ 0.125; measured on the built
+        # x100_cd corpus: within-replica deltas <= 3e-17, cross-replica
+        # twin |cos| max 0.29 over sampled pairs).  At a production
+        # threshold (0.95) the cross tail is zero; at this fixture's
+        # deliberately-low 0.35 gate a ~0.5% cross tail survives —
+        # against the verbatim replicator's 100% cosine-1.0 twins, the
+        # manufactured semantic clone mass is gone to first order.
+        # Replica 0 is left byte-identical (the base corpus embeds
+        # unchanged).
         dims = 64  # embeddings.parquet fixture width
         idx = F.sequence(F.lit(0), F.lit(dims - 1))
         rolled = F.transform(

@@ -364,6 +364,39 @@ def test_wer_hand_computed_semantics(spark, tmp_path):
     assert corpus["n_ref"] == out["n_ref"].sum() == 16
     assert corpus["edits"] == out["edits"].sum() == 6
     assert corpus["wer"] == 0.375
+    # CER: same DP one unit down — recompute independently over the
+    # [a-z0-9] char streams
+    import re
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, y in enumerate(b, 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (0 if x == y else 1),
+                )
+            prev = cur
+        return prev[-1]
+
+    ctok = re.compile(r"[a-z0-9]")
+    cout = R.cer_pairs(spark, sf).toPandas().set_index("pair_id")
+    tot_e = tot_r = tot_c = 0
+    for pid in range(4):
+        a = ctok.findall(texts[2 * pid].lower())
+        b = ctok.findall(texts[2 * pid + 1].lower())
+        e = lev(a, b)
+        tot_e, tot_r, tot_c = tot_e + e, tot_r + len(b), tot_c + len(a)
+        assert cout.loc[pid, "edits"] == e, pid
+        assert cout.loc[pid, "n_cand"] == len(a) and cout.loc[pid, "n_ref"] == len(b)
+        assert cout.loc[pid, "cer"] == (round(e / len(b), 6) if b else 0.0)
+    ccorpus = R.cer_corpus(spark, sf).toPandas().iloc[0]
+    assert ccorpus["n_pairs"] == 4
+    assert ccorpus["n_cand"] == tot_c and ccorpus["n_ref"] == tot_r
+    assert ccorpus["edits"] == tot_e
+    assert ccorpus["cer"] == round(tot_e / tot_r, 6)
 
 
 def test_summary_eval_machine_vs_machine(spark):
