@@ -392,6 +392,18 @@ PROBE_X100 = [
     # late-r15: the wide bitext pool one decade further (the narrow
     # pool's occupancy² candidate mass is the measured 16-bucket class)
     "bitext_mining_wide",
+    # r17: the eval-metric family one decade further — all zero-shuffle
+    # Arrow map shapes over the pair frame (plus a single global sum
+    # for the corpus forms) whose x10 rows were flat-to-linear
+    # (bleu 1.1x, chrf 1.8x, wer 1.9x, cer 7.1x compute-bound, strip
+    # 0.8x); at x100 the map stage dominates and the ratio should track
+    # pair count, never pair-pairs
+    "doc_repetition_strip",
+    "bleu_pairs",
+    "chrf_pairs",
+    "wer_pairs",
+    "wer_corpus",
+    "cer_pairs",
 ]
 
 
