@@ -93,9 +93,17 @@ _MODULES = [
 # certified; ALL MATCH at sf0.001 + sf0.01 by driver_sim before
 # staging), each taking the slot of an alphabetically-last r12-era
 # name (knn_accuracy and lineitem_stats stay queued for r18, the
-# rotation loses nothing).  4+3+26+17 = exactly the 50-slot budget;
-# after r17 certifies, the oldest standing green is r12-era and the
-# 26 r12-era names past the cut lead the r18 rotation.
+# rotation loses nothing).  Later still, the GLEU pair
+# (gleu_pairs/gleu_corpus — min(precision, recall) over the pooled
+# 1..4-gram bag, a pure expression over the certified BLEU integer
+# components) and rouge_su4 (skip-bigram+unigram ROUGE, max gap 4)
+# take the slots of the three alphabetically-last r12-era names
+# (events_in_sessions, events_sliding, gopher_rules rejoin the r18
+# queue — events_sliding's r17 interleaved A/B already refuted the
+# r16 bench anomaly, so nothing is lost by deferring its recert).
+# 7+3+26+14 = exactly the 50-slot budget; after r17 certifies, the
+# oldest standing green is r12-era and the 29 r12-era names past the
+# cut lead the r18 rotation.
 _PRIORITY_R17 = [
     # (a) never certified + the refactored eval family (shared pair
     # leafs; summary_eval composes the lsa/textrank plans)
@@ -106,6 +114,9 @@ _PRIORITY_R17 = [
     "bleu_pairs",
     "bleu_corpus",
     "summary_eval",
+    "gleu_pairs",
+    "gleu_corpus",
+    "rouge_su4",
     # (b) the full r11-era queue, alphabetical
     "compression_ratio",
     "contamination_check",
@@ -149,9 +160,6 @@ _PRIORITY_R17 = [
     "event_transitions",
     "events_by_segment",
     "events_dedup",
-    "events_in_sessions",
-    "events_sliding",
-    "gopher_rules",
 ]
 
 # Round-16 window (VERDICT r15 tasks 2-3+6): 50 slots = (a) the one

@@ -1596,3 +1596,299 @@ JOIN lev_out ON lev_out.pair_id = p.pair_id
 
 ORACLES["summary_eval"] = _summary_eval_oracle()
 QUERIES["summary_eval"] = summary_eval
+
+# ---------------------------------------------------------------------------
+# GLEU (r17): Google's sentence-level GLEU (Wu et al. 2016, "Google's
+# Neural Machine Translation System", §5.1) — the RL-reward variant of
+# BLEU that stays meaningful per sentence: pool the n-gram statistics of
+# ALL orders 1..4 into one bag, then score min(precision, recall) over
+# the pooled bag.  No brevity penalty (the recall arm already punishes
+# short candidates) and no geometric mean (no zero-collapse on a missing
+# order), which is why per-sentence GLEU needs no smoothing.
+#
+# Engine shape: ZERO new kernel work — the pooled statistics are exact
+# integer sums over the already-certified BLEU component surface
+# (m1..m4, t1..t4, r_len): pooled matches Σm_n, pooled candidate total
+# Σt_n, and the pooled reference total Σ max(r_len-n+1, 0) (the
+# candidate identity t_n = max(t1-n+1, 0) holds for the reference side
+# too, so r_len determines every ref order total).  The score is one
+# least-of-two-divisions expression — parity-trivial (divisions only,
+# no transcendentals), the chrF precedent.
+# ---------------------------------------------------------------------------
+
+
+def _gleu_staged(comp: DataFrame) -> DataFrame:
+    """Stage the pooled GLEU integers from BLEU component columns."""
+    rt_pool = F.col("r_len")
+    for n in range(2, _BLEU_MAX_N + 1):
+        rt_pool = rt_pool + F.greatest(
+            F.col("r_len") - F.lit(n - 1), F.lit(0)
+        )
+    m_pool = F.col("m1")
+    t_pool = F.col("t1")
+    for n in range(2, _BLEU_MAX_N + 1):
+        m_pool = m_pool + F.col(f"m{n}")
+        t_pool = t_pool + F.col(f"t{n}")
+    return comp.withColumns(
+        {
+            "m_pool": m_pool.cast("long"),
+            "t_pool": t_pool.cast("long"),
+            "rt_pool": rt_pool.cast("long"),
+        }
+    )
+
+
+def _gleu_expr():
+    """GLEU over staged pooled attributes — identical operand order to
+    :func:`_gleu_sql` (two divisions and a ``least``; exact-integer
+    operands, so the doubles agree bit-for-bit cross-engine)."""
+    m, t, rt = F.col("m_pool"), F.col("t_pool"), F.col("rt_pool")
+    return F.when(
+        (t == F.lit(0)) | (rt == F.lit(0)), F.lit(0.0)
+    ).otherwise(F.least(m / t, m / rt))
+
+
+def _gleu_sql() -> str:
+    return """(round(CASE WHEN t_pool = 0 OR rt_pool = 0 THEN 0.0
+       ELSE least(m_pool * 1.0 / t_pool, m_pool * 1.0 / rt_pool)
+       END, 6) + 0.0)"""
+
+
+_GLEU_POOL_SQL = """
+       cast(m1 + m2 + m3 + m4 AS bigint) AS m_pool,
+       cast(t1 + t2 + t3 + t4 AS bigint) AS t_pool,
+       cast(r_len + greatest(r_len - 1, 0) + greatest(r_len - 2, 0)
+            + greatest(r_len - 3, 0) AS bigint) AS rt_pool"""
+
+
+def gleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair sentence GLEU with its exact pooled integer components
+    (Σ clipped matches, Σ candidate totals, Σ reference totals over
+    orders 1..4).  Same zero-shuffle Arrow map shape as bleu_pairs —
+    the component kernel IS bleu's, reused verbatim."""
+    staged = _gleu_staged(_bleu_components(spark, sf_dir))
+    return staged.select(
+        "pair_id",
+        "m_pool",
+        "t_pool",
+        "rt_pool",
+        r6(_gleu_expr()).alias("gleu"),
+    )
+
+
+def gleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus GLEU: pooled components summed over ALL pairs before the
+    two ratios (micro-average, the bleu_corpus discipline).  One row;
+    the roll-up is a 3-long global sum — the cheapest reduction at any
+    corpus size."""
+    staged = _gleu_staged(_bleu_components(spark, sf_dir))
+    sums = staged.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("m_pool").cast("long").alias("m_pool"),
+        F.sum("t_pool").cast("long").alias("t_pool"),
+        F.sum("rt_pool").cast("long").alias("rt_pool"),
+    )
+    return sums.select(
+        "n_pairs",
+        "m_pool",
+        "t_pool",
+        "rt_pool",
+        r6(_gleu_expr()).alias("gleu"),
+    )
+
+
+ORACLES["gleu_pairs"] = f"""
+WITH {PAIRS_CTE},
+{_bleu_components_cte()},
+pooled AS (
+  SELECT pair_id,{_GLEU_POOL_SQL}
+  FROM comp
+)
+SELECT pair_id, m_pool, t_pool, rt_pool,
+       {_gleu_sql()} AS gleu
+FROM pooled
+"""
+QUERIES["gleu_pairs"] = gleu_pairs
+
+ORACLES["gleu_corpus"] = f"""
+WITH {PAIRS_CTE},
+{_bleu_components_cte()},
+pooled AS (
+  SELECT pair_id,{_GLEU_POOL_SQL}
+  FROM comp
+),
+sums AS (
+  SELECT cast(count(*) AS bigint) AS n_pairs,
+         cast(sum(m_pool) AS bigint) AS m_pool,
+         cast(sum(t_pool) AS bigint) AS t_pool,
+         cast(sum(rt_pool) AS bigint) AS rt_pool
+  FROM pooled
+)
+SELECT n_pairs, m_pool, t_pool, rt_pool,
+       {_gleu_sql()} AS gleu
+FROM sums
+"""
+QUERIES["gleu_corpus"] = gleu_corpus
+
+# ---------------------------------------------------------------------------
+# ROUGE-SU4 (r17): skip-bigram-plus-unigram ROUGE (Lin 2004, §5 — the
+# DUC-configuration "SU4"): the unit bag is every in-order token pair
+# with at most 4 tokens between them (skip distance <= 4), unioned with
+# the unigrams (the "U" extension keeps a candidate with no co-occurring
+# pair from scoring zero).  The reference's rouge-score dependency ships
+# ROUGE-N/L only (BigdataProjectCode.py:183); SU4 completes the family a
+# summarization eval reports alongside them.
+#
+# Engine shape: the rouge_n production path — the unit bag is row-local,
+# so the kernel is an Arrow-batched mapInPandas pass (O(5·tokens) per
+# pair, zero shuffle beyond the pair equi-join) emitting EXACT INTEGERS
+# (clipped matches + both side totals); P/R/F are divisions staged over
+# those attributes (the _prf discipline).  The oracle builds the same
+# bag relationally: a positional self-join banded to 1 <= Δpos <= 5
+# UNION ALL the unigram stream — unigram keys contain no space so the
+# two unit alphabets cannot collide.
+# ---------------------------------------------------------------------------
+
+_SU4_SKIP = 4  # max tokens BETWEEN the two ends of a skip-bigram
+
+_SU4_SCHEMA = T.StructType(
+    [
+        T.StructField("pair_id", T.LongType()),
+        T.StructField("match_su4", T.LongType()),
+        T.StructField("cand_units", T.LongType()),
+        T.StructField("ref_units", T.LongType()),
+    ]
+)
+
+
+def _su4_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair SU4 unit-bag components via the Arrow kernel."""
+    import re
+
+    from collections import Counter
+
+    pairs = _pairs(spark, sf_dir)
+
+    def units(toks: list[str]) -> Counter:
+        bag = Counter(toks)  # unigrams — no ' ' in the key
+        span = _SU4_SKIP + 1  # max positional distance j - i
+        for i, w in enumerate(toks):
+            for j in range(i + 1, min(i + span, len(toks) - 1) + 1):
+                bag[w + " " + toks[j]] += 1
+        return bag
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = re.compile(r"[a-z0-9]+")
+        for pdf in batches:
+            rows = []
+            for pid, cand, ref in zip(
+                pdf["pair_id"], pdf["cand_text"], pdf["ref_text"]
+            ):
+                bc = units(tok.findall(cand.lower()))
+                br = units(tok.findall(ref.lower()))
+                m = sum(
+                    min(c, br[g]) for g, c in bc.items() if g in br
+                )
+                rows.append(
+                    (pid, m, sum(bc.values()), sum(br.values()))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _SU4_SCHEMA]
+            )
+
+    return pairs.select("pair_id", "cand_text", "ref_text").mapInPandas(
+        score, schema=_SU4_SCHEMA
+    )
+
+
+def rouge_su4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair ROUGE-SU4 with exact integer components and P/R/F
+    staged as divisions over them (the rouge_n output convention)."""
+    comp = _su4_components(spark, sf_dir)
+    m, ct, rt = (
+        F.col("match_su4"),
+        F.col("cand_units"),
+        F.col("ref_units"),
+    )
+    comp = comp.withColumns(
+        {
+            "p_": F.when(ct > F.lit(0), m / ct).otherwise(F.lit(0.0)),
+            "r_": F.when(rt > F.lit(0), m / rt).otherwise(F.lit(0.0)),
+        }
+    )
+    p, r = F.col("p_"), F.col("r_")
+    return comp.select(
+        "pair_id",
+        "match_su4",
+        "cand_units",
+        "ref_units",
+        r6(p).alias("su4_p"),
+        r6(r).alias("su4_r"),
+        r6(
+            F.when((p + r) > F.lit(0), 2 * p * r / (p + r)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("su4_f"),
+    )
+
+
+def _su4_units_cte(side: str) -> str:
+    """DuckDB CTE producing {side}_su (pair_id, g, cnt): skip-bigrams
+    banded to 1 <= Δpos <= 5 UNION ALL unigrams."""
+    return f"""
+{side}_su_toks AS (
+  SELECT pair_id,
+         unnest(regexp_extract_all(lower({side}_text), '[a-z0-9]+')) AS w,
+         unnest(range(len(regexp_extract_all(lower({side}_text), '[a-z0-9]+')))) AS pos
+  FROM pairs
+),
+{side}_su AS (
+  SELECT pair_id, g, count(*) AS cnt FROM (
+    SELECT a.pair_id, a.w || ' ' || b.w AS g
+    FROM {side}_su_toks a
+    JOIN {side}_su_toks b
+      ON a.pair_id = b.pair_id
+     AND b.pos - a.pos BETWEEN 1 AND {_SU4_SKIP + 1}
+    UNION ALL
+    SELECT pair_id, w AS g FROM {side}_su_toks
+  ) GROUP BY pair_id, g
+)"""
+
+
+ORACLES["rouge_su4"] = f"""
+WITH {PAIRS_CTE},
+{_su4_units_cte("cand")},
+{_su4_units_cte("ref")},
+su_m AS (
+  SELECT c.pair_id, sum(least(c.cnt, r.cnt)) AS m
+  FROM cand_su c JOIN ref_su r
+    ON c.pair_id = r.pair_id AND c.g = r.g
+  GROUP BY c.pair_id
+),
+su_c AS (SELECT pair_id, sum(cnt) AS t FROM cand_su GROUP BY pair_id),
+su_r AS (SELECT pair_id, sum(cnt) AS t FROM ref_su GROUP BY pair_id),
+su_s AS (
+  SELECT p.pair_id,
+         coalesce(su_m.m, 0) AS m,
+         coalesce(su_c.t, 0) AS ct,
+         coalesce(su_r.t, 0) AS rt
+  FROM pairs p
+  LEFT JOIN su_m ON p.pair_id = su_m.pair_id
+  LEFT JOIN su_c ON p.pair_id = su_c.pair_id
+  LEFT JOIN su_r ON p.pair_id = su_r.pair_id
+)
+SELECT pair_id, cast(m AS bigint) AS match_su4,
+       cast(ct AS bigint) AS cand_units,
+       cast(rt AS bigint) AS ref_units,
+       (round(CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END, 6) + 0.0) AS su4_p,
+       (round(CASE WHEN rt > 0 THEN m * 1.0 / rt ELSE 0 END, 6) + 0.0) AS su4_r,
+       (round(CASE WHEN (CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END)
+                     + (CASE WHEN rt > 0 THEN m * 1.0 / rt ELSE 0 END) > 0
+             THEN 2 * (CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END)
+                    * (CASE WHEN rt > 0 THEN m * 1.0 / rt ELSE 0 END)
+                  / ((CASE WHEN ct > 0 THEN m * 1.0 / ct ELSE 0 END)
+                     + (CASE WHEN rt > 0 THEN m * 1.0 / rt ELSE 0 END))
+             ELSE 0 END, 6) + 0.0) AS su4_f
+FROM su_s
+"""
+QUERIES["rouge_su4"] = rouge_su4

@@ -480,3 +480,129 @@ def test_summary_eval_machine_vs_machine(spark):
         e = lev(a, b)
         assert row["edits"] == e, source
         assert row["wer"] == (round(e / len(b), 6) if b else 0.0), source
+
+
+def test_gleu_hand_computed_semantics(spark, tmp_path):
+    """GLEU pins: identical pair -> 1.0; the BLEU partial-overlap pair
+    -> pooled 10/18 (both arms equal); empty candidate and disjoint
+    pair -> 0.0; a long candidate against a short reference takes the
+    PRECISION arm of the min (3/10, not recall's 3/3); the corpus row
+    pools component sums (micro-average), not pair scores."""
+    import pandas as pd
+
+    from bigdataanalytics_textsummarization_spark import rouge as R
+
+    texts = [
+        # pair 0: identical 6-token texts -> pooled 18/18 both arms
+        "the quick brown fox jumps high",
+        "the quick brown fox jumps high",
+        # pair 1: 4-token shared prefix -> m=[4,3,2,1] pooled 10/18
+        "the quick brown fox sleeps now",
+        "the quick brown fox jumps high",
+        # pair 2: empty candidate -> t_pool = 0 -> 0.0
+        "",
+        "anything at all",
+        # pair 3: zero overlap -> m_pool = 0 -> 0.0
+        "alpha beta gamma",
+        "delta epsilon zeta",
+        # pair 4: candidate longer than reference -> precision arm:
+        # m_pool = 2 unigrams + 1 bigram = 3, t_pool = 10, rt_pool = 3
+        "a b c d",
+        "a b",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "gleu",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = R.gleu_pairs(spark, sf).toPandas().set_index("pair_id")
+    assert out.loc[0, "gleu"] == 1.0
+    assert (out.loc[1, "m_pool"], out.loc[1, "t_pool"]) == (10, 18)
+    assert out.loc[1, "gleu"] == round(10 / 18, 6)
+    assert out.loc[2, "gleu"] == 0.0 and out.loc[2, "t_pool"] == 0
+    assert out.loc[3, "gleu"] == 0.0 and out.loc[3, "m_pool"] == 0
+    assert (
+        out.loc[4, "m_pool"],
+        out.loc[4, "t_pool"],
+        out.loc[4, "rt_pool"],
+    ) == (3, 10, 3)
+    assert out.loc[4, "gleu"] == round(3 / 10, 6)
+    corpus = R.gleu_corpus(spark, sf).toPandas().iloc[0]
+    assert corpus["n_pairs"] == 5
+    for col in ("m_pool", "t_pool", "rt_pool"):
+        assert corpus[col] == out[col].sum(), col
+    want = min(
+        corpus["m_pool"] / corpus["t_pool"],
+        corpus["m_pool"] / corpus["rt_pool"],
+    )
+    assert corpus["gleu"] == round(want, 6)
+
+
+def test_rouge_su4_hand_computed_semantics(spark, tmp_path):
+    """ROUGE-SU4 pins: identical pair -> F 1.0; a 3-token anagram pair
+    matches the hand count (units = 3 unigrams + 3 skip-bigrams, m = 5);
+    the skip window EXCLUDES pairs more than 5 positions apart ('a ... g'
+    at distance 6 contributes no bigram match); clipping uses min counts
+    on repeated units; empty candidate -> all zeros."""
+    import pandas as pd
+
+    from bigdataanalytics_textsummarization_spark import rouge as R
+
+    texts = [
+        "x y z", "x y z",          # pair 0: identical -> 1.0
+        "a b c", "a c b",          # pair 1: m = 3 uni + {ab, ac} = 5 of 6
+        "a b c d e f g", "a g",    # pair 2: dist(a,g)=6 > 5 -> no bigram
+        "a a a", "a a",            # pair 3: clipped min(3,2)+min(3,1)=3
+        "", "one two",             # pair 4: empty candidate
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "su4",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = R.rouge_su4(spark, sf).toPandas().set_index("pair_id")
+    assert out.loc[0, "su4_f"] == 1.0
+    assert (
+        out.loc[1, "match_su4"],
+        out.loc[1, "cand_units"],
+        out.loc[1, "ref_units"],
+    ) == (5, 6, 6)
+    assert out.loc[1, "su4_f"] == round(5 / 6, 6)
+    # pair 2: cand units = 7 unigrams + (5+5+4+3+2+1) skip-bigrams = 27;
+    # ref units = 2 + 1; matches = the two unigrams only
+    assert (
+        out.loc[2, "match_su4"],
+        out.loc[2, "cand_units"],
+        out.loc[2, "ref_units"],
+    ) == (2, 27, 3)
+    p, r = 2 / 27, 2 / 3
+    assert out.loc[2, "su4_p"] == round(p, 6)
+    assert out.loc[2, "su4_r"] == round(r, 6)
+    assert out.loc[2, "su4_f"] == round(2 * p * r / (p + r), 6)
+    assert (
+        out.loc[3, "match_su4"],
+        out.loc[3, "cand_units"],
+        out.loc[3, "ref_units"],
+    ) == (3, 6, 3)
+    assert out.loc[3, "su4_f"] == round(2 * 0.5 * 1.0 / 1.5, 6)
+    assert (
+        out.loc[4, "match_su4"],
+        out.loc[4, "cand_units"],
+        out.loc[4, "su4_f"],
+    ) == (0, 0, 0.0)
