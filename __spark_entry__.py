@@ -100,10 +100,12 @@ _MODULES = [
 # take the slots of the three alphabetically-last r12-era names
 # (events_in_sessions, events_sliding, gopher_rules rejoin the r18
 # queue — events_sliding's r17 interleaved A/B already refuted the
-# r16 bench anomaly, so nothing is lost by deferring its recert).
-# 7+3+26+14 = exactly the 50-slot budget; after r17 certifies, the
-# oldest standing green is r12-era and the 29 r12-era names past the
-# cut lead the r18 rotation.
+# r16 bench anomaly, so nothing is lost by deferring its recert), and
+# eval_report (the one-row suite composing the six certified corpus
+# oracles) takes events_dedup's slot the same way.  7+4+26+13 =
+# exactly the 50-slot budget; after r17 certifies, the oldest
+# standing green is r12-era and the 30 r12-era names past the cut
+# lead the r18 rotation.
 _PRIORITY_R17 = [
     # (a) never certified + the refactored eval family (shared pair
     # leafs; summary_eval composes the lsa/textrank plans)
@@ -117,6 +119,7 @@ _PRIORITY_R17 = [
     "gleu_pairs",
     "gleu_corpus",
     "rouge_su4",
+    "eval_report",
     # (b) the full r11-era queue, alphabetical
     "compression_ratio",
     "contamination_check",
@@ -159,7 +162,6 @@ _PRIORITY_R17 = [
     "embedding_quantize",
     "event_transitions",
     "events_by_segment",
-    "events_dedup",
 ]
 
 # Round-16 window (VERDICT r15 tasks 2-3+6): 50 slots = (a) the one

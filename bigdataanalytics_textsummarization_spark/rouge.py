@@ -816,7 +816,12 @@ def bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the kernel is a zero-shuffle map stage and the roll-up
     is ONE partial-aggregated global sum of 9 longs — the cheapest
     possible reduction at any corpus size."""
-    comp = _bleu_components(spark, sf_dir)
+    return _bleu_corpus_from(_bleu_components(spark, sf_dir))
+
+
+def _bleu_corpus_from(comp: DataFrame) -> DataFrame:
+    """The corpus roll-up over any BLEU component frame (shared with
+    eval_report, which reuses ONE kernel pass for BLEU and GLEU)."""
     sums = comp.agg(
         F.count("*").cast("long").alias("n_pairs"),
         *[
@@ -1681,7 +1686,13 @@ def gleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     two ratios (micro-average, the bleu_corpus discipline).  One row;
     the roll-up is a 3-long global sum — the cheapest reduction at any
     corpus size."""
-    staged = _gleu_staged(_bleu_components(spark, sf_dir))
+    return _gleu_corpus_from(_bleu_components(spark, sf_dir))
+
+
+def _gleu_corpus_from(comp: DataFrame) -> DataFrame:
+    """The corpus roll-up over any BLEU component frame (shared with
+    eval_report)."""
+    staged = _gleu_staged(comp)
     sums = staged.agg(
         F.count("*").cast("long").alias("n_pairs"),
         F.sum("m_pool").cast("long").alias("m_pool"),
@@ -1892,3 +1903,85 @@ SELECT pair_id, cast(m AS bigint) AS match_su4,
 FROM su_s
 """
 QUERIES["rouge_su4"] = rouge_su4
+
+# ---------------------------------------------------------------------------
+# eval_report (r17): the one-call evaluation suite — every corpus-level
+# metric the family ships, in ONE row: macro ROUGE-1/2 F (micro-unit
+# means, the rouge_sweep discipline), corpus BLEU and GLEU (micro-
+# averages over ONE shared component-kernel pass), macro chrF2, and
+# micro WER/CER.  This is the report line a training-eval pipeline
+# prints per checkpoint; a user of the reference runs five library
+# calls and a loop for the same surface (BigdataProjectCode.py:184-202
+# runs rouge-score alone).
+#
+# Scale shape: every upstream is a zero-shuffle Arrow map stage (or
+# pure Catalyst array math for rouge_n) followed by a global aggregate
+# of a few longs; the final assembly cross-joins six 1-row frames —
+# scalar broadcast joins, zero data movement.  The oracle composes the
+# six CERTIFIED corpus oracles verbatim as nested subqueries (the
+# summary_eval / ann_ndcg precedent), so the report cannot drift from
+# the per-metric gates.
+# ---------------------------------------------------------------------------
+
+
+def eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = _bleu_components(spark, sf_dir)  # ONE kernel pass for both
+    b = _bleu_corpus_from(comp).select("n_pairs", "bleu")
+    g = _gleu_corpus_from(comp).select("gleu")
+    r = rouge_n(spark, sf_dir).agg(
+        (
+            F.sum(F.round(F.col("rouge1_f") * 1e6).cast("long"))
+            / (F.count("*") * F.lit(1e6))
+        ).alias("avg_rouge1_f"),
+        (
+            F.sum(F.round(F.col("rouge2_f") * 1e6).cast("long"))
+            / (F.count("*") * F.lit(1e6))
+        ).alias("avg_rouge2_f"),
+    )
+    c = chrf_corpus(spark, sf_dir).select("avg_chrf2")
+    w = wer_corpus(spark, sf_dir).select("wer")
+    e = cer_corpus(spark, sf_dir).select("cer")
+    return (
+        b.crossJoin(r)
+        .crossJoin(g)
+        .crossJoin(c)
+        .crossJoin(w)
+        .crossJoin(e)
+        .select(
+            "n_pairs",
+            "avg_rouge1_f",
+            "avg_rouge2_f",
+            "bleu",
+            "gleu",
+            "avg_chrf2",
+            "wer",
+            "cer",
+        )
+    )
+
+
+def _eval_report_oracle() -> str:
+    """Six certified corpus oracles nested verbatim, cross-joined (each
+    keeps its own WITH [RECURSIVE] scope, so shared CTE names — e.g.
+    both BLEU's and ROUGE's cand1_grams — cannot collide)."""
+    rouge_mean = f"""
+SELECT sum(cast(round(t.rouge1_f * 1000000) AS bigint)) / (count(*) * 1000000.0)
+         AS avg_rouge1_f,
+       sum(cast(round(t.rouge2_f * 1000000) AS bigint)) / (count(*) * 1000000.0)
+         AS avg_rouge2_f
+FROM ({ORACLES["rouge_n"]}) t
+"""
+    return f"""
+SELECT b.n_pairs, r.avg_rouge1_f, r.avg_rouge2_f, b.bleu, g.gleu,
+       c.avg_chrf2, w.wer, e.cer
+FROM ({ORACLES["bleu_corpus"]}) b
+CROSS JOIN ({rouge_mean}) r
+CROSS JOIN ({ORACLES["gleu_corpus"]}) g
+CROSS JOIN ({ORACLES["chrf_corpus"]}) c
+CROSS JOIN ({ORACLES["wer_corpus"]}) w
+CROSS JOIN ({ORACLES["cer_corpus"]}) e
+"""
+
+
+ORACLES["eval_report"] = _eval_report_oracle()
+QUERIES["eval_report"] = eval_report

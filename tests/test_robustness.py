@@ -606,3 +606,49 @@ def test_rouge_su4_hand_computed_semantics(spark, tmp_path):
         out.loc[4, "cand_units"],
         out.loc[4, "su4_f"],
     ) == (0, 0, 0.0)
+
+
+def test_eval_report_composes_the_corpus_metrics(spark, tmp_path):
+    """eval_report's one row must equal the corresponding columns of the
+    individual certified corpus queries on the same fixture, and the
+    ROUGE macro means must equal an independent micro-unit recompute
+    from the per-pair rouge_n output."""
+    import pandas as pd
+
+    from bigdataanalytics_textsummarization_spark import rouge as R
+
+    texts = [
+        "the quick brown fox jumps high",
+        "the quick brown fox jumps high",
+        "the quick brown fox sleeps now",
+        "the quick brown fox jumps high",
+        "alpha beta gamma",
+        "delta epsilon zeta",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "report",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    rep = R.eval_report(spark, sf).toPandas().iloc[0]
+    assert rep["n_pairs"] == 3
+    assert rep["bleu"] == R.bleu_corpus(spark, sf).toPandas().iloc[0]["bleu"]
+    assert rep["gleu"] == R.gleu_corpus(spark, sf).toPandas().iloc[0]["gleu"]
+    assert (
+        rep["avg_chrf2"]
+        == R.chrf_corpus(spark, sf).toPandas().iloc[0]["avg_chrf2"]
+    )
+    assert rep["wer"] == R.wer_corpus(spark, sf).toPandas().iloc[0]["wer"]
+    assert rep["cer"] == R.cer_corpus(spark, sf).toPandas().iloc[0]["cer"]
+    per = R.rouge_n(spark, sf).toPandas()
+    for col in ("rouge1_f", "rouge2_f"):
+        micro = sum(round(v * 1e6) for v in per[col]) / (len(per) * 1e6)
+        assert rep[f"avg_{col[:6]}_f"] == micro, col
