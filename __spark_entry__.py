@@ -102,10 +102,11 @@ _MODULES = [
 # queue — events_sliding's r17 interleaved A/B already refuted the
 # r16 bench anomaly, so nothing is lost by deferring its recert), and
 # eval_report (the one-row suite composing the six certified corpus
-# oracles) takes events_dedup's slot the same way.  7+4+26+13 =
-# exactly the 50-slot budget; after r17 certifies, the oldest
-# standing green is r12-era and the 30 r12-era names past the cut
-# lead the r18 rotation.
+# oracles) and eval_sweep (its per-source M6-pattern twin) take the
+# slots of events_dedup and events_by_segment the same way.
+# 7+5+26+12 = exactly the 50-slot budget; after r17 certifies, the
+# oldest standing green is r12-era and the 31 r12-era names past the
+# cut lead the r18 rotation.
 _PRIORITY_R17 = [
     # (a) never certified + the refactored eval family (shared pair
     # leafs; summary_eval composes the lsa/textrank plans)
@@ -120,6 +121,7 @@ _PRIORITY_R17 = [
     "gleu_corpus",
     "rouge_su4",
     "eval_report",
+    "eval_sweep",
     # (b) the full r11-era queue, alphabetical
     "compression_ratio",
     "contamination_check",
@@ -161,7 +163,6 @@ _PRIORITY_R17 = [
     "dsir_weights",
     "embedding_quantize",
     "event_transitions",
-    "events_by_segment",
 ]
 
 # Round-16 window (VERDICT r15 tasks 2-3+6): 50 slots = (a) the one

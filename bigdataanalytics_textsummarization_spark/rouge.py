@@ -1985,3 +1985,189 @@ CROSS JOIN ({ORACLES["cer_corpus"]}) e
 
 ORACLES["eval_report"] = _eval_report_oracle()
 QUERIES["eval_report"] = eval_report
+
+# ---------------------------------------------------------------------------
+# eval_sweep (r17): the per-source sweep of the whole eval family — the
+# reference's per-product sweep pattern (M6, BigdataProjectCode.py:
+# 258-288) generalized from ROUGE alone to every metric the family
+# ships: macro ROUGE-1/2 F (rouge_sweep verbatim), per-source corpus
+# BLEU and GLEU (micro-averaged WITHIN each source over one shared
+# component-kernel pass), macro chrF2, micro WER/CER.  One row per
+# source.
+#
+# Scale shape: every arm is (zero-shuffle Arrow map) -> (join to the
+# O(1)-per-pair src map) -> (one partial-aggregated groupBy(source));
+# the final assembly joins O(sources)-row frames — dim-sized, broadcast
+# by AQE.  The oracle nests the per-metric machinery with a shared src
+# CTE per subquery scope (the eval_report precedent).
+# ---------------------------------------------------------------------------
+
+_SRC_CTE = """
+src AS (
+  SELECT cast(doc_id / 2 AS bigint) AS pair_id, source
+  FROM documents WHERE doc_id % 2 = 0
+)"""
+
+
+def _src_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(
+            (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+            "source",
+        )
+    )
+
+
+def eval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _src_map(spark, sf_dir)
+    comp = _bleu_components(spark, sf_dir).join(src, "pair_id")
+
+    bsum = comp.groupBy("source").agg(
+        *[
+            F.sum(f"m{n}").cast("long").alias(f"m{n}")
+            for n in range(1, _BLEU_MAX_N + 1)
+        ],
+        *[
+            F.sum(f"t{n}").cast("long").alias(f"t{n}")
+            for n in range(1, _BLEU_MAX_N + 1)
+        ],
+        F.sum("r_len").cast("long").alias("r_len"),
+    )
+    bleu = bsum.select(
+        "source", r6(_bleu_expr(smooth=False)).alias("bleu")
+    )
+
+    gsum = _gleu_staged(comp).groupBy("source").agg(
+        F.sum("m_pool").cast("long").alias("m_pool"),
+        F.sum("t_pool").cast("long").alias("t_pool"),
+        F.sum("rt_pool").cast("long").alias("rt_pool"),
+    )
+    gleu = gsum.select("source", r6(_gleu_expr()).alias("gleu"))
+
+    chrf = (
+        chrf_pairs(spark, sf_dir)
+        .join(src, "pair_id")
+        .groupBy("source")
+        .agg(
+            (
+                F.sum(F.round(F.col("chrf2") * 1e6).cast("long"))
+                / (F.count("*") * F.lit(1e6))
+            ).alias("avg_chrf2")
+        )
+    )
+
+    def _rate(per_pair: DataFrame, out: str) -> DataFrame:
+        sums = per_pair.join(src, "pair_id").groupBy("source").agg(
+            F.sum("edits").cast("long").alias("edits"),
+            F.sum("n_ref").cast("long").alias("n_ref"),
+        )
+        rate = F.when(
+            F.col("n_ref") > 0, F.col("edits") / F.col("n_ref")
+        ).otherwise(F.lit(0.0))
+        return sums.select("source", r6(rate).alias(out))
+
+    wer = _rate(wer_pairs(spark, sf_dir), "wer")
+    cer = _rate(cer_pairs(spark, sf_dir), "cer")
+
+    return (
+        rouge_sweep(spark, sf_dir)
+        .join(bleu, "source")
+        .join(gleu, "source")
+        .join(chrf, "source")
+        .join(wer, "source")
+        .join(cer, "source")
+        .select(
+            "source",
+            "n_pairs",
+            "avg_rouge1_f",
+            "avg_rouge2_f",
+            "bleu",
+            "gleu",
+            "avg_chrf2",
+            "wer",
+            "cer",
+        )
+    )
+
+
+def _eval_sweep_oracle() -> str:
+    bleu_src = f"""
+WITH {PAIRS_CTE},
+{_bleu_components_cte()},
+{_SRC_CTE},
+bsums AS (
+  SELECT s.source,
+         {", ".join(f"sum(m{n}) AS m{n}, sum(t{n}) AS t{n}" for n in range(1, _BLEU_MAX_N + 1))},
+         sum(r_len) AS r_len
+  FROM comp JOIN src s ON comp.pair_id = s.pair_id
+  GROUP BY s.source
+)
+SELECT source, {_bleu_sql(smooth=False)} AS bleu FROM bsums
+"""
+    gleu_src = f"""
+WITH {PAIRS_CTE},
+{_bleu_components_cte()},
+{_SRC_CTE},
+pooled AS (
+  SELECT pair_id,{_GLEU_POOL_SQL}
+  FROM comp
+),
+gsums AS (
+  SELECT s.source, sum(m_pool) AS m_pool, sum(t_pool) AS t_pool,
+         sum(rt_pool) AS rt_pool
+  FROM pooled JOIN src s ON pooled.pair_id = s.pair_id
+  GROUP BY s.source
+)
+SELECT source, {_gleu_sql()} AS gleu FROM gsums
+"""
+    chrf_src = f"""
+WITH {PAIRS_CTE},
+{_chrf_components_cte()},
+{_SRC_CTE},
+scored AS (
+  SELECT pair_id, {_chrf_sql()} AS chrf2 FROM ccomp
+)
+SELECT s.source,
+       sum(cast(round(chrf2 * 1000000) AS bigint)) / (count(*) * 1000000.0)
+         AS avg_chrf2
+FROM scored JOIN src s ON scored.pair_id = s.pair_id
+GROUP BY s.source
+"""
+    wer_src = f"""
+WITH RECURSIVE {PAIRS_CTE},
+{_WER_LEV_CTES},
+{_SRC_CTE}
+SELECT s.source,
+       (round(CASE WHEN sum(n) > 0
+                   THEN sum(edits) * 1.0 / sum(n)
+                   ELSE 0.0 END, 6) + 0.0) AS wer
+FROM lev_out JOIN src s ON lev_out.pair_id = s.pair_id
+GROUP BY s.source
+"""
+    cer_src = f"""
+WITH RECURSIVE {PAIRS_CTE},
+{_CER_LEV_CTES},
+{_SRC_CTE}
+SELECT s.source,
+       (round(CASE WHEN sum(n) > 0
+                   THEN sum(edits) * 1.0 / sum(n)
+                   ELSE 0.0 END, 6) + 0.0) AS cer
+FROM lev_out JOIN src s ON lev_out.pair_id = s.pair_id
+GROUP BY s.source
+"""
+    return f"""
+SELECT r.source, r.n_pairs, r.avg_rouge1_f, r.avg_rouge2_f,
+       b.bleu, g.gleu, c.avg_chrf2, w.wer, e.cer
+FROM ({ORACLES["rouge_sweep"]}) r
+JOIN ({bleu_src}) b ON r.source = b.source
+JOIN ({gleu_src}) g ON r.source = g.source
+JOIN ({chrf_src}) c ON r.source = c.source
+JOIN ({wer_src}) w ON r.source = w.source
+JOIN ({cer_src}) e ON r.source = e.source
+"""
+
+
+ORACLES["eval_sweep"] = _eval_sweep_oracle()
+QUERIES["eval_sweep"] = eval_sweep

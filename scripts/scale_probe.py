@@ -212,6 +212,16 @@ PROBE = [
     # per-pair constant is larger but the shape identical
     "cer_pairs",
     "cer_corpus",
+    # late-r17: GLEU rides the BLEU component kernel (pooled sums are
+    # pure expressions), SU4 is a 5-wide band of the rouge_n bag work
+    # (O(5·tokens) per pair), and eval_report composes SIX corpus
+    # aggregates over zero-shuffle map stages — all should track
+    # bleu_pairs' flat-to-linear shape
+    "gleu_pairs",
+    "gleu_corpus",
+    "rouge_su4",
+    "eval_report",
+    "eval_sweep",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default

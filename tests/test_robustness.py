@@ -652,3 +652,82 @@ def test_eval_report_composes_the_corpus_metrics(spark, tmp_path):
     for col in ("rouge1_f", "rouge2_f"):
         micro = sum(round(v * 1e6) for v in per[col]) / (len(per) * 1e6)
         assert rep[f"avg_{col[:6]}_f"] == micro, col
+
+
+def test_eval_sweep_groups_by_source(spark, tmp_path):
+    """eval_sweep must micro-average WITHIN each source: two sources
+    with different overlap profiles get different rows, and each row's
+    metrics equal the corpus-level metrics computed on that source's
+    pairs alone (verified by re-running the corpus queries on a
+    single-source fixture)."""
+    import pandas as pd
+
+    from bigdataanalytics_textsummarization_spark import rouge as R
+
+    def fixture(rows, source):
+        return [
+            {
+                "doc_id": None,  # filled below
+                "text": t,
+                "lang": "en",
+                "source": source,
+                "n_chars": len(t),
+            }
+            for t in rows
+        ]
+
+    a_texts = [
+        "the quick brown fox jumps high",
+        "the quick brown fox jumps high",
+        "the quick brown fox sleeps now",
+        "the quick brown fox jumps high",
+    ]
+    b_texts = [
+        "alpha beta gamma",
+        "delta epsilon zeta",
+    ]
+    rows = fixture(a_texts, "srcA") + fixture(b_texts, "srcB")
+    for i, r in enumerate(rows):
+        r["doc_id"] = i
+    sf = str(tmp_path / "both")
+    spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = (
+        R.eval_sweep(spark, sf).toPandas().set_index("source").sort_index()
+    )
+    assert list(out.index) == ["srcA", "srcB"]
+    assert out.loc["srcA", "n_pairs"] == 2
+    assert out.loc["srcB", "n_pairs"] == 1
+    # srcB: zero overlap everywhere -> all scores 0, wer/cer = 1.0
+    assert out.loc["srcB", "bleu"] == 0.0
+    assert out.loc["srcB", "gleu"] == 0.0
+    assert out.loc["srcB", "wer"] == 1.0
+    # srcA alone must equal the corpus metrics on an srcA-only fixture
+    rows_a = fixture(a_texts, "srcA")
+    for i, r in enumerate(rows_a):
+        r["doc_id"] = i
+    sfa = str(tmp_path / "onlya")
+    spark.createDataFrame(pd.DataFrame(rows_a)).coalesce(1).write.parquet(
+        f"{sfa}/documents.parquet"
+    )
+    assert (
+        out.loc["srcA", "bleu"]
+        == R.bleu_corpus(spark, sfa).toPandas().iloc[0]["bleu"]
+    )
+    assert (
+        out.loc["srcA", "gleu"]
+        == R.gleu_corpus(spark, sfa).toPandas().iloc[0]["gleu"]
+    )
+    assert (
+        out.loc["srcA", "avg_chrf2"]
+        == R.chrf_corpus(spark, sfa).toPandas().iloc[0]["avg_chrf2"]
+    )
+    assert (
+        out.loc["srcA", "wer"]
+        == R.wer_corpus(spark, sfa).toPandas().iloc[0]["wer"]
+    )
+    assert (
+        out.loc["srcA", "cer"]
+        == R.cer_corpus(spark, sfa).toPandas().iloc[0]["cer"]
+    )
