@@ -414,6 +414,13 @@ PROBE_X100 = [
     "wer_pairs",
     "wer_corpus",
     "cer_pairs",
+    # late-r17: GLEU adds pure expressions to the BLEU kernel; SU4 is
+    # the 5-wide bag of the rouge shape; eval_report composes every
+    # family kernel once — its x100 wall should be ~the sum of the
+    # member map stages (the cer/chrf arms dominate)
+    "gleu_pairs",
+    "rouge_su4",
+    "eval_report",
 ]
 
 
