@@ -102,11 +102,13 @@ _MODULES = [
 # queue — events_sliding's r17 interleaved A/B already refuted the
 # r16 bench anomaly, so nothing is lost by deferring its recert), and
 # eval_report (the one-row suite composing the six certified corpus
-# oracles) and eval_sweep (its per-source M6-pattern twin) take the
-# slots of events_dedup and events_by_segment the same way.
-# 7+5+26+12 = exactly the 50-slot budget; after r17 certifies, the
-# oldest standing green is r12-era and the 31 r12-era names past the
-# cut lead the r18 rotation.
+# oracles), eval_sweep (its per-source M6-pattern twin), and the
+# self-BLEU pair (the Texygen corpus-diversity statistic — the
+# family's first multi-reference BLEU, K=3 ring neighbors) take the
+# slots of events_dedup, events_by_segment, embedding_quantize and
+# event_transitions the same way.  7+7+26+10 = exactly the 50-slot
+# budget; after r17 certifies, the oldest standing green is r12-era
+# and the 33 r12-era names past the cut lead the r18 rotation.
 _PRIORITY_R17 = [
     # (a) never certified + the refactored eval family (shared pair
     # leafs; summary_eval composes the lsa/textrank plans)
@@ -122,6 +124,8 @@ _PRIORITY_R17 = [
     "rouge_su4",
     "eval_report",
     "eval_sweep",
+    "self_bleu_docs",
+    "self_bleu_corpus",
     # (b) the full r11-era queue, alphabetical
     "compression_ratio",
     "contamination_check",
@@ -161,8 +165,6 @@ _PRIORITY_R17 = [
     "dsir_ingest",
     "dsir_sample",
     "dsir_weights",
-    "embedding_quantize",
-    "event_transitions",
 ]
 
 # Round-16 window (VERDICT r15 tasks 2-3+6): 50 slots = (a) the one

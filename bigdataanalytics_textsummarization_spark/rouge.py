@@ -2171,3 +2171,221 @@ JOIN ({cer_src}) e ON r.source = e.source
 
 ORACLES["eval_sweep"] = _eval_sweep_oracle()
 QUERIES["eval_sweep"] = eval_sweep
+
+# ---------------------------------------------------------------------------
+# Self-BLEU (r17): the standard diversity statistic for a generated
+# corpus (Zhu et al. 2018, Texygen): score every document as a BLEU
+# candidate against OTHER documents of the same corpus as references —
+# high self-BLEU = the corpus repeats itself, low = diverse.  This is
+# the metric a synthetic-training-data pipeline reports per batch, and
+# it adds the family's first MULTI-REFERENCE BLEU surface (clipping
+# against the per-gram MAX across references, Papineni §2.1).
+#
+# Scale design: exact self-BLEU references ALL n-1 other documents —
+# O(n²) work that no 100 TB corpus can afford.  The bounded form here
+# references K=3 ring neighbors in doc_id space ((doc_id + j) % n,
+# j=1..3): deterministic, O(n·K), three shuffle equi-joins — and an
+# unbiased diversity probe when ids carry no content order (ours are
+# ingest-assigned).  The ring assumes contiguous 0..n-1 ids (the
+# fixture contract; re-index upstream if sparse).  Conventions,
+# documented like chrF's fixed-order note: brevity-penalty reference
+# length = the SHORTEST reference (the conservative NIST choice —
+# sacrebleu's multi-ref default is closest-length; on this fixture's
+# near-equal lengths the choice rarely binds), smoothed sentence form
+# per doc, corpus roll-up = macro mean of the rounded per-doc scores
+# (the Texygen convention, via exact integer micro-units).
+# ---------------------------------------------------------------------------
+
+_SELF_BLEU_K = 3
+
+
+def _self_bleu_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc multi-reference BLEU components: clipped matches m1..m4
+    (per-gram max across the K ring references), candidate totals
+    t1..t4, and r_len = the shortest reference's token count."""
+    import re
+
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg(F.count("*").cast("long").alias("n"))
+    cur = docs.crossJoin(F.broadcast(n))
+    for j in range(1, _SELF_BLEU_K + 1):
+        r = docs.select(
+            F.col("doc_id").alias(f"rid{j}"),
+            F.col("text").alias(f"ref{j}_text"),
+        )
+        cur = cur.join(
+            r, F.pmod(cur["doc_id"] + F.lit(j), cur["n"]) == r[f"rid{j}"]
+        ).drop(f"rid{j}")
+    cur = cur.select(
+        "doc_id", "text", *[f"ref{j}_text" for j in range(1, _SELF_BLEU_K + 1)]
+    )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + _BLEU_COMPONENTS_SCHEMA.fields[1:]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok = re.compile(r"[a-z0-9]+")
+
+        def grams(toks, nn):
+            return Counter(
+                " ".join(toks[i : i + nn]) for i in range(len(toks) - nn + 1)
+            )
+
+        for pdf in batches:
+            rows = []
+            ref_cols = [
+                pdf[f"ref{j}_text"] for j in range(1, _SELF_BLEU_K + 1)
+            ]
+            for did, cand, *refs in zip(pdf["doc_id"], pdf["text"], *ref_cols):
+                a = tok.findall(cand.lower())
+                rtoks = [tok.findall(r.lower()) for r in refs]
+                ms, ts = [], []
+                for nn in range(1, _BLEU_MAX_N + 1):
+                    ga = grams(a, nn)
+                    gmax: Counter = Counter()
+                    for rt in rtoks:
+                        for g, c in grams(rt, nn).items():
+                            if c > gmax[g]:
+                                gmax[g] = c
+                    ms.append(
+                        sum(min(c, gmax[g]) for g, c in ga.items() if g in gmax)
+                    )
+                    ts.append(sum(ga.values()))
+                rows.append((did, *ms, *ts, min(len(rt) for rt in rtoks)))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return cur.mapInPandas(score, schema=out_schema)
+
+
+def self_bleu_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc smoothed self-BLEU with its exact integer components."""
+    comp = _self_bleu_components(spark, sf_dir)
+    return comp.select(
+        "doc_id",
+        *[f"m{n}" for n in range(1, _BLEU_MAX_N + 1)],
+        *[f"t{n}" for n in range(1, _BLEU_MAX_N + 1)],
+        "r_len",
+        r6(_bleu_expr(smooth=True)).alias("self_bleu"),
+    )
+
+
+def self_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus self-BLEU: macro mean of the rounded per-doc scores via
+    exact integer micro-units (the Texygen reporting convention; LOW is
+    diverse)."""
+    per = self_bleu_docs(spark, sf_dir)
+    return per.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (
+            F.sum(F.round(F.col("self_bleu") * 1e6).cast("long"))
+            / (F.count("*") * F.lit(1e6))
+        ).alias("avg_self_bleu"),
+    )
+
+
+def _self_gram_cte(side: str, n: int) -> str:
+    """DuckDB n-gram CTE over (key, text) rows of `cand`/`refs` (the
+    _ngram_cte shape keyed by doc_id, with refs also keyed by r_idx)."""
+    if side == "cand":
+        src, keys = "cand", "doc_id"
+    else:
+        src, keys = "refs", "doc_id, r_idx"
+    lead_cols = ["w"] + [
+        f"lead(w, {i}) OVER (PARTITION BY {keys} ORDER BY pos)"
+        for i in range(1, n)
+    ]
+    concat = " || ' ' || ".join(lead_cols)
+    qualify = (
+        f"QUALIFY lead(w, {n - 1}) OVER (PARTITION BY {keys} ORDER BY pos)"
+        " IS NOT NULL"
+        if n > 1
+        else ""
+    )
+    return f"""
+{side}{n}_stoks AS (
+  SELECT {keys}, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+         unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS pos
+  FROM {src}
+),
+{side}{n}_sgrams AS (
+  SELECT {keys}, g, count(*) AS cnt FROM (
+    SELECT {keys}, {concat} AS g FROM {side}{n}_stoks {qualify}
+  ) GROUP BY {keys}, g
+)"""
+
+
+def _self_bleu_comp_cte() -> str:
+    grams = ",".join(
+        _self_gram_cte(side, n)
+        for n in range(1, _BLEU_MAX_N + 1)
+        for side in ("cand", "ref")
+    )
+    per_n = ", ".join(
+        f"""refmax{n} AS (
+  SELECT doc_id, g, max(cnt) AS cnt FROM ref{n}_sgrams GROUP BY doc_id, g
+),
+sm{n} AS (
+  SELECT c.doc_id, sum(least(c.cnt, m.cnt)) AS m
+  FROM cand{n}_sgrams c JOIN refmax{n} m
+    ON c.doc_id = m.doc_id AND c.g = m.g
+  GROUP BY c.doc_id
+),
+st{n} AS (SELECT doc_id, sum(cnt) AS t FROM cand{n}_sgrams GROUP BY doc_id)"""
+        for n in range(1, _BLEU_MAX_N + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN sm{n} ON d.doc_id = sm{n}.doc_id "
+        f"LEFT JOIN st{n} ON d.doc_id = st{n}.doc_id"
+        for n in range(1, _BLEU_MAX_N + 1)
+    )
+    cols = ", ".join(
+        f"cast(coalesce(sm{n}.m, 0) AS bigint) AS m{n}, "
+        f"cast(coalesce(st{n}.t, 0) AS bigint) AS t{n}"
+        for n in range(1, _BLEU_MAX_N + 1)
+    )
+    return f"""nn AS (SELECT count(*) AS n FROM documents),
+cand AS (SELECT doc_id, text FROM documents),
+refs AS (
+  SELECT d.doc_id, ridx.r_idx, r.text
+  FROM documents d
+  CROSS JOIN nn
+  CROSS JOIN (VALUES (1), (2), (3)) AS ridx(r_idx)
+  JOIN documents r ON r.doc_id = (d.doc_id + ridx.r_idx) % nn.n
+),
+{grams},
+{per_n},
+rl AS (
+  SELECT doc_id, r_idx,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS l
+  FROM refs
+),
+rlen AS (SELECT doc_id, cast(min(l) AS bigint) AS r_len FROM rl GROUP BY doc_id),
+scomp AS (
+  SELECT d.doc_id, {cols}, rlen.r_len
+  FROM cand d {joins} JOIN rlen ON d.doc_id = rlen.doc_id
+)"""
+
+
+ORACLES["self_bleu_docs"] = f"""
+WITH {_self_bleu_comp_cte()}
+SELECT doc_id, m1, m2, m3, m4, t1, t2, t3, t4, r_len,
+       {_bleu_sql(smooth=True)} AS self_bleu
+FROM scomp
+"""
+QUERIES["self_bleu_docs"] = self_bleu_docs
+
+ORACLES["self_bleu_corpus"] = f"""
+WITH {_self_bleu_comp_cte()},
+sscored AS (
+  SELECT doc_id, {_bleu_sql(smooth=True)} AS self_bleu FROM scomp
+)
+SELECT cast(count(*) AS bigint) AS n_docs,
+       sum(cast(round(self_bleu * 1000000) AS bigint)) / (count(*) * 1000000.0)
+         AS avg_self_bleu
+FROM sscored
+"""
+QUERIES["self_bleu_corpus"] = self_bleu_corpus

@@ -222,6 +222,13 @@ PROBE = [
     "rouge_su4",
     "eval_report",
     "eval_sweep",
+    # late-r17: self-BLEU is three ring equi-joins + one multi-ref
+    # Arrow map stage — O(n·K) by construction; under doc replication
+    # the ring pairs clones with clones, so the x10 corpus gets more
+    # identical-neighbor hits (a duplicated corpus IS less diverse —
+    # the statistic reading the probe artifact correctly)
+    "self_bleu_docs",
+    "self_bleu_corpus",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default

@@ -731,3 +731,55 @@ def test_eval_sweep_groups_by_source(spark, tmp_path):
         out.loc["srcA", "cer"]
         == R.cer_corpus(spark, sfa).toPandas().iloc[0]["cer"]
     )
+
+
+def test_self_bleu_hand_computed_semantics(spark, tmp_path):
+    """Self-BLEU pins on a 4-doc ring: a doc whose text is duplicated in
+    the corpus scores 1.0; a doc sharing nothing scores 0.0; multi-ref
+    clipping takes the per-gram MAX across references (a repeated 'a'
+    matches twice against the ref that repeats it); r_len is the
+    SHORTEST reference; the corpus row is the macro mean of the rounded
+    per-doc scores."""
+    import math
+
+    import pandas as pd
+
+    from bigdataanalytics_textsummarization_spark import rouge as R
+
+    # ring: doc j's references are docs (j+1, j+2, j+3) % 4
+    texts = ["a a b", "a a c", "b d", "e f"]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "sb",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    out = R.self_bleu_docs(spark, sf).toPandas().set_index("doc_id")
+    # doc 0 'a a b' vs refs 'a a c','b d','e f': m1 = min(2, max_a=2)
+    # + min(1, max_b=1) = 3; m2 = 1 ('a a'); m3 = m4 = 0; r_len = 2
+    assert [out.loc[0, f"m{n}"] for n in (1, 2, 3, 4)] == [3, 1, 0, 0]
+    assert [out.loc[0, f"t{n}"] for n in (1, 2, 3, 4)] == [3, 2, 1, 0]
+    assert out.loc[0, "r_len"] == 2
+    want0 = math.exp(
+        0.25
+        * (
+            math.log(3 / 3)
+            + math.log((1 + 1) / (2 + 1))
+            + math.log((0 + 1) / (1 + 1))
+            + math.log((0 + 1) / (0 + 1))
+        )
+    )  # BP = 1 since t1 = 3 > r_len = 2
+    assert out.loc[0, "self_bleu"] == round(want0, 6)
+    # doc 3 'e f' vs refs 'a a b','a a c','b d': zero unigram overlap
+    assert out.loc[3, "self_bleu"] == 0.0
+    corpus = R.self_bleu_corpus(spark, sf).toPandas().iloc[0]
+    assert corpus["n_docs"] == 4
+    micro = sum(round(v * 1e6) for v in out["self_bleu"]) / (4 * 1e6)
+    assert corpus["avg_self_bleu"] == micro
