@@ -964,11 +964,19 @@ def wer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wer_from(pairs: DataFrame) -> DataFrame:
     """The WER kernel over any (pair_id, cand_text, ref_text) frame;
     pair_id may be any type (passed through unchanged — the
-    rouge_n_from precedent)."""
+    rouge_n_from precedent).
+
+    The kernel emits EXACT INTEGERS only; the rate division and its
+    6dp rounding run as Catalyst expressions (r6 — HALF_UP, matching
+    the oracle's round()).  Rounding inside the Python kernel would use
+    Python's banker's rounding, which differs on exact ties: the r17
+    sf0.1 sweep caught cer = 101/128 = 0.7890625 rounding to .789062
+    in-kernel vs .789063 in the oracle — the class this split fixes
+    for BOTH wer and cer."""
     import re
 
     key_field = pairs.schema["pair_id"]
-    out_schema = T.StructType([key_field] + _WER_SCHEMA.fields[1:])
+    out_schema = T.StructType([key_field] + _WER_SCHEMA.fields[1:-1])
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tok = re.compile(r"[a-z0-9]+")
@@ -979,16 +987,18 @@ def wer_from(pairs: DataFrame) -> DataFrame:
             ):
                 a = tok.findall(cand.lower())
                 b = tok.findall(ref.lower())
-                e = _levenshtein_words(a, b)
-                wer = (round(e / len(b), 6) + 0.0) if b else 0.0
-                rows.append((pid, len(a), len(b), e, wer))
+                rows.append((pid, len(a), len(b), _levenshtein_words(a, b)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema]
             )
 
-    return pairs.select("pair_id", "cand_text", "ref_text").mapInPandas(
+    comp = pairs.select("pair_id", "cand_text", "ref_text").mapInPandas(
         score, schema=out_schema
     )
+    rate = F.when(
+        F.col("n_ref") > 0, F.col("edits") / F.col("n_ref")
+    ).otherwise(F.lit(0.0))
+    return comp.select("*", r6(rate).alias("wer"))
 
 
 # Anti-diagonal wavefront: diagonal d holds D[i][d-i] for i in
@@ -1132,11 +1142,14 @@ def cer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def cer_from(pairs: DataFrame) -> DataFrame:
-    """The CER kernel over any (pair_id, cand_text, ref_text) frame."""
+    """The CER kernel over any (pair_id, cand_text, ref_text) frame.
+    Integer components from the kernel, rate rounded via r6 Catalyst-
+    side — see wer_from's docstring for the banker's-rounding tie the
+    split fixes (caught on THIS query at sf0.1: 101/128)."""
     import re
 
     key_field = pairs.schema["pair_id"]
-    out_schema = T.StructType([key_field] + _CER_SCHEMA.fields[1:])
+    out_schema = T.StructType([key_field] + _CER_SCHEMA.fields[1:-1])
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tok = re.compile(r"[a-z0-9]")
@@ -1147,16 +1160,18 @@ def cer_from(pairs: DataFrame) -> DataFrame:
             ):
                 a = tok.findall(cand.lower())
                 b = tok.findall(ref.lower())
-                e = _levenshtein_words(a, b)
-                cer = (round(e / len(b), 6) + 0.0) if b else 0.0
-                rows.append((pid, len(a), len(b), e, cer))
+                rows.append((pid, len(a), len(b), _levenshtein_words(a, b)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema]
             )
 
-    return pairs.select("pair_id", "cand_text", "ref_text").mapInPandas(
+    comp = pairs.select("pair_id", "cand_text", "ref_text").mapInPandas(
         score, schema=out_schema
     )
+    rate = F.when(
+        F.col("n_ref") > 0, F.col("edits") / F.col("n_ref")
+    ).otherwise(F.lit(0.0))
+    return comp.select("*", r6(rate).alias("cer"))
 
 
 def cer_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

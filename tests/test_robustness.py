@@ -783,3 +783,36 @@ def test_self_bleu_hand_computed_semantics(spark, tmp_path):
     assert corpus["n_docs"] == 4
     micro = sum(round(v * 1e6) for v in out["self_bleu"]) / (4 * 1e6)
     assert corpus["avg_self_bleu"] == micro
+
+
+def test_wer_cer_round_half_up_on_exact_ties(spark, tmp_path):
+    """Regression pin for the r17 sf0.1 catch: rates that land EXACTLY
+    on a 6dp rounding tie (here 1/128 = 0.0078125) must round HALF-UP
+    (the r6/oracle convention), not banker's — the in-kernel Python
+    round() gave 0.007812 where the DuckDB oracle gives 0.007813.  The
+    kernels now emit integers only and round Catalyst-side."""
+    import pandas as pd
+
+    from bigdataanalytics_textsummarization_spark import rouge as R
+
+    ref = "a" * 128          # 128 [a-z0-9] chars, one 128-char token
+    cand = "b" + "a" * 127   # exactly 1 char substitution
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [cand, ref],
+            "lang": "en",
+            "source": "tie",
+            "n_chars": [len(cand), len(ref)],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    cer = R.cer_pairs(spark, sf).toPandas().iloc[0]
+    assert cer["n_ref"] == 128 and cer["edits"] == 1
+    assert cer["cer"] == 0.007813  # half-up, NOT banker's 0.007812
+    wer = R.wer_pairs(spark, sf).toPandas().iloc[0]
+    # word level: both sides are ONE token, substituted -> 1/1
+    assert wer["edits"] == 1 and wer["wer"] == 1.0
