@@ -579,3 +579,30 @@ def test_bleu_single_pair_join_shuffle(spark):
     # Arrow kernel: everything downstream of mapInPandas is row-local
     after = plan.split("ArrowEvalPython")[-1] if "ArrowEvalPython" in plan else plan.split("MapInPandas")[-1]
     assert "Exchange" not in after
+
+
+def test_gleu_and_su4_single_pair_join_shuffle(spark):
+    """GLEU and ROUGE-SU4 keep the bleu_pairs shape: no explode, and no
+    exchange after the Arrow kernel — the pooled sums / P-R-F staging
+    are row-local projections over the kernel's integer columns."""
+    for name in ("gleu_pairs", "rouge_su4"):
+        plan = _plan(spark, name)
+        assert "Generate" not in plan, name
+        after = (
+            plan.split("ArrowEvalPython")[-1]
+            if "ArrowEvalPython" in plan
+            else plan.split("MapInPandas")[-1]
+        )
+        assert "Exchange" not in after, name
+
+
+def test_self_bleu_ring_equi_joins_only(spark):
+    """Self-BLEU's references arrive through K=3 ring EQUI-joins on the
+    pmod key (plus the broadcast 1-row count) — no cartesian product,
+    no explode, and nothing shuffles after the multi-reference Arrow
+    kernel."""
+    plan = _plan(spark, "self_bleu_docs")
+    assert "CartesianProduct" not in plan
+    assert "Generate" not in plan
+    after = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in after
