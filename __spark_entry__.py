@@ -106,9 +106,12 @@ _MODULES = [
 # self-BLEU pair (the Texygen corpus-diversity statistic — the
 # family's first multi-reference BLEU, K=3 ring neighbors) take the
 # slots of events_dedup, events_by_segment, embedding_quantize and
-# event_transitions the same way.  7+7+26+10 = exactly the 50-slot
-# budget; after r17 certifies, the oldest standing green is r12-era
-# and the 33 r12-era names past the cut lead the r18 rotation.
+# event_transitions the same way; wer_ingest (the eval member of the
+# ingest-gate family — stream-static WER admission with an integer
+# keep decision) takes dsir_weights' slot last.  7+8+26+9 = exactly
+# the 50-slot budget; after r17 certifies, the oldest standing green
+# is r12-era and the 34 r12-era names past the cut lead the r18
+# rotation.
 _PRIORITY_R17 = [
     # (a) never certified + the refactored eval family (shared pair
     # leafs; summary_eval composes the lsa/textrank plans)
@@ -126,6 +129,7 @@ _PRIORITY_R17 = [
     "eval_sweep",
     "self_bleu_docs",
     "self_bleu_corpus",
+    "wer_ingest",
     # (b) the full r11-era queue, alphabetical
     "compression_ratio",
     "contamination_check",
@@ -164,7 +168,6 @@ _PRIORITY_R17 = [
     "dedup_containment",
     "dsir_ingest",
     "dsir_sample",
-    "dsir_weights",
 ]
 
 # Round-16 window (VERDICT r15 tasks 2-3+6): 50 slots = (a) the one

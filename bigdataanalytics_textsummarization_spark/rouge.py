@@ -2404,3 +2404,83 @@ SELECT cast(count(*) AS bigint) AS n_docs,
 FROM sscored
 """
 QUERIES["self_bleu_corpus"] = self_bleu_corpus
+
+# ---------------------------------------------------------------------------
+# wer_ingest (r17): the eval-family member of the ingest-gate family
+# (ppl_ingest / clf_ingest / near_dup_ingest / phash_ingest …): arriving
+# CANDIDATE texts are scored against a STATIC reference corpus and
+# admitted iff their word error rate clears a threshold — the admission
+# gate an ASR/transcription pipeline runs before letting machine output
+# into a training corpus.  Candidates play the stream side (even
+# doc_ids, the pair fixture's split); the odd-id references are the
+# precomputed static side.
+#
+# Stream legality: ONE stream-static equi-join on pair_id (append-mode
+# legal, zero state) followed by the zero-shuffle WER Arrow kernel and
+# row-local projections; tests/test_streaming.py runs the same builder
+# over an actual readStream and asserts stream == batch.  The keep
+# decision is INTEGER-only (edits * WER_KEEP_DEN <= n_ref *
+# WER_KEEP_NUM  <=>  wer <= NUM/DEN) — no float in the admission
+# boolean, the clf_ingest discipline.
+# ---------------------------------------------------------------------------
+
+WER_KEEP_NUM = 4  # admit iff wer <= 4/5 (an empty reference admits only
+WER_KEEP_DEN = 5  # an empty candidate: edits*5 <= 0 <=> edits = 0)
+
+
+def wer_ingest_score(new_docs: DataFrame, refs: DataFrame) -> DataFrame:
+    """The gate over any arriving (doc_id, text) frame — batch or
+    stream — against a static (pair_id, ref_text) reference frame."""
+    cand = new_docs.select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.col("text").alias("cand_text"),
+    )
+    scored = wer_from(cand.join(refs, "pair_id"))
+    return scored.select(
+        "pair_id",
+        "n_cand",
+        "n_ref",
+        "edits",
+        "wer",
+        (
+            F.col("edits") * F.lit(WER_KEEP_DEN)
+            <= F.col("n_ref") * F.lit(WER_KEEP_NUM)
+        ).alias("keep"),
+    )
+
+
+def wer_ingest_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static reference side (a deployment materializes this once)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(
+            ((F.col("doc_id") - 1) / 2).cast("long").alias("pair_id"),
+            F.col("text").alias("ref_text"),
+        )
+    )
+
+
+def wer_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming WER admission gate: even-id docs play
+    the arriving candidates, odd-id docs the static references."""
+    docs = load_table(spark, sf_dir, "documents")
+    return wer_ingest_score(
+        docs.filter(F.col("doc_id") % 2 == 0), wer_ingest_refs(spark, sf_dir)
+    )
+
+
+ORACLES["wer_ingest"] = f"""
+WITH RECURSIVE {PAIRS_CTE},
+{_WER_LEV_CTES}
+SELECT pair_id,
+       cast(m AS bigint) AS n_cand,
+       cast(n AS bigint) AS n_ref,
+       cast(edits AS bigint) AS edits,
+       (round(CASE WHEN n > 0
+                   THEN edits * 1.0 / n
+                   ELSE 0.0 END, 6) + 0.0) AS wer,
+       (edits * {WER_KEEP_DEN} <= n * {WER_KEEP_NUM}) AS keep
+FROM lev_out
+"""
+QUERIES["wer_ingest"] = wer_ingest

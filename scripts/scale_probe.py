@@ -229,6 +229,9 @@ PROBE = [
     # the statistic reading the probe artifact correctly)
     "self_bleu_docs",
     "self_bleu_corpus",
+    # late-r17: the WER admission gate is the wer_pairs map shape plus
+    # one stream-static equi-join and an integer keep projection
+    "wer_ingest",
 ]
 
 # r10: probe modes for the session-memoized graph-ANN pair.  The default

@@ -887,3 +887,41 @@ def test_phash_ingest_wide_stream_matches_batch(spark):
     g, w = normalize(got), normalize(want)
     assert g.shape == w.shape, f"{g.shape} != {w.shape}"
     assert g.equals(w)
+
+
+def test_wer_ingest_stream_matches_batch(spark):
+    # the WER admission gate runs as a stateless stream-static join
+    # (arriving candidates vs the materialized reference corpus)
+    # followed by the zero-shuffle Arrow DP kernel; append-mode result
+    # must equal the batch twin, keep decisions included
+    from pyspark.sql import types as T
+
+    from bigdataanalytics_textsummarization_spark import rouge as R
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream_docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+        .filter(F.col("doc_id") % 2 == 0)
+    )
+    refs = R.wer_ingest_refs(spark, SF_DIR).localCheckpoint()
+    got = se.run_stream_to_memory(
+        spark,
+        R.wer_ingest_score(stream_docs, refs),
+        "wer_ingest_stream",
+        output_mode="append",
+    ).toPandas()
+    want = R.wer_ingest(spark, SF_DIR).toPandas()
+    g, w = normalize(got), normalize(want)
+    assert g.shape == w.shape, f"{g.shape} != {w.shape}"
+    assert g.equals(w)
+    assert w["keep"].any() and not w["keep"].all()  # the gate discriminates
