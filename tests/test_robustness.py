@@ -816,3 +816,66 @@ def test_wer_cer_round_half_up_on_exact_ties(spark, tmp_path):
     wer = R.wer_pairs(spark, sf).toPandas().iloc[0]
     # word level: both sides are ONE token, substituted -> 1/1
     assert wer["edits"] == 1 and wer["wer"] == 1.0
+
+
+def test_eval_scores_recompute_from_their_integer_surface(spark):
+    """Every r17 metric must be EXACTLY the documented function of its
+    own emitted integer components — recomputed here in plain Python
+    (a third implementation besides the Catalyst expression and the
+    DuckDB oracle) over the real sf0.001 corpus."""
+    import math
+
+    from bigdataanalytics_textsummarization_spark import rouge as R
+    from tests.conftest import SF_DIR as sf
+
+    # tolerance, not bit-equality: Python round() is banker's and the
+    # engines round half-up, so an exact tie would legitimately differ
+    # in the 6th decimal (the r17 cer_pairs catch)
+    tol = 5.0e-7 * (1 + 1e-9)
+
+    g = R.gleu_pairs(spark, sf).toPandas()
+    assert len(g) > 0
+    for _, r in g.iterrows():
+        want = (
+            0.0
+            if r["t_pool"] == 0 or r["rt_pool"] == 0
+            else min(
+                r["m_pool"] / r["t_pool"], r["m_pool"] / r["rt_pool"]
+            )
+        )
+        assert abs(r["gleu"] - want) <= tol
+
+    s = R.rouge_su4(spark, sf).toPandas()
+    for _, r in s.iterrows():
+        p = r["match_su4"] / r["cand_units"] if r["cand_units"] else 0.0
+        rr = r["match_su4"] / r["ref_units"] if r["ref_units"] else 0.0
+        f = 2 * p * rr / (p + rr) if (p + rr) > 0 else 0.0
+        assert abs(r["su4_p"] - p) <= tol
+        assert abs(r["su4_r"] - rr) <= tol
+        assert abs(r["su4_f"] - f) <= tol
+
+    b = R.self_bleu_docs(spark, sf).toPandas()
+    for _, r in b.iterrows():
+        if r["t1"] == 0 or r["m1"] == 0:
+            want = 0.0
+        else:
+            lns = [math.log(r["m1"] / r["t1"])] + [
+                math.log((r[f"m{n}"] + 1) / (r[f"t{n}"] + 1))
+                for n in (2, 3, 4)
+            ]
+            bp = (
+                1.0
+                if r["t1"] > r["r_len"]
+                else math.exp(1.0 - r["r_len"] / r["t1"])
+            )
+            want = bp * math.exp(0.25 * sum(lns))
+        assert abs(r["self_bleu"] - want) <= tol
+        assert 0.0 <= r["self_bleu"] <= 1.0
+
+    w = R.wer_ingest(spark, sf).toPandas()
+    for _, r in w.iterrows():
+        want = r["edits"] / r["n_ref"] if r["n_ref"] else 0.0
+        assert abs(r["wer"] - want) <= tol
+        assert bool(r["keep"]) == (
+            r["edits"] * R.WER_KEEP_DEN <= r["n_ref"] * R.WER_KEEP_NUM
+        )
