@@ -2097,36 +2097,47 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     score(D,Q) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
     idf(t) = ln(1 + (N-df+0.5)/(df+0.5)).
 
-    Scale shape: the corpus is tokenized ONCE into (doc_id, term, tf) and
-    immediately semi-joined against the broadcast query-term relation, so
-    everything downstream is O(docs x query_terms), not O(corpus tokens);
-    df comes from re-aggregating that small table; N and avgdl are a 1-row
-    scalar aggregate broadcast by crossJoin (the doc_perplexity pattern).
-    Per-(query, doc) scores are summed by an ORDER-FIXED fold over the
-    term-sorted contribution array — both engines add identical IEEE
-    doubles in identical order, so ranking ties cannot split across
-    engines and the top-k is exact (the ann_cosine_topk determinism
-    argument, extended to summed scores).
+    Scale shape (r17, guide §2.3 "shuffle fewer bytes"): the query-term
+    restriction is applied INSIDE the token array, before the explode —
+    the generator emits only matching tokens, so the (doc_id, term)
+    aggregate shuffles O(docs x query_terms) rows instead of the whole
+    corpus token stream (the previous shape aggregated ALL tokens and
+    only then semi-joined the broadcast query terms — the full-corpus
+    shuffle was pure waste).  Document length needs no explode at all:
+    ``dl = size(split(...))`` is a row-local projection, identical to
+    counting the exploded rows (split(-1) keeps empties, so every doc
+    has >= 1 token and n_docs is the plain document count).  df comes
+    from re-aggregating the tiny hits table; N and avgdl are a 1-row
+    scalar aggregate broadcast by crossJoin (the doc_perplexity
+    pattern); avgdl is exact in any fold order (integer-valued doubles,
+    sums < 2^53).  Per-(query, doc) scores are summed by an ORDER-FIXED
+    fold over the term-sorted contribution array — both engines add
+    identical IEEE doubles in identical order, so ranking ties cannot
+    split across engines and the top-k is exact (the ann_cosine_topk
+    determinism argument, extended to summed scores).
     """
     docs = load_table(spark, sf_dir, "documents")
     qterms = spark.createDataFrame(
         [(qid, t) for qid, q in BM25_QUERIES for t in q.split(" ")],
         schema="query_id bigint, term string",
     )
-    toks = docs.select(
+    qset = sorted({t for _, q in BM25_QUERIES for t in q.split(" ")})
+    arr = F.split(F.lower("text"), " ", -1)
+    toks_q = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower("text"), " ", -1)).alias("term"),
+        F.explode(
+            F.filter(arr, lambda t: t.isin(*qset))
+        ).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(
+    hits = toks_q.groupBy("doc_id", "term").agg(
         F.count("*").cast("long").alias("tf")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    dl = docs.select(
+        "doc_id", F.size(arr).cast("long").alias("dl")
+    )
     scalars = dl.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
-    )
-    hits = tf.join(
-        F.broadcast(qterms.select("term").distinct()), "term"
     )
     df_ = hits.groupBy("term").agg(
         F.countDistinct("doc_id").cast("long").alias("df")
