@@ -249,6 +249,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = est.select("doc_a", "doc_b")
+    # r17 note (guide §3.2, attempted and REVERTED by measurement): a
+    # broadcast semi-join restricting this shingle stream to candidate
+    # docs before the distinct would shrink the full-corpus shingle
+    # shuffle to O(candidates) — but deriving the candidate-doc set
+    # from ``est`` replicates the whole sig→bands→band-join subtree two
+    # more times in the plan (52 -> 148 Exchange nodes before runtime
+    # reuse), and the measured warm median ROSE 2.1-3.1s -> 3.3s at
+    # sf0.1.  A deployment that needs the candidate restriction at
+    # extreme scale should materialize the pair table first
+    # (``_lsh_pairs`` is exactly that leaf) and verify from it, rather
+    # than growing this single-plan diamond.
     sh = _shingles_dup(spark, sf_dir).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     ga = sh.select(F.col("doc_id").alias("doc_a"), "g")
