@@ -75,26 +75,28 @@ def _shingles_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles_dup_of(docs: DataFrame) -> DataFrame:
+    # r17 (guide §2.3 "project before you explode"): the gram ARRAY is
+    # built row-locally and only the gram string is exploded.  The old
+    # shape posexploded a position sequence and kept the full word
+    # array as a required child output, so every generated row carried
+    # a copy of the whole document's word array through the generate —
+    # O(words) bytes per shingle row instead of O(gram).  Gram values,
+    # order, and multiplicity are identical (same element_at indices;
+    # verified multiset-equal at sf0.1 and oracle-gated downstream).
     arr = F.split("text", " ", -1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__w") - F.lit(SHINGLE_K - 1)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("__w", i),
+            F.element_at("__w", i + F.lit(1)),
+            F.element_at("__w", i + F.lit(2)),
+        ),
+    )
     return (
         docs.filter(F.size(arr) >= SHINGLE_K)
         .select("doc_id", arr.alias("__w"))
-        .select(
-            "doc_id",
-            "__w",
-            F.posexplode(
-                F.sequence(F.lit(1), F.size("__w") - F.lit(SHINGLE_K - 1))
-            ).alias("__p", "__i"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.element_at("__w", F.col("__i")),
-                F.element_at("__w", F.col("__i") + 1),
-                F.element_at("__w", F.col("__i") + 2),
-            ).alias("g"),
-        )
+        .select("doc_id", F.explode(grams).alias("g"))
     )
 
 
@@ -308,9 +310,17 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leaf(dedup_minhash_lsh(spark, sf_dir))
 
 
+@session_memo
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: connected components over the LSH pair
     graph (exact Jaccard >= 0.2), canonical = min doc_id per component.
+
+    Session-memoized (r17, the ``_lsh_pairs``/``_ranks_raw`` precedent):
+    the min-label loop runs driver-blocking jobs (one eager checkpoint
+    + one convergence count per iteration) at BUILD time, and its
+    output is already a materialized checkpoint — consumers
+    (``dedup_keep_best``, ``curation_pipeline``) and repeated builds in
+    one session reuse that result instead of re-running the loop.
 
     Production dedup's last step — pairs alone over-remove (A~B, B~C must
     collapse to ONE canonical, not two).  Components are computed by

@@ -2016,18 +2016,27 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         return w.map(lambda x: _bpe_apply(x, merges))
 
     docs = load_table(spark, sf_dir, "documents")
-    word_counts = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
-            ).alias("w"),
-        )
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").cast("long").alias("cnt"))
+    # r17 (guide §2.4 "remove shuffles outright"): the old shape
+    # pre-aggregated to (doc_id, word, cnt) — a full corpus-token
+    # exchange — joined the broadcast vocab map, re-aggregated by
+    # doc_id (second exchange), and LEFT-joined back onto the doc list
+    # to re-add word-free docs (third shuffle-ish pass).  The per-doc
+    # totals are plain integer sums over tokens, so the broadcast map
+    # can be applied PER TOKEN and everything collapses to one
+    # groupBy(doc_id) with map-side partials: identical values (sum
+    # over tokens of n_sub == sum over (w, cnt) of cnt * n_sub, exact
+    # integers), one exchange.  ``explode_outer`` keeps word-free docs
+    # as a NULL-token row — count("w") skips it and the sums coalesce
+    # to 0 — so no join-back is needed for the row-per-doc contract.
+    toks = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w"),
     )
     vocab_map = (
-        word_counts.select("w")
+        toks.select("w")
+        .filter(F.col("w").isNotNull())
         .distinct()
         .coalesce(4)
         .select(
@@ -2036,27 +2045,19 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("w").cast("long").alias("n_chars"),
         )
     )
-    totals = (
-        word_counts.join(F.broadcast(vocab_map), "w")
+    zero = F.lit(0).cast("long")
+    return (
+        toks.join(F.broadcast(vocab_map), "w", "left")
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").cast("long").alias("words"),
-            F.sum(F.col("cnt") * F.col("n_sub")).cast("long").alias(
+            F.count("w").cast("long").alias("words"),
+            F.coalesce(F.sum("n_sub").cast("long"), zero).alias(
                 "bpe_tokens"
             ),
-            F.sum(F.col("cnt") * F.col("n_chars")).cast("long").alias(
+            F.coalesce(F.sum("n_chars").cast("long"), zero).alias(
                 "alpha_chars"
             ),
         )
-    )
-    # every document gets a row — a doc with no [a-z] words costs 0 tokens,
-    # it does not vanish (sibling per-doc operators emit a row per doc too)
-    zero = F.lit(0).cast("long")
-    return docs.select("doc_id").join(totals, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("words", zero).alias("words"),
-        F.coalesce("bpe_tokens", zero).alias("bpe_tokens"),
-        F.coalesce("alpha_chars", zero).alias("alpha_chars"),
     )
 
 
