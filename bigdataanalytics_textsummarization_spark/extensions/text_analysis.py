@@ -90,19 +90,34 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
           + 0.3 * min(avg_word_len/8, 1)        (lexical richness)
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ", -1)).alias("w")
+    # r17 (guide §2.4 "remove shuffles outright"): every signal is
+    # document-LOCAL, so the old explode + groupBy(doc_id) + join-back
+    # (two exchanges over the corpus token stream) is a zero-shuffle
+    # array projection.  Values are bit-identical: the word multiset is
+    # the same split, n_words == count of exploded rows (split(-1)
+    # keeps empties), and awl/swr divide EXACT integer sums (lengths
+    # and stopword hits sum as longs < 2^53 in any order) by the same
+    # count — the identical IEEE division the aggregate computed.
+    arr = F.split(F.lower("text"), " ", -1)
+    n_words = F.size(arr).cast("long")
+    sum_len = F.aggregate(
+        arr, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
     )
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_words"),
-        F.avg(F.length("w")).alias("awl"),
-        (
-            F.sum(F.when(F.col("w").isin(*STOPWORDS), 1).otherwise(0))
-            / F.count("*")
-        ).alias("swr"),
+    # one parsed SQL expression, not a 179-literal python Column tree:
+    # building isin(*STOPWORDS) through py4j cost ~0.2s of CONSTRUCT per
+    # build (measured; the parser takes ~0.01s for the same tree)
+    n_stop = F.expr(
+        "cast(size(filter(split(lower(text), ' ', -1),"
+        f" w -> w IN {STOPWORDS_SQL})) AS bigint)"
     )
     return (
-        docs.join(per_doc, "doc_id")
+        docs.withColumns(
+            {
+                "n_words": n_words,
+                "awl": sum_len / n_words,
+                "swr": n_stop / n_words,
+            }
+        )
         .select(
             "doc_id",
             "n_words",
@@ -1031,11 +1046,18 @@ def _line_occ(docs: DataFrame, with_text: bool = False) -> DataFrame:
         .filter(F.trim("sentence") != "")
         .select(*cols)
     )
-    stats = occ.groupBy("key").agg(
-        F.count("*").cast("long").alias("n_occ"),
-        F.min("enc").alias("first_enc"),
+    # r17 (guide §2.4): corpus stats per key as WINDOW aggregates over
+    # the one hash-key exchange, not a groupBy re-derivation joined back
+    # — the old shape exploded the corpus twice and shuffled the
+    # occurrence stream into both the join probe and the aggregate.
+    # count(*)/min(enc) over the unordered key partition are the same
+    # exact integers the join carried.
+    w = Window.partitionBy("key")
+    return occ.select(
+        "*",
+        F.count("*").over(w).cast("long").alias("n_occ"),
+        F.min("enc").over(w).alias("first_enc"),
     )
-    return occ.join(stats, "key")
 
 
 def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

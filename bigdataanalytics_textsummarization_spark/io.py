@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .functions import session_memo
+
 TABLES = (
     "region",
     "nation",
@@ -40,10 +42,20 @@ REVIEWS_SCHEMA = T.StructType(
 )
 
 
+@session_memo
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, min_partitions: int | None = None
 ) -> DataFrame:
     """Parquet scan of one synthetic table (column-pruned, filter-pushed).
+
+    Session-memoized (r17): ``spark.read.parquet`` pays ~90-170 ms of
+    driver work PER CALL (footer schema read + file listing), which
+    multiplied across every query build was the single largest uniform
+    construct cost in the bench.  The memo returns the same immutable
+    scan frame for the session; release_pins() clears it with the other
+    build memos.  (The testdata tables are immutable per sf_dir; a
+    caller that rewrites a parquet path mid-session must not read it
+    through this loader — none does.)
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark rejects
     by default; read it as long nanos and convert to a microsecond timestamp

@@ -542,10 +542,15 @@ def test_r14_trio_plan_shapes(spark):
     plan = _plan(spark, "ccnet_buckets")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
-    # the C4 transform: two md5/doc-keyed shuffles, no window, no
-    # cartesian; reassembly is array_sort inside the aggregate
+    # the C4 transform (r17 shape): ONE corpus explode — the corpus
+    # stats are window aggregates over the key-partitioned exchange
+    # instead of a groupBy re-derivation joined back (which exploded
+    # the corpus twice) — then the doc_id shuffle; reassembly is
+    # array_sort inside the aggregate
     plan = _plan(spark, "boilerplate_strip")
-    assert "Window" not in plan
+    assert plan.count("Generate (") == 1
+    assert "Window" in plan  # partitioned by the sentence-hash key
+    assert "(key" in plan.split("Window")[1][:200] or "key#" in plan
     assert "CartesianProduct" not in plan
     # the vector ingest gate: one equi-join on the bucket key, stream-
     # legal (no aggregation, no window)
