@@ -936,7 +936,14 @@ _WER_SCHEMA = T.StructType(
 
 
 def _levenshtein_words(a: list[str], b: list[str]) -> int:
-    """Classic O(len(a)*len(b)) word-level Levenshtein, O(min) memory."""
+    """Classic O(len(a)*len(b)) word-level Levenshtein, O(min) memory.
+
+    The pure-Python spec; the kernels call :func:`_levenshtein_fast`,
+    which computes the identical integer with numpy row scans (guide
+    §4.2 — the interpreted inner loop was ~100x the vectorized cost on
+    the gate corpus).  Kept as the reference implementation and the
+    fallback for tiny inputs, and pinned equal to the fast path by
+    tests (test_robustness's independent recomputes exercise both)."""
     if len(a) < len(b):
         a, b = b, a
     prev = list(range(len(b) + 1))
@@ -950,6 +957,45 @@ def _levenshtein_words(a: list[str], b: list[str]) -> int:
             )
         prev = cur
     return prev[-1]
+
+
+def _levenshtein_fast(a: list[str], b: list[str]) -> int:
+    """Vectorized twin of :func:`_levenshtein_words` — bit-identical.
+
+    Row recurrence ``cur[j] = min(prev[j]+1, prev[j-1]+cost_j,
+    cur[j-1]+1)`` unrolls along j to ``cur[j] = min_{k<=j}(base[k] +
+    (j-k))`` with ``base[0] = i`` and ``base[j] = min(prev[j]+1,
+    prev[j-1]+cost_j)`` — a (min,+) prefix scan, computed exactly as
+    ``j + cummin(base - j)`` in int64 (every term an exact integer, no
+    float anywhere).  Tokens are mapped to int codes first so the
+    per-row equality test is one numpy compare."""
+    import numpy as np
+
+    if len(a) < len(b):
+        a, b = b, a
+    n = len(b)
+    if n == 0:
+        return len(a)
+    if len(a) * n < 256:  # tiny pairs: list DP beats numpy call overhead
+        return _levenshtein_words(a, b)
+    codes: dict[str, int] = {}
+    for t in a:
+        if t not in codes:
+            codes[t] = len(codes)
+    for t in b:
+        if t not in codes:
+            codes[t] = len(codes)
+    a_ids = np.fromiter((codes[t] for t in a), dtype=np.int64, count=len(a))
+    b_ids = np.fromiter((codes[t] for t in b), dtype=np.int64, count=n)
+    j_idx = np.arange(n + 1, dtype=np.int64)
+    prev = j_idx.copy()
+    base = np.empty(n + 1, dtype=np.int64)
+    for i in range(1, len(a) + 1):
+        cost = (b_ids != a_ids[i - 1]).astype(np.int64)
+        base[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + cost, out=base[1:])
+        prev = j_idx + np.minimum.accumulate(base - j_idx)
+    return int(prev[-1])
 
 
 def wer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,7 +1033,7 @@ def wer_from(pairs: DataFrame) -> DataFrame:
             ):
                 a = tok.findall(cand.lower())
                 b = tok.findall(ref.lower())
-                rows.append((pid, len(a), len(b), _levenshtein_words(a, b)))
+                rows.append((pid, len(a), len(b), _levenshtein_fast(a, b)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema]
             )
@@ -1160,7 +1206,7 @@ def cer_from(pairs: DataFrame) -> DataFrame:
             ):
                 a = tok.findall(cand.lower())
                 b = tok.findall(ref.lower())
-                rows.append((pid, len(a), len(b), _levenshtein_words(a, b)))
+                rows.append((pid, len(a), len(b), _levenshtein_fast(a, b)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in out_schema]
             )
