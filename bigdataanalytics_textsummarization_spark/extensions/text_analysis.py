@@ -2140,9 +2140,15 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism argument, extended to summed scores).
     """
     docs = load_table(spark, sf_dir, "documents")
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, q in BM25_QUERIES for t in q.split(" ")],
-        schema="query_id bigint, term string",
+    # a VALUES LocalRelation, not createDataFrame (r17): the parsed
+    # literal plan is canonicalization-stable across builds (plan and
+    # codegen caches hit), and nothing round-trips through a driver RDD
+    _vals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in BM25_QUERIES for t in q.split(" ")
+    )
+    qterms = spark.sql(
+        "SELECT cast(query_id AS bigint) AS query_id, term "
+        f"FROM VALUES {_vals} AS v(query_id, term)"
     )
     qset = sorted({t for _, q in BM25_QUERIES for t in q.split(" ")})
     arr = F.split(F.lower("text"), " ", -1)
@@ -2152,8 +2158,14 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(arr, lambda t: t.isin(*qset))
         ).alias("term"),
     )
-    hits = toks_q.groupBy("doc_id", "term").agg(
-        F.count("*").cast("long").alias("tf")
+    # leaf(): the hits table feeds BOTH df_ and the contribution join —
+    # un-leafed, the scan+filtered-explode+aggregate subtree runs once
+    # per branch (the term_stats tf-leaf precedent; hits is the tiny
+    # query-term slice of the corpus, cheap to hold)
+    hits = leaf(
+        toks_q.groupBy("doc_id", "term").agg(
+            F.count("*").cast("long").alias("tf")
+        )
     )
     dl = docs.select(
         "doc_id", F.size(arr).cast("long").alias("dl")
