@@ -52,10 +52,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     score 0 when nothing matches.
     """
     docs = load_table(spark, sf_dir, "documents")
-    lex_rows = [
-        (lang, w) for lang, words in LEXICONS.items() for w in words
-    ]
-    lex = spark.createDataFrame(lex_rows, ["cand_lang", "w"])
+    # VALUES LocalRelation (r17, the bm25 pattern): canonicalization-
+    # stable across builds, no driver RDD round-trip
+    _vals = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, words in LEXICONS.items()
+        for w in words
+    )
+    lex = spark.sql(f"SELECT cand_lang, w FROM VALUES {_vals} AS v(cand_lang, w)")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ", -1)).alias("w")
     )
@@ -64,11 +68,21 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "cand_lang")
         .agg(F.count("*").alias("score"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand_lang"))
+    # argmax as one aggregate (r17, the LPA mode() discipline): max
+    # score with ties to the lexicographically smallest lang is
+    # min(struct(-score, lang)) — removes the window's exchange + sort
     best = (
-        scores.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", "cand_lang", "score")
+        scores.groupBy("doc_id")
+        .agg(
+            F.min(F.struct((-F.col("score")).alias("ns"), "cand_lang")).alias(
+                "m"
+            )
+        )
+        .select(
+            "doc_id",
+            F.col("m.cand_lang").alias("cand_lang"),
+            (-F.col("m.ns")).alias("score"),
+        )
     )
     return (
         docs.select("doc_id", "lang")
