@@ -1,14 +1,17 @@
 #!/usr/bin/env python
-"""r17 optimization probe: bench-methodology timings + plan capture.
+"""Optimization probe: bench-methodology timings + plan capture.
 
 Usage:
-    python scripts/opt_probe.py --suffix before [--reps 3] [query ...]
+    python scripts/opt_probe.py --suffix before [--reps 3] \
+        [--plans-round r18] [query ...]
 
 For each named query (default: bench.py's HEADLINE list) this runs the
 EXACT bench.py methodology — one untimed warm-up rep, then ``reps`` timed
 reps of construct+execute against the noop sink — and writes
-``plans/r17/<query>_<suffix>.txt`` with the ``explain("formatted")``
+``plans/<round>/<query>_<suffix>.txt`` with the ``explain("formatted")``
 output, so before/after plan diffs are committed evidence (guide §1).
+The plans subdirectory defaults to the current optimization round (r18);
+pass ``--plans-round`` to write elsewhere.
 
 Timings print as one JSON line per query plus a trailing total line; the
 session is bench.py's (local[$SPARK_GRAFT_CPUS], shuffle partitions
@@ -43,6 +46,11 @@ def main() -> None:
         i = args.index("--reps")
         reps = int(args[i + 1])
         del args[i : i + 2]
+    plans_round = "r18"
+    if "--plans-round" in args:
+        i = args.index("--plans-round")
+        plans_round = args[i + 1]
+        del args[i : i + 2]
     no_plans = "--no-plans" in args
     if no_plans:
         args.remove("--no-plans")
@@ -62,7 +70,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r17",
+        plans_round,
     )
     os.makedirs(plans_dir, exist_ok=True)
 
