@@ -27,7 +27,7 @@ from ..functions import (
     r6,
     split_bucket,
 )
-from ..io import load_table
+from ..io import input_bytes, load_table
 
 # Small marker lexicons per language (public stopword cores).  The synthetic
 # corpus is English-flavored word soup, so the *predictions* skew 'en' — the
@@ -53,9 +53,11 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     # VALUES LocalRelation (r17, the bm25 pattern): canonicalization-
-    # stable across builds, no driver RDD round-trip
+    # stable across builds, no driver RDD round-trip.  Values are
+    # ''-escaped (ADVICE r17): today's lexicon is plain ASCII, but a
+    # future entry containing a quote must not break the parse.
     _vals = ", ".join(
-        f"('{lang}', '{w}')"
+        f"('{lang}', '{w.replace(chr(39), chr(39) * 2)}')"
         for lang, words in LEXICONS.items()
         for w in words
     )
@@ -124,8 +126,14 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(size(filter(split(lower(text), ' ', -1),"
         f" w -> w IN {STOPWORDS_SQL})) AS bigint)"
     )
+    # text IS NOT NULL pins the NULL-text semantics to the oracle's
+    # (ADVICE r17): the oracle's per_doc CTE derives from unnest(),
+    # which emits nothing for NULL text, and the final INNER join drops
+    # such docs — the row-local projection must drop them too, not emit
+    # a row of NULL metrics.  No-op on the (NULL-free) testdata.
     return (
-        docs.withColumns(
+        docs.filter(F.col("text").isNotNull())
+        .withColumns(
             {
                 "n_words": n_words,
                 "awl": sum_len / n_words,
@@ -2030,6 +2038,12 @@ def _bpe_apply(word: str, merges: list[tuple[str, str]]) -> int:
     return len(_bpe_apply_pieces(word, merges))
 
 
+# Documents-input byte gate under which bpe_encode's distinct-word vocab
+# map may broadcast (overridable via the spark conf key below in
+# bpe_encode); see the dispatch comment there for the Heaps'-law sizing.
+BPE_BROADCAST_VOCAB_MAX_INPUT_BYTES = 1 << 30
+
+
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode the corpus with the learned BPE merges: per document, the
     subword token count and the chars-per-token compression the vocabulary
@@ -2081,9 +2095,30 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("w").cast("long").alias("n_chars"),
         )
     )
+    # r18 size dispatch (VERDICT r17 task 4, guide §3.1): vocab_map is
+    # the corpus-DISTINCT word table — Heaps'-law unbounded, so an
+    # unconditional broadcast OOMs the driver at 100 TB.  Broadcast only
+    # while the documents input is under a measured gate (the LSA
+    # size-dispatch precedent; filesystem arithmetic, no extra job);
+    # past it the plain shuffle join is the safe plan — identical values
+    # either way (same left join, same integer sums).  Gate rationale:
+    # Heaps V ~ 30·N_tokens^0.55 puts the framed (w, n_sub, n_chars)
+    # relation near the session's 64 MB broadcast threshold at roughly
+    # 1 GiB of compressed documents parquet, so the default gate sits
+    # there; deployments override via spark conf.
+    fits = (
+        input_bytes(os.path.join(sf_dir, "documents.parquet"))
+        <= int(
+            spark.conf.get(
+                "spark.graft.bpe.broadcastVocabMaxInputBytes",
+                str(BPE_BROADCAST_VOCAB_MAX_INPUT_BYTES),
+            )
+        )
+    )
+    vm = F.broadcast(vocab_map) if fits else vocab_map
     zero = F.lit(0).cast("long")
     return (
-        toks.join(F.broadcast(vocab_map), "w", "left")
+        toks.join(vm, "w", "left")
         .groupBy("doc_id")
         .agg(
             F.count("w").cast("long").alias("words"),
@@ -2143,11 +2178,14 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle was pure waste).  Document length needs no explode at all:
     ``dl = size(split(...))`` is a row-local projection, identical to
     counting the exploded rows (split(-1) keeps empties, so every doc
-    has >= 1 token and n_docs is the plain document count).  df comes
-    from re-aggregating the tiny hits table; N and avgdl are a 1-row
-    scalar aggregate broadcast by crossJoin (the doc_perplexity
-    pattern); avgdl is exact in any fold order (integer-valued doubles,
-    sums < 2^53).  Per-(query, doc) scores are summed by an ORDER-FIXED
+    has >= 1 token and n_docs is the plain document count).  r18
+    (VERDICT r17 task 3): documents is scanned ONCE — a leafed
+    (doc_id, dl, query-token) base projection feeds the hits aggregate,
+    the dl join and the N/avgdl scalars, where the r17 shape paid three
+    corpus scans.  df comes from re-aggregating the tiny hits table;
+    N and avgdl are a 1-row scalar aggregate broadcast by crossJoin
+    (the doc_perplexity pattern); avgdl is exact in any fold order
+    (integer-valued doubles, sums < 2^53).  Per-(query, doc) scores are summed by an ORDER-FIXED
     fold over the term-sorted contribution array — both engines add
     identical IEEE doubles in identical order, so ranking ties cannot
     split across engines and the top-k is exact (the ann_cosine_topk
@@ -2156,9 +2194,13 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # a VALUES LocalRelation, not createDataFrame (r17): the parsed
     # literal plan is canonicalization-stable across builds (plan and
-    # codegen caches hit), and nothing round-trips through a driver RDD
+    # codegen caches hit), and nothing round-trips through a driver RDD.
+    # Values are ''-escaped (ADVICE r17): today's terms are plain ASCII,
+    # but a future query containing a quote must not break the parse.
     _vals = ", ".join(
-        f"({qid}, '{t}')" for qid, q in BM25_QUERIES for t in q.split(" ")
+        f"({qid}, '{t.replace(chr(39), chr(39) * 2)}')"
+        for qid, q in BM25_QUERIES
+        for t in q.split(" ")
     )
     qterms = spark.sql(
         "SELECT cast(query_id AS bigint) AS query_id, term "
@@ -2166,25 +2208,37 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qset = sorted({t for _, q in BM25_QUERIES for t in q.split(" ")})
     arr = F.split(F.lower("text"), " ", -1)
-    toks_q = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(arr, lambda t: t.isin(*qset))
-        ).alias("term"),
-    )
-    # leaf(): the hits table feeds BOTH df_ and the contribution join —
-    # un-leafed, the scan+filtered-explode+aggregate subtree runs once
-    # per branch (the term_stats tf-leaf precedent; hits is the tiny
-    # query-term slice of the corpus, cheap to hold)
-    hits = leaf(
-        toks_q.groupBy("doc_id", "term").agg(
-            F.count("*").cast("long").alias("tf")
+    # r18 (VERDICT r17 task 3, guide §1.2 "remove unnecessary passes"):
+    # ONE leafed row-local base projection — (doc_id, dl, query-term
+    # slice of the token array) — feeds hits, the dl join AND the
+    # scalar aggregate.  The r17 shape scanned documents three times
+    # (hits leaf build, the dl join branch, the 1-row scalar aggregate);
+    # now the corpus parquet is read exactly once, at leaf build, and
+    # everything downstream reads the pinned O(docs) rows (a long + a
+    # few query-term strings per doc — the cost VERDICT r17 accepted
+    # for cutting two full corpus passes at scale).  text IS NOT NULL
+    # pins the NULL-text semantics to the oracle's (ADVICE r17): the
+    # oracle's dl CTE derives from unnest(), which emits nothing for
+    # NULL text, so such docs must not count toward n_docs/avgdl.
+    base = leaf(
+        docs.filter(F.col("text").isNotNull()).select(
+            "doc_id",
+            F.size(arr).cast("long").alias("dl"),
+            F.filter(arr, lambda t: t.isin(*qset)).alias("qtok"),
         )
     )
-    dl = docs.select(
-        "doc_id", F.size(arr).cast("long").alias("dl")
+    # leaf(): the hits table feeds BOTH df_ and the contribution join —
+    # un-leafed, the explode+aggregate subtree runs once per branch (the
+    # term_stats tf-leaf precedent; hits is the tiny query-term slice of
+    # the corpus, cheap to hold).  Its build reads the base leaf's pinned
+    # blocks, not the parquet.
+    hits = leaf(
+        base.select("doc_id", F.explode("qtok").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
     )
-    scalars = dl.agg(
+    dl = base.select("doc_id", "dl")
+    scalars = base.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )

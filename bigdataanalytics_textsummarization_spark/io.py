@@ -85,6 +85,27 @@ def load_table(
     return df
 
 
+def input_bytes(path: str) -> int:
+    """Total on-disk bytes under a data path (file or directory).
+
+    Pure filesystem arithmetic — no Spark job, no plan conversion.  On
+    OSError (remote FS, missing path) it returns a huge sentinel so every
+    size GATE built on it fails safe toward the big-data branch (skip the
+    widening repartition; do not broadcast)."""
+    import os as _os
+
+    try:
+        if _os.path.isdir(path):
+            return sum(
+                _os.path.getsize(_os.path.join(root, f))
+                for root, _, files in _os.walk(path)
+                for f in files
+            )
+        return _os.path.getsize(path)
+    except OSError:
+        return 1 << 60  # unknown: assume big
+
+
 def _estimated_scan_partitions(spark: SparkSession, path: str) -> int:
     """Cheap estimate of how many splits a parquet scan will produce.
 
@@ -93,19 +114,7 @@ def _estimated_scan_partitions(spark: SparkSession, path: str) -> int:
     per call.  Errs high for multi-row-group files (fine: erring high only
     skips the widening repartition, the behavior a large dataset wants).
     """
-    import os as _os
-
-    try:
-        if _os.path.isdir(path):
-            total = sum(
-                _os.path.getsize(_os.path.join(root, f))
-                for root, _, files in _os.walk(path)
-                for f in files
-            )
-        else:
-            total = _os.path.getsize(path)
-    except OSError:
-        return 1 << 30  # unknown (remote FS): assume big, never repartition
+    total = input_bytes(path)
     max_bytes = int(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
     )

@@ -185,6 +185,36 @@ def test_bpe_encode_consistent_with_learned_merges(spark, bpe_corpus_dir):
     assert got.bpe_tokens.sum() < char_level
 
 
+def test_bpe_encode_vocab_broadcast_size_dispatch(spark, bpe_corpus_dir):
+    """r18 (VERDICT r17 task 4): the distinct-word vocab map broadcasts
+    only under the input-size gate — Heaps'-law vocabulary is unbounded
+    at 100 TB, so past the gate the join must fall back to a plain
+    shuffle join.  Pins BOTH dispatch branches (the broadcast hint is
+    present iff the gate passes; the optimizer may still auto-broadcast
+    the tiny fixture, so the hint in the analyzed plan is the dispatch
+    evidence) and that the branch choice never changes values."""
+    key = "spark.graft.bpe.broadcastVocabMaxInputBytes"
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    # default gate (1 GiB): the tiny fixture is under it -> hinted
+    df_b = bpe_encode(spark, bpe_corpus_dir)
+    assert "ResolvedHint" in analyzed(df_b)
+    got_b = df_b.toPandas().sort_values("doc_id").reset_index(drop=True)
+
+    # gate forced to 0 bytes: nothing fits -> no hint, shuffle join
+    spark.conf.set(key, "0")
+    try:
+        df_s = bpe_encode(spark, bpe_corpus_dir)
+        assert "ResolvedHint" not in analyzed(df_s)
+        got_s = df_s.toPandas().sort_values("doc_id").reset_index(drop=True)
+    finally:
+        spark.conf.unset(key)
+
+    pd.testing.assert_frame_equal(got_b, got_s)
+
+
 # ---------------------------------------------------------------------------
 # bloom_semijoin
 # ---------------------------------------------------------------------------
