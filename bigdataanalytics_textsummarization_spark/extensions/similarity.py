@@ -67,6 +67,18 @@ def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@session_memo
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Embedding-store row count, session-memoized (r18, VERDICT r17
+    task 6): seven builders key their budgets (descent iterations, beam
+    hop/width/seed rules, covariance scalars) on n, and each paid a
+    driver-blocking count job PER BUILD.  The store is immutable per
+    sf_dir (the load_table contract), so one count per session is
+    value-identical; release_pins() clears it with the other build
+    memos."""
+    return _embeddings(spark, sf_dir).count()
+
+
 def _norm(col: Column) -> Column:
     return F.sqrt(dot(col, col))
 
@@ -1465,12 +1477,29 @@ def _pq_codebooks(
     """
     schema = _PQ_TRAIN_SCHEMA
     if cache_key is not None and cache_key in _PQ_CB_CACHE:
-        return spark.createDataFrame(_PQ_CB_CACHE[cache_key], schema)
+        return _pq_cb_frame(spark, cache_key)
     cb = subs.groupBy("m").applyInPandas(_pq_train_kernel, schema)
     rows = cb.collect()
     if cache_key is not None:
         _PQ_CB_CACHE[cache_key] = rows
+        return _pq_cb_frame(spark, cache_key)
     return spark.createDataFrame(rows, cb.schema)
+
+
+@session_memo
+def _pq_cb_frame(spark: SparkSession, cache_key: str) -> DataFrame:
+    """The PQ_M x PQ_K codebook relation for already-trained rows,
+    session-memoized (r18, VERDICT r17 task 7): the r17 shape re-ran
+    ``spark.createDataFrame`` (a driver-RDD round-trip over 2048
+    float-array rows) on EVERY build even when the trained rows were
+    cached.  One frame per session keeps the canonical plan stable for
+    CacheManager reuse, like the leaf memo.  A VALUES LocalRelation (the
+    bm25/lang_id pattern) was considered and rejected for this relation:
+    2048 rows of 8-double arrays is a ~370 KB SQL literal whose parse
+    costs more than the round-trip it saves, and float literals add a
+    repr/parse round-trip the trained-model convention (the IVF centers
+    note) deliberately avoids."""
+    return spark.createDataFrame(_PQ_CB_CACHE[cache_key], _PQ_TRAIN_SCHEMA)
 
 
 def _pq_codes(subs: DataFrame, cb: DataFrame) -> DataFrame:
@@ -1994,7 +2023,8 @@ def embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass) — the bounded-group shape is identical either way.
     """
     emb = _embeddings(spark, sf_dir).select("vec_id", "e")
-    n = float(emb.count())  # scalar; embedded as the same literal both sides
+    # scalar; embedded as the same literal both sides (count memoized r18)
+    n = float(_emb_count(spark, sf_dir))
     x = emb.select("vec_id", F.posexplode("e").alias("i", "xi"))
 
     def fold(col):
@@ -2054,7 +2084,7 @@ def embedding_pca(
     import numpy as np
 
     emb = _embeddings(spark, sf_dir).select("vec_id", "e")
-    n = float(emb.count())
+    n = float(_emb_count(spark, sf_dir))
     # second moments + dim sums via the Gramian-partial kernel (VERDICT r8
     # task 3): one numpy X^T X per Arrow batch, a bounded groupBy((i, j))
     # over #batches x dims^2/2 partial rows, then a dims^2-bounded collect
@@ -2217,7 +2247,7 @@ def embedding_cov_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-gate-registered for exactly that reason.
     """
     emb = _embeddings(spark, sf_dir).select("vec_id", "e")
-    n = float(emb.count())
+    n = float(_emb_count(spark, sf_dir))
     agg = _gram_partials(emb)
     means = agg.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("d"), (F.col("si") / F.lit(n)).alias("m")
@@ -2450,7 +2480,7 @@ def knn_graph_descent(
     import math
 
     emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
-    n = emb.count()
+    n = _emb_count(spark, sf_dir)
     if iters is None:
         iters = max(
             3, math.ceil(math.log(max(n, 2)) / math.log(max(k, 2))) + 1
@@ -2733,7 +2763,7 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _beam_rounds / _beam_width / _entry_seeds rules); at the driver's
     # gate scales (50/500 vectors) these are exactly BEAM_ROUNDS, BEAM_W
     # and N_ENTRY_SEEDS, which is what the sf0.01-pinned oracle unrolls
-    n = emb.count()
+    n = _emb_count(spark, sf_dir)
     cand = _beam_search(
         spark, sf_dir, _beam_width(n), _beam_rounds(n), _entry_seeds(n)
     )
@@ -2862,6 +2892,7 @@ def _beam_loop(
     return cand
 
 
+@session_memo
 def _beam_search(
     spark: SparkSession,
     sf_dir: str,
@@ -2870,7 +2901,17 @@ def _beam_search(
     n_entries: int = N_ENTRY_SEEDS,
 ) -> DataFrame:
     """Beam search over the session-memoized index (the registered query
-    path): C_0 = {entry set scored}, then ``_beam_loop``."""
+    path): C_0 = {entry set scored}, then ``_beam_loop``.
+
+    Session-memoized per (beam_w, rounds, n_entries) (r18, VERDICT r17
+    task 6): the unrolled ``rounds x (window + 2 joins + distinct)``
+    chain is a deep plan whose eager per-op analysis dominated
+    construct for ann_graph_search (and 4x for ann_graph_tuning's
+    sweep); DataFrames are immutable and the chain descends from the
+    memoized ``_beam_seed`` checkpoint, so handing back the previously
+    built frame is value-identical and keeps canonical plans stable
+    for CacheManager reuse.  Cleared by release_pins() with the seed
+    it descends from."""
     emb, edges, q, cand = _beam_seed(spark, sf_dir, n_entries)
     return _beam_loop(emb, edges, q, cand, beam_w, rounds)
 
@@ -2971,7 +3012,7 @@ def ann_graph_search_indexed(
         index_path = _ensure_graph_index(spark, sf_dir)
     emb = _embeddings(spark, sf_dir).withColumn("nrm", _norm(F.col("e")))
     edges = spark.read.parquet(f"{index_path}/edges")
-    n = emb.count()
+    n = _emb_count(spark, sf_dir)
     q, cand = _beam_state(emb, edges, _entry_seeds(n))
     cand = _beam_loop(emb, edges, q, cand, _beam_width(n), _beam_rounds(n))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -3129,7 +3170,7 @@ def ann_graph_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # search width (w/8, w/4, w/2, w): at the gate that is exactly
     # TUNE_BEAM_WS — the widths the pinned oracle unrolls — and off-gate
     # the curve brackets the width the search actually runs.
-    n = _embeddings(spark, sf_dir).count()
+    n = _emb_count(spark, sf_dir)
     rounds = _beam_rounds(n)
     seeds = _entry_seeds(n)
     widths = tuple(max(1, _beam_width(n) // d) for d in (8, 4, 2, 1))

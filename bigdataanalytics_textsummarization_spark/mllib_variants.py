@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .functions import STOPWORDS, STOPWORDS_SQL, r6
+from .functions import STOPWORDS, STOPWORDS_SQL, r6, session_memo
 from .io import load_table
 
 TOP_K = 3
@@ -43,6 +43,7 @@ LSH_SEED = 20240101
 MAX_JACCARD_DISTANCE = 0.8  # jaccard similarity >= 0.2, the dedup threshold
 
 
+@session_memo
 def tfidf_topk_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 keywords via the MLlib feature pipeline.
 
@@ -52,6 +53,14 @@ def tfidf_topk_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same window query the native path uses.  Fitted stages (the
     CountVectorizer vocabulary, the IDF weights) are broadcast to
     executors by MLlib — at 100 TB the fit is two distributed passes.
+
+    Session-memoized (r18, VERDICT r17 task 7): the two ``.fit()`` calls
+    and the vocabulary ``createDataFrame`` (a driver round-trip over the
+    fitted vocab) ran eagerly on EVERY build; the output is
+    index-permutation-invariant (vocab indices cancel when scores join
+    back to words — the value-gate argument above), so one build per
+    session is value-identical.  Cleared by release_pins() with the
+    other build memos; the cold first build is unchanged.
     """
     from pyspark.ml.feature import (
         CountVectorizer,
