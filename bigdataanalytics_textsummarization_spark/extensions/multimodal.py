@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions import session_memo
 from ..io import load_table
 
 N_FEATURES = 4
@@ -1390,6 +1391,7 @@ WHERE n.doc_id % {IMG_INGEST_MOD} = 0
 QUERIES["phash_ingest"] = phash_ingest
 
 
+@session_memo
 def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate CLUSTERS: connected components over the
     perceptual-hash pair graph — the last step of multimodal dedup
@@ -1398,7 +1400,12 @@ def image_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`dedup.min_label_components` — O(component diameter)
     iterations, one join + aggregate each); canonical = min doc_id.
     The DuckDB oracle computes the same components with a recursive
-    transitive-closure CTE over the same banded pair set."""
+    transitive-closure CTE over the same banded pair set.
+
+    Session-memoized (r18, the dedup_clusters precedent): the min-label
+    loop runs driver-blocking convergence actions per build; the output
+    is deterministic, so one build per session is value-identical.
+    Cleared by release_pins()."""
     from .dedup import min_label_components
 
     return min_label_components(
@@ -2314,12 +2321,18 @@ WHERE n.doc_id % {VIDEO_INGEST_MOD} = 0
 QUERIES["video_fp_ingest"] = video_fp_ingest
 
 
+@session_memo
 def video_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplicate CLUSTERS: connected components over the
     total-hamming pair graph via the shared min-label propagation
     (:func:`dedup.min_label_components`), canonical = min doc_id — the
     image/text cluster step on the video axis.  Oracle: recursive
-    transitive closure over the same banded pair set."""
+    transitive closure over the same banded pair set.
+
+    Session-memoized (r18, the dedup_clusters precedent): the min-label
+    loop runs driver-blocking convergence actions per build; the output
+    is deterministic, so one build per session is value-identical.
+    Cleared by release_pins()."""
     from .dedup import min_label_components
 
     return min_label_components(
@@ -2369,11 +2382,17 @@ FROM reach GROUP BY s
 QUERIES["video_dedup_clusters"] = video_dedup_clusters
 
 
+@session_memo
 def audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate CLUSTERS: connected components over the
     acoustic fingerprint pair graph via the shared min-label
     propagation, canonical = min doc_id — completing cluster parity
-    across text/image/audio/video."""
+    across text/image/audio/video.
+
+    Session-memoized (r18, the dedup_clusters precedent): the min-label
+    loop runs driver-blocking convergence actions per build; the output
+    is deterministic, so one build per session is value-identical.
+    Cleared by release_pins()."""
     from .dedup import min_label_components
 
     return min_label_components(
@@ -3415,11 +3434,17 @@ FROM reach GROUP BY s
 """
 
 
+@session_memo
 def image_dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-width image near-dup CLUSTERS: the shared iterative
     min-label propagation over the wide (aHash-64, 16-bit-band) pair
     graph — same component semantics as :func:`image_dedup_clusters`,
-    production detector."""
+    production detector.
+
+    Session-memoized (r18, the dedup_clusters precedent): the min-label
+    loop runs driver-blocking convergence actions per build; the output
+    is deterministic, so one build per session is value-identical.
+    Cleared by release_pins()."""
     from .dedup import min_label_components
 
     return min_label_components(
@@ -3446,9 +3471,15 @@ wcand AS (
 QUERIES["image_dedup_clusters_wide"] = image_dedup_clusters_wide
 
 
+@session_memo
 def audio_dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-width audio near-dup CLUSTERS over the 64-bit
-    fingerprint pair graph (see :func:`audio_dedup_clusters`)."""
+    fingerprint pair graph (see :func:`audio_dedup_clusters`).
+
+    Session-memoized (r18, the dedup_clusters precedent): the min-label
+    loop runs driver-blocking convergence actions per build; the output
+    is deterministic, so one build per session is value-identical.
+    Cleared by release_pins()."""
     from .dedup import min_label_components
 
     return min_label_components(
@@ -3475,9 +3506,15 @@ wcand AS (
 QUERIES["audio_dedup_clusters_wide"] = audio_dedup_clusters_wide
 
 
+@session_memo
 def video_dedup_clusters_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-width video near-dup CLUSTERS over the 64-bit
-    per-frame pair graph (see :func:`video_dedup_clusters`)."""
+    per-frame pair graph (see :func:`video_dedup_clusters`).
+
+    Session-memoized (r18, the dedup_clusters precedent): the min-label
+    loop runs driver-blocking convergence actions per build; the output
+    is deterministic, so one build per session is value-identical.
+    Cleared by release_pins()."""
     from .dedup import min_label_components
 
     return min_label_components(
