@@ -462,7 +462,15 @@ def build_replicated(spark, replicas: int, salt_docs: bool = False) -> str:
             ),
         )
     rep = rep.drop("r")
-    rep.write.parquet(f"{out}/documents.parquet")
+    # r18: write the replicated corpus across many files.  The base
+    # sf0.1 corpus is ONE small parquet file, so the replicated write
+    # (one scan task) also produced one file and every probe's scan ran
+    # as a SINGLE split — a serial Amdahl term that masked core-scaling
+    # at x10/x100 (measured: local[8] matched local[32] on row-local
+    # projections because the scan+widening exchange was the wall).  A
+    # real corpus at this volume has many files; 64 here keeps scan
+    # parallelism realistic at both probed core counts.
+    rep.repartition(64).write.parquet(f"{out}/documents.parquet")
     ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
     rep_ev = (
         ev.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
