@@ -2231,13 +2231,21 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # un-leafed, the explode+aggregate subtree runs once per branch (the
     # term_stats tf-leaf precedent; hits is the tiny query-term slice of
     # the corpus, cheap to hold).  Its build reads the base leaf's pinned
-    # blocks, not the parquet.
+    # blocks, not the parquet.  dl rides THROUGH the aggregate (r18,
+    # guide §2.4 "remove shuffles outright"): it is functionally
+    # dependent on doc_id (every row of a group carries the same value,
+    # so max() == the value, exactly), which deletes the old
+    # O(docs)-row shuffle join that re-attached dl to the hit docs —
+    # the last corpus-sized exchange in the plan; the aggregate's
+    # shuffle rows widen by one long.
     hits = leaf(
-        base.select("doc_id", F.explode("qtok").alias("term"))
+        base.select("doc_id", "dl", F.explode("qtok").alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.max("dl").alias("dl"),
+        )
     )
-    dl = base.select("doc_id", "dl")
     scalars = base.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
@@ -2248,9 +2256,6 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = (
         hits.join(F.broadcast(qterms), "term")
         .join(F.broadcast(df_), "term")
-        # dl is O(docs): a real shuffle join on doc_id (AQE may still
-        # broadcast it at small SF, but the plan must not require it)
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(scalars))
         .select(
             "query_id",
